@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Watermark}
+import graft.operators.{AntiEcho, IncrementalScan, LwwMerge}
+
+/** Reference-parity queries (SURVEY.md §2.1-§2.7) expressed over the
+  * driver's `events` / `documents` tables, each with a DuckDB oracle.
+  *
+  * `events` plays the reference's sync table (FIXTURES.md): `event_id`
+  * is the id, `ts` the event time, and `unix_millis(ts)` the monotone
+  * `version` — exactly the reference's `unix_time_millis` versioning
+  * (reference utils.py:68-74).
+  */
+object SyncQueries {
+
+  // Fixed half-open window inside the events range (Jan 2024):
+  // (2024-01-10 00:00, 2024-01-20 00:00] as epoch millis.
+  private val winLast = 1704844800000L
+  private val winThis = 1705708800000L
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // S1/P1: projected scan — column pruning reaches the parquet reader.
+    GraftQuery(
+      "s1_projected_scan",
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // S2/P4: incremental half-open window (last, this] on the derived
+    // version column (reference pyCassElastic.py:205-212).
+    GraftQuery(
+      "s2_incremental_window",
+      s"""SELECT event_id, user_id, epoch_ms(ts) AS version, event_type
+         |FROM events
+         |WHERE epoch_ms(ts) > $winLast AND epoch_ms(ts) <= $winThis
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      IncrementalScan(ev, "version", Watermark.Span(winLast, winThis))
+        .select("event_id", "user_id", "version", "event_type")
+        .orderBy("event_id")
+    },
+
+    // S4/P5: source anti-echo filter (reference pyCassElastic.py:386-399).
+    // documents has a real `source` column; NULL-source rows are kept.
+    GraftQuery(
+      "s4_anti_echo",
+      """SELECT doc_id, source FROM documents
+        |WHERE source IS DISTINCT FROM 'src7'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      AntiEcho(Tables.load(s, dir, "documents"), "source", "src7")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // A1 (window form): LWW latest state per key — the engine's reason
+    // to exist (reference README.md:17, pyCassElastic.py:337-343).
+    GraftQuery(
+      "a1_lww_latest",
+      """SELECT user_id, event_id, epoch_ms(ts) AS version, event_type,
+        |       round(value, 2) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id
+        |  ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      LwwMerge.latestWindow(ev, Seq("user_id"), "version", Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("version"),
+          col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    },
+
+    // A1 (aggregate form): same semantics via max_by — the map-side-
+    // combine formulation that scales (bytes shuffled ≈ distinct keys).
+    GraftQuery(
+      "a1_lww_latest_agg",
+      """SELECT user_id, event_id, epoch_ms(ts) AS version, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id
+        |  ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select("user_id", "event_id", "version", "event_type")
+      LwwMerge.latestAgg(ev, Seq("user_id"), "version", Seq(col("event_id")))
+        .orderBy("user_id")
+    },
+
+    // A2: run-report counters (reference ok/error tallies,
+    // pyCassElastic.py:93-95) as a grouped count.
+    GraftQuery(
+      "a2_counters",
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.loadEvents(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+    },
+
+    // §2.7 set-op analogue: conflict winners vs losers split — rows of
+    // the window that LOSE the LWW race (rank > 1) are the 409/delete
+    // set (reference pyCassElastic.py:508-582).
+    GraftQuery(
+      "conflict_losers",
+      """SELECT user_id, event_id, epoch_ms(ts) AS version
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id
+        |  ORDER BY epoch_ms(ts) DESC, event_id DESC) > 1
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select("user_id", "event_id", "version")
+      graft.operators.ConflictSplit
+        .losers(ev, Seq("user_id"), "version", Seq(col("event_id")))
+        .orderBy("user_id", "event_id")
+    },
+
+    // P7/F8: regex capture — the reference pulls the winning version out
+    // of ES 409 messages with `provided \[(.*?)\]`
+    // (pyCassElastic.py:519,548). Same expression over the events JSON
+    // props column.
+    GraftQuery(
+      "p7_regex_extract",
+      """SELECT event_id,
+        |       CAST(coalesce(regexp_extract(props, '"k": (\d+)', 1), '') AS VARCHAR) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
+        .orderBy("event_id")
+    },
+
+    // F11: JSON decode of the `_source`-style payload
+    // (reference pyCassElastic.py:272-278 flattens the ES _source dict).
+    GraftQuery(
+      "f11_json_extract",
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // F1-F5: the reference's time helpers (utils.py:58-74, watermark
+    // codec pyCassElastic.py:154-170) as engine expressions.
+    GraftQuery(
+      "f_time_functions",
+      """SELECT event_id,
+        |       epoch_ms(ts)//1000 AS unix_sec,
+        |       epoch_ms(ts) AS unix_ms,
+        |       strftime(date_trunc('minute', ts), '%Y%m%d %H:%M') AS wm_str,
+        |       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS iso_sec
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(
+          col("event_id"),
+          expr("version div 1000").as("unix_sec"),
+          col("version").as("unix_ms"),
+          date_format(date_trunc("minute", col("ts")), "yyyyMMdd HH:mm").as("wm_str"),
+          date_format(date_trunc("second", col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("iso_sec"))
+        .orderBy("event_id")
+    }
+  )
+}
