@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema introspection, diff, and additive evolution — SURVEY.md §1.3.
+  *
+  * The reference discovers both stores' schemas at runtime
+  * (`_get_table_schema` pyCassElastic.py:448-469, `_get_doc_schema`
+  * :471-495), diffs them minus the id column (:433), and issues
+  * `ALTER TABLE ADD {column} {type}` for every field the destination
+  * lacks (:434-444) — evolution is ADD-COLUMN ONLY, one direction at a
+  * time, with a type map (:497-506). The insert path then null-pads
+  * fields the incoming row lacks (:270-274).
+  *
+  * On Spark, "introspection" is `df.schema`; diff is set difference on
+  * `StructType.fields`; evolution is a projection (for an in-flight
+  * DataFrame) or `ALTER TABLE ADD COLUMNS` (for a catalog table). The
+  * null-pad projection is pure metadata — zero data movement, fully
+  * codegen'd, and safe at any scale.
+  */
+object SchemaTools {
+
+  /** Fields present in `source` but absent (by name) from `target` —
+    * the reference's missing-column set (pyCassElastic.py:434-437).
+    * Comparison ignores the excluded (id) columns, mirroring :433.
+    */
+  def missingIn(target: StructType, source: StructType,
+      exclude: Seq[String] = Nil): Seq[org.apache.spark.sql.types.StructField] = {
+    val have = target.fieldNames.toSet ++ exclude
+    source.fields.filter(f => !have.contains(f.name)).toSeq
+  }
+
+  /** Additive evolution: `target` plus every field `source` has that it
+    * lacks (the reference's ALTER TABLE ADD loop, pyCassElastic.py:438-444).
+    * Never drops or retypes existing fields.
+    */
+  def evolve(target: StructType, source: StructType): StructType =
+    StructType(target.fields.toSeq ++ missingIn(target, source))
+
+  /** Project `df` onto `target`'s columns in `target`'s order,
+    * null-padding absent ones — the reference's insert-side alignment
+    * (pyCassElastic.py:240-241, 270-274). Columns `df` has beyond
+    * `target` are dropped (the reference only binds the destination's
+    * columns). Existing columns are cast to the target type so both
+    * sides of a later union/merge agree.
+    */
+  def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Two-way union schema + both frames aligned to it: the state both
+    * stores converge to after the reference's bidirectional
+    * `sync_schemas` legs (pyCassElastic.py:412-446 run once per
+    * direction).
+    */
+  def alignBoth(a: DataFrame, b: DataFrame): (DataFrame, DataFrame, StructType) = {
+    val unified = evolve(a.schema, b.schema)
+    (align(a, unified), align(b, unified), unified)
+  }
+}

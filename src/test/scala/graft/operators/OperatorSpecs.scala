@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.Watermark
+
+/** IncrementalScan — reference S2 half-open window
+  * (pyCassElastic.py:205-212), standardized to (last, this].
+  */
+class IncrementalScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selects exactly the half-open window (last, this]") {
+    val df = Seq(("a", 10L), ("b", 11L), ("c", 20L), ("d", 21L))
+      .toDF("id", "version")
+    val out = IncrementalScan(df, "version", Watermark.Span(10L, 20L))
+      .select("id").as[String].collect().sorted
+    out shouldBe Array("b", "c") // 10 excluded, 20 included
+  }
+
+  test("optional projection narrows columns (reference fields_list)") {
+    val df = Seq(("a", 15L, "x")).toDF("id", "version", "text")
+    val out = IncrementalScan(df, "version", Watermark.Span(10L, 20L), Seq("id"))
+    out.columns shouldBe Array("id")
+  }
+
+  test("window predicate is pushed to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("scan").toString
+    Seq(("a", 10L), ("b", 15L)).toDF("id", "version")
+      .write.mode("overwrite").parquet(dir)
+    val scanned = IncrementalScan(
+      spark.read.parquet(dir), "version", Watermark.Span(10L, 20L))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(version,10)"),
+      s"window filter not pushed to scan:\n$plan")
+  }
+}
+
+/** AntiEcho — reference S4 `not term source=X` (pyCassElastic.py:386-399). */
+class AntiEchoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drops the destination's own rows, keeps others AND nulls") {
+    val df = Seq(("1", "cass"), ("2", "es"), ("3", null))
+      .toDF("id", "source")
+    val out = AntiEcho(df, "source", "es").select("id").as[String].collect().sorted
+    out shouldBe Array("1", "3") // null-source row kept (unknown origin syncs)
+  }
+}
+
+/** ConflictSplit — winners/losers partition (reference 409 parse + delete
+  * set, pyCassElastic.py:508-582).
+  */
+class ConflictSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val batch = Seq(
+    ("a", 1L), ("a", 3L), ("a", 2L), ("b", 5L), ("c", 7L), ("c", 6L)
+  ).toDF("id", "version")
+
+  test("winners ∪ losers = input, disjoint; winners = LWW survivors") {
+    val (w, l) = ConflictSplit.split(batch, Seq("id"), "version")
+    assertSameRows(w.unionByName(l), batch)
+    assertSameRows(w, LwwMerge.latestWindow(batch, Seq("id"), "version"))
+    l.select("id", "version").as[(String, Long)].collect().sorted shouldBe
+      Array(("a", 1L), ("a", 2L), ("c", 6L))
+  }
+}
+
+/** SchemaTools — diff / additive evolution / null-pad alignment
+  * (reference sync_schemas pyCassElastic.py:412-446, insert-side padding
+  * :270-274; scenario = testDifferentSchemas tests/testSyncClass.py:216-268).
+  */
+class SchemaToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cass = Seq(("1", 1L, "t")).toDF("id", "version", "text")
+  private val es = Seq(("1", 2L, "t", "extra")).toDF("id", "version", "text", "new_col")
+
+  test("missingIn finds the extra field, ignoring excluded id") {
+    SchemaTools.missingIn(cass.schema, es.schema, exclude = Seq("id"))
+      .map(_.name) shouldBe Seq("new_col")
+    SchemaTools.missingIn(es.schema, cass.schema) shouldBe Nil
+  }
+
+  test("evolve appends missing fields, never drops or retypes") {
+    val evolved = SchemaTools.evolve(cass.schema, es.schema)
+    evolved.fieldNames shouldBe Array("id", "version", "text", "new_col")
+    evolved("version").dataType shouldBe LongType
+  }
+
+  test("align null-pads missing columns and drops extras") {
+    val aligned = SchemaTools.align(cass, SchemaTools.evolve(cass.schema, es.schema))
+    aligned.columns shouldBe Array("id", "version", "text", "new_col")
+    assert(aligned.collect().head.isNullAt(3))
+    // extras dropped: aligning es onto cass's schema loses new_col
+    SchemaTools.align(es, cass.schema).columns shouldBe Array("id", "version", "text")
+  }
+
+  test("alignBoth makes both sides union-compatible") {
+    val (a, b, unified) = SchemaTools.alignBoth(cass, es)
+    a.schema shouldBe b.schema
+    unified.fieldNames.toSet shouldBe Set("id", "version", "text", "new_col")
+    a.unionByName(b).count() shouldBe 2
+  }
+
+  test("align casts mismatched-but-compatible types to the target") {
+    val ints = Seq(("1", 5)).toDF("id", "version") // version as int
+    val aligned = SchemaTools.align(ints, cass.schema)
+    aligned.schema("version").dataType shouldBe LongType
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.core.{SideSpec, SyncSpec, Watermark}
+import graft.sources.ParquetTableIO
+
+/** End-to-end run-tick scenarios mirroring the reference's five
+  * integration tests (tests/testSyncClass.py:111-268) on parquet
+  * stores — SURVEY.md §5.
+  */
+class SyncRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The reference seeds relative to a watermark 5 minutes ago
+  // (tests/testSyncClass.py:453-463); we use fixed epoch millis.
+  private val last = 1000000L
+  private val now = 2000000L
+  private val span = Some(Watermark.Span(last, now))
+  private val inWin = last + 500 // inside (last, now]
+  private val outWin = last - 500 // before the window
+
+  private def stores(): (ParquetTableIO, ParquetTableIO) = {
+    val d = Files.createTempDirectory("sync")
+    (new ParquetTableIO(d.resolve("left").toString),
+      new ParquetTableIO(d.resolve("right").toString))
+  }
+
+  private def df(rows: (String, Long, String, String)*): DataFrame =
+    rows.toDF("id", "version", "text", "source")
+
+  private val spec = SyncSpec("s", SideSpec("left", Some("L")),
+    SideSpec("right", Some("R")), filterDate = true, ignoreSameSource = true)
+
+  test("left→right: only in-window rows cross (testFromCassandraToElastic)") {
+    val (l, r) = stores()
+    l.overwrite(df(("a", inWin, "in", "L"), ("b", outWin, "out", "L")))
+    r.overwrite(df())
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    r.read(spark).select("id").as[String].collect() shouldBe Array("a")
+    // left unchanged (nothing came back)
+    l.read(spark).count() shouldBe 2
+  }
+
+  test("right→left symmetric (testFromElasticToCassandra)") {
+    val (l, r) = stores()
+    l.overwrite(df())
+    r.overwrite(df(("x", inWin, "doc", "R")))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    l.read(spark).select("id").as[String].collect() shouldBe Array("x")
+  }
+
+  test("overlapping ids: newest version wins everywhere (testBothSides)") {
+    val (l, r) = stores()
+    l.overwrite(df(("k1", inWin + 10, "left-newer", "L"), ("k2", inWin, "left-older", "L")))
+    r.overwrite(df(("k1", inWin, "right-older", "R"), ("k2", inWin + 10, "right-newer", "R")))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    val want = Set(("k1", "left-newer"), ("k2", "right-newer"))
+    l.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe want
+    r.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe want
+  }
+
+  test("schema drift: extra right column lands on left, null-padded (testDifferentSchemas)") {
+    val (l, r) = stores()
+    l.overwrite(df(("a", inWin, "t", "L")))
+    r.overwrite(Seq(("b", inWin, "u", "R", "extra-val"))
+      .toDF("id", "version", "text", "source", "new_col"))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    val lo = l.read(spark)
+    lo.columns.toSet shouldBe Set("id", "version", "text", "source", "new_col")
+    lo.filter($"id" === "b").select("new_col").as[String].collect() shouldBe Array("extra-val")
+    lo.filter($"id" === "a").select("new_col").collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("anti-echo: synced rows do not bounce back on the next tick") {
+    val (l, r) = stores()
+    l.overwrite(df(("a", inWin, "t", "L")))
+    r.overwrite(df())
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    // tick 2 over the same window: the row (source=L) now sits on the
+    // right; ignore_same_source must stop it flowing right→left as an
+    // "update" (reference pyCassElastic.py:386-399).
+    val r2 = SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    r2.legs(1).rows shouldBe 0 // R->L leg carried nothing
+    l.read(spark).count() shouldBe 1
+  }
+
+  test("a failing spec does not abort siblings; watermark commits only when all pass") {
+    val d = Files.createTempDirectory("multi")
+    val wm = d.resolve("wm.log").toString
+    Watermark.write(wm, last)
+    val (l1, r1) = stores()
+    l1.overwrite(df(("a", inWin, "t", "L"))); r1.overwrite(df())
+    val broken = SyncRunner.Sides(
+      new ParquetTableIO(d.resolve("missing-left").toString),
+      new ParquetTableIO(d.resolve("missing-right").toString))
+    val reports = SyncRunner.runAll(spark,
+      Seq(spec -> SyncRunner.Sides(l1, r1), spec.copy(name = "broken") -> broken),
+      wm, nowMillis = now)
+    reports.map(_.failed) shouldBe Seq(false, true)
+    // healthy sibling still ran
+    r1.read(spark).count() shouldBe 1
+    // watermark NOT advanced (reference gap fixed: no write on error)
+    Watermark.read(wm) shouldBe Some(Watermark.truncToMinute(last))
+
+    // all-healthy run advances it
+    SyncRunner.runAll(spark, Seq(spec -> SyncRunner.Sides(l1, r1)), wm, nowMillis = now)
+    Watermark.read(wm) shouldBe Some(Watermark.truncToMinute(now))
+  }
+
+  test("idempotence: re-running the same window changes nothing (T5)") {
+    val (l, r) = stores()
+    l.overwrite(df(("a", inWin, "t", "L"), ("b", inWin + 1, "u", "L")))
+    r.overwrite(df(("c", inWin, "v", "R")))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    val (snapL, snapR) = (l.read(spark).collect().toSet, r.read(spark).collect().toSet)
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    l.read(spark).collect().toSet shouldBe snapL
+    r.read(spark).collect().toSet shouldBe snapR
+  }
+}
