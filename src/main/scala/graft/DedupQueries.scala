@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.{ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.functions.TextFunctions
+
+/** Deduplication queries over `documents`: exact content hashing,
+  * MinHash signatures, banded-LSH candidate generation, exact n-gram
+  * Jaccard refinement, and SimHash. The oracle SQL re-derives the
+  * same md5-based arithmetic with DuckDB list comprehensions, so the
+  * hash-compare is bit-exact.
+  */
+object DedupQueries {
+
+  private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val K = MinHashLSH.defaultK
+  private val B = MinHashLSH.defaultBands
+  private val R = K / B
+
+  /** shingle-list CTE shared by the minhash oracles. */
+  private val shinglesCte =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    [substring(norm, i, 5) for i in generate_series(1, greatest(length(norm) - 4, 1))]
+       |      AS shingles
+       |  FROM (SELECT doc_id, $norm AS norm FROM documents))""".stripMargin
+
+  private val sigElems: String = (0 until K)
+    .map(s => s"list_min([md5('$s:' || sh) for sh in shingles])")
+    .mkString(",\n    ")
+
+  private val sigCte =
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id, [
+       |    $sigElems] AS sig
+       |  FROM s)""".stripMargin
+
+  private val bandCte = {
+    val slice = (1 to R).map(i => s"sig[$R * b + $i]").mkString(", ")
+    s"""$sigCte, bands AS (
+       |  SELECT doc_id, b, md5(concat_ws('|', $slice)) AS bucket
+       |  FROM sig CROSS JOIN range(0, $B) t(b))""".stripMargin
+  }
+
+  private val candidatesSql =
+    s"""SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id""".stripMargin
+
+  // SimHash oracle pieces: 32 per-bit sums over md5's first 8 hex chars.
+  private val simhashBitSums: String = (0 until 32).map { p =>
+    val j = p / 4 + 1
+    val b = 1 << (p % 4)
+    s"sum(((instr('0123456789abcdef', substring(hx, $j, 1)) - 1) // $b) % 2) AS b$p"
+  }.mkString(",\n    ")
+
+  private val simhashPack: String = (0 until 32)
+    .map(p => s"CASE WHEN b$p * 2 > n THEN ${1L << p} ELSE 0 END")
+    .mkString(" + ")
+
+  private val simhashCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS hx
+       |  FROM (SELECT doc_id, $norm AS norm FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $simhashBitSums
+       |  FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $simhashPack AS simhash FROM bits)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact dedup groups: one survivor (min id) per identical
+    // normalized content, with multiplicity.
+    GraftQuery(
+      "d1_exact_dedup",
+      s"""SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, $norm AS norm FROM documents)
+         |GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      ExactDedup.groups(Tables.load(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("fp")
+    },
+
+    // MinHash signatures (k seeded min-hashes, string-joined so the
+    // cross-engine compare avoids array-column semantics).
+    GraftQuery(
+      "d2_minhash_sig",
+      s"""$sigCte
+         |SELECT doc_id, array_to_string(sig, ',') AS sig_str
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nc = TextFunctions.normalize(col("text"))
+      d.select(col("doc_id"),
+          concat_ws(",", MinHashLSH.signature(Shingles.charShingles(nc))).as("sig_str"))
+        .orderBy("doc_id")
+    },
+
+    // LSH candidate pairs: collide in >= 1 of the banded buckets.
+    GraftQuery(
+      "d3_lsh_candidates",
+      s"""$bandCte
+         |$candidatesSql
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      MinHashLSH.candidatePairs(d, "doc_id", TextFunctions.normalize(col("text")))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact 5-gram Jaccard refinement over the LSH candidates only —
+    // the scale path: O(candidates), never O(n^2).
+    GraftQuery(
+      "d4_jaccard_pairs",
+      s"""$bandCte, cand AS (
+         |$candidatesSql),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(shingles) AS sh FROM s)
+         |SELECT id_a, id_b,
+         |  round(len(list_filter(a.sh, x -> list_contains(c.sh, x))) * 1.0 /
+         |    (len(a.sh) + len(c.sh) - len(list_filter(a.sh, x -> list_contains(c.sh, x)))), 4)
+         |    AS jaccard
+         |FROM cand JOIN sets a ON cand.id_a = a.doc_id
+         |          JOIN sets c ON cand.id_b = c.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      MinHashLSH.nearDuplicates(d, "doc_id", col("text"), threshold = 0.0)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash signature per document.
+    GraftQuery(
+      "d5_simhash",
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-pairs: same top-16-bit block, Hamming <= 6.
+    GraftQuery(
+      "d6_simhash_pairs",
+      s"""$simhashCte
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) AS hamming
+         |FROM sh a JOIN sh c
+         |  ON (a.simhash // 65536) = (c.simhash // 65536) AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      SimHash.nearPairs(sims, "doc_id", maxDist = 6)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

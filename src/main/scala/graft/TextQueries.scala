@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis queries over the `documents` table — language ID,
+  * quality scoring, token counting, fingerprinting (the cheap
+  * per-document passes of an LLM data pipeline). Every expression is
+  * a built-in Catalyst function; oracles mirror the arithmetic
+  * exactly in DuckDB SQL.
+  */
+object TextQueries {
+
+  /** DuckDB rendering of TextFunctions.normalize (note the 'g' flag —
+    * DuckDB's regexp_replace is first-match-only by default, Spark's
+    * is global).
+    */
+  private val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val normCte =
+    s"WITH n AS (SELECT doc_id, text, $norm AS norm FROM documents)"
+
+  private def stoplist(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def stopCountSql(lang: String): String = {
+    val words = TextFunctions.stopwords.find(_._1 == lang).get._2
+    s"length(list_filter(string_split(norm, ' '), t -> list_contains(${stoplist(words)}, t)))"
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Token statistics: whitespace tokens, BPE-ish subword proxy,
+    // mean token length.
+    GraftQuery(
+      "t1_token_stats",
+      s"""$normCte
+         |SELECT doc_id,
+         |  length(string_split(norm, ' ')) AS n_tok,
+         |  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok_bpe,
+         |  round(list_sum([length(t) for t in string_split(norm, ' ')]) * 1.0
+         |        / greatest(length(string_split(norm, ' ')), 1), 4) AS mean_tok_len
+         |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nc = TextFunctions.normalize(col("text"))
+      d.select(col("doc_id"),
+          TextFunctions.tokenCount(nc).as("n_tok"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_tok_bpe"),
+          TextFunctions.meanTokenLength(nc).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: punctuation ratio, stopword ratio, composite
+    // score — computed from the ROUNDED sub-ratios in both dialects.
+    GraftQuery(
+      "t2_quality_score",
+      s"""$normCte, r AS (
+         |  SELECT doc_id,
+         |    round(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+         |          / greatest(length(text), 1), 4) AS punct_ratio,
+         |    round(${stopCountSql("en")} * 1.0
+         |          / greatest(length(string_split(norm, ' ')), 1), 4) AS stop_ratio,
+         |    length(string_split(norm, ' ')) AS n_tok
+         |  FROM n)
+         |SELECT doc_id, punct_ratio, stop_ratio,
+         |  round(least(n_tok * 1.0 / 50.0, 1.0) * 0.4
+         |      + (1.0 - punct_ratio) * 0.3
+         |      + least(stop_ratio * 4.0, 1.0) * 0.3, 4) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nc = TextFunctions.normalize(col("text"))
+      d.select(col("doc_id"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(nc).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text"), nc).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID: argmax of per-language stopword hits,
+    // first-listed language wins ties, 'und' when nothing hits.
+    GraftQuery(
+      "t3_lang_id", {
+        val langs = TextFunctions.stopwords.map(_._1)
+        val cols = langs.map(l => s"${stopCountSql(l)} AS c_$l").mkString(",\n  ")
+        val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l =>
+          s"WHEN c_$l > 0 AND c_$l = best THEN '$l'").mkString("\n  ")
+        s"""$normCte, c AS (SELECT doc_id,
+           |  $cols
+           |FROM n), b AS (SELECT doc_id, c_en, c_es, c_fr, c_de, $best AS best FROM c)
+           |SELECT doc_id, CASE
+           |  $cases
+           |  ELSE 'und' END AS lang_guess
+           |FROM b ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.langId(TextFunctions.normalize(col("text"))).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprints: whole-text md5 + min-shingle rolling
+    // fingerprint (stable under edits away from the minimizing window).
+    GraftQuery(
+      "t4_fingerprint",
+      s"""$normCte
+         |SELECT doc_id, md5(norm) AS fp,
+         |  list_min([md5(sh) for sh in
+         |    [substring(norm, i, 5) for i in generate_series(1, greatest(length(norm) - 4, 1))]])
+         |    AS min_shingle_fp
+         |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nc = TextFunctions.normalize(col("text"))
+      d.select(col("doc_id"),
+          TextFunctions.fingerprint(nc).as("fp"),
+          TextFunctions.minShingleFingerprint(nc).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 32-bit SimHash near-duplicate detection.
+  *
+  * Per token, 32 bits are read from the first 8 hex chars of md5
+  * (4 bits per char); the document hash sets bit p iff a strict
+  * majority of tokens have bit p set. Near-dups = pairs within a
+  * small Hamming distance.
+  *
+  * Shape: explode tokens → 32 conditional sums per doc (one hash
+  * aggregate with map-side combine) → bit-pack. The pair search
+  * blocks on the TOP 16 BITS: simhashes within Hamming ≤ d of each
+  * other usually agree on a long prefix, so the join keys on
+  * `simhash >> 16` and verifies `bit_count(xor) <= d` inside blocks —
+  * no cross product. (For guaranteed recall at scale, run the stricter
+  * multi-block variant: 4 rotations of 8-bit blocks; this single-block
+  * form is the cheap first pass.)
+  *
+  * All arithmetic is integer div/mod — identical in the DuckDB oracle.
+  */
+object SimHash {
+
+  private val hexDigits = "0123456789abcdef"
+
+  /** Sum over tokens of bit `p` (0-31, from md5's first 8 hex chars):
+    * hex char j = p / 4 (1-based), bit-in-char b = p % 4.
+    */
+  private def bitOfToken(tok: Column, p: Int): Column = {
+    val j = p / 4 + 1
+    val b = p % 4
+    val v = instr(lit(hexDigits), substring(md5(tok), j, 1)) - 1
+    shiftright(v.cast("int"), b) % 2
+  }
+
+  /** df ⇒ (idCol, simhash) with one 32-bit signature per document. */
+  def compute(df: DataFrame, idCol: String, normTextCol: Column): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(normTextCol)).as("tok"))
+    val sums = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n"),
+      (0 until 32).map(p => sum(bitOfToken(col("tok"), p)).as(s"b$p")): _*)
+    sums.select(col(idCol),
+      (0 until 32).map(p =>
+        when(col(s"b$p") * 2 > col("n"), lit(1L << p)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Pairs within Hamming distance `maxDist`, blocked on the top 16
+    * bits (see class doc for the recall caveat).
+    */
+  def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    val a = sims.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      shiftright(col("simhash"), 16).as("blk"))
+    val b = sims.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      shiftright(col("simhash"), 16).as("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

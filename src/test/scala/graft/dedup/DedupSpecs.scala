@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class ExactDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical-after-normalization docs collapse to the min id") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "  HELLO WORLD  "),
+      (4L, "different")).toDF("doc_id", "text")
+    val out = ExactDedup.dropExact(docs, "doc_id", col("text"))
+    out.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+    val g = ExactDedup.groups(docs, "doc_id", col("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    g shouldBe Set((1L, 3L), (4L, 1L))
+  }
+}
+
+class MinHashLSHSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely unrelated text about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("signature has k elements and is identical for identical docs") {
+    val sigs = docs.select(col("doc_id"),
+        MinHashLSH.signature(Shingles.charShingles(
+          TextFunctions.normalize(col("text")))).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    sigs(1L).length shouldBe MinHashLSH.defaultK
+    sigs(1L) shouldBe sigs(4L)
+    sigs(1L) should not be sigs(3L)
+  }
+
+  test("near-dup and exact-dup pairs collide; unrelated docs do not") {
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id",
+        TextFunctions.normalize(col("text")))
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L)) // identical => all bands collide
+    pairs should contain((1L, 2L)) // near-dup => overwhelmingly likely
+    pairs should not contain ((1L, 3L))
+  }
+
+  test("nearDuplicates scores exact dup 1.0 and ranks near-dup above threshold") {
+    val nd = MinHashLSH.nearDuplicates(docs, "doc_id", col("text"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    nd((1L, 4L)) shouldBe 1.0
+    nd((1L, 2L)) should be > 0.5
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical docs get identical simhash; near docs are close in Hamming") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sims = SimHash.compute(docs, "doc_id", TextFunctions.normalize(col("text")))
+      .as[(Long, Long)].collect().toMap
+    sims(1L) shouldBe sims(3L)
+    val hamming = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    assert(hamming <= 10, s"near docs should be Hamming-close, got $hamming")
+    sims(1L) should be >= 0L // 32-bit => fits long, non-negative
+    sims(1L) should be < (1L << 32)
+  }
+
+  test("nearPairs finds same-block close pairs") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val sims = SimHash.compute(docs, "doc_id", TextFunctions.normalize(col("text")))
+    val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting and quality on a known sentence") {
+    val df = Seq((1L, "The cat sat on the mat, happily!")).toDF("id", "text")
+    val nc = TextFunctions.normalize(col("text"))
+    val r = df.select(
+      TextFunctions.tokenCount(nc).as("n"),
+      TextFunctions.tokenCountBpe(col("text")).as("bpe"),
+      TextFunctions.punctRatio(col("text")).as("punct"),
+      TextFunctions.langId(nc).as("lang")).collect().head
+    r.getAs[Int]("n") shouldBe 7
+    r.getAs[Int]("bpe") shouldBe 9 // 7 words + ',' + '!'
+    r.getAs[Double]("punct") shouldBe 0.0625 // round(2/32, 4)
+    r.getAs[String]("lang") shouldBe "en" // 'the' x2, 'on'
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val df = Seq(
+      (1L, "el perro y la casa de un amigo"),
+      (2L, "zzz qqq xxx")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.langId(TextFunctions.normalize(col("text"))).as("l"))
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "es"
+    out(2L) shouldBe "und"
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("A  B", "a b")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint(TextFunctions.normalize(col("x"))).as("fx"),
+      TextFunctions.fingerprint(TextFunctions.normalize(col("y"))).as("fy"))
+      .collect().head
+    r.getString(0) shouldBe r.getString(1)
+  }
+}
