@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.similarity.{BruteForceKnn, SignLSH, VectorOps}
+
+/** Similarity-search queries over the `embeddings` table (64-dim
+  * float vectors): exact brute-force k-NN, per-label centroids,
+  * all-pairs near-dup, and sign-LSH bucketing/ANN. Oracles re-derive
+  * the identical sequential-fold double arithmetic in DuckDB
+  * (`list_reduce(list_prepend(0.0, ...))`), so cosine values match
+  * exactly — see similarity.VectorOps.
+  */
+object SimilarityQueries {
+
+  /** DuckDB dot product with Spark-identical fold order. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |    (p, q) -> p + q)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** DuckDB dot of a literal ±1 plane against an embedding column. */
+  private def dotPlaneSql(plane: Seq[Double], e: String): String = {
+    val lit = plane.mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, len($e)), i -> ($lit::DOUBLE[])[i] * $e[i]::DOUBLE)),
+       |      (p, q) -> p + q)""".stripMargin
+  }
+
+  private def bucketSql(tablePlanes: Seq[Seq[Double]], e: String): String =
+    tablePlanes.zipWithIndex.map { case (plane, b) =>
+      s"CASE WHEN ${dotPlaneSql(plane, e)} >= 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString("\n    + ")
+
+  // Deterministic plane sets shared by Spark plan and oracle SQL.
+  private val bucketPlanes = SignLSH.planes(dim = 64, bits = 8, tables = 1).head
+  private val annPlanes = SignLSH.planes(dim = 64, bits = 6, tables = 1, seed = 7L)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact top-10 neighbors for 5 probe vectors — the ANN baseline.
+    GraftQuery(
+      "v1_knn_topk",
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         ${cosineSql("q.embedding", "v.embedding")} AS c
+         |  FROM embeddings v JOIN embeddings q
+         |    ON q.vec_id < 5 AND v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      BruteForceKnn.topK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Per-label mean embedding, flattened to (label, pos, avg) — the
+    // columnar form an IVF coarse quantizer trains from.
+    GraftQuery(
+      "v2_label_centroids",
+      """SELECT label, pos, round(avg(v), 6) AS mean_val
+        |FROM (SELECT label,
+        |        unnest(generate_series(1, len(embedding))) - 1 AS pos,
+        |        unnest(embedding)::DOUBLE AS v
+        |      FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("mean_val"))
+        .orderBy("label", "pos")
+    },
+
+    // Embedding near-duplicates, exact all-pairs form (the correctness
+    // oracle for the LSH variant below).
+    GraftQuery(
+      "v3_near_dup_pairs",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosine(col("e_a"), col("e_b")).as("c"))
+        .filter(col("c") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Sign-LSH bucket assignment (8 hyperplanes -> 256 buckets).
+    GraftQuery(
+      "v4_lsh_buckets",
+      s"""SELECT vec_id,
+         |  ${bucketSql(bucketPlanes, "embedding")} AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          SignLSH.bucketOf(VectorOps.asDouble(col("embedding")), bucketPlanes)
+            .as("bucket"))
+        .orderBy("vec_id")
+    },
+
+    // ANN near-pairs: 6-bit single-table LSH candidates refined with
+    // exact cosine >= 0.3 — the O(candidates) scale path whose recall
+    // is measured against v3 in the test suite.
+    GraftQuery(
+      "v5_ann_lsh_pairs", {
+        val bucket = bucketSql(annPlanes.head, "embedding")
+        s"""WITH bkt AS (
+           |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+           |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      SignLSH.annPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3, annPlanes)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -13,7 +13,8 @@ import graft.operators.LwwMerge
 object SparkEntry {
 
   def registry: Seq[GraftQuery] =
-    SyncQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
+    SyncQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The engine's minimum slice (SURVEY.md §7.3): deduplicated

@@ -1,0 +1,37 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact top-k nearest neighbors by cosine — the correctness baseline
+  * every approximate method is judged against.
+  *
+  * Shape: the QUERY side is broadcast (queries are few; the corpus is
+  * the big side), the corpus streams through map-side scoring with no
+  * shuffle, and per-query top-k runs as a ranking window whose
+  * `rank <= k` filter Spark rewrites to WindowGroupLimit — a bounded
+  * per-partition heap, not a global sort. At 100 TB the cost is one
+  * scan of the corpus per query batch.
+  */
+object BruteForceKnn {
+
+  /** (query_id, neighbor_id, cosine, rank) for each query row against
+    * every corpus row (self-pairs excluded), rank 1..k by descending
+    * cosine with id tie-break.
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorOps.asDouble(col(embCol)).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorOps.asDouble(col(embCol)).as("q_emb"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

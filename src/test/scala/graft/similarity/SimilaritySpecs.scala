@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(3.0f, 4.0f)))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      VectorOps.cosine(VectorOps.asDouble(col("x")), VectorOps.asDouble(col("x"))).as("xx"),
+      VectorOps.cosine(VectorOps.asDouble(col("x")), VectorOps.asDouble(col("y"))).as("xy"),
+      VectorOps.norm(VectorOps.asDouble(col("z"))).as("nz")).collect().head
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    r.getDouble(1) shouldBe 0.0 +- 1e-12
+    r.getDouble(2) shouldBe 5.0 +- 1e-12
+  }
+}
+
+class KnnAndLshSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("brute-force knn returns k ranked rows per query, self excluded") {
+    val out = BruteForceKnn.topK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val byQ = out.groupBy("query_id").count().collect()
+    byQ.length shouldBe 3
+    all(byQ.map(_.getLong(1))) shouldBe 5L
+    out.filter(col("query_id") === col("neighbor_id")).count() shouldBe 0
+    // ranks are 1..5 and cosine is non-increasing in rank
+    val r = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("cos").collect().map(_.getDouble(0))
+    r.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
+  test("multi-table sign-LSH: candidates shrink the pair space, recall is usable") {
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val threshold = 0.3
+    val planes = SignLSH.planes(dim = 64, bits = 6, tables = 8, seed = 11L)
+
+    val exact = SimilarityQueriesHelper.exactPairs(spark, emb, threshold)
+    val approx = SignLSH.annPairs(emb, "vec_id", "embedding", threshold, planes)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = SignLSH.candidatePairs(emb, "vec_id", "embedding", planes).count()
+
+    assert(cands < allPairs / 2,
+      s"LSH should prune the pair space: $cands candidates vs $allPairs pairs")
+    approx.subsetOf(exact) shouldBe true // refinement never invents pairs
+    val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    assert(recall >= 0.3, f"8-table/6-bit recall too low: $recall%.2f " +
+      s"(${approx.size}/${exact.size} of $cands candidates)")
+  }
+
+  test("more tables => recall never decreases (monotone union of indexes)") {
+    val t2 = SignLSH.planes(64, 6, 2, seed = 11L)
+    val t8 = SignLSH.planes(64, 6, 8, seed = 11L) // superset: same seed prefix
+    val p2 = SignLSH.annPairs(emb, "vec_id", "embedding", 0.3, t2).count()
+    val p8 = SignLSH.annPairs(emb, "vec_id", "embedding", 0.3, t8).count()
+    assert(p8 >= p2, s"8 tables found $p8 < $p2 found by 2")
+  }
+}
+
+private object SimilarityQueriesHelper {
+  def exactPairs(spark: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("e").as("e_b")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("e_a"), col("e_b")).as("c"))
+      .filter(col("c") >= threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+}
