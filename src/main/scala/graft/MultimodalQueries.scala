@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Media
+
+/** Multimodal-plumbing queries. The driver testdata has no real media
+  * files, so a deterministic media catalog is DERIVED from
+  * `documents` (payload = utf8 bytes of the text, metadata arithmetic
+  * on doc_id/n_chars) — identical derivation in the DuckDB oracle.
+  * The byte-decode step itself is the StubCodec (no image/audio libs
+  * in this build); its query is declared WITHOUT an oracle (driver
+  * records the weaker rows-only check) since fake features are
+  * JVM-side only.
+  */
+object MultimodalQueries {
+
+  /** Spark-side synthetic media catalog (see oracle CTE `media`). */
+  def mediaCatalog(s: SparkSession, dir: String): DataFrame = {
+    val mod = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      mod.as("modality"),
+      col("text").cast("binary").as("bytes"),
+      when(mod === "image", "png").when(mod === "audio", "wav")
+        .otherwise("mp4").as("format"),
+      when(mod =!= "audio", (lit(320) + col("doc_id") % 13 * 160).cast("int"))
+        .otherwise(lit(0)).as("width"),
+      when(mod =!= "audio", (lit(240) + col("doc_id") % 7 * 120).cast("int"))
+        .otherwise(lit(0)).as("height"),
+      when(mod === "audio", 16000).otherwise(0).as("sample_rate"),
+      when(mod =!= "image", col("n_chars") * 40L).otherwise(lit(0L))
+        .as("duration_ms"))
+  }
+
+  /** DuckDB rendering of the same catalog. */
+  private val mediaCte =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    encode(text) AS bytes,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |    CASE WHEN doc_id % 3 <> 1 THEN (320 + doc_id % 13 * 160)::INT ELSE 0 END AS width,
+      |    CASE WHEN doc_id % 3 <> 1 THEN (240 + doc_id % 7 * 120)::INT ELSE 0 END AS height,
+      |    CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+      |    CASE WHEN doc_id % 3 <> 0 THEN n_chars * 40 ELSE 0 END AS duration_ms
+      |  FROM documents)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Catalog projection: typed metadata columns over opaque payloads.
+    GraftQuery(
+      "m1_media_catalog",
+      s"""$mediaCte
+         |SELECT media_id, modality, format, octet_length(bytes) AS n_bytes,
+         |       width, height, sample_rate, duration_ms
+         |FROM media ORDER BY media_id""".stripMargin) { (s, dir) =>
+      mediaCatalog(s, dir)
+        .select(col("media_id"), col("modality"), col("format"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+        .orderBy("media_id")
+    },
+
+    // Frame-sampling plan: one row per 1000 ms frame offset per video
+    // — metadata-only explode; the decoder later seeks exactly here.
+    GraftQuery(
+      "m2_frame_sample",
+      s"""$mediaCte
+         |SELECT media_id, unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ms
+         |FROM media WHERE modality = 'video'
+         |ORDER BY media_id, frame_ms""".stripMargin) { (s, dir) =>
+      Media.sampleFrames(mediaCatalog(s, dir), everyMs = 1000L)
+        .orderBy("media_id", "frame_ms")
+    },
+
+    // Resize plan: aspect-preserving bounded-box targets, metadata
+    // arithmetic only.
+    GraftQuery(
+      "m3_resize_plan",
+      s"""$mediaCte
+         |SELECT media_id, width, height,
+         |  floor(width * least(512.0 / greatest(width, 1),
+         |                      512.0 / greatest(height, 1), 1.0))::INT AS target_w,
+         |  floor(height * least(512.0 / greatest(width, 1),
+         |                       512.0 / greatest(height, 1), 1.0))::INT AS target_h
+         |FROM media WHERE modality IN ('image', 'video')
+         |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Media.resizePlan(mediaCatalog(s, dir), maxSide = 512)
+        .orderBy("media_id")
+    },
+
+    // Partition-wise stub decode → features. No oracle (the fake
+    // features exist only JVM-side): driver records rows>0; the
+    // deterministic content is pinned by MediaSpec instead.
+    GraftQuery.noOracle("m4_stub_features") { (s, dir) =>
+      import s.implicits._
+      val media = mediaCatalog(s, dir).as[Media.MediaRow]
+      Media.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          size(col("feature")).as("feat_dim"),
+          round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")), 4)
+            .as("feat_sum"))
+        .orderBy("media_id")
+    }
+  )
+}

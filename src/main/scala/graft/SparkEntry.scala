@@ -14,7 +14,7 @@ object SparkEntry {
 
   def registry: Seq[GraftQuery] =
     SyncQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The engine's minimum slice (SURVEY.md §7.3): deduplicated

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with a typed metadata struct, and run the
+  * decode/feature step partition-wise so codec state is initialized
+  * once per partition, not once per row.
+  *
+  * The actual byte decoding is STUBBED (`StubCodec` — this build has
+  * no image/audio libraries): it derives deterministic fake features
+  * from the bytes. Everything AROUND the stub is the real production
+  * shape — schema, encoders, partition amortization, batch iteration,
+  * and the downstream handoff of `Array[Float]` features into
+  * graft.similarity.
+  */
+object Media {
+
+  /** One media row: payload + the metadata a real ingest would carry.
+    * Metadata travels as typed columns (not JSON) so filters on e.g.
+    * `duration_ms` prune before any byte is touched.
+    */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // image | audio | video
+      bytes: Array[Byte],
+      format: String,
+      width: Int, // images/video; 0 otherwise
+      height: Int,
+      sample_rate: Int, // audio; 0 otherwise
+      duration_ms: Long) // audio/video; 0 for stills
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  /** Codec interface a real backend (JPEG/PNG decoder, ffmpeg, ...)
+    * would implement. `open()` is the expensive per-partition init the
+    * mapPartitions pattern amortizes.
+    */
+  trait Codec extends Serializable {
+    def open(): Unit
+    def decode(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake decode: features are a seeded xorshift stream
+    * keyed on a rolling hash of the bytes. STUB — replace with a real
+    * codec; the surrounding plumbing does not change.
+    */
+  final class StubCodec extends Codec {
+    private var opened = false
+    override def open(): Unit = { opened = true }
+    override def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require(opened, "decode before open() — partition init not run")
+      var h = 1125899906842597L // rolling FNV-ish hash of the payload
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val out = new Array[Float](dim)
+      var s = if (h == 0) 0x9E3779B97F4A7C15L else h
+      var j = 0
+      while (j < dim) { // xorshift64* stream
+        s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+        out(j) = ((s * 0x2545F4914F6CDD1DL) >>> 40).toFloat / (1 << 24).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Partition-wise decode → feature vectors. One codec open() per
+    * partition; rows stream through without materializing the
+    * partition (iterator in, iterator out — constant memory).
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      codec: () => Codec = () => new StubCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val c = codec(); c.open()
+      rows.map(r => MediaFeatures(
+        r.media_id, r.modality, r.bytes.length.toLong, c.decode(r.bytes, dim)))
+    }
+  }
+
+  /** Frame-sampling plan for video rows: one row per sampled frame
+    * offset, `everyMs` apart — pure Catalyst (`sequence` + `explode`),
+    * no decode. The decoder then seeks only to sampled offsets.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs))).as("frame_ms"))
+
+  /** "Resize" planning: target dims preserving aspect ratio against a
+    * bounding box — metadata-only arithmetic, the byte work happens in
+    * the codec later.
+    */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / greatest(col("width"), lit(1)),
+      lit(maxSide.toDouble) / greatest(col("height"), lit(1)),
+      lit(1.0))
+    media.filter(col("modality").isin("image", "video"))
+      .select(col("media_id"), col("width"), col("height"),
+        floor(col("width") * scale).cast("int").as("target_w"),
+        floor(col("height") * scale).cast("int").as("target_h"))
+  }
+}

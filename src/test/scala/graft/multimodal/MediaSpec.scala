@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Media.{MediaRow, StubCodec}
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(id: Long, mod: String, payload: String, dur: Long = 0L) =
+    MediaRow(id, mod, payload.getBytes("UTF-8"), "x", 640, 480, 0, dur)
+
+  test("stub decode is deterministic and payload-sensitive") {
+    val c = new StubCodec; c.open()
+    val a1 = c.decode("hello".getBytes, 8)
+    val a2 = c.decode("hello".getBytes, 8)
+    val b = c.decode("hellp".getBytes, 8)
+    a1.toSeq shouldBe a2.toSeq
+    a1.toSeq should not be b.toSeq
+    all(a1.toSeq) should (be >= 0.0f and be < 1.0f)
+  }
+
+  test("extractFeatures runs partition-wise with typed output") {
+    val ds = Seq(row(1, "image", "aaa"), row(2, "audio", "bbb"), row(3, "video", "ccc"))
+      .toDS().repartition(2)
+    val out = Media.extractFeatures(ds, dim = 4).collect().sortBy(_.media_id)
+    out.map(_.media_id).toSeq shouldBe Seq(1L, 2L, 3L)
+    all(out.map(_.feature.length).toSeq) shouldBe 4
+    out.head.n_bytes shouldBe 3L
+    // determinism across runs (fresh codec per partition)
+    val again = Media.extractFeatures(ds, dim = 4).collect().sortBy(_.media_id)
+    again.map(_.feature.toSeq).toSeq shouldBe out.map(_.feature.toSeq).toSeq
+  }
+
+  test("sampleFrames emits offsets every step up to duration, videos only") {
+    val df = Seq(row(1, "video", "x", dur = 2500), row(2, "image", "y"))
+      .toDS().toDF()
+    val frames = Media.sampleFrames(df, everyMs = 1000)
+      .as[(Long, Long)].collect().toSet
+    frames shouldBe Set((1L, 0L), (1L, 1000L), (1L, 2000L))
+  }
+
+  test("resizePlan preserves aspect ratio within the bounding box") {
+    val df = Seq(row(1, "image", "x"), row(2, "audio", "y")).toDS().toDF()
+    val plans = Media.resizePlan(df, maxSide = 320).collect()
+    plans.length shouldBe 1 // audio excluded
+    val p = plans.head
+    p.getAs[Int]("target_w") shouldBe 320 // 640x480 -> 320x240
+    p.getAs[Int]("target_h") shouldBe 240
+  }
+
+  test("stub features flow into the similarity operators downstream") {
+    val ds = Seq(row(1, "image", "aaa"), row(2, "image", "aaa"), row(3, "image", "zzz"))
+      .toDS()
+    val feats = Media.extractFeatures(ds, dim = 16).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val pairs = graft.similarity.SignLSH.annPairs(
+      feats, "vec_id", "embedding", threshold = 0.999,
+      graft.similarity.SignLSH.planes(16, 4, 2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // identical payload => identical feature
+  }
+}
