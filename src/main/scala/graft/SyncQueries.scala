@@ -152,6 +152,35 @@ object SyncQueries {
         .orderBy("event_id")
     },
 
+    // F7: UUID-as-string canonicalization (reference stores UUIDs as
+    // lowercase 36-char strings on the ES side, pyCassElastic.py:276,
+    // 339,549). Deterministic "UUIDs" derived from md5 so the oracle
+    // can replicate; validation via the canonical regex.
+    GraftQuery(
+      "f7_uuid_canonical",
+      """SELECT event_id,
+        |  concat(substring(h, 1, 8), '-', substring(h, 9, 4), '-',
+        |         substring(h, 13, 4), '-', substring(h, 17, 4), '-',
+        |         substring(h, 21, 12)) AS uuid_str,
+        |  regexp_matches(concat(substring(h, 1, 8), '-', substring(h, 9, 4), '-',
+        |         substring(h, 13, 4), '-', substring(h, 17, 4), '-',
+        |         substring(h, 21, 12)),
+        |    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$') AS is_valid
+        |FROM (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val h = md5(col("event_id").cast("string"))
+      val uuid = concat(
+        substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+        substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+        substring(h, 21, 12))
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"), uuid.as("uuid_str"),
+          regexp_like(uuid,
+            lit("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"))
+            .as("is_valid"))
+        .orderBy("event_id")
+    },
+
     // F1-F5: the reference's time helpers (utils.py:58-74, watermark
     // codec pyCassElastic.py:154-170) as engine expressions.
     GraftQuery(
