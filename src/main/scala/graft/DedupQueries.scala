@@ -91,9 +91,9 @@ object DedupQueries {
          |SELECT doc_id, array_to_string(sig, ',') AS sig_str
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val nc = TextFunctions.normalize(col("text"))
-      d.select(col("doc_id"),
-          concat_ws(",", MinHashLSH.signature(Shingles.charShingles(nc))).as("sig_str"))
+      MinHashLSH.signatureTable(d, "doc_id", TextFunctions.normalize(col("text")))
+        .select(col("doc_id"),
+          concat_ws(",", (0 until K).map(i => col(s"h$i")): _*).as("sig_str"))
         .orderBy("doc_id")
     },
 

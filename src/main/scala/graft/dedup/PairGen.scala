@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucket-local pair generation — the shared tail of every blocking
+  * scheme (MinHash LSH bands, SimHash blocks, any group-then-compare).
+  *
+  * Instead of self-joining the index with itself — which shuffles the
+  * index twice and, worse, re-executes its whole lineage once per join
+  * side — this groups once on the blocking key, collects the (sorted)
+  * bucket, and expands each bucket's unordered pairs with a
+  * higher-order transform. One shuffle, one computation of the input,
+  * and the pair expansion happens bucket-locally on the reducer.
+  *
+  * Scale note: a bucket's members must fit in one task's memory (they
+  * are collected into an array). That is the invariant of any LSH
+  * scheme anyway — a bucket so hot it overflows memory would produce a
+  * quadratic pair count downstream. `maxBucket` is the explicit guard:
+  * buckets are truncated (after sorting, so deterministically) to that
+  * many members before expansion. The default keeps every member —
+  * exact semantics; production pipelines on skewed corpora should set
+  * a real cap and monitor truncations.
+  */
+object PairGen {
+
+  /** All unordered pairs (a < b in `payload`'s sort order) of payloads
+    * sharing a blocking key. Output columns: `a`, `b` (payload type).
+    */
+  def pairsWithin(df: DataFrame, keys: Seq[String], payload: Column,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = df
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(payload)).as("_members"))
+      .filter(size(col("_members")) > 1)
+      .select(slice(col("_members"), 1, maxBucket).as("_members"))
+    val pairs = flatten(transform(col("_members"), (x, i) =>
+      transform(
+        slice(col("_members"), i + lit(2), size(col("_members"))),
+        y => struct(x.as("a"), y.as("b")))))
+    buckets
+      .select(explode(pairs).as("_pair"))
+      .select(col("_pair.a").as("a"), col("_pair.b").as("b"))
+  }
+}

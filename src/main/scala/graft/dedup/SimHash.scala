@@ -49,17 +49,19 @@ object SimHash {
   }
 
   /** Pairs within Hamming distance `maxDist`, blocked on the top 16
-    * bits (see class doc for the recall caveat).
+    * bits (see class doc for the recall caveat). Pair expansion is
+    * block-local (PairGen): one shuffle on the block key, and the
+    * signature computation's lineage runs once — a self-join would
+    * re-execute it per side. Each doc has exactly one block, so pairs
+    * are already distinct.
     */
   def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
-    val a = sims.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      shiftright(col("simhash"), 16).as("blk"))
-    val b = sims.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      shiftright(col("simhash"), 16).as("blk"))
-    a.join(b, "blk")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    val keyed = sims.select(
+      shiftright(col("simhash"), 16).as("blk"),
+      struct(col(idCol), col("simhash")).as("p"))
+    PairGen.pairsWithin(keyed, Seq("blk"), col("p"))
+      .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }
