@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions as SQL functions.
+  *
+  * Two routes, both public Spark API:
+  *  - `GraftExtensions` via `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (cluster-wide, the idiomatic deployment path);
+  *  - `GraftFunctions.ensureRegistered(spark)` for sessions built
+  *    elsewhere (the driver harness owns its own SparkSession, so
+  *    operators that need these functions call this idempotently).
+  *
+  * After either, `graft_dot(a, b)` / `graft_cosine(a, b)` resolve in
+  * SQL and via `functions.call_function` from the Column API.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+  /** Idempotently register on an existing session (classic runtime). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -23,13 +23,16 @@ object BruteForceKnn {
   def topK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      VectorOps.asDouble(col(embCol)).as("c_emb"))
-    val q = queries.select(col(idCol).as("query_id"),
-      VectorOps.asDouble(col(embCol)).as("q_emb"))
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // raw float arrays straight into the native cosine: the codegen'd
+    // loop widens per element exactly like cast(array<float> as
+    // array<double>), so results match the HOF form bit-for-bit while
+    // skipping the materialized double copies.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("q_emb"), col("c_emb")).as("cos"))
+        VectorOps.cosineNative(col("q_emb"), col("c_emb")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

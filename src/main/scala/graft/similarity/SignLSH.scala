@@ -47,29 +47,32 @@ object SignLSH {
     df.select(col(idCol), posexplode(buckets).as(Seq("table", "bucket")))
   }
 
-  /** Distinct candidate pairs (a < b) sharing a bucket in ≥1 table. */
+  /** Distinct candidate pairs (a < b) sharing a bucket in ≥1 table.
+    * Pair expansion is bucket-local (PairGen): one shuffle on
+    * (table, bucket), index lineage executes once.
+    */
   def candidatePairs(df: DataFrame, idCol: String, embCol: String,
-      allPlanes: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val idx = index(df, idCol, embCol, allPlanes)
-    val a = idx.select(col("table"), col("bucket"), col(idCol).as("id_a"))
-    val b = idx.select(col("table"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+      allPlanes: Seq[Seq[Seq[Double]]]): DataFrame =
+    graft.dedup.PairGen.pairsWithin(
+        index(df, idCol, embCol, allPlanes),
+        Seq("table", "bucket"), col(idCol))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
 
   /** Approximate near-pairs: LSH candidates refined with exact cosine
-    * ≥ threshold. Cosine runs only on candidates.
+    * ≥ threshold. Cosine runs only on candidates, via the native
+    * single-pass expression over the raw float arrays.
     */
   def annPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, allPlanes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
     val cands = candidatePairs(df, idCol, embCol, allPlanes)
-    val vecs = df.select(col(idCol), VectorOps.asDouble(col(embCol)).as("e"))
+    val vecs = df.select(col(idCol), col(embCol).as("e"))
     cands
       .join(vecs.select(col(idCol).as("id_a"), col("e").as("e_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col("e").as("e_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        VectorOps.cosine(col("e_a"), col("e_b")).as("cos"))
+        VectorOps.cosineNative(col("e_a"), col("e_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

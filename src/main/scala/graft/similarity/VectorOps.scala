@@ -32,4 +32,17 @@ object VectorOps {
   def dotConst(plane: Seq[Double], emb: Column): Column =
     aggregate(zip_with(typedlit(plane), emb, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native codegen'd forms (graft.plans.VectorExpressions) — bit-
+    * identical to the HOF forms above but a primitive loop instead of
+    * per-element lambda dispatch, and single-pass for cosine. They
+    * accept float or double arrays directly (no asDouble needed);
+    * the session must have graft's functions registered
+    * (GraftFunctions.ensureRegistered / GraftExtensions).
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 }
