@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.similarity.{BruteForceKnn, SignLSH, VectorOps}
+import graft.similarity.{BruteForceKnn, IvfKnn, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
   * float vectors): exact brute-force k-NN, per-label centroids,
@@ -132,6 +132,45 @@ object SimilarityQueries {
           "vec_id", "embedding", threshold = 0.3, annPlanes)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
+    },
+
+    // IVF approximate k-NN: label-cell centroids as the coarse
+    // quantizer, probe the 2 nearest cells, exact cosine within them —
+    // the cell-probing ANN scale path (scans nprobe/|cells| of the
+    // corpus) next to v5's hash-bucketing one.
+    GraftQuery(
+      "v6_ivf_knn",
+      s"""WITH cpos AS (
+         |  SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         |         unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, list(m ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(v), 6) AS m FROM cpos GROUP BY label, pos)
+         |  GROUP BY label),
+         |probes AS (
+         |  SELECT query_id, q_emb, label FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.label) AS cell_rank
+         |    FROM embeddings q CROSS JOIN cent c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id AS neighbor_id,
+         |         ${cosineSql("p.q_emb", "v.embedding")} AS c
+         |  FROM probes p JOIN embeddings v
+         |    ON v.label = p.label AND v.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      IvfKnn.topK(e, e.filter(col("vec_id") < 5), "vec_id", "label", "embedding",
+          k = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

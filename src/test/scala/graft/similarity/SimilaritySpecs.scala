@@ -63,6 +63,33 @@ class KnnAndLshSpec extends SparkSpec {
     val p8 = SignLSH.annPairs(emb, "vec_id", "embedding", 0.3, t8).count()
     assert(p8 >= p2, s"8 tables found $p8 < $p2 found by 2")
   }
+
+  test("IVF with nprobe = all cells is EXACTLY brute force") {
+    val nCells = emb.select("label").distinct().count().toInt
+    val q = emb.filter(col("vec_id") < 3)
+    val ivf = IvfKnn.topK(emb, q, "vec_id", "label", "embedding", k = 5, nprobe = nCells)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe bf
+  }
+
+  test("IVF with nprobe < cells keeps k results and usable recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = IvfKnn.topK(emb, q, "vec_id", "label", "embedding", k = 10, nprobe = 2)
+    val byQ = ivf.groupBy("query_id").count().collect()
+    byQ.length shouldBe 5
+    all(byQ.map(_.getLong(1))) shouldBe 10L
+    val bf = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = hits.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.2, f"nprobe=2 recall unusably low: $recall%.2f")
+  }
 }
 
 private object SimilarityQueriesHelper {
