@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: correctness tests prove WHAT the
+  * queries compute; these prove the plans keep the SHAPE that scales —
+  * a silent regression to a shuffle where a broadcast belongs, or to a
+  * full sort where a group-limit heap belongs, passes every value test
+  * and then falls over at 100 TB. Shapes asserted on sf0.001 hold at
+  * any SF (they depend on plan structure, not statistics thresholds —
+  * the dimension tables stay broadcast-size by design).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1 pricing summary: map-side partial aggregation before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    p should include("partial_sum")
+    // exactly one pre-agg exchange pair: partial then final
+    p should include regex "HashAggregate.*functions=\\[sum"
+  }
+
+  test("q2 dimension joins broadcast, never shuffle") {
+    val p = plan("q2_broadcast_join")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("top-k windows become bounded group-limit heaps, not global sorts") {
+    for (q <- Seq("q8_topk_per_group", "v1_knn_topk")) {
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("WindowGroupLimit")
+        p should include regex "WindowGroupLimit.*Partial"
+        p should include regex "WindowGroupLimit.*Final"
+      }
+    }
+  }
+
+  test("v1 knn broadcasts the query side against the streaming corpus") {
+    val p = plan("v1_knn_topk")
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("incremental window predicate reaches the parquet scan") {
+    val p = plan("s2_incremental_window")
+    p should include regex "FileScan parquet.*DataFilters: \\[isnotnull"
+  }
+
+  test("scans are column-pruned to what the query projects") {
+    // q1 touches 7 of lineitem's 16 columns; the scan must not read more
+    val p = plan("q1_pricing_summary")
+    val read = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1).split(",").length).getOrElse(99)
+    read should be <= 7
+  }
+
+  test("LWW single-pass aggregate shuffles once on the merge key") {
+    val p = plan("a1_lww_latest_agg")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+}
