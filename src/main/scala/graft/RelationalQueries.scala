@@ -266,6 +266,45 @@ object RelationalQueries {
           floor(col("p_retailprice") / 100).cast("long").as("price_bucket"),
           (col("p_size") % 7).as("size_mod"))
         .orderBy("p_partkey")
+    },
+
+    // As-of join (operators.AsOfJoin): each purchase attributed to the
+    // user's latest view at-or-before it — union + ordered window, one
+    // shuffle on the key, never the quadratic range θ-join. DuckDB's
+    // native ASOF LEFT JOIN is the oracle. View side deduped per
+    // (user, version) first (max event_id) so ties are deterministic
+    // in both engines.
+    GraftQuery(
+      "q12_asof_join",
+      """WITH v AS (
+        |  SELECT user_id, version, view_id FROM (
+        |    SELECT user_id, epoch_ms(ts) AS version, event_id AS view_id,
+        |      row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, epoch_ms(ts) AS version, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id, p.version - v.version AS gap_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.version >= v.version
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+      val dedup = Window.partitionBy("user_id", "version")
+        .orderBy(col("view_id").desc)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("version"),
+          col("event_id").as("view_id"), col("version").as("view_version"))
+        .withColumn("rn", row_number().over(dedup))
+        .filter(col("rn") === 1).drop("rn")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("version"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"), "version")
+        .select(col("purchase_id"), col("view_id"),
+          (col("version") - col("view_version")).as("gap_ms"))
+        .orderBy("purchase_id")
     }
   )
 }
