@@ -305,6 +305,39 @@ object RelationalQueries {
         .select(col("purchase_id"), col("view_id"),
           (col("version") - col("view_version")).as("gap_ms"))
         .orderBy("purchase_id")
+    },
+
+    // Range join (operators.RangeJoin): purchases inside each user's
+    // 3-day post-signup window. Intervals are bucketized to day-width
+    // buckets and the join runs as an equi-join on (user, bucket) +
+    // exact range filter — never the nested-loop/cross plan Spark
+    // picks for raw inequality joins. Oracle uses the plain
+    // inequality join (tiny at oracle scale).
+    GraftQuery(
+      "q13_range_join",
+      """WITH i AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS start_ms,
+        |         min(epoch_ms(ts)) + 259200000 AS end_ms
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_ms(ts) AS v, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_purchases,
+        |       min(p.event_id) AS first_purchase
+        |FROM p JOIN i ON p.user_id = i.user_id
+        |  AND i.start_ms <= p.v AND p.v < i.end_ms
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val intervals = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("version")).as("start_ms"))
+        .withColumn("end_ms", col("start_ms") + lit(259200000L))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("version").as("v"), col("event_id"))
+      graft.operators.RangeJoin.join(purchases, intervals, Seq("user_id"),
+          "v", "start_ms", "end_ms", bucketWidth = 86400000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"), min(col("event_id")).as("first_purchase"))
+        .orderBy("user_id")
     }
   )
 }

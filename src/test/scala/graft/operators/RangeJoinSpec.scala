@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boundaries: start inclusive, end exclusive, across bucket edges") {
+    val points = Seq((1L, 10L, "at_start"), (1L, 19L, "inside"),
+      (1L, 20L, "at_end"), (1L, 9L, "before"), (2L, 15L, "other_key"))
+      .toDF("k", "v", "name")
+    // interval [10, 20) for key 1; bucket width 7 so it spans buckets
+    val ivals = Seq((1L, 10L, 20L)).toDF("k", "s", "e")
+    val hit = RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 7L)
+      .select("name").as[String].collect().toSet
+    hit shouldBe Set("at_start", "inside")
+  }
+
+  test("interval ending exactly on a bucket boundary stays out of that bucket") {
+    val points = Seq((1L, 14L, "in_next_bucket")).toDF("k", "v", "name")
+    val ivals = Seq((1L, 0L, 14L)).toDF("k", "s", "e") // [0,14), width 7
+    RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 7L).count() shouldBe 0
+  }
+
+  test("property: equals the brute-force inequality join") {
+    val pGen = Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 60L))
+    val iGen = Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 50L), Gen.chooseNum(1L, 25L))
+    checkProp(Gen.zip(Gen.listOfN(25, pGen), Gen.listOfN(8, iGen)), cases = 8) {
+      case (ps, is) =>
+        val points = ps.zipWithIndex.map { case ((k, v), id) => (k, v, id.toLong) }
+          .toDF("k", "v", "pid")
+        val ivals = is.zipWithIndex.map { case ((k, s, len), id) => (k, s, s + len, id.toLong) }
+          .toDF("k", "s", "e", "iid")
+        val got = RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 9L)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = (for {
+          ((pk, v), pid) <- ps.zipWithIndex
+          ((ik, s, len), iid) <- is.zipWithIndex
+          if pk == ik && s <= v && v < s + len
+        } yield (pid.toLong, iid.toLong)).toSet
+        got shouldBe expected
+    }
+  }
+
+  test("plan shape: equi-join on (key, bucket), no nested-loop join") {
+    val points = Seq((1L, 10L, 1L)).toDF("k", "v", "pid")
+    val ivals = Seq((1L, 0L, 20L, 1L)).toDF("k", "s", "e", "iid")
+    val plan = RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 7L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}
