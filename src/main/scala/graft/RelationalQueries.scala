@@ -338,6 +338,27 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_purchases"), min(col("event_id")).as("first_purchase"))
         .orderBy("user_id")
+    },
+
+    // Salted two-phase aggregation (operators.SkewTools): events has 5
+    // event_type keys over the whole table — a genuinely hot-key
+    // grouping. Salting on user_id spreads each key across 16 subkeys
+    // (count(distinct user) stays exact because each user maps to ONE
+    // salt), then partials merge per key. Results are identical to the
+    // plain GROUP BY — the oracle — by construction; what changes is
+    // the shuffle profile under skew.
+    GraftQuery(
+      "q14_salted_agg",
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.SkewTools.saltedAgg(
+          Tables.loadEvents(s, dir), Seq("event_type"), col("user_id"), 16,
+          partial = Seq(count(lit(1)).as("_pc"),
+            count_distinct(col("user_id")).as("_pu")),
+          merge = Seq(sum(col("_pc")).as("n_events"),
+            sum(col("_pu")).as("n_users")))
+        .orderBy("event_type")
     }
   )
 }
