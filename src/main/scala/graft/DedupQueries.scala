@@ -152,6 +152,29 @@ object DedupQueries {
       val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
       SimHash.nearPairs(sims, "doc_id", maxDist = 6)
         .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-pairs with GUARANTEED recall: pigeonhole 4x8-bit
+    // block index — Hamming <= 3 implies one block matches exactly, so
+    // every qualifying pair is found (d6 is the cheap single-block
+    // heuristic; this is the exhaustive form).
+    GraftQuery(
+      "d7_simhash_blocked",
+      s"""$simhashCte,
+         |idx AS (
+         |  SELECT doc_id, simhash, t.b AS blk_i,
+         |         (simhash >> (8 * t.b)) & 255 AS blk_v
+         |  FROM sh CROSS JOIN range(0, 4) t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) AS hamming
+         |FROM idx a JOIN idx c
+         |  ON a.blk_i = c.blk_i AND a.blk_v = c.blk_v AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 3, blocks = 4)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -49,11 +49,12 @@ object SimHash {
   }
 
   /** Pairs within Hamming distance `maxDist`, blocked on the top 16
-    * bits (see class doc for the recall caveat). Pair expansion is
-    * block-local (PairGen): one shuffle on the block key, and the
-    * signature computation's lineage runs once — a self-join would
-    * re-execute it per side. Each doc has exactly one block, so pairs
-    * are already distinct.
+    * bits (see class doc for the recall caveat; `nearPairsBlocked` is
+    * the guaranteed-recall form). Pair expansion is block-local
+    * (PairGen): one shuffle on the block key, and the signature
+    * computation's lineage runs once — a self-join would re-execute it
+    * per side. Each doc has exactly one block, so pairs are already
+    * distinct.
     */
   def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
     val keyed = sims.select(
@@ -63,5 +64,33 @@ object SimHash {
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** GUARANTEED-recall near-pairs via the pigeonhole multi-block
+    * index: the 32-bit simhash splits into `blocks` equal-width
+    * blocks; two hashes within Hamming `maxDist < blocks` must agree
+    * EXACTLY on at least one block, so indexing every (blockIdx,
+    * blockValue) and verifying candidates finds every qualifying pair
+    * — recall 1.0 by construction, versus `nearPairs`' single-block
+    * heuristic. Cost: `blocks`× the index size and cross-block
+    * duplicate candidates (deduped after verification).
+    */
+  def nearPairsBlocked(sims: DataFrame, idCol: String,
+      maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    require(maxDist < blocks,
+      s"pigeonhole guarantee needs maxDist < blocks ($maxDist >= $blocks)")
+    require(32 % blocks == 0, "blocks must divide the 32-bit hash")
+    val width = 32 / blocks
+    val mask = (1L << width) - 1
+    val blockVals = array((0 until blocks).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)
+    val idx = sims.select(
+      struct(col(idCol), col("simhash")).as("p"),
+      posexplode(blockVals).as(Seq("blk_i", "blk_v")))
+    PairGen.pairsWithin(idx, Seq("blk_i", "blk_v"), col("p"))
+      .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -86,6 +86,26 @@ class SimHashSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L))
   }
+
+  test("blocked nearPairs has recall 1.0: equals brute-force Hamming <= 3") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sims = SimHash.compute(docs, "doc_id", TextFunctions.normalize(col("text")))
+    val blocked = SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 3, blocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs — the ground truth
+    val a = sims.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sims.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    blocked shouldBe brute
+  }
+
+  test("blocked nearPairs rejects maxDist >= blocks (no pigeonhole guarantee)") {
+    val sims = Seq((1L, 7L)).toDF("doc_id", "simhash")
+    an[IllegalArgumentException] should be thrownBy
+      SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 4, blocks = 4)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
