@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -54,6 +55,64 @@ class StreamSyncSpec extends SparkSpec {
     val q3 = StreamSync.start(spark, in, schema, dest, spec, ckpt, Trigger.AvailableNow())
     q3.awaitTermination()
     dest.read(spark).count() shouldBe 3
+  }
+}
+
+class WindowedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming tumbling agg equals the batch window aggregation") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDS().toDF("ts", "kind", "value")
+    val q = WindowedStats.tumbling(df, "ts", "1 hour", "0 seconds",
+        Seq("kind"), Some("value"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "a", 1.0),
+      (ts("2024-01-01 10:55:00"), "a", 2.0),
+      (ts("2024-01-01 10:30:00"), "b", 5.0),
+      (ts("2024-01-01 11:10:00"), "a", 7.0))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("win_out")
+    val expected = WindowedStats.tumbling(
+      rows.toDF("ts", "kind", "value"), "ts", "1 hour", "0 seconds",
+      Seq("kind"), Some("value"))
+    assertSameRows(got, expected)
+    q.stop()
+  }
+
+  test("append mode: late rows beyond the watermark are dropped by the engine") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDS().toDF("ts", "kind", "value")
+    val q = WindowedStats.tumbling(df, "ts", "1 hour", "0 seconds",
+        Seq("kind"), None)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+
+    // batch 1: two rows in [10:00, 11:00) and one at 12:05 that will
+    // advance the watermark past 11:00
+    mem.addData((ts("2024-01-01 10:05:00"), "a", 0.0),
+      (ts("2024-01-01 10:45:00"), "a", 0.0),
+      (ts("2024-01-01 12:05:00"), "a", 0.0))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the already-finalized window — dropped
+    mem.addData((ts("2024-01-01 10:50:00"), "a", 0.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to finalize everything open
+    mem.addData((ts("2024-01-01 14:00:00"), "a", 0.0))
+    q.processAllAvailable()
+
+    val n10 = spark.table("late_out")
+      .filter(col("win_start") === ts("2024-01-01 10:00:00"))
+      .select("n").as[Long].collect()
+    n10 shouldBe Array(2L) // the late 10:50 row did NOT make it 3
+    q.stop()
   }
 }
 
