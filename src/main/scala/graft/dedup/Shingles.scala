@@ -23,11 +23,14 @@ object Shingles {
     array_distinct(charShingles(norm, n))
 
   /** Exact Jaccard similarity of two shingle-set columns, 4 decimals.
-    * Intersection via filter+contains (identical semantics in the
-    * DuckDB oracle); union by inclusion-exclusion.
+    * Intersection cardinality via hash-based `array_intersect` —
+    * O(|a|+|b|) per pair where filter+contains is O(|a|·|b|); on
+    * DISTINCT inputs (which shingle SETS are) the cardinality is
+    * identical to the oracle's list_filter/contains formulation.
+    * Union by inclusion-exclusion.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(filter(a, x => array_contains(b, x)))
+    val inter = size(array_intersect(a, b))
     round(inter.cast("double") / (size(a) + size(b) - inter), 4)
   }
 }
