@@ -359,6 +359,39 @@ object RelationalQueries {
           merge = Seq(sum(col("_pc")).as("n_events"),
             sum(col("_pu")).as("n_users")))
         .orderBy("event_type")
+    },
+
+    // CUBE over region x nation customer counts — all four grouping
+    // sets in ONE pass (Spark expands grouping sets map-side; no
+    // re-scan per set). grouping() flags disambiguate cube nulls from
+    // data nulls in both dialects.
+    GraftQuery(
+      "q15_cube",
+      """SELECT r_name, n_name,
+        |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      // via the engine's SQL surface: the DataFrame cube API can't
+      // disambiguate grouping-column references post-join (the cube
+      // output carries both the child and expanded attributes), and
+      // GROUP BY CUBE is the clearer declaration anyway.
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, dir, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name, n_name,
+          |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+          |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY CUBE (r_name, n_name)
+          |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
     }
   )
 }
