@@ -392,6 +392,43 @@ object RelationalQueries {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY CUBE (r_name, n_name)
           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    },
+
+    // Gap-based sessionization (operators.Sessionize): 30-minute
+    // inactivity gap over each user's event stream — lag flags session
+    // starts, a running sum numbers them, one shuffle + one ordered
+    // window pass. Per-user session stats as the checkable output.
+    GraftQuery(
+      "q16_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS v, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, v, event_id,
+        |    CASE WHEN lag(v) OVER w IS NULL
+        |           OR v - lag(v) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY v, event_id)),
+        |s AS (
+        |  SELECT user_id, v,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY v, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         max(v) - min(v) AS duration_ms
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       max(n_events) AS max_session_events,
+        |       max(duration_ms) AS max_session_ms
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("user_id"), col("version"), col("event_id"))
+      graft.operators.Sessionize.summarize(ev, Seq("user_id"), "version",
+          gapMs = 1800000L, tieBreak = Seq("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          max(col("duration_ms")).as("max_session_ms"))
+        .orderBy("user_id")
     }
   )
 }
