@@ -429,6 +429,29 @@ object RelationalQueries {
           max(col("n_events")).as("max_session_events"),
           max(col("duration_ms")).as("max_session_ms"))
         .orderBy("user_id")
+    },
+
+    // Exact interpolated percentiles per group — Spark `percentile`
+    // and DuckDB `quantile_cont` share linear-interpolation semantics,
+    // so values round-match. (At 100 TB the same query shape swaps in
+    // `approx_percentile` — a t-digest sketch with map-side merge —
+    // when a full per-group sort is not worth exactness.)
+    GraftQuery(
+      "q17_percentiles",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+        .orderBy("o_orderpriority")
     }
   )
 }
