@@ -95,10 +95,27 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
-    // Partition-wise stub decode → features. No oracle (the fake
-    // features exist only JVM-side): driver records rows>0; the
-    // deterministic content is pinned by MediaSpec instead.
-    GraftQuery.noOracle("m4_stub_features") { (s, dir) =>
+    // Partition-wise stub decode → features, fully oracle-checked: the
+    // stub derives feature j from md5(payload ++ ":" ++ j) (first 24
+    // bits / 2^24 — exact in float32 and double, so sums are
+    // order-independent), which DuckDB re-derives from the same text.
+    GraftQuery(
+      "m4_stub_features", {
+        val hx = "instr('0123456789abcdef', substring(h, %d, 1)) - 1"
+        val v = (1 to 6).map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ") / 16777216.0")
+        s"""WITH f AS (
+           |  SELECT doc_id AS media_id, t.j, md5(text || ':' || t.j) AS h
+           |  FROM documents CROSS JOIN range(0, 16) t(j)),
+           |sums AS (
+           |  SELECT media_id, round(sum($v), 4) AS feat_sum
+           |  FROM f GROUP BY media_id)
+           |SELECT m.media_id, m.modality, octet_length(m.bytes) AS n_bytes,
+           |       16 AS feat_dim, s.feat_sum
+           |FROM (${mediaCte.replace("WITH media AS (", "").dropRight(1)}) m
+           |JOIN sums s ON m.media_id = s.media_id
+           |ORDER BY m.media_id""".stripMargin
+      }) { (s, dir) =>
       import s.implicits._
       val media = mediaCatalog(s, dir).as[Media.MediaRow]
       Media.extractFeatures(media, dim = 16).toDF()

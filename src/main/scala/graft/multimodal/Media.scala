@@ -46,24 +46,33 @@ object Media {
     def decode(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** Deterministic fake decode: features are a seeded xorshift stream
-    * keyed on a rolling hash of the bytes. STUB — replace with a real
-    * codec; the surrounding plumbing does not change.
+  /** Deterministic fake decode: feature j is the first 24 bits of
+    * md5(payload ++ ":" ++ j) scaled into [0, 1). STUB — replace with
+    * a real codec; the surrounding plumbing does not change.
+    *
+    * md5 (not a JVM-private hash) so a SQL oracle can re-derive the
+    * identical features; 24-bit numerators over 2^24 are exact in
+    * float32 AND double, so feature sums are bit-stable across engines
+    * and summation orders.
     */
   final class StubCodec extends Codec {
     private var opened = false
-    override def open(): Unit = { opened = true }
+    private var md: java.security.MessageDigest = _
+    override def open(): Unit = {
+      md = java.security.MessageDigest.getInstance("MD5")
+      opened = true
+    }
     override def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
       require(opened, "decode before open() — partition init not run")
-      var h = 1125899906842597L // rolling FNV-ish hash of the payload
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       val out = new Array[Float](dim)
-      var s = if (h == 0) 0x9E3779B97F4A7C15L else h
       var j = 0
-      while (j < dim) { // xorshift64* stream
-        s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-        out(j) = ((s * 0x2545F4914F6CDD1DL) >>> 40).toFloat / (1 << 24).toFloat
+      while (j < dim) {
+        md.reset()
+        md.update(bytes)
+        md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+        out(j) = v.toFloat / 16777216.0f // exact: 24-bit numerator / 2^24
         j += 1
       }
       out
