@@ -171,6 +171,27 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Same exact top-k as v1 through the bounded-heap AGGREGATE
+    // (plans.TopKAggregator, map-side partial top-k) — identical
+    // deterministic ordering, so it shares v1's oracle.
+    GraftQuery(
+      "v7_knn_topk_agg",
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         ${cosineSql("q.embedding", "v.embedding")} AS c
+         |  FROM embeddings v JOIN embeddings q
+         |    ON q.vec_id < 5 AND v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      BruteForceKnn.topKAgg(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -37,4 +37,29 @@ object BruteForceKnn {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Same contract as [[topK]] through a bounded-heap AGGREGATE
+    * (plans.TopKAggregator) instead of a ranking window: map tasks
+    * reduce to <= k candidates per query before the shuffle, so the
+    * exchange carries k rows per (query, partition) instead of every
+    * scored row — the form that wins when candidates-per-query is
+    * large. Identical deterministic ordering => identical results.
+    */
+  def topKAgg(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineNative(col("q_emb"), col("c_emb")).as("cos"))
+    val topk = udaf(new graft.plans.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.plans.Scored])
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"),
+        col("_s.score").as("cos"), (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

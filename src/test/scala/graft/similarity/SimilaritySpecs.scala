@@ -76,6 +76,17 @@ class KnnAndLshSpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  test("heap-aggregate top-k equals the ranking-window top-k exactly") {
+    val q = emb.filter(col("vec_id") < 4)
+    val viaAgg = BruteForceKnn.topKAgg(emb, q, "vec_id", "embedding", 7)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWindow = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 7)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    viaAgg shouldBe viaWindow
+  }
+
   test("IVF with nprobe < cells keeps k results and usable recall") {
     val q = emb.filter(col("vec_id") < 5)
     val ivf = IvfKnn.topK(emb, q, "vec_id", "label", "embedding", k = 10, nprobe = 2)
