@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+
+import graft.core.Watermark
+
+class DaemonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delayToNext stays in (0, period] and keeps ticks on the grid") {
+    val gen = Gen.zip(Gen.chooseNum(1L, 60000L), Gen.chooseNum(0L, 1000000L))
+    checkProp(gen, cases = 30) { case (period, elapsed) =>
+      val start = 1700000000000L
+      val now = start + elapsed
+      val d = Daemon.delayToNext(period, start, now)
+      assert(d > 0 && d <= period)
+      (now + d - start) % period shouldBe 0L // lands exactly on the grid
+    }
+  }
+
+  test("config-driven tick syncs both stores end to end") {
+    val base = Files.createTempDirectory("daemon")
+    val dataRoot = base.resolve("data").toString
+    val wm = base.resolve("wm.json").toString
+
+    // seed both stores with overlapping ids at different versions
+    Seq(("a", 10L, "left-old"), ("b", 30L, "left-new"))
+      .toDF("id", "version", "text")
+      .write.parquet(s"$dataRoot/store_l")
+    Seq(("a", 20L, "right-new"), ("b", 5L, "right-old"))
+      .toDF("id", "version", "text")
+      .write.parquet(s"$dataRoot/store_r")
+
+    val cfgPath = base.resolve("config.json")
+    Files.writeString(cfgPath,
+      """{ "period": 1, "syncs": [
+        |  { "name": "t", "id_col": "id", "version_col": "version",
+        |    "cassandra": { "table": "store_l" },
+        |    "elasticsearch": { "index": "store_r" } } ] }""".stripMargin)
+
+    val cfg = core.SyncConfig.load(spark, cfgPath.toString)
+    cfg.periodSeconds shouldBe 60
+
+    val reports = Daemon.tick(spark, cfg, wm, dataRoot, System.currentTimeMillis())
+    reports.map(_.failed) shouldBe Seq(false)
+
+    val expect = Set(("a", 20L, "right-new"), ("b", 30L, "left-new"))
+    spark.read.parquet(s"$dataRoot/store_l").as[(String, Long, String)]
+      .collect().toSet shouldBe expect
+    spark.read.parquet(s"$dataRoot/store_r").as[(String, Long, String)]
+      .collect().toSet shouldBe expect
+    // watermark committed after the all-success tick
+    assert(Watermark.read(wm).isDefined)
+  }
+}
