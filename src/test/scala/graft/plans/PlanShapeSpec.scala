@@ -64,4 +64,28 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("a1_lww_latest_agg")
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
+
+  test("as-of join plans as union + window — no join operator at all") {
+    val p = plan("q12_asof_join")
+    p should include("Union")
+    p should not include "Join"
+  }
+
+  test("range join is an equi-join, never nested-loop or cartesian") {
+    val p = plan("q13_range_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("IVF probes broadcast the codebook and query sides") {
+    val p = plan("v6_ivf_knn")
+    p should include("BroadcastHashJoin") // probed-cell members join
+    p should include("WindowGroupLimit") // final top-k trim
+  }
+
+  test("heap top-k aggregate has a partial phase before its shuffle") {
+    val p = plan("v7_knn_topk_agg")
+    // ObjectHashAggregate partial_topkaggregator -> exchange -> final
+    p should include regex "(?i)partial_?topkaggregator"
+  }
 }
