@@ -116,6 +116,32 @@ object TextQueries {
           TextFunctions.fingerprint(nc).as("fp"),
           TextFunctions.minShingleFingerprint(nc).as("min_shingle_fp"))
         .orderBy("doc_id")
+    },
+
+    // Corpus top-20 word bigrams (phrase mining): adjacent-token pairs
+    // exploded per doc, counted globally, deterministic tie-break.
+    // Single-token docs contribute nothing in both dialects.
+    GraftQuery(
+      "t5_top_bigrams",
+      s"""$normCte,
+         |bg AS (
+         |  SELECT unnest([a[i] || ' ' || a[i+1]
+         |                 for i in generate_series(1, len(a) - 1)]) AS bigram
+         |  FROM (SELECT string_split(norm, ' ') AS a FROM n))
+         |SELECT bigram, count(*) AS cnt
+         |FROM bg GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val toks = TextFunctions.tokens(TextFunctions.normalize(col("text")))
+      val bigrams = transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("_toks"), i), element_at(col("_toks"), i + 1)))
+      d.select(toks.as("_toks"))
+        .filter(size(col("_toks")) >= 2) // sequence(1, 0) would descend
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)
     }
   )
 }
