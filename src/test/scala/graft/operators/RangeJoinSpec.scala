@@ -45,6 +45,17 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("result is invariant to bucketWidth (pure tuning knob)") {
+    val ps = (0 until 30).map(i => (i.toLong % 3, (i * 7L) % 50, i.toLong))
+    val is = (0 until 6).map(i => (i.toLong % 3, i * 8L, i * 8L + 12, i.toLong))
+    val points = ps.toDF("k", "v", "pid")
+    val ivals = is.toDF("k", "s", "e", "iid")
+    def run(w: Long) = RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(9L)
+    Seq(1L, 3L, 17L, 1000L).foreach(w => withClue(s"width=$w: ")(run(w) shouldBe base))
+  }
+
   test("plan shape: equi-join on (key, bucket), no nested-loop join") {
     val points = Seq((1L, 10L, 1L)).toDF("k", "v", "pid")
     val ivals = Seq((1L, 0L, 20L, 1L)).toDF("k", "s", "e", "iid")
