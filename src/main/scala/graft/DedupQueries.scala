@@ -175,6 +175,29 @@ object DedupQueries {
       val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
       SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 3, blocks = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Incremental dedup: a NEW batch (doc_id >= 250) anti-joined by
+    // content fingerprint against the already-ingested corpus
+    // (doc_id < 250) — the per-increment shape of a production
+    // pipeline, where the seen-set is a fingerprint table, never the
+    // full corpus text. The anti-join key is the md5 fingerprint: at
+    // scale the seen side is a compact sorted/bucketed digest table.
+    GraftQuery(
+      "d8_incremental_dedup",
+      s"""WITH f AS (SELECT doc_id, md5($norm) AS fp FROM documents)
+         |SELECT n.doc_id, n.fp
+         |FROM (SELECT * FROM f WHERE doc_id >= 250) n
+         |ANTI JOIN (SELECT * FROM f WHERE doc_id < 250) seen
+         |  ON n.fp = seen.fp
+         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(TextFunctions.normalize(col("text"))).as("fp"))
+      d.filter(col("doc_id") >= 250)
+        .join(d.filter(col("doc_id") < 250).select("fp"), Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
     }
   )
 }
