@@ -68,14 +68,19 @@ object SyncRunner {
       }
     }
 
-    // 2+3. legs: L→R and R→L, each one LWW hash-aggregate
+    // 2+3. legs: L→R and R→L, each one LWW hash-aggregate. Leg row
+    // counts ride the write pass as CollectMetrics observations
+    // (A2 counters, reference pyCassElastic.py:262-314) — no extra
+    // count() jobs re-executing the lineage.
+    val (obsL, obsR) =
+      (org.apache.spark.sql.Observation(s"${spec.name}-inL"),
+        org.apache.spark.sql.Observation(s"${spec.name}-inR"))
     val inL = incoming(l, spec.right.sourceId) // rows moving left → right
+      .observe(obsL, count(lit(1)).as("rows"))
     val inR = incoming(r, spec.left.sourceId) // rows moving right → left
+      .observe(obsR, count(lit(1)).as("rows"))
     val newR = LwwMerge.merge(dest = r, incoming = inL, ids, spec.versionCol)
     val newL = LwwMerge.merge(dest = l, incoming = inR, ids, spec.versionCol)
-
-    val stats =
-      if (collectStats) Seq(inL.count(), inR.count()) else Seq(-1L, -1L)
 
     // 4. stage both before committing either: each output is computed
     // from both stores' OLD snapshots.
@@ -84,6 +89,12 @@ object SyncRunner {
       try sides.left.prepare(newL)
       catch { case NonFatal(e) => pR.abort(); throw e }
     pR.commit(); pL.commit()
+
+    // the staging writes were the observed actions; metrics are ready
+    val stats =
+      if (collectStats)
+        Seq(obsL.get("rows").asInstanceOf[Long], obsR.get("rows").asInstanceOf[Long])
+      else Seq(-1L, -1L)
 
     val ms = (System.nanoTime() - t0) / 1000000
     RunReport(spec.name, Seq(
