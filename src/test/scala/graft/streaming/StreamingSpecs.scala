@@ -116,6 +116,34 @@ class WindowedStatsSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDS().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+
+    mem.addData((1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")), // in-batch duplicate
+      (2L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:20:00")), // cross-batch duplicate
+      (3L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+
+    val ids = spark.table("sdedup_out").select("id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 2L, 3L) // each id exactly once
+    q.stop()
+  }
+}
+
 class StatefulLwwSpec extends SparkSpec {
   import spark.implicits._
 
