@@ -29,11 +29,23 @@ object PairGen {
     */
   def pairsWithin(df: DataFrame, keys: Seq[String], payload: Column,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val buckets = df
+    // A binding cap is applied BEFORE collect_list with a ranking
+    // window (same deterministic smallest-members-kept semantics), so
+    // a pathological bucket is trimmed in the exchange rather than
+    // materializing as a full in-memory list on the reducer.
+    val capped =
+      if (maxBucket == Int.MaxValue) df.select(keys.map(col) :+ payload.as("_p"): _*)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("_p"))
+        df.select(keys.map(col) :+ payload.as("_p"): _*)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxBucket).drop("_rn")
+      }
+    val buckets = capped
       .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(payload)).as("_members"))
+      .agg(sort_array(collect_list(col("_p"))).as("_members"))
       .filter(size(col("_members")) > 1)
-      .select(slice(col("_members"), 1, maxBucket).as("_members"))
     val pairs = flatten(transform(col("_members"), (x, i) =>
       transform(
         slice(col("_members"), i + lit(2), size(col("_members"))),

@@ -56,11 +56,12 @@ object SimHash {
     * per side. Each doc has exactly one block, so pairs are already
     * distinct.
     */
-  def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+  def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val keyed = sims.select(
       shiftright(col("simhash"), 16).as("blk"),
       struct(col(idCol), col("simhash")).as("p"))
-    PairGen.pairsWithin(keyed, Seq("blk"), col("p"))
+    PairGen.pairsWithin(keyed, Seq("blk"), col("p"), maxBucket)
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -74,9 +75,18 @@ object SimHash {
     * — recall 1.0 by construction, versus `nearPairs`' single-block
     * heuristic. Cost: `blocks`× the index size and cross-block
     * duplicate candidates (deduped after verification).
+    *
+    * SIZING CONSTRAINT (measured, not theoretical): expected bucket
+    * occupancy is n / 2^blockWidth, so candidate volume grows as
+    * n² · blocks / 2^blockWidth — with 4×8-bit blocks that is fine at
+    * 5k docs and ~80 M verifications at 100k. The block width must
+    * outgrow log2(n): past ~50k docs move to a 64-bit simhash with
+    * 16-bit blocks, or cap pathological buckets with `maxBucket`
+    * (explicit recall sacrifice on the hottest values, bounded cost).
     */
   def nearPairsBlocked(sims: DataFrame, idCol: String,
-      maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+      maxDist: Int = 3, blocks: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist < blocks,
       s"pigeonhole guarantee needs maxDist < blocks ($maxDist >= $blocks)")
     require(32 % blocks == 0, "blocks must divide the 32-bit hash")
@@ -87,7 +97,7 @@ object SimHash {
     val idx = sims.select(
       struct(col(idCol), col("simhash")).as("p"),
       posexplode(blockVals).as(Seq("blk_i", "blk_v")))
-    PairGen.pairsWithin(idx, Seq("blk_i", "blk_v"), col("p"))
+    PairGen.pairsWithin(idx, Seq("blk_i", "blk_v"), col("p"), maxBucket)
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
