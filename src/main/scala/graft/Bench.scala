@@ -48,7 +48,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" numeric (parsed from the dir name) so the JSON matches the
+    // driver contract's `"sf":N`; the raw dir rides along separately.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }
