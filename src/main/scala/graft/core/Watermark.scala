@@ -53,7 +53,10 @@ object Watermark {
 
   /** New window ending now (minute-truncated), starting at the persisted
     * watermark. Reference computes the same pair at pyCassElastic.py:156-163.
+    * If the clock regressed below the stored watermark, the end clamps to
+    * the start — an EMPTY window — rather than throwing and killing the
+    * caller's loop; the window resumes once the clock catches up.
     */
   def nextSpan(path: String, nowMillis: Long): Option[Span] =
-    read(path).map(last => Span(last, truncToMinute(nowMillis)))
+    read(path).map(last => Span(last, math.max(last, truncToMinute(nowMillis))))
 }

@@ -67,6 +67,12 @@ object LwwMerge {
     * ES external-version semantics (reference pyCassElastic.py:340-341).
     * Columns are aligned by name (schema evolution happens upstream via
     * SchemaTools.align).
+    *
+    * The order key ends with a hash of the full payload: two rows in the
+    * SAME store sharing (id, version) would otherwise give `max_by` an
+    * equal key and an arbitrary winner, so a replayed/retried run could
+    * publish a different snapshot. With the hash, replays are
+    * deterministic (the discipline SkewTools documents engine-wide).
     */
   def merge(
       dest: DataFrame,
@@ -75,8 +81,11 @@ object LwwMerge {
       versionCol: String): DataFrame = {
     val d = dest.withColumn("__side", lit(1)) // incumbent ranks higher on ties
     val i = incoming.withColumn("__side", lit(0))
-    latestAgg(d.unionByName(i, allowMissingColumns = true), idCols, versionCol,
-      tieBreak = Seq(col("__side")))
+    val u = d.unionByName(i, allowMissingColumns = true)
+    val payloadHash =
+      xxhash64(u.columns.filter(_ != "__side").sorted.map(col): _*)
+    latestAgg(u, idCols, versionCol,
+      tieBreak = Seq(col("__side"), payloadHash))
       .drop("__side")
   }
 }

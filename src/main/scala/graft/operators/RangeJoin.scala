@@ -31,12 +31,19 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("_bucket", floor(col(vCol) / bucketWidth))
-    val i = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth),
-        // end is exclusive: an interval ending exactly on a bucket
-        // boundary does not reach into that bucket
-        floor((col(endCol) - 1) / bucketWidth))))
+    val i = intervals
+      // degenerate intervals (end <= start) match nothing and would
+      // otherwise feed sequence() a descending range
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth),
+          // end is exclusive: an interval ending exactly on a bucket
+          // boundary does not reach into that bucket. ceil(end/w)-1
+          // equals floor((end-1)/w) for integer endpoints and stays
+          // correct for fractional ones (e.g. [10.0, 10.5) with w=1
+          // must still cover bucket 10).
+          ceil(col(endCol) / bucketWidth) - 1)))
     p.join(i, keys :+ "_bucket")
       .filter(col(startCol) <= col(vCol) && col(vCol) < col(endCol))
       .drop("_bucket")

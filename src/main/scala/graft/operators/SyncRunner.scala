@@ -102,25 +102,42 @@ object SyncRunner {
       LegReport(s"${spec.name}:R->L", stats(1), -1L, ms)))
   }
 
+  /** Per-spec watermark file: `<wmPath>.<spec name>` (sanitized). */
+  def specWmPath(wmPath: String, specName: String): String =
+    wmPath + "." + specName.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** All specs of a config, reference order; one spec failing must not
     * abort its siblings (the reference's deliberately-broken third
-    * sync, tests/testConfig.json "this will fail!!"). The watermark is
-    * committed only when EVERY spec succeeded.
+    * sync, tests/testConfig.json "this will fail!!").
+    *
+    * Each spec owns its own watermark (`specWmPath`), committed when
+    * THAT spec succeeds. A single shared watermark gated on every spec
+    * would let one persistently failing sibling freeze the window for
+    * all — healthy specs would re-scan an unboundedly growing
+    * (last, now] range every tick (correct under idempotent LWW, but
+    * with tick cost growing without bound). A pre-existing shared file
+    * at `wmPath` seeds specs that have no per-spec file yet. Window
+    * computation sits inside the per-spec error path, so a corrupt
+    * watermark file fails one spec's report instead of escaping to the
+    * caller's loop.
     */
   def runAll(
       spark: SparkSession,
       specs: Seq[(SyncSpec, Sides)],
       wmPath: String,
       nowMillis: Long): Seq[RunReport] = {
-    val span = Watermark.nextSpan(wmPath, nowMillis)
-    val reports = specs.map { case (spec, sides) =>
-      try runOnce(spark, spec, sides, span)
-      catch { case NonFatal(e) =>
+    specs.map { case (spec, sides) =>
+      val wm = specWmPath(wmPath, spec.name)
+      try {
+        val span = Watermark.nextSpan(wm, nowMillis)
+          .orElse(Watermark.nextSpan(wmPath, nowMillis))
+        val report = runOnce(spark, spec, sides, span)
+        Watermark.write(wm,
+          span.map(_.thisMs).getOrElse(Watermark.truncToMinute(nowMillis)))
+        report
+      } catch { case NonFatal(e) =>
         RunReport(spec.name, Nil, Some(e.toString))
       }
     }
-    if (reports.forall(!_.failed))
-      Watermark.write(wmPath, span.map(_.thisMs).getOrElse(Watermark.truncToMinute(nowMillis)))
-    reports
   }
 }

@@ -51,7 +51,7 @@ class DaemonSpec extends SparkSpec {
       .collect().toSet shouldBe expect
     spark.read.parquet(s"$dataRoot/store_r").as[(String, Long, String)]
       .collect().toSet shouldBe expect
-    // watermark committed after the all-success tick
-    assert(Watermark.read(wm).isDefined)
+    // the spec's own watermark committed after its successful tick
+    assert(Watermark.read(operators.SyncRunner.specWmPath(wm, "t")).isDefined)
   }
 }

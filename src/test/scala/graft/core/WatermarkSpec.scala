@@ -52,6 +52,14 @@ class WatermarkSpec extends AnyFunSuite with Matchers {
     span.contains(span.thisMs + 1) shouldBe false
   }
 
+  test("clock regression yields an empty window, not an exception") {
+    val p = tmpFile
+    Watermark.write(p, 1705314225678L) // stored 10:23
+    val span = Watermark.nextSpan(p, 1705314225678L - 600000L).get // now 10:13
+    span.thisMs shouldBe span.lastMs
+    (span.lastMs - 60000L to span.lastMs + 60000L).count(span.contains) shouldBe 0
+  }
+
   test("adjacent spans partition the timeline: no loss, no double-count") {
     val s1 = Watermark.Span(0L, 100L)
     val s2 = Watermark.Span(100L, 200L)

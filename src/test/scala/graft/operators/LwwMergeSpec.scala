@@ -55,6 +55,20 @@ class LwwMergeSpec extends SparkSpec {
     out shouldBe Array(("x", 10L, "incumbent"))
   }
 
+  test("merge: same-store (id, version) duplicates resolve deterministically") {
+    // Two rows in ONE store sharing (id, version): without a final
+    // payload tie-breaker the winner is arbitrary, so a replayed run
+    // could publish a different snapshot. Pin determinism across both
+    // input orders.
+    val dupA = Seq(("x", 10L, "p1"), ("x", 10L, "p2")).toDF("id", "version", "text")
+    val dupB = Seq(("x", 10L, "p2"), ("x", 10L, "p1")).toDF("id", "version", "text")
+    val empty = Seq.empty[(String, Long, String)].toDF("id", "version", "text")
+    val w1 = LwwMerge.merge(dupA, empty, Seq("id"), "version").collect()
+    val w2 = LwwMerge.merge(dupB, empty, Seq("id"), "version").collect()
+    w1.length shouldBe 1
+    w1 shouldBe w2
+  }
+
   test("merge aligns differing schemas (missing columns null-padded)") {
     val dest = Seq(("x", 1L, "t")).toDF("id", "version", "text")
     val inc = Seq(("x", 2L, 9.5)).toDF("id", "version", "score")

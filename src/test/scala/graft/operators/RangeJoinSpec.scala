@@ -45,6 +45,22 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("fractional double endpoints: last bucket still covered, end exclusive") {
+    // [10.0, 10.5) with width 1 lives entirely in bucket 10; the old
+    // floor((end-1)/width) form skipped that bucket for fractional ends.
+    val points = Seq((1L, 10.25, "inside"), (1L, 10.5, "at_end"), (1L, 9.75, "before"))
+      .toDF("k", "v", "name")
+    val ivals = Seq((1L, 10.0, 10.5)).toDF("k", "s", "e")
+    RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 1L)
+      .select("name").as[String].collect().toSet shouldBe Set("inside")
+  }
+
+  test("degenerate intervals (end <= start) match nothing and don't blow up") {
+    val points = Seq((1L, 10L, "p")).toDF("k", "v", "name")
+    val ivals = Seq((1L, 10L, 10L), (1L, 20L, 5L)).toDF("k", "s", "e")
+    RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 7L).count() shouldBe 0
+  }
+
   test("result is invariant to bucketWidth (pure tuning knob)") {
     val ps = (0 until 30).map(i => (i.toLong % 3, (i * 7L) % 50, i.toLong))
     val is = (0 until 6).map(i => (i.toLong % 3, i * 8L, i * 8L + 12, i.toLong))

@@ -88,10 +88,10 @@ class SyncRunnerSpec extends SparkSpec {
     l.read(spark).count() shouldBe 1
   }
 
-  test("a failing spec does not abort siblings; watermark commits only when all pass") {
+  test("a failing spec does not abort siblings nor hold back their watermarks") {
     val d = Files.createTempDirectory("multi")
     val wm = d.resolve("wm.log").toString
-    Watermark.write(wm, last)
+    Watermark.write(wm, last) // legacy shared seed for first-ever runs
     val (l1, r1) = stores()
     l1.overwrite(df(("a", inWin, "t", "L"))); r1.overwrite(df())
     val broken = SyncRunner.Sides(
@@ -101,14 +101,28 @@ class SyncRunnerSpec extends SparkSpec {
       Seq(spec -> SyncRunner.Sides(l1, r1), spec.copy(name = "broken") -> broken),
       wm, nowMillis = now)
     reports.map(_.failed) shouldBe Seq(false, true)
-    // healthy sibling still ran
+    // healthy sibling still ran (seeded from the shared legacy file)
     r1.read(spark).count() shouldBe 1
-    // watermark NOT advanced (reference gap fixed: no write on error)
+    // …and its OWN watermark advanced despite the failing sibling, so
+    // its next window stays bounded (no unbounded (last, now] re-scan)
+    Watermark.read(SyncRunner.specWmPath(wm, spec.name)) shouldBe
+      Some(Watermark.truncToMinute(now))
+    // the failing spec's watermark did not advance (no write on error)
+    Watermark.read(SyncRunner.specWmPath(wm, "broken")) shouldBe None
+    // legacy shared file is a read-only seed, never rewritten
     Watermark.read(wm) shouldBe Some(Watermark.truncToMinute(last))
+  }
 
-    // all-healthy run advances it
-    SyncRunner.runAll(spark, Seq(spec -> SyncRunner.Sides(l1, r1)), wm, nowMillis = now)
-    Watermark.read(wm) shouldBe Some(Watermark.truncToMinute(now))
+  test("a corrupt watermark file fails its spec's report, not the whole run") {
+    val d = Files.createTempDirectory("corrupt")
+    val wm = d.resolve("wm.log").toString
+    val (l1, r1) = stores()
+    l1.overwrite(df(("a", inWin, "t", "L"))); r1.overwrite(df())
+    Files.writeString(d.resolve("wm.log." + spec.name), "not a watermark")
+    val reports = SyncRunner.runAll(spark,
+      Seq(spec -> SyncRunner.Sides(l1, r1)), wm, nowMillis = now)
+    reports.map(_.failed) shouldBe Seq(true)
+    reports.head.error.get should include("not a watermark")
   }
 
   test("idempotence: re-running the same window changes nothing (T5)") {
