@@ -452,6 +452,44 @@ object RelationalQueries {
           round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
           round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
         .orderBy("o_orderpriority")
+    },
+
+    // Same attribution problem as q12, but through the whole-operator
+    // Catalyst path: AsOfJoinPlan → AsOfJoinStrategy → sort-merge
+    // AsOfJoinExec (plans.AsOfJoinExec). Each side shuffles its own
+    // columns once and partitions merge in one linear pass — no
+    // union doubling, no window function. Oracle: DuckDB native ASOF.
+    GraftQuery(
+      "q18_asof_native",
+      """WITH v AS (
+        |  SELECT user_id, version, view_id FROM (
+        |    SELECT user_id, epoch_ms(ts) AS version, event_id AS view_id,
+        |      row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, epoch_ms(ts) AS version, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id, p.version - v.version AS gap_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.version >= v.version
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+      val dedup = Window.partitionBy("user_id", "version")
+        .orderBy(col("view_id").desc)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("version"),
+          col("event_id").as("view_id"), col("version").as("view_version"))
+        .withColumn("rn", row_number().over(dedup))
+        .filter(col("rn") === 1).drop("rn")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("version"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin.asOfNative(purchases, views, Seq("user_id"), "version")
+        .select(col("purchase_id"), col("view_id"),
+          (col("version") - col("view_version")).as("gap_ms"))
+        .orderBy("purchase_id")
     }
   )
 }

@@ -59,4 +59,36 @@ object AsOfJoin {
       .select(leftCols.map(c => col("_lp").getField(c).as(c)) ++
         payload.map(c => col("_m").getField(c).as(c)): _*)
   }
+
+  /** Same semantics through the custom whole-operator Catalyst path:
+    * [[graft.plans.AsOfJoinPlan]] → `AsOfJoinStrategy` →
+    * sort-merge [[graft.plans.AsOfJoinExec]]. Each side shuffles its
+    * OWN columns once and the partitions merge in a single linear pass
+    * — no null-padded union doubling row width, no window function;
+    * see AsOfJoinExec's doc for the scale argument. Filters on left
+    * columns still reach the scan via `PushFilterThroughAsOfJoin`.
+    */
+  def asOfNative(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // Shared lineage (both sides off one DataFrame) would leave the two
+    // children sharing expression IDs; the analyzer's
+    // DeduplicateRelations can't see through a custom node, so re-alias
+    // the right side to fresh IDs ourselves.
+    val rp =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graft.GraftBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+        attr(lp, tsCol), attr(rp, tsCol)))
+  }
 }

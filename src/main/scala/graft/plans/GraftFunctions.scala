@@ -26,19 +26,34 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
 
-  /** Idempotently register on an existing session (classic runtime). */
+  /** Idempotently register on an existing session (classic runtime):
+    * the native expressions plus the as-of whole-operator planner
+    * strategy and its filter-pushdown optimizer rule (the
+    * `spark.experimental` route — public API for sessions we don't
+    * build ourselves).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = classic.sessionState.functionRegistry
     all.foreach { case (ident, info, builder) =>
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, info, builder)
     }
+    val exp = classic.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // injected into the operator-optimization batch: runs to fixed
+    // point WITH the built-in pushdown rules, unlike extraOptimizations
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+  }
 }
