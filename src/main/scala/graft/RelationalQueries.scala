@@ -490,6 +490,43 @@ object RelationalQueries {
         .select(col("purchase_id"), col("view_id"),
           (col("version") - col("view_version")).as("gap_ms"))
         .orderBy("purchase_id")
+    },
+
+    // Native session_window sessionization (streaming.WindowedStats
+    // .sessions, batch evaluation — same expression streams with
+    // mergeable per-session state). Complements q16's lag/running-sum
+    // form; boundary semantics are inclusive (an event at exactly
+    // last+gap EXTENDS the session — measured, pinned in
+    // SessionWindowSpec — so the oracle splits only on diff > gap).
+    // Millisecond-truncated timestamps on both sides so the two
+    // engines sessionize identical values.
+    GraftQuery(
+      "q19_session_window",
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS v FROM events),
+        |m AS (
+        |  SELECT user_id, v,
+        |    CASE WHEN lag(v) OVER w IS NULL
+        |           OR v - lag(v) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY v)),
+        |s AS (
+        |  SELECT user_id, v,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY v
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(v) AS sess_start_ms,
+        |       max(v) + 1800000 AS sess_end_ms, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_ms""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("user_id"), timestamp_millis(col("version")).as("mts"))
+      graft.streaming.WindowedStats.sessions(
+          ev, "mts", "30 minutes", "0 seconds", Seq("user_id"))
+        .select(col("user_id"),
+          unix_millis(col("sess_start")).as("sess_start_ms"),
+          unix_millis(col("sess_end")).as("sess_end_ms"),
+          col("n"))
+        .orderBy("user_id", "sess_start_ms")
     }
   )
 }

@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object WindowedStats {
 
+  /** Event-time SESSION windows per `dims`: a session extends while
+    * consecutive events arrive within `gap` of the last one, and closes
+    * `gap` after the final event (end-exclusive — an event landing
+    * exactly at `last + gap` opens a NEW session). Spark's native
+    * `session_window` keeps one mergeable state entry per OPEN session
+    * and key; in streaming it requires the watermark (sessions finalize
+    * once the watermark passes their end), in batch it evaluates the
+    * same expression with no state at all.
+    *
+    * This is the streaming-native counterpart of the batch
+    * `operators.Sessionize` (lag-boundary + running-sum ids): same
+    * islands, but mergeable-state instead of a two-window pass — the
+    * form that survives an unbounded stream.
+    */
+  def sessions(events: DataFrame, tsCol: String, gap: String,
+      lateness: String, dims: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap) +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(Seq(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end")) ++ dims.map(col) :+ col("n"): _*)
+
   /** Tumbling `width` windows per `dims`, counting rows and summing
     * `valueCol` when provided.
     */

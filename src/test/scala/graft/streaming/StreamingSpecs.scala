@@ -56,6 +56,43 @@ class StreamSyncSpec extends SparkSpec {
     q3.awaitTermination()
     dest.read(spark).count() shouldBe 3
   }
+
+  test("ProcessingTime trigger: the continuously-running periodic daemon (T1)") {
+    // the reference's sleep-loop (SyncCassElastic.py:45-47) as a real
+    // continuously-running query: files landing while it runs are
+    // picked up by subsequent periodic micro-batches
+    val base = Files.createTempDirectory("sspt")
+    val in = base.resolve("incoming").toString
+    val dest = new ParquetTableIO(base.resolve("dest").toString)
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def pushFlat(tag: String, rows: (String, Long, String)*): Unit = {
+      val tmp = base.resolve(s"tmp-$tag").toString
+      rows.toDF("id", "version", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      Files.list(java.nio.file.Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .forEach(f => Files.move(f, java.nio.file.Paths.get(in, s"$tag-${f.getFileName}")))
+    }
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!dest.exists || dest.read(spark).count() < n)
+          && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    }
+
+    val schema = Seq(("x", 1L, "t")).toDF("id", "version", "text").schema
+    val q = StreamSync.start(spark, in, schema, dest, spec,
+      base.resolve("ckpt").toString, Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      pushFlat("b1", ("a", 1L, "a-v1"))
+      awaitRows(1)
+      dest.read(spark).as[(String, Long, String)].collect().toSet shouldBe
+        Set(("a", 1L, "a-v1"))
+      // land more data while the query keeps running: a later tick takes it
+      pushFlat("b2", ("a", 2L, "a-v2"), ("b", 7L, "b-v7"))
+      awaitRows(2)
+      dest.read(spark).as[(String, Long, String)].collect().toSet shouldBe
+        Set(("a", 2L, "a-v2"), ("b", 7L, "b-v7"))
+    } finally q.stop()
+  }
 }
 
 class WindowedStatsSpec extends SparkSpec {
@@ -112,6 +149,64 @@ class WindowedStatsSpec extends SparkSpec {
       .filter(col("win_start") === ts("2024-01-01 10:00:00"))
       .select("n").as[Long].collect()
     n10 shouldBe Array(2L) // the late 10:50 row did NOT make it 3
+    q.stop()
+  }
+}
+
+class SessionWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming session windows equal the batch evaluation") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDS().toDF("ts", "user")
+    val q = WindowedStats.sessions(df, "ts", "30 minutes", "0 seconds", Seq("user"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "a"), // session 1: 4 events chained
+      (ts("2024-01-01 10:20:00"), "a"), //   (each within 30 min of prev,
+      (ts("2024-01-01 10:45:00"), "a"), //    total span > 30 min)
+      (ts("2024-01-01 11:15:00"), "a"), // exactly last+gap: EXTENDS (inclusive)
+      (ts("2024-01-01 11:45:01"), "a"), // 1 s past last+gap: new session
+      (ts("2024-01-01 10:10:00"), "b")) // separate key
+    mem.addData(rows: _*)
+    // far-future row advances the watermark so every session finalizes
+    mem.addData((ts("2024-01-02 00:00:00"), "zz"))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").filter(col("user") =!= "zz")
+    val expected = WindowedStats.sessions(
+      rows.toDF("ts", "user"), "ts", "30 minutes", "0 seconds", Seq("user"))
+    assertSameRows(got, expected)
+    // boundary pin: 11:15 (== 10:45 + gap) merged; 11:45:01 split.
+    // q19's oracle encodes exactly this: split on diff > gap, not >=.
+    got.filter(col("user") === "a").count() shouldBe 2
+    got.filter(col("user") === "a").select("n").as[Long].collect().sorted shouldBe
+      Array(1L, 4L)
+    q.stop()
+  }
+
+  test("sessions merge across micro-batches while the watermark allows") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDS().toDF("ts", "user")
+    val q = WindowedStats.sessions(df, "ts", "30 minutes", "2 hours", Seq("user"))
+      .writeStream.format("memory").queryName("sess_merge_out")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:00:00"), "a"))
+    q.processAllAvailable()
+    // second micro-batch extends the still-open session
+    mem.addData((ts("2024-01-01 10:20:00"), "a"))
+    q.processAllAvailable()
+    // advance watermark far enough (2h lateness) to finalize and emit
+    mem.addData((ts("2024-01-01 15:00:00"), "zz"))
+    mem.addData((ts("2024-01-01 23:00:00"), "zz"))
+    q.processAllAvailable()
+    val a = spark.table("sess_merge_out").filter(col("user") === "a")
+      .select("n").as[Long].collect()
+    a shouldBe Array(2L) // ONE merged session of two events, not two sessions
     q.stop()
   }
 }
