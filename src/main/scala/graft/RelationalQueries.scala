@@ -527,6 +527,81 @@ object RelationalQueries {
           unix_millis(col("sess_end")).as("sess_end_ms"),
           col("n"))
         .orderBy("user_id", "sess_start_ms")
+    },
+
+    // Pivot (long → wide): one hash aggregate whose grouping carries
+    // the pivot values map-side — NOT one pass per column. Oracle uses
+    // conditional aggregation (the pivot's relational definition).
+    GraftQuery(
+      "q20_pivot",
+      """SELECT o_orderpriority,
+        |  round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS status_f,
+        |  round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS status_o,
+        |  round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS status_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          round(coalesce(col("F"), lit(0)), 2).as("status_f"),
+          round(coalesce(col("O"), lit(0)), 2).as("status_o"),
+          round(coalesce(col("P"), lit(0)), 2).as("status_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Window frame zoo: lead/lag offsets, running max over a ROWS
+    // frame, ntile buckets — one shuffle on the partition key feeds
+    // every function (same window spec ⇒ one WindowExec pass).
+    GraftQuery(
+      "q21_window_frames",
+      """SELECT o_orderkey, o_custkey,
+        |  round(lag(o_totalprice) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice) OVER w, 2) AS next_price,
+        |  round(max(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          round(max(col("o_totalprice")).over(wf), 2).as("run_max"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
+    // Array + higher-order functions: per-order sorted part list
+    // (emitted as a joined string — engine-portable array encoding),
+    // an aggregate() HOF fold, and a distinct count. collect_list is
+    // a single grouped pass; the HOF folds WITHOUT exploding.
+    GraftQuery(
+      "q22_array_ops",
+      """SELECT l_orderkey,
+        |  string_agg(l_partkey::varchar, ',' ORDER BY l_partkey) AS parts,
+        |  count(*) AS n_items,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(l_partkey))," +
+            " x -> cast(x AS string)), ',')").as("parts"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          round(expr(
+            "aggregate(collect_list(l_quantity), 0D, (acc, x) -> acc + x)"),
+            2).as("total_qty"))
+        .orderBy("l_orderkey")
     }
   )
 }

@@ -142,6 +142,40 @@ object TextQueries {
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(20)
+    },
+
+    // Deterministic train/val/test split — the pipeline op every
+    // training corpus needs: bucket by a stable content-independent
+    // hash of the KEY (md5 hex nibble → 16 buckets, 12/2/2 split) so
+    // membership is reproducible across runs, engines, and cluster
+    // sizes — no rand(), no sampleBy, nothing seed- or
+    // partitioning-dependent. Adding documents never moves existing
+    // ones between splits.
+    GraftQuery(
+      "t6_det_split",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 12 THEN 'train'
+        |            WHEN bucket < 14 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, min(bucket) AS min_b, max(bucket) AS max_b
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        // hex nibble → 0-15 via position in the hex alphabet (both
+        // engines see the same md5 hex text, so buckets agree exactly)
+        .select(expr(
+          "instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 1, 1)) - 1")
+          .as("bucket"))
+        .select(
+          when(col("bucket") < 12, "train")
+            .when(col("bucket") < 14, "val")
+            .otherwise("test").as("split"),
+          col("bucket"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("bucket")).as("min_b"), max(col("bucket")).as("max_b"))
+        .orderBy("split")
     }
   )
 }
