@@ -25,13 +25,30 @@ object IncrementalScan {
 
   /** Rows with versionCol in (span.lastMs, span.thisMs]; projection
     * optional (reference `fields_list`, pyCassElastic.py:199-202).
+    *
+    * `dayCol`: when the table is laid out day-partitioned
+    * (`ParquetTableIO.dayPartitioned`), the version predicate alone
+    * cannot prune — Catalyst sees no relation between a LongType
+    * version and a DateType partition value. Passing the partition
+    * column here adds the equivalent day-range predicate
+    * `day(last) <= dayCol <= day(this)` (both bounds fold to literals),
+    * which the scan turns into PartitionFilters: only the window's
+    * days are listed and read. The exact row-level version filter
+    * still applies on top.
     */
   def apply(
       df: DataFrame,
       versionCol: String,
       span: Watermark.Span,
-      projection: Seq[String] = Nil): DataFrame = {
-    val filtered = df.filter(
+      projection: Seq[String] = Nil,
+      dayCol: Option[String] = None): DataFrame = {
+    val pruned = dayCol match {
+      case Some(d) => df.filter(
+        col(d) >= to_date(timestamp_millis(lit(span.lastMs))) &&
+          col(d) <= to_date(timestamp_millis(lit(span.thisMs))))
+      case None => df
+    }
+    val filtered = pruned.filter(
       col(versionCol) > lit(span.lastMs) && col(versionCol) <= lit(span.thisMs))
     if (projection.isEmpty) filtered
     else filtered.select(projection.map(col): _*)

@@ -50,4 +50,35 @@ class TableIOSpec extends SparkSpec {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && !plan.toLowerCase.contains("pushedfilters: [is"))
   }
+
+  test("incremental window over a day-partitioned layout reads only its days") {
+    import graft.core.Watermark
+    import graft.operators.IncrementalScan
+
+    val dayMs = 86400000L
+    val dir = tmp
+    val io = ParquetTableIO.dayPartitioned(dir, "version")
+    // 10 days of data, 3 rows/day, derived _day laid out as directories
+    val rows = for (d <- 0 until 10; i <- 0 until 3)
+      yield (d * 10 + i, d * dayMs + i * 1000L + 1)
+    io.overwrite(rows.toDF("id", "version"))
+    new java.io.File(dir).list().count(_.startsWith("_day=")) shouldBe 10
+
+    // window covering days 3-4 only
+    val span = Watermark.Span(3L * dayMs, 5L * dayMs - 1)
+    val scanned = IncrementalScan(io.read(spark), "version", span,
+      dayCol = Some("_day"))
+    // correctness: identical rows to the unpruned version filter
+    assertSameRows(
+      scanned.select("id", "version"),
+      IncrementalScan(io.read(spark), "version", span).select("id", "version"))
+
+    // pruning: the scan lists/reads only the 2 matching day partitions
+    scanned.collect()
+    val scan = scanned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    scan.metadata("PartitionFilters") should include("_day")
+    scan.metrics("numPartitions").value shouldBe 2
+  }
 }

@@ -72,10 +72,23 @@ class StreamSyncSpec extends SparkSpec {
       Files.list(java.nio.file.Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .forEach(f => Files.move(f, java.nio.file.Paths.get(in, s"$tag-${f.getFileName}")))
     }
-    def awaitRows(n: Long): Unit = {
+    // polls until dest converges to `want`; a read can catch the
+    // transactional dir swap mid-flight (list → rename → open), so
+    // transient read failures just mean "try again next poll"
+    def awaitState(want: Set[(String, Long, String)]): Unit = {
       val deadline = System.currentTimeMillis() + 60000
-      while ((!dest.exists || dest.read(spark).count() < n)
-          && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      var last: Any = "never-read"
+      while (System.currentTimeMillis() < deadline) {
+        try {
+          if (dest.exists) {
+            val s = dest.read(spark).as[(String, Long, String)].collect().toSet
+            last = s
+            if (s == want) return
+          }
+        } catch { case _: org.apache.spark.SparkException => }
+        Thread.sleep(200)
+      }
+      fail(s"dest never reached $want; last seen: $last")
     }
 
     val schema = Seq(("x", 1L, "t")).toDF("id", "version", "text").schema
@@ -83,14 +96,10 @@ class StreamSyncSpec extends SparkSpec {
       base.resolve("ckpt").toString, Trigger.ProcessingTime("500 milliseconds"))
     try {
       pushFlat("b1", ("a", 1L, "a-v1"))
-      awaitRows(1)
-      dest.read(spark).as[(String, Long, String)].collect().toSet shouldBe
-        Set(("a", 1L, "a-v1"))
+      awaitState(Set(("a", 1L, "a-v1")))
       // land more data while the query keeps running: a later tick takes it
       pushFlat("b2", ("a", 2L, "a-v2"), ("b", 7L, "b-v7"))
-      awaitRows(2)
-      dest.read(spark).as[(String, Long, String)].collect().toSet shouldBe
-        Set(("a", 2L, "a-v2"), ("b", 7L, "b-v7"))
+      awaitState(Set(("a", 2L, "a-v2"), ("b", 7L, "b-v7")))
     } finally q.stop()
   }
 }
