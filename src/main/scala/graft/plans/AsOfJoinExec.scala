@@ -16,12 +16,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the right iterator advances monotonically, retaining a copy of the
   * latest right row at-or-before the current left timestamp.
   *
-  * Versus the union+window formulation (`operators.AsOfJoin.asOf`) this
-  * shuffles each side's own columns only (no null-padded union doubling
-  * every row's width), runs no window function, and streams with O(1)
-  * state per partition instead of sorting a 2×-wide union. Same single
-  * shuffle per side; strictly less data moved and sorted. At 100 TB the
-  * shuffle IS the cost, so the savings scale with input width.
+  * Shuffle shape versus the union+window formulation
+  * (`operators.AsOfJoin.asOf`): each side moves its own columns only
+  * (the union pads every row to BOTH sides' width), and the merge holds
+  * O(1) state instead of a window frame. MEASURED trade-off (SURVEY.md
+  * §9, 2 M events, local[32]): the union+window form is 2-5× faster
+  * wall-clock even at 13 payload columns/side, because local shuffles
+  * are memory-bandwidth-cheap and its sort+window pipeline is
+  * whole-stage-codegen'd while this merge loop is interpreted
+  * (~1 µs/row). Use `asOf` by default; this operator is the
+  * whole-operator Catalyst extension surface — and the shape whose
+  * byte savings matter once the exchange crosses a real network.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -59,18 +64,19 @@ case class AsOfJoinExec(
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
-      val payProj = UnsafeProjection.create(pay, rOut)
-      // parents (and SparkPlan.getByteArrayRdd) require UnsafeRow
-      // output. Bind against the NULLABLE payload attrs — nullability
-      // flows from the input schema into BoundReference, and the
-      // non-null right attrs would elide the null check that the
-      // no-match nullPayload row needs.
-      val outAttrs = lOut ++ pay.map(_.withNullability(true))
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      // ONE generated projection does the payload selection AND the
+      // UnsafeRow conversion parents require, reading straight off
+      // JoinedRow(leftRow, fullRightRow). Bind against NULLABLE right
+      // attrs — nullability flows from the input schema into
+      // BoundReference, and non-null right attrs would elide the null
+      // check the no-match nullRight row needs.
+      val joinedSchema = lOut ++ rOut.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(
+        lOut ++ pay.map(_.withNullability(true)), joinedSchema)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
       val rBuf = rIter.buffered
-      val nullPayload = new GenericInternalRow(pay.size)
+      val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       // latest right row consumed whose key matched some left key —
       // copied, because sorted iterators reuse their row buffers
@@ -91,9 +97,8 @@ case class AsOfJoinExec(
           } else done = true // same key but in the future of this left row
         }
         val m =
-          if (matchedKey != null && keyOrd.compare(matchedKey, lKey) == 0)
-            payProj(matched)
-          else nullPayload
+          if (matchedKey != null && keyOrd.compare(matchedKey, lKey) == 0) matched
+          else nullRight
         resultProj(joined(lRow, m))
       }
     }

@@ -125,6 +125,26 @@ class SyncRunnerSpec extends SparkSpec {
     reports.head.error.get should include("not a watermark")
   }
 
+  test("end-to-end tick over day-partitioned stores (pruning-ready layout)") {
+    val d = Files.createTempDirectory("daypart")
+    val l = ParquetTableIO.dayPartitioned(d.resolve("left").toString, "version")
+    val r = ParquetTableIO.dayPartitioned(d.resolve("right").toString, "version")
+    l.overwrite(df(("a", inWin, "left-new", "L"), ("b", outWin, "stale", "L")))
+    r.overwrite(df(("a", inWin - 10, "right-old", "R")))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    // LWW across the partitioned layout: newest a wins everywhere,
+    // out-of-window b stays left-only
+    r.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe
+      Set(("a", "left-new"))
+    l.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe
+      Set(("a", "left-new"), ("b", "stale"))
+    // the published snapshots kept the day-partitioned directory layout
+    new java.io.File(d.resolve("left").toString).list()
+      .count(_.startsWith("_day=")) should be >= 1
+    // the derived partition column round-trips without duplicating
+    l.read(spark).columns.count(_ == "_day") shouldBe 1
+  }
+
   test("idempotence: re-running the same window changes nothing (T5)") {
     val (l, r) = stores()
     l.overwrite(df(("a", inWin, "t", "L"), ("b", inWin + 1, "u", "L")))
