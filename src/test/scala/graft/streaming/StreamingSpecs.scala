@@ -251,6 +251,42 @@ class StreamingDedupSpec extends SparkSpec {
 class StatefulLwwSpec extends SparkSpec {
   import spark.implicits._
 
+  test("transformWithState variant matches flatMapGroupsWithState semantics") {
+    implicit val sql = spark.sqlContext
+    // transformWithState's typed state handles need the RocksDB
+    // provider (multiple column families); the HDFS-backed default
+    // can't host them
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[KeyedVersioned]
+    val q = StatefulLww.latestUpdatesTws(mem.toDS())
+      .writeStream.format("memory").queryName("lww_tws_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(KeyedVersioned("a", 1, "a1"), KeyedVersioned("a", 3, "a3"),
+        KeyedVersioned("b", 2, "b2"))
+      q.processAllAvailable()
+      spark.table("lww_tws_out").as[KeyedVersioned].collect().toSet shouldBe
+        Set(KeyedVersioned("a", 3, "a3"), KeyedVersioned("b", 2, "b2"))
+
+      mem.addData(KeyedVersioned("a", 2, "a2-late"), // loses to state 3
+        KeyedVersioned("b", 2, "b2-tie"), // tie: incumbent kept, no emit
+        KeyedVersioned("b", 7, "b7")) // wins
+      q.processAllAvailable()
+      spark.table("lww_tws_out").as[KeyedVersioned].collect().toSet shouldBe
+        Set(KeyedVersioned("a", 3, "a3"), KeyedVersioned("b", 2, "b2"),
+          KeyedVersioned("b", 7, "b7"))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("emits only version-winning updates across micro-batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[KeyedVersioned]
