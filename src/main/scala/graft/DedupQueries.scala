@@ -27,9 +27,13 @@ object DedupQueries {
        |      AS shingles
        |  FROM (SELECT doc_id, $norm AS norm FROM documents))""".stripMargin
 
-  private val sigElems: String = (0 until K)
-    .map(s => s"list_min([md5('$s:' || sh) for sh in shingles])")
-    .mkString(",\n    ")
+  // Same universal hash family as MinHashLSH: one md5 per shingle
+  // (first 15 hex chars → 60-bit int), k seeded (a*base + b) mod p.
+  private val P = MinHashLSH.P
+  private val sigElems: String = (0 until K).map { s =>
+    val (a, b) = MinHashLSH.hashParams(s)
+    s"list_min([($a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % $P) + $b) % $P for sh in shingles])"
+  }.mkString(",\n    ")
 
   private val sigCte =
     s"""$shinglesCte, sig AS (
@@ -40,7 +44,7 @@ object DedupQueries {
   private val bandCte = {
     val slice = (1 to R).map(i => s"sig[$R * b + $i]").mkString(", ")
     s"""$sigCte, bands AS (
-       |  SELECT doc_id, b, md5(concat_ws('|', $slice)) AS bucket
+       |  SELECT doc_id, b, concat_ws('|', $slice) AS bucket
        |  FROM sig CROSS JOIN range(0, $B) t(b))""".stripMargin
   }
 

@@ -37,31 +37,68 @@ import org.apache.spark.sql.functions._
   *    the standard guard against quadratic blowup on degenerate
   *    near-identical clusters (default = no cap: exact semantics).
   *
-  * md5-seeded hashing keeps signatures identical in the DuckDB
-  * oracle; production would swap `xxhash64(seed, shingle)`.
+  * Hash family: ONE md5 per shingle (its first 15 hex chars as a
+  * 60-bit base integer — expressible identically in the DuckDB
+  * oracle), then k universal hashes `(a_s·base + b_s) mod p` over
+  * Mersenne prime p = 2^31-1 — pure codegen'd long arithmetic, the
+  * same affine-over-one-base family spark.ml's MinHashLSH uses.
+  * Measured trade-off at k=8/sf0.1 (SURVEY.md §9): wall-clock is
+  * neutral (shingle explode dominates, not hashing), and the
+  * across-seed correlation of the shared base yields ~3.5× more band
+  * collisions on a duplicate-heavy corpus — more candidates for the
+  * exact-Jaccard refiner, never lost recall. The win is at production
+  * signature lengths: k digests per shingle is infeasible at k≥64,
+  * one digest plus k multiply-adds is not.
   */
 object MinHashLSH {
 
   val defaultK = 8 // signature length
   val defaultBands = 4 // => rows per band r = k / bands
 
-  /** k-element MinHash signature of a shingle-array column: for each
-    * seed, the lexicographic min of md5(seed ++ ":" ++ shingle).
-    * Column form — for single-array contexts; the table pipeline below
-    * uses the aggregate form instead (see class doc).
+  /** Mersenne prime 2^31-1: products a·base stay under 2^62 (no long
+    * overflow) because both operands are first reduced mod p.
+    */
+  val P = 2147483647L
+
+  /** Deterministic per-seed multipliers/offsets (Knuth + xxhash odd
+    * constants); a_s ∈ (0, p), b_s ∈ [0, p).
+    */
+  def hashParams(s: Int): (Long, Long) =
+    ((2654435761L * (s + 1)) % P match { case 0 => 1L; case a => a },
+      (2246822519L * (s + 1)) % P)
+
+  /** 60-bit base hash of one shingle: first 15 hex chars of md5,
+    * parsed as an integer, reduced mod p. The md5-text route (instead
+    * of xxhash64) keeps the value bit-identical in DuckDB:
+    * `('0x' || substr(md5(sh), 1, 15))::BIGINT % p`.
+    */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  /** One universal-family hash of a pre-reduced base. */
+  private def seeded(base: Column, s: Int): Column = {
+    val (a, b) = hashParams(s)
+    (lit(a) * base + lit(b)) % P
+  }
+
+  /** k-element MinHash signature of a shingle-array column. Column
+    * form — for single-array contexts; the table pipeline below uses
+    * the aggregate form instead (see class doc).
     */
   def signature(shingles: Column, k: Int = defaultK): Column =
     array((0 until k).map(s =>
-      array_min(transform(shingles, x => md5(concat(lit(s + ":"), x))))): _*)
+      array_min(transform(shingles, x => seeded(baseHash(x), s)))): _*)
 
-  /** Band digests: b md5s, each over one contiguous r-slice of the
-    * signature. Two docs collide in a band iff that slice matches
-    * exactly.
+  /** Band digests: the signature's contiguous r-slices, each joined to
+    * a string key. Two docs collide in a band iff that slice matches
+    * exactly — the joined text IS the bucket key; re-hashing it (the
+    * old md5 here) changes nothing about the collision structure.
     */
   def bandDigests(sig: Column, k: Int = defaultK, bands: Int = defaultBands): Column = {
     val r = k / bands
     array((0 until bands).map(b =>
-      md5(concat_ws("|", slice(sig, b * r + 1, r)))): _*)
+      array_join(
+        transform(slice(sig, b * r + 1, r), x => x.cast("string")), "|")): _*)
   }
 
   /** One (id, shingle) row per overlapping char n-gram. The normalized
@@ -81,9 +118,11 @@ object MinHashLSH {
     */
   def signatureTable(df: DataFrame, idCol: String, normTextCol: Column,
       n: Int = 5, k: Int = defaultK): DataFrame = {
-    val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"h$s"))
+    // one md5 per shingle ROW (not per seed): the k seeded hashes are
+    // long arithmetic over the shared base inside the partial aggregate
+    val aggs = (0 until k).map(s => min(seeded(col("_hb"), s)).as(s"h$s"))
     shingleRows(df, idCol, normTextCol, n)
+      .withColumn("_hb", baseHash(col("shingle")))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -34,7 +34,7 @@ class MinHashLSHSpec extends SparkSpec {
     val sigs = docs.select(col("doc_id"),
         MinHashLSH.signature(Shingles.charShingles(
           TextFunctions.normalize(col("text")))).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     sigs(1L).length shouldBe MinHashLSH.defaultK
     sigs(1L) shouldBe sigs(4L)
     sigs(1L) should not be sigs(3L)
