@@ -108,7 +108,7 @@ object MinHashLSH {
     * ever has an empty set.
     */
   def shingleRows(df: DataFrame, idCol: String, normTextCol: Column, n: Int = 5): DataFrame =
-    df.select(col(idCol), normTextCol.as("_norm"))
+    graft.operators.SkewTools.fanOut(df.select(col(idCol), normTextCol.as("_norm")))
       .select(col(idCol), col("_norm"),
         explode(sequence(lit(1), greatest(length(col("_norm")) - (n - 1), lit(1)))).as("_pos"))
       .select(col(idCol), substr(col("_norm"), col("_pos"), lit(n)).as("shingle"))

@@ -25,23 +25,27 @@ object SimHash {
 
   private val hexDigits = "0123456789abcdef"
 
-  /** Sum over tokens of bit `p` (0-31, from md5's first 8 hex chars):
-    * hex char j = p / 4 (1-based), bit-in-char b = p % 4.
+  /** Sum over tokens of bit `p` (0-31) of the token's 8-hex-char
+    * digest `hx`: hex char j = p / 4 (1-based), bit-in-char b = p % 4.
+    * `hx` is materialized ONCE per token row (the oracle does the
+    * same) — putting `md5(tok)` here instead would lean on aggregate
+    * subexpression elimination to avoid 32 digests per token.
     */
-  private def bitOfToken(tok: Column, p: Int): Column = {
+  private def bitOfDigest(hx: Column, p: Int): Column = {
     val j = p / 4 + 1
     val b = p % 4
-    val v = instr(lit(hexDigits), substring(md5(tok), j, 1)) - 1
+    val v = instr(lit(hexDigits), substring(hx, j, 1)) - 1
     shiftright(v.cast("int"), b) % 2
   }
 
   /** df ⇒ (idCol, simhash) with one 32-bit signature per document. */
   def compute(df: DataFrame, idCol: String, normTextCol: Column): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(graft.functions.TextFunctions.tokens(normTextCol)).as("tok"))
+    val toks = graft.operators.SkewTools.fanOut(df.select(col(idCol), normTextCol.as("_norm")))
+      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col("_norm"))).as("tok"))
+      .select(col(idCol), substring(md5(col("tok")), 1, 8).as("_hx"))
     val sums = toks.groupBy(col(idCol)).agg(
       count(lit(1)).as("n"),
-      (0 until 32).map(p => sum(bitOfToken(col("tok"), p)).as(s"b$p")): _*)
+      (0 until 32).map(p => sum(bitOfDigest(col("_hx"), p)).as(s"b$p")): _*)
     sums.select(col(idCol),
       (0 until 32).map(p =>
         when(col(s"b$p") * 2 > col("n"), lit(1L << p)).otherwise(0L))

@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Fan a CPU-bound derivation out to the session's parallelism when
+    * the source arrives under-partitioned. A small dimension parquet is
+    * one file → one task, and an explode-then-hash pipeline downstream
+    * of it runs single-threaded no matter how many cores exist
+    * (measured: the MinHash shingle stage at 1 vs 32 partitions is
+    * 11.3 s vs 3.2 s on local[32]). At real scale inputs split by
+    * `files.maxPartitionBytes` and this is a no-op; the round-robin
+    * shuffle it inserts costs only the (small) source's bytes.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Two-phase aggregation: group on (keys, salt(spreadCol)) first,
     * then merge partials per key. `partial` must be decomposable with
     * `merge` (sum/sum, count/sum, min/min, max/max, ...).
