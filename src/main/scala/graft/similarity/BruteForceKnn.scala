@@ -28,7 +28,9 @@ object BruteForceKnn {
     // loop widens per element exactly like cast(array<float> as
     // array<double>), so results match the HOF form bit-for-bit while
     // skipping the materialized double copies.
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    // corpus-side scoring is CPU-bound: fan a one-file corpus out
+    val c = graft.operators.SkewTools.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -48,7 +50,8 @@ object BruteForceKnn {
   def topKAgg(corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val c = graft.operators.SkewTools.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -53,8 +53,8 @@ object IvfKnn {
       .filter(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col(cellCol))
 
-    val members = corpus.select(col(cellCol),
-      col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val members = graft.operators.SkewTools.fanOut(corpus.select(col(cellCol),
+      col(idCol).as("neighbor_id"), col(embCol).as("c_emb")))
     val scored = broadcast(probes).join(members, cellCol)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

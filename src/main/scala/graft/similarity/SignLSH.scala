@@ -44,7 +44,9 @@ object SignLSH {
       allPlanes: Seq[Seq[Seq[Double]]]): DataFrame = {
     val emb = VectorOps.asDouble(col(embCol))
     val buckets = array(allPlanes.map(tp => bucketOf(emb, tp)): _*)
-    df.select(col(idCol), posexplode(buckets).as(Seq("table", "bucket")))
+    // bucketOf evaluates bits x dims multiply-adds per row: fan out
+    graft.operators.SkewTools.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), posexplode(buckets).as(Seq("table", "bucket")))
   }
 
   /** Distinct candidate pairs (a < b) sharing a bucket in ≥1 table.
