@@ -602,6 +602,45 @@ object RelationalQueries {
             "aggregate(collect_list(l_quantity), 0D, (acc, x) -> acc + x)"),
             2).as("total_qty"))
         .orderBy("l_orderkey")
+    },
+
+    // Broadcast as-of join (AsOfJoin.asOfBroadcast): the small signup
+    // timeline ships to executors as a sorted-lookup broadcast and
+    // every purchase resolves its match with a local binary search —
+    // the 100 TB fact side is never shuffled or sorted (plan pinned in
+    // AsOfJoinSpec). Third physical form of the same semantics; same
+    // DuckDB ASOF oracle shape as q12/q18.
+    GraftQuery(
+      "q23_asof_broadcast",
+      """WITH s AS (
+        |  SELECT user_id, version, signup_id FROM (
+        |    SELECT user_id, epoch_ms(ts) AS version, event_id AS signup_id,
+        |      row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup')
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, epoch_ms(ts) AS version, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, s.signup_id, p.version - s.version AS since_signup_ms
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.version >= s.version
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+      val dedup = Window.partitionBy("user_id", "version")
+        .orderBy(col("signup_id").desc)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("version"),
+          col("event_id").as("signup_id"), col("version").as("signup_version"))
+        .withColumn("rn", row_number().over(dedup))
+        .filter(col("rn") === 1).drop("rn")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("version"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin.asOfBroadcast(purchases, signups, Seq("user_id"), "version")
+        .select(col("purchase_id"), col("signup_id"),
+          (col("version") - col("signup_version")).as("since_signup_ms"))
+        .orderBy("purchase_id")
     }
   )
 }

@@ -60,6 +60,73 @@ object AsOfJoin {
         payload.map(c => col("_m").getField(c).as(c)): _*)
   }
 
+  /** Same semantics with a BROADCAST right side: the right table
+    * (small — a slowly-changing dimension, price history, config
+    * timeline) collects to a driver map `key → ts-sorted payloads`,
+    * ships once to every executor, and each LEFT row resolves its
+    * match with a local binary search.
+    *
+    * The left side — the 100 TB fact stream — is NEVER shuffled,
+    * sorted, or even repartitioned: one narrow mapPartitions over the
+    * scan. That beats both other forms whenever right fits in memory,
+    * for the same reason a broadcast hash join beats a sort-merge
+    * join. Guarded by `maxRightRows` (driver + executor memory bound).
+    *
+    * Contract as [[asOf]]: right unique per (keys, ts); non-null ts.
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String,
+      maxRightRows: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Encoders, Row}
+
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val rightRows = right
+      .select((keys :+ tsCol) ++ payloadCols map col: _*)
+      .limit(maxRightRows + 1).collect()
+    require(rightRows.length <= maxRightRows,
+      s"asOfBroadcast right side exceeds maxRightRows=$maxRightRows; " +
+        "use asOf (union+window) for a large right side")
+
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val k = keys.length
+    // key tuple → (sorted ts array, payload rows in the same order)
+    val lookup: Map[Seq[Any], (Array[Any], Array[Seq[Any]])] = rightRows
+      .groupBy(r => (0 until k).map(r.get))
+      .map { case (key, rs) =>
+        val sorted = rs.sortWith((x, y) => cmp(x.get(k), y.get(k)) < 0)
+        (key, (sorted.map(_.get(k): Any),
+          sorted.map(r => (k + 1 until r.length).map(r.get): Seq[Any])))
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(lookup)
+
+    val leftSchema = left.schema
+    val leftIdx = keys.map(leftSchema.fieldIndex)
+    val tsIdx = leftSchema.fieldIndex(tsCol)
+    val rightSchema = right.schema
+    val outSchema = StructType(leftSchema.fields ++
+      payloadCols.map(c => rightSchema(c).copy(nullable = true)))
+    val nPay = payloadCols.length
+
+    left.mapPartitions { rows =>
+      rows.map { r =>
+        val ts = r.get(tsIdx)
+        val payload =
+          if (ts == null) None
+          else bc.value.get(leftIdx.map(r.get)).flatMap { case (tss, pays) =>
+            var lo = 0; var hi = tss.length - 1; var ans = -1
+            while (lo <= hi) { // greatest i with tss(i) <= ts
+              val mid = (lo + hi) >>> 1
+              if (cmp(tss(mid), ts) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) Some(pays(ans)) else None
+          }
+        Row.fromSeq(r.toSeq ++ payload.getOrElse(Seq.fill(nPay)(null)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Same semantics through the custom whole-operator Catalyst path:
     * [[graft.plans.AsOfJoinPlan]] → `AsOfJoinStrategy` →
     * sort-merge [[graft.plans.AsOfJoinExec]]. Each side shuffles its

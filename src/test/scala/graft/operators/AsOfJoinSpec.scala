@@ -46,6 +46,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcast form agrees with the union+window form (property)") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))
+    val dataGen = Gen.zip(Gen.listOfN(30, rowGen), Gen.listOfN(20, rowGen))
+    checkProp(dataGen, cases = 6) { case (lRows, rRows) =>
+      val rUnique = rRows.distinct
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rUnique.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid")
+      assertSameRows(
+        AsOfJoin.asOfBroadcast(left, right, Seq("k"), "t"),
+        AsOfJoin.asOf(left, right, Seq("k"), "t"))
+    }
+  }
+
+  test("broadcast form: the left side is never shuffled") {
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "l_name")
+    val right = Seq((1L, 9L, "x")).toDF("k", "t", "r_name")
+    val out = AsOfJoin.asOfBroadcast(left, right, Seq("k"), "t")
+    out.count() shouldBe 2
+    out.queryExecution.executedPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    } shouldBe None
+  }
+
+  test("broadcast form refuses an oversized right side") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "l_name")
+    val right = (0 until 10).map(i => (1L, i.toLong, s"r$i")).toDF("k", "t", "r_name")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asOfBroadcast(left, right, Seq("k"), "t", maxRightRows = 5)
+  }
+
   test("plan shape: one shuffle on the key, no cross/theta join") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "l_name")
     val right = Seq((1L, 9L, "b")).toDF("k", "t", "r_name")
