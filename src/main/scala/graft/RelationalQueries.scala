@@ -641,6 +641,32 @@ object RelationalQueries {
         .select(col("purchase_id"), col("signup_id"),
           (col("version") - col("signup_version")).as("since_signup_ms"))
         .orderBy("purchase_id")
+    },
+
+    // Unpivot (wide → long): Dataset.unpivot emits all metric rows in
+    // one Expand pass over the scan — no per-metric re-read, no
+    // shuffle at all before the final sort. Oracle is the relational
+    // definition (stacked UNION ALL).
+    GraftQuery(
+      "q24_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 2).as("val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     }
   )
 }

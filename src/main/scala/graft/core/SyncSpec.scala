@@ -32,7 +32,11 @@ final case class SyncSpec(
     versionCol: String = "version",
     sourceCol: String = "source",
     filterDate: Boolean = false,
-    ignoreSameSource: Boolean = false)
+    ignoreSameSource: Boolean = false,
+    // when the stores use ParquetTableIO.dayPartitioned, name its
+    // partition column here so the incremental window also prunes
+    // partitions (IncrementalScan dayCol) instead of only row groups
+    dayCol: Option[String] = None)
 
 /** Per-leg run report — the reference's ok/error tallies
   * (pyCassElastic.py:93-95, 348-349) as a value.

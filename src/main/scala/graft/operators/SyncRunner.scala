@@ -59,7 +59,8 @@ object SyncRunner {
 
     def incoming(src: DataFrame, destSourceId: Option[String]): DataFrame = {
       val windowed = span match {
-        case Some(s) if spec.filterDate => IncrementalScan(src, spec.versionCol, s)
+        case Some(s) if spec.filterDate =>
+          IncrementalScan(src, spec.versionCol, s, dayCol = spec.dayCol)
         case _ => src
       }
       destSourceId.filter(_ => spec.ignoreSameSource) match {

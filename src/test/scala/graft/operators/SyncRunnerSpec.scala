@@ -131,7 +131,9 @@ class SyncRunnerSpec extends SparkSpec {
     val r = ParquetTableIO.dayPartitioned(d.resolve("right").toString, "version")
     l.overwrite(df(("a", inWin, "left-new", "L"), ("b", outWin, "stale", "L")))
     r.overwrite(df(("a", inWin - 10, "right-old", "R")))
-    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    // dayCol wires the window into partition pruning on the scans
+    SyncRunner.runOnce(spark, spec.copy(dayCol = Some("_day")),
+      SyncRunner.Sides(l, r), span)
     // LWW across the partitioned layout: newest a wins everywhere,
     // out-of-window b stays left-only
     r.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe
