@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -29,15 +29,22 @@ object TableIO {
   trait Prepared { def commit(): Unit; def abort(): Unit }
 }
 
-/** Parquet snapshot store with transactional replace.
+/** Parquet snapshot store with versioned-snapshot + atomic-pointer
+  * commits (the same commit shape lakehouse table formats use).
   *
-  * Write protocol: materialize the new snapshot into a sibling
-  * `.staging` dir (readers keep seeing the old data — which also lets
-  * the new snapshot be computed FROM the old one; Spark's own
-  * Overwrite truncates before reading), then swap directories with a
-  * rollback guard. This is the engine's equivalent of the reference's
-  * duplication guard — abort the leg rather than leave a half-applied
-  * state (pyCassElastic.py:85-88).
+  * Layout: `path/v-<n>/…parquet` immutable snapshot dirs plus a tiny
+  * `path/_current` pointer file naming the live one. A write
+  * materializes `v-<n+1>` while readers keep resolving the pointer to
+  * `v-<n>` (which also lets the new snapshot be computed FROM the old
+  * one — Spark's own Overwrite truncates before reading); `commit`
+  * is ONE atomic pointer replace. Readers never observe a
+  * half-published state — unlike a directory rename swap, a reader
+  * that resolved the pointer keeps a complete immutable dir (the
+  * previous version is retained one commit as a grace window). This
+  * is also the object-store-friendly shape: no directory moves of
+  * data, just a small-object put. The abort path is the engine's
+  * version of the reference's duplication guard — fail the leg rather
+  * than leave a half-applied state (pyCassElastic.py:85-88).
   *
   * `partitionBy`: a date-derived column here turns the incremental
   * window scan into partition pruning — the reference's own
@@ -49,30 +56,61 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
     derive: DataFrame => DataFrame = identity)
     extends TableIO {
 
-  private def p: Path = Paths.get(path)
+  private def root: Path = Paths.get(path)
+  private def pointer: Path = root.resolve("_current")
 
-  override def exists: Boolean = Files.exists(p)
+  /** Live snapshot dir (absolute), if any — the pointer's target; a
+    * pointer-less directory that already holds parquet files is
+    * ADOPTED as the version-0 snapshot (bootstrap from an existing
+    * plain table; the first commit supersedes it).
+    */
+  def currentDir: Option[String] =
+    if (Files.exists(pointer))
+      Some(root.resolve(Files.readString(pointer).trim).toString)
+    else if (Files.exists(root) &&
+        Files.list(root).anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
+      Some(path)
+    else None
 
-  override def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  private def currentVersion: Long = currentDir match {
+    case Some(d) if d != path =>
+      Paths.get(d).getFileName.toString.stripPrefix("v-").toLong
+    case _ => 0L // nothing published, or an adopted plain layout
+  }
+
+  override def exists: Boolean = currentDir.isDefined
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(currentDir.getOrElse(
+      throw new IllegalStateException(s"no published snapshot at $path")))
 
   override def prepare(df: DataFrame): TableIO.Prepared = {
-    val tmp = p.resolveSibling(p.getFileName.toString + ".staging")
-    val old = p.resolveSibling(p.getFileName.toString + ".old")
-    deleteTree(tmp); deleteTree(old)
+    val prev = currentVersion
+    val vName = f"v-${prev + 1}%09d"
+    val vDir = root.resolve(vName)
+    deleteTree(vDir)
     val w = derive(df).write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.toString)
+      .parquet(vDir.toString)
     new TableIO.Prepared {
       override def commit(): Unit = {
-        if (Files.exists(p)) Files.move(p, old)
-        try Files.move(tmp, p)
-        catch { case e: Throwable => // roll back so readers still see old data
-          if (Files.exists(old)) Files.move(old, p)
-          throw e
+        val tmp = root.resolve("_current.tmp")
+        Files.writeString(tmp, vName)
+        Files.move(tmp, pointer,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // retire everything older than the immediately previous
+        // version — kept one commit as a grace window for readers
+        // that resolved the pointer just before the swap. Adopted
+        // plain-layout files (version 0) age out on the same schedule.
+        if (Files.exists(root)) Files.list(root).forEach { f =>
+          val n = f.getFileName.toString
+          if (n.startsWith("v-") && n.stripPrefix("v-").toLong < prev)
+            deleteTree(f)
+          else if (prev >= 1 && !Files.isDirectory(f) && n != "_current")
+            Files.deleteIfExists(f)
         }
-        deleteTree(old)
       }
-      override def abort(): Unit = deleteTree(tmp)
+      override def abort(): Unit = deleteTree(vDir)
     }
   }
 

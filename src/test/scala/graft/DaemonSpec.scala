@@ -47,10 +47,12 @@ class DaemonSpec extends SparkSpec {
     reports.map(_.failed) shouldBe Seq(false)
 
     val expect = Set(("a", 20L, "right-new"), ("b", 30L, "left-new"))
-    spark.read.parquet(s"$dataRoot/store_l").as[(String, Long, String)]
-      .collect().toSet shouldBe expect
-    spark.read.parquet(s"$dataRoot/store_r").as[(String, Long, String)]
-      .collect().toSet shouldBe expect
+    // read through TableIO: plain seeded dirs were adopted as v0 and
+    // the tick published pointered snapshots on top of them
+    new sources.ParquetTableIO(s"$dataRoot/store_l").read(spark)
+      .as[(String, Long, String)].collect().toSet shouldBe expect
+    new sources.ParquetTableIO(s"$dataRoot/store_r").read(spark)
+      .as[(String, Long, String)].collect().toSet shouldBe expect
     // the spec's own watermark committed after its successful tick
     assert(Watermark.read(operators.SyncRunner.specWmPath(wm, "t")).isDefined)
   }

@@ -141,7 +141,7 @@ class SyncRunnerSpec extends SparkSpec {
     l.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe
       Set(("a", "left-new"), ("b", "stale"))
     // the published snapshots kept the day-partitioned directory layout
-    new java.io.File(d.resolve("left").toString).list()
+    new java.io.File(l.currentDir.get).list()
       .count(_.startsWith("_day=")) should be >= 1
     // the derived partition column round-trips without duplicating
     l.read(spark).columns.count(_ == "_day") shouldBe 1

@@ -38,11 +38,26 @@ class TableIOSpec extends SparkSpec {
     io.read(spark).select("v").as[String].collect() shouldBe Array("old")
   }
 
+  test("a reader resolved before a commit keeps a complete snapshot (grace window)") {
+    val io = new ParquetTableIO(tmp)
+    io.overwrite(Seq((1, "v1")).toDF("id", "v"))
+    val pre = io.read(spark) // resolved to v-1
+    io.overwrite(Seq((1, "v2"), (2, "v2")).toDF("id", "v"))
+    // v-2 is live, but the pre-resolved reader's v-1 dir is retained
+    // for one commit — no FILE_NOT_EXIST mid-read
+    pre.select("v").as[String].collect() shouldBe Array("v1")
+    io.read(spark).count() shouldBe 2
+    io.overwrite(Seq((3, "v3")).toDF("id", "v"))
+    // now v-1 is retired; only the latest two versions remain
+    new java.io.File(io.path).list().filter(_.startsWith("v-")).sorted shouldBe
+      Array("v-000000002", "v-000000003")
+  }
+
   test("partitionBy lays out date-partitioned directories (pruning-ready)") {
     val dir = tmp
     val io = new ParquetTableIO(dir, partitionBy = Seq("day"))
     io.overwrite(Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "day"))
-    val days = new java.io.File(dir).list().filter(_.startsWith("day="))
+    val days = new java.io.File(io.currentDir.get).list().filter(_.startsWith("day="))
     days.sorted shouldBe Array("day=2024-01-01", "day=2024-01-02")
     // partition filter prunes to one directory
     val one = io.read(spark).filter(org.apache.spark.sql.functions.col("day") === "2024-01-01")
@@ -62,7 +77,7 @@ class TableIOSpec extends SparkSpec {
     val rows = for (d <- 0 until 10; i <- 0 until 3)
       yield (d * 10 + i, d * dayMs + i * 1000L + 1)
     io.overwrite(rows.toDF("id", "version"))
-    new java.io.File(dir).list().count(_.startsWith("_day=")) shouldBe 10
+    new java.io.File(io.currentDir.get).list().count(_.startsWith("_day=")) shouldBe 10
 
     // window covering days 3-4 only
     val span = Watermark.Span(3L * dayMs, 5L * dayMs - 1)
