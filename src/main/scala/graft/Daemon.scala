@@ -33,9 +33,12 @@ object Daemon {
   def tick(spark: SparkSession, cfg: SyncConfig.Config, wmPath: String,
       dataRoot: String, nowMs: Long): Seq[SyncRunner.RunReport] = {
     val specs = cfg.syncs.map { spec =>
-      spec -> SyncRunner.Sides(
-        new ParquetTableIO(s"$dataRoot/${spec.left.table}"),
-        new ParquetTableIO(s"$dataRoot/${spec.right.table}"))
+      def io(table: String) = spec.dayCol match {
+        case Some(d) =>
+          ParquetTableIO.dayPartitioned(s"$dataRoot/$table", spec.versionCol, d)
+        case None => new ParquetTableIO(s"$dataRoot/$table")
+      }
+      spec -> SyncRunner.Sides(io(spec.left.table), io(spec.right.table))
     }
     SyncRunner.runAll(spark, specs, wmPath, nowMs)
   }

@@ -50,7 +50,10 @@ object SyncConfig {
         dateCol = opt[String](s, "date_col").getOrElse("date"),
         versionCol = opt[String](s, "version_col").getOrElse("version"),
         filterDate = opt[Boolean](s, "filter_date").getOrElse(false),
-        ignoreSameSource = opt[Boolean](s, "ignore_same_source").getOrElse(false))
+        ignoreSameSource = opt[Boolean](s, "ignore_same_source").getOrElse(false),
+        // engine extension (no reference equivalent): name the stores'
+        // day-partition column to turn window scans into pruning
+        dayCol = opt[String](s, "day_col"))
     }
     // reference: period is minutes, x60 at SyncCassElastic.py:34-35
     Config(periodMin * 60, specs)

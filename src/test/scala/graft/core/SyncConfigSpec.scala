@@ -12,7 +12,7 @@ class SyncConfigSpec extends SparkSpec {
         |  "syncs": [
         |    { "name": "bogus_sync", "id_col": "id", "date_col": "date",
         |      "version_col": "version", "filter_date": true,
-        |      "ignore_same_source": true,
+        |      "ignore_same_source": true, "day_col": "_day",
         |      "cassandra": { "table": "test.bogus", "source_id": "CASSANDRA" },
         |      "elasticsearch": { "index": "bogus", "source_id": "Elastic" } },
         |    { "name": "minimal",
@@ -31,10 +31,12 @@ class SyncConfigSpec extends SparkSpec {
     s.right shouldBe SideSpec("bogus", Some("Elastic"))
     s.filterDate shouldBe true
     s.ignoreSameSource shouldBe true
+    s.dayCol shouldBe Some("_day")
 
     val m = cfg.syncs(1)
     m.idCol shouldBe "id" // defaults
     m.filterDate shouldBe false
     m.left.sourceId shouldBe None
+    m.dayCol shouldBe None
   }
 }

@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Physical-plan regression guards: correctness tests prove WHAT the
@@ -87,5 +89,37 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("v7_knn_topk_agg")
     // ObjectHashAggregate partial_topkaggregator -> exchange -> final
     p should include regex "(?i)partial_?topkaggregator"
+  }
+
+  test("runtime bloom filter prunes a shuffled fact-dim join at the scan") {
+    // The 100 TB shape AQE's runtime filtering covers: a selective dim
+    // filter spawns a bloom_filter_agg whose result is pushed into the
+    // fact scan, so most fact rows die before the join's exchange.
+    // Thresholds are lowered to fire at test scale; defaults fire at
+    // real scans.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffled join
+      val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+      spark.range(50000).select(col("id").as("fk"), (col("id") % 1000).as("x"))
+        .write.parquet(s"$dir/fact")
+      spark.range(2000).select(col("id").as("pk"), (col("id") % 7).as("f"))
+        .write.parquet(s"$dir/dim")
+      val j = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("f") === 3),
+          col("fk") === col("pk"))
+      j.collect()
+      j.queryExecution.executedPlan.toString should include("bloom_filter_agg")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
