@@ -667,6 +667,40 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
           round(col("val"), 2).as("val"))
         .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // Multi-table star join (TPC-H Q5 shape): two fact-fact shuffles
+    // (lineitem⋈orders, ⋈customer) with every dimension broadcast —
+    // the mixed plan a real warehouse query needs. AQE coalesces the
+    // post-shuffle partitions; Catalyst reorders the dimension joins
+    // behind the broadcasts.
+    GraftQuery(
+      "q25_star_join",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val r = broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }
   )
 }
