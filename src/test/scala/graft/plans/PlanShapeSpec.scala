@@ -91,6 +91,29 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "(?i)partial_?topkaggregator"
   }
 
+  test("pivot is one hash-aggregate pass, not one scan per column") {
+    val p = plan("q20_pivot")
+    "FileScan".r.findAllIn(p).length shouldBe 1
+    p should include("pivotfirst")
+  }
+
+  test("unpivot is one Expand over one scan, not a union of re-reads") {
+    val p = plan("q24_unpivot")
+    "FileScan".r.findAllIn(p).length shouldBe 1
+    p should include("Expand")
+    p should not include "Union"
+  }
+
+  test("star join: dims broadcast, region filter pushed, no cartesian") {
+    val p = plan("q25_star_join")
+    // the hinted nation/region dims broadcast regardless of stats;
+    // whether orders/customer shuffle or broadcast is a size decision
+    // (SMJ at real scale, BHJ at sf0.001) and deliberately unpinned
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+    p should not include "CartesianProduct"
+    p should include regex "PushedFilters: \\[[^\\]]*EqualTo\\(r_name,ASIA\\)"
+  }
+
   test("runtime bloom filter prunes a shuffled fact-dim join at the scan") {
     // The 100 TB shape AQE's runtime filtering covers: a selective dim
     // filter spawns a bloom_filter_agg whose result is pushed into the
