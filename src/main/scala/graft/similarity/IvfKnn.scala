@@ -37,6 +37,61 @@ object IvfKnn {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  /** Nearest-cell assignment against a COLLECTED codebook: the
+    * argmax over k cosine evaluations is inlined as one codegen'd
+    * expression per row (k × dims multiply-adds, no join, no shuffle).
+    * Ties break to the lowest cell id.
+    */
+  def assignCells(df: DataFrame, embCol: String,
+      codebook: Seq[(Int, Seq[Double])], cellCol: String = "_cell"): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    val best = array_max(array(codebook.map { case (cell, vec) =>
+      struct(
+        VectorOps.cosineNative(col(embCol), typedlit(vec)).as("cos"),
+        lit(-cell).as("negCell")) // struct max: highest cos, then lowest cell
+    }: _*))
+    df.withColumn(cellCol, (best.getField("negCell") * -1).cast("int"))
+  }
+
+  /** Collect a (cell, centroid) codebook DataFrame to the driver. */
+  def collectCodebook(codebook: DataFrame, cellCol: String): Seq[(Int, Seq[Double])] =
+    codebook.select(col(cellCol).cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+
+  /** Lloyd's k-means over the embedding column — a TRAINED coarse
+    * quantizer replacing the label stand-in of [[centroids]].
+    * Deterministic end to end: seeds are the k lowest-`idCol` vectors,
+    * assignment ties break to the lowest cell, and centroid components
+    * round to 6 decimals (same reproducibility contract as
+    * [[centroids]]).
+    *
+    * Scale shape: the codebook (k × dims doubles) lives on the driver
+    * and broadcasts into a single codegen'd argmax expression — each
+    * iteration is ONE distributed pass over the corpus (assignment
+    * map-side, means via the usual posexplode aggregate). The driver
+    * loop never holds corpus data. Cosine is scale-invariant in the
+    * centroid, so using raw means ≈ spherical k-means without the
+    * explicit normalization step.
+    */
+  def trainCodebook(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>"))
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0).toSeq }.toSeq
+    var codebook = seeds
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(corpus, embCol, codebook)
+      codebook = collectCodebook(centroids(assigned, "_cell", embCol), "_cell")
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    codebook.toDF("cell", "centroid")
+  }
+
   /** Approximate top-k: probe `nprobe` cells per query, exact cosine
     * within them. Output (query_id, neighbor_id, cos, rank).
     */

@@ -56,4 +56,32 @@ class DaemonSpec extends SparkSpec {
     // the spec's own watermark committed after its successful tick
     assert(Watermark.read(operators.SyncRunner.specWmPath(wm, "t")).isDefined)
   }
+
+  test("day_col config publishes day-partitioned pointered snapshots") {
+    val base = Files.createTempDirectory("daemon-day")
+    val dataRoot = base.resolve("data").toString
+    Seq(("a", 10L, "x")).toDF("id", "version", "text")
+      .write.parquet(s"$dataRoot/dl")
+    Seq(("b", 20L, "y")).toDF("id", "version", "text")
+      .write.parquet(s"$dataRoot/dr")
+    val cfgPath = base.resolve("config.json")
+    Files.writeString(cfgPath,
+      """{ "period": 1, "syncs": [
+        |  { "name": "d", "day_col": "_day",
+        |    "cassandra": { "table": "dl" },
+        |    "elasticsearch": { "index": "dr" } } ] }""".stripMargin)
+    val cfg = core.SyncConfig.load(spark, cfgPath.toString)
+    cfg.syncs.head.dayCol shouldBe Some("_day")
+
+    val reports = Daemon.tick(spark, cfg, base.resolve("wm.json").toString,
+      dataRoot, System.currentTimeMillis())
+    reports.map(_.failed) shouldBe Seq(false)
+
+    val l = sources.ParquetTableIO.dayPartitioned(s"$dataRoot/dl", "version")
+    val out = l.read(spark)
+    out.select("id").as[String].collect().toSet shouldBe Set("a", "b")
+    // published through the pointer, laid out by day
+    assert(l.currentDir.get.contains("v-"))
+    new java.io.File(l.currentDir.get).list().count(_.startsWith("_day=")) shouldBe 1
+  }
 }

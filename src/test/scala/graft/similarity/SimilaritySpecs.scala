@@ -116,3 +116,55 @@ private object SimilarityQueriesHelper {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 }
+
+class KMeansCodebookSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // three well-separated direction clusters (cosine k-means separates
+  // by direction, not magnitude)
+  private def clustered = (0 until 30).map { i =>
+    val base = i % 3 match {
+      case 0 => Seq(10.0, 0.1, 0.0)
+      case 1 => Seq(0.0, 10.0, 0.1)
+      case _ => Seq(0.1, 0.0, 10.0)
+    }
+    // deterministic jitter, small vs the separation
+    (i.toLong, base.zipWithIndex.map { case (v, d) => (v + 0.01 * ((i * 7 + d) % 5)).toFloat })
+  }.toDF("vec_id", "embedding")
+
+  test("k-means recovers well-separated direction clusters deterministically") {
+    val df = clustered
+    val cb = IvfKnn.trainCodebook(df, "vec_id", "embedding", k = 3, iters = 5)
+    cb.count() shouldBe 3
+    val cents = IvfKnn.collectCodebook(cb, "cell")
+    val assigned = IvfKnn.assignCells(df, "embedding", cents)
+      .select(col("vec_id"), col("_cell")).as[(Long, Int)].collect().toMap
+    // every member of a true cluster lands in the same learned cell
+    (0 until 3).foreach { c =>
+      val cells = (0 until 30).filter(_ % 3 == c).map(i => assigned(i.toLong)).toSet
+      withClue(s"true cluster $c split across $cells: ")(cells.size shouldBe 1)
+    }
+    // and the three true clusters get three distinct cells
+    (0 until 3).map(c => assigned(c.toLong)).toSet.size shouldBe 3
+    // determinism: retraining reproduces the identical codebook
+    val cents2 = IvfKnn.collectCodebook(
+      IvfKnn.trainCodebook(df, "vec_id", "embedding", k = 3, iters = 5), "cell")
+    cents2 shouldBe cents
+  }
+
+  test("trained codebook + nprobe = k probes is exactly brute force") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = IvfKnn.trainCodebook(df, "vec_id", "embedding", k = 4, iters = 3)
+    val cents = IvfKnn.collectCodebook(cb, "cell")
+    val withCells = IvfKnn.assignCells(df, "embedding", cents)
+    val q = withCells.filter(col("vec_id") < 3)
+    val ivf = IvfKnn.topK(withCells, q, "vec_id", "_cell", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = BruteForceKnn.topK(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    ivf shouldBe bf
+  }
+}
