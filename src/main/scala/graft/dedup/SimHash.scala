@@ -38,18 +38,25 @@ object SimHash {
     shiftright(v.cast("int"), b) % 2
   }
 
-  /** df ⇒ (idCol, simhash) with one 32-bit signature per document. */
-  def compute(df: DataFrame, idCol: String, normTextCol: Column): DataFrame = {
+  /** df ⇒ (idCol, simhash) with one `bits`-wide signature per
+    * document. 32 bits (8 md5 hex chars) is the oracle-checked
+    * default; use `bits = 64` past ~50k docs so the blocked index's
+    * block width outgrows log2(n) (see sizing note below). Bit-pack
+    * via OR of distinct powers — exact for the full 64-bit range.
+    */
+  def compute(df: DataFrame, idCol: String, normTextCol: Column,
+      bits: Int = 32): DataFrame = {
+    require(bits > 0 && bits <= 64 && bits % 4 == 0, "bits must be 4..64, /4")
     val toks = graft.operators.SkewTools.fanOut(df.select(col(idCol), normTextCol.as("_norm")))
       .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col("_norm"))).as("tok"))
-      .select(col(idCol), substring(md5(col("tok")), 1, 8).as("_hx"))
+      .select(col(idCol), substring(md5(col("tok")), 1, bits / 4).as("_hx"))
     val sums = toks.groupBy(col(idCol)).agg(
       count(lit(1)).as("n"),
-      (0 until 32).map(p => sum(bitOfDigest(col("_hx"), p)).as(s"b$p")): _*)
+      (0 until bits).map(p => sum(bitOfDigest(col("_hx"), p)).as(s"b$p")): _*)
     sums.select(col(idCol),
-      (0 until 32).map(p =>
+      (0 until bits).map(p =>
         when(col(s"b$p") * 2 > col("n"), lit(1L << p)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
+        .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Pairs within Hamming distance `maxDist`, blocked on the top 16
@@ -90,11 +97,11 @@ object SimHash {
     */
   def nearPairsBlocked(sims: DataFrame, idCol: String,
       maxDist: Int = 3, blocks: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, bits: Int = 32): DataFrame = {
     require(maxDist < blocks,
       s"pigeonhole guarantee needs maxDist < blocks ($maxDist >= $blocks)")
-    require(32 % blocks == 0, "blocks must divide the 32-bit hash")
-    val width = 32 / blocks
+    require(bits % blocks == 0, s"blocks must divide the $bits-bit hash")
+    val width = bits / blocks
     val mask = (1L << width) - 1
     val blockVals = array((0 until blocks).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)

@@ -101,6 +101,29 @@ class SimHashSpec extends SparkSpec {
     blocked shouldBe brute
   }
 
+  test("64-bit simhash: 16-bit blocks keep recall 1.0 (the >50k-doc sizing)") {
+    // the wide form SURVEY §9's sizing law calls for past ~50k docs:
+    // block width 16 outgrows log2(n), so bucket occupancy stays ~1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sims = SimHash.compute(docs, "doc_id",
+      TextFunctions.normalize(col("text")), bits = 64)
+    val blocked = SimHash.nearPairsBlocked(sims, "doc_id",
+        maxDist = 3, blocks = 4, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = sims.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sims.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    blocked shouldBe brute
+    // identical docs still collide at distance 0 in the 64-bit space
+    assert(brute.nonEmpty)
+    // and the packed hash genuinely uses the high bits (sign bit set
+    // for some doc — OR-packing handles bit 63)
+    val anyNegative = sims.select(col("simhash")).as[Long].collect().exists(_ < 0)
+    assert(anyNegative, "expected some 64-bit simhash with bit 63 set")
+  }
+
   test("blocked nearPairs rejects maxDist >= blocks (no pigeonhole guarantee)") {
     val sims = Seq((1L, 7L)).toDF("doc_id", "simhash")
     an[IllegalArgumentException] should be thrownBy
