@@ -68,9 +68,11 @@ object SimHash {
     * distinct.
     */
   def nearPairs(sims: DataFrame, idCol: String, maxDist: Int = 6,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, bits: Int = 32): DataFrame = {
+    // block on the top 16 bits of the `bits`-wide hash (mask clears
+    // the sign-extension a 64-bit arithmetic shift would leave)
     val keyed = sims.select(
-      shiftright(col("simhash"), 16).as("blk"),
+      shiftright(col("simhash"), bits - 16).bitwiseAND(lit(0xFFFFL)).as("blk"),
       struct(col(idCol), col("simhash")).as("p"))
     PairGen.pairsWithin(keyed, Seq("blk"), col("p"), maxBucket)
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
