@@ -139,6 +139,30 @@ object SyncQueries {
         .orderBy("event_id")
     },
 
+    // F11 companion: from_json with an EXPLICIT schema into a typed
+    // struct feeding an aggregation — the scale-safe decode path (a
+    // static schema keeps the parse codegen'd and one-pass; per-row
+    // schema inference is the anti-pattern). Mirrors the reference
+    // trusting a known _source shape (pyCassElastic.py:272-278).
+    GraftQuery(
+      "f12_json_struct_agg",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+
     // F11: JSON decode of the `_source`-style payload
     // (reference pyCassElastic.py:272-278 flattens the ES _source dict).
     GraftQuery(
