@@ -37,8 +37,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => }
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,d3 restricts to a subset (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => all || !quadraticBaselines.contains(n))
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()

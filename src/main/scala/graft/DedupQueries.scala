@@ -27,12 +27,15 @@ object DedupQueries {
        |      AS shingles
        |  FROM (SELECT doc_id, $norm AS norm FROM documents))""".stripMargin
 
-  // Same universal hash family as MinHashLSH: one md5 per shingle
-  // (first 15 hex chars → 60-bit int), k seeded (a*base + b) mod p.
+  // Same universal hash family as MinHashLSH: one md5 per shingle,
+  // two 60-bit bases (hex [1,15] and [16,30]), k seeded
+  // (a*x1 + b*x2 + c) mod p with per-product reduction.
   private val P = MinHashLSH.P
   private val sigElems: String = (0 until K).map { s =>
-    val (a, b) = MinHashLSH.hashParams(s)
-    s"list_min([($a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % $P) + $b) % $P for sh in shingles])"
+    val (a, b, c) = MinHashLSH.hashParams(s)
+    s"""list_min([($a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % $P) % $P
+       |      + $b * (('0x' || substr(md5(sh), 16, 15))::BIGINT % $P) % $P
+       |      + $c) % $P for sh in shingles])""".stripMargin
   }.mkString(",\n    ")
 
   private val sigCte =

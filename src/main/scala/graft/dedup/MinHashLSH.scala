@@ -37,18 +37,19 @@ import org.apache.spark.sql.functions._
   *    the standard guard against quadratic blowup on degenerate
   *    near-identical clusters (default = no cap: exact semantics).
   *
-  * Hash family: ONE md5 per shingle (its first 15 hex chars as a
-  * 60-bit base integer — expressible identically in the DuckDB
-  * oracle), then k universal hashes `(a_s·base + b_s) mod p` over
-  * Mersenne prime p = 2^31-1 — pure codegen'd long arithmetic, the
-  * same affine-over-one-base family spark.ml's MinHashLSH uses.
-  * Measured trade-off at k=8/sf0.1 (SURVEY.md §9): wall-clock is
-  * neutral (shingle explode dominates, not hashing), and the
-  * across-seed correlation of the shared base yields ~3.5× more band
-  * collisions on a duplicate-heavy corpus — more candidates for the
-  * exact-Jaccard refiner, never lost recall. The win is at production
-  * signature lengths: k digests per shingle is infeasible at k≥64,
-  * one digest plus k multiply-adds is not.
+  * Hash family: ONE md5 per shingle, split into TWO independent
+  * 60-bit bases (hex chars [1,15] and [16,30] — expressible
+  * identically in the DuckDB oracle), then k universal hashes
+  * `(a_s·x1 + b_s·x2 + c_s) mod p` over Mersenne prime p = 2^31-1 —
+  * pure codegen'd long arithmetic. spark.ml's MinHashLSH uses the
+  * one-base affine form `(a_s·x + b_s) mod p`; measured at k=8/sf0.1
+  * (SURVEY.md §9) its across-seed rank correlation (every seed
+  * re-ranks the SAME value ordering monotonically) yielded ~3.5× more
+  * band collisions on a duplicate-heavy corpus. The two-base form
+  * breaks that correlation (pair ordering varies per seed) while
+  * still paying one digest per shingle: k digests per shingle is
+  * infeasible at production k≥64, one digest plus 2k multiply-adds
+  * is not.
   */
 object MinHashLSH {
 
@@ -60,25 +61,42 @@ object MinHashLSH {
     */
   val P = 2147483647L
 
-  /** Deterministic per-seed multipliers/offsets (Knuth + xxhash odd
-    * constants); a_s ∈ (0, p), b_s ∈ [0, p).
+  /** Deterministic per-seed coefficients (Knuth + xxhash odd
+    * constants); a_s, b_s ∈ (0, p), c_s ∈ [0, p).
     */
-  def hashParams(s: Int): (Long, Long) =
+  def hashParams(s: Int): (Long, Long, Long) =
     ((2654435761L * (s + 1)) % P match { case 0 => 1L; case a => a },
-      (2246822519L * (s + 1)) % P)
+      (2246822519L * (s + 1)) % P match { case 0 => 1L; case b => b },
+      (3266489917L * (s + 1)) % P)
 
-  /** 60-bit base hash of one shingle: first 15 hex chars of md5,
-    * parsed as an integer, reduced mod p. The md5-text route (instead
-    * of xxhash64) keeps the value bit-identical in DuckDB:
+  /** Two independent 60-bit bases of one shingle: md5 hex chars
+    * [1,15] and [16,30], each parsed as an integer and reduced mod p.
+    * The md5-text route (instead of xxhash64) keeps the values
+    * bit-identical in DuckDB:
     * `('0x' || substr(md5(sh), 1, 15))::BIGINT % p`.
+    *
+    * Why TWO bases: with a single base x, all k hashes (a_s·x + b_s)
+    * are strictly monotone re-rankings of the same value ordering, so
+    * the per-seed minima are rank-correlated across seeds and band
+    * collisions inflate ~3.5× on duplicate-heavy corpora (measured,
+    * SURVEY.md §9). With (x1, x2) the seeded combination
+    * (a_s·x1 + b_s·x2 + c_s) mod p changes the relative order of any
+    * two shingles from seed to seed, restoring near-independent
+    * minima at the cost of one extra substring parse — no extra md5.
     */
   def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
-  /** One universal-family hash of a pre-reduced base. */
-  private def seeded(base: Column, s: Int): Column = {
-    val (a, b) = hashParams(s)
-    (lit(a) * base + lit(b)) % P
+  def baseHash2(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long") % P
+
+  /** One universal-family hash of the pre-reduced base pair. Each
+    * product is < p² < 2^62 and the two are reduced before the sum, so
+    * nothing overflows a signed long.
+    */
+  private def seeded(base1: Column, base2: Column, s: Int): Column = {
+    val (a, b, cc) = hashParams(s)
+    ((lit(a) * base1) % P + (lit(b) * base2) % P + lit(cc)) % P
   }
 
   /** k-element MinHash signature of a shingle-array column. Column
@@ -87,7 +105,7 @@ object MinHashLSH {
     */
   def signature(shingles: Column, k: Int = defaultK): Column =
     array((0 until k).map(s =>
-      array_min(transform(shingles, x => seeded(baseHash(x), s)))): _*)
+      array_min(transform(shingles, x => seeded(baseHash(x), baseHash2(x), s)))): _*)
 
   /** Band digests: the signature's contiguous r-slices, each joined to
     * a string key. Two docs collide in a band iff that slice matches
@@ -119,10 +137,14 @@ object MinHashLSH {
   def signatureTable(df: DataFrame, idCol: String, normTextCol: Column,
       n: Int = 5, k: Int = defaultK): DataFrame = {
     // one md5 per shingle ROW (not per seed): the k seeded hashes are
-    // long arithmetic over the shared base inside the partial aggregate
-    val aggs = (0 until k).map(s => min(seeded(col("_hb"), s)).as(s"h$s"))
+    // long arithmetic over the shared base pair inside the partial
+    // aggregate
+    val aggs = (0 until k).map(s =>
+      min(seeded(col("_hb"), col("_hb2"), s)).as(s"h$s"))
     shingleRows(df, idCol, normTextCol, n)
-      .withColumn("_hb", baseHash(col("shingle")))
+      .withColumn("_md5", md5(col("shingle")))
+      .withColumn("_hb", conv(substring(col("_md5"), 1, 15), 16, 10).cast("long") % P)
+      .withColumn("_hb2", conv(substring(col("_md5"), 16, 15), 16, 10).cast("long") % P)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
   }
