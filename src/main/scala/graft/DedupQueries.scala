@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -204,6 +204,37 @@ object DedupQueries {
       d.filter(col("doc_id") >= 250)
         .join(d.filter(col("doc_id") < 250).select("fp"), Seq("fp"), "left_anti")
         .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
+    // Duplicate-cluster resolution: connected components over the d6
+    // SimHash near-pairs. Every document gets the min doc_id reachable
+    // through any chain of near-dup pairs as its cluster id; the
+    // keep-one-per-cluster filter is then `doc_id = cluster_id`.
+    // Oracle: recursive label propagation as a DuckDB recursive CTE
+    // (min reachable id per node over the symmetrized edge list).
+    GraftQuery(
+      "d9_dup_clusters",
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM sh a JOIN sh c
+         |    ON (a.simhash // 65536) = (c.simhash // 65536) AND a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |cc AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, cc.lbl
+         |  FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
+      DupClusters.components(d, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     }
   )

@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the cluster
+  * resolution step of a dedup pipeline: candidate pairs (MinHash LSH,
+  * SimHash blocks, …) are edges; each document's cluster id is the
+  * minimum doc id reachable through any chain of pairs; keeping one
+  * row per cluster id is then a trivial filter (`id === cluster_id`).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labelled with itself; each round every node takes the min of its
+  * own label and its neighbours' labels; fixpoint when no label
+  * changes. Rounds needed = graph diameter — near-dup clusters are
+  * shallow (pairs of a cluster mostly share one canonical member), so
+  * 2-4 rounds in practice. For adversarial long-chain graphs switch
+  * to the large-star/small-star contraction (O(log n) rounds); the
+  * per-round plan here is the same building block.
+  *
+  * Scale properties of one round:
+  *  - `labels` is one row per node (id, lbl) — tiny next to the corpus;
+  *  - the join with the (pre-symmetrized, pre-partitioned) edge list
+  *    shuffles on the node id, the natural key;
+  *  - `localCheckpoint` truncates the growing lineage each round so
+  *    round N's plan doesn't replay rounds 1..N-1 (the classic
+  *    iterative-algorithm trap on Spark);
+  *  - convergence is checked with one small aggregate per round.
+  *
+  * Deterministic: min is order-insensitive; replays converge to the
+  * identical labelling regardless of partitioning.
+  */
+object DupClusters {
+
+  /** (id, cluster_id) for every node of `nodes`, where cluster_id is
+    * the minimum node id in the pair-connected component. Nodes absent
+    * from `edges` keep themselves as cluster_id (singleton clusters).
+    *
+    * @param nodes one row per node (deduplicated internally)
+    * @param edges undirected pair list; both endpoint columns must be
+    *              the same type as `nodes`' id column
+    */
+  def components(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // symmetrize once; this small table is reused every round
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+
+    // a label only ever decreases, so "changed" == "sum decreased":
+    // one tiny aggregate per round instead of a join against the old
+    // labelling (decimal sum so billions of wide ids cannot overflow)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = lblSum(labels)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighbour labels flow along edges; union keeps own label
+      val next = labels.join(sym, labels("id") === sym("src"))
+        .select(sym("dst").as("id"), labels("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /** Cluster summary: one row per cluster with its size and member
+    * count — the table a dedup job reports and the keep-one filter
+    * reads.
+    */
+  def clusterSizes(components: DataFrame): DataFrame =
+    components.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -168,3 +168,36 @@ class TextFunctionsSpec extends SparkSpec {
     r.getString(0) shouldBe r.getString(1)
   }
 }
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DupClusters.components(
+        nodes.toDF("doc_id"), "doc_id",
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain propagates the min id across the whole component") {
+    // 1-2-3-4 is a 3-hop chain: needs multiple propagation rounds
+    cc(Seq(1L, 2L, 3L, 4L, 5L), Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L)
+  }
+
+  test("separate components keep separate min labels; edge direction irrelevant") {
+    cc(Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq((2L, 1L), (5L, 4L), (6L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+  }
+
+  test("no edges: every node is its own singleton cluster") {
+    cc(Seq(7L, 8L), Nil) shouldBe Map(7L -> 7L, 8L -> 8L)
+  }
+
+  test("cluster sizes summarize the labelling") {
+    val comps = DupClusters.components(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    DupClusters.clusterSizes(comps)
+      .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L), (3L, 1L))
+  }
+}
