@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TextOps}
 
 /** Text-analysis queries over the `documents` table — language ID,
   * quality scoring, token counting, fingerprinting (the cheap
@@ -176,6 +176,99 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           min(col("bucket")).as("min_b"), max(col("bucket")).as("max_b"))
         .orderBy("split")
+    },
+
+    // Context-window chunking: overlapping 64-token windows every 48
+    // tokens — the packing step that turns documents into
+    // training-context rows. The final (shorter) window keeps the
+    // tail; (doc_id, chunk_idx) is deterministic and
+    // content-independent.
+    GraftQuery(
+      "t7_chunk_windows", {
+        val (w, st) = (64, 48)
+        s"""$normCte,
+           |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+           |off AS (
+           |  SELECT doc_id, a,
+           |    unnest(generate_series(
+           |      0, ((greatest(len(a) - $w, 0) + ${st - 1}) // $st) * $st, $st)) AS o
+           |  FROM tk)
+           |SELECT doc_id, o // $st AS chunk_idx,
+           |  array_to_string(a[o + 1 : o + $w], ' ') AS chunk_text,
+           |  len(a[o + 1 : o + $w]) AS n_tok
+           |FROM off ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, dir) =>
+      TextOps.chunkRows(Tables.load(s, dir, "documents"), "doc_id", col("text"),
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // PII redaction: email / IPv4 / phone / long-number scrubbing with
+    // per-rule counts — corpus hygiene before anything trains. The
+    // synthetic corpus contains no PII, so the query augments each
+    // document with doc_id-derived contact strings (deterministic in
+    // both dialects) to make every rule fire; the operator under test
+    // is the shared regexp chain in TextFunctions.piiRules.
+    GraftQuery(
+      "t8_pii_redact", {
+        val aug =
+          """concat(text, ' contact user', doc_id,
+            |  '@mail.example.com or +1 555-',
+            |  lpad((doc_id * 7 % 10000)::varchar, 4, '0'),
+            |  ' ip 10.0.', doc_id % 256, '.1 acct ', doc_id + 100000)"""
+            .stripMargin
+        val red = TextFunctions.piiRules.foldLeft("aug") {
+          case (acc, (_, p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+        }
+        val counts = TextFunctions.piiRules.map { case (name, p, _) =>
+          s"len(regexp_extract_all(aug, '$p')) AS n_$name"
+        }.mkString(",\n  ")
+        s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+           |SELECT doc_id,
+           |  $counts,
+           |  md5($red) AS red_fp
+           |FROM a ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1 555-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".1 acct "), col("doc_id") + 100000)
+      val countCols = TextFunctions.piiRules.map { case (name, _, _) =>
+        TextFunctions.piiCount(col("_aug"), name).as(s"n_$name")
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), aug.as("_aug"))
+        .select(col("doc_id") +: countCols :+
+          md5(TextFunctions.redactPii(col("_aug"))).as("red_fp"): _*)
+        .orderBy("doc_id")
+    },
+
+    // Character-distribution stats: Shannon entropy (bits/char) and
+    // duplicate-token ratio — cheap gibberish/repetition filters.
+    GraftQuery(
+      "t9_char_stats",
+      s"""$normCte,
+         |ch AS (
+         |  SELECT doc_id, unnest([substring(norm, i, 1)
+         |    for i in generate_series(1, greatest(length(norm), 1))]) AS ch
+         |  FROM n),
+         |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+         |ent AS (
+         |  SELECT doc_id,
+         |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+         |  FROM cnt GROUP BY doc_id),
+         |dup AS (
+         |  SELECT doc_id,
+         |    round(1.0 - len(list_distinct(string_split(norm, ' '))) * 1.0
+         |          / len(string_split(norm, ' ')), 4) AS dup_tok_ratio
+         |  FROM n)
+         |SELECT ent.doc_id AS doc_id, char_entropy, dup_tok_ratio
+         |FROM ent JOIN dup ON ent.doc_id = dup.doc_id
+         |ORDER BY ent.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.charStats(Tables.load(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")
     }
   )
 }

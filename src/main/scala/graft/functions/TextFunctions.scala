@@ -101,4 +101,32 @@ object TextFunctions {
     */
   def minShingleFingerprint(norm: Column, n: Int = 5): Column =
     array_min(transform(graft.dedup.Shingles.charShingles(norm, n), sh => md5(sh)))
+
+  /** PII redaction rules, applied in this order: (name, pattern,
+    * replacement). Patterns restrict themselves to the syntax Java
+    * regex and RE2 share (char classes, bounded repeats, \b) so the
+    * DuckDB oracle applies the identical strings; replacements
+    * contain no digits or '@', so later rules never match inside an
+    * earlier rule's placeholder.
+    */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}\\b", "<PHONE>"),
+    ("num", "[0-9]{6,}", "<NUM>"))
+
+  /** Text with every PII rule applied (sequential regexp_replace
+    * chain — one codegen'd projection, no UDF).
+    */
+  def redactPii(c: Column): Column =
+    piiRules.foldLeft(c) { case (acc, (_, p, r)) => regexp_replace(acc, p, r) }
+
+  /** Occurrence count of one named PII rule on the ORIGINAL text
+    * (counts are defined pre-redaction, per rule, independently).
+    */
+  def piiCount(c: Column, rule: String): Column = {
+    val p = piiRules.find(_._1 == rule)
+      .getOrElse(sys.error(s"unknown pii rule: $rule"))._2
+    size(regexp_extract_all(c, lit(p), lit(0)))
+  }
 }
