@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.similarity.{BruteForceKnn, IvfKnn, SignLSH, VectorOps}
+import graft.similarity.{BruteForceKnn, IvfKnn, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
   * float vectors): exact brute-force k-NN, per-label centroids,
@@ -192,6 +192,45 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Int8 scalar quantization: per-vector (mn, scale) + 8-bit codes +
+    // reconstruction MSE — the 4x compression pass an ANN index runs
+    // before shipping vectors. Codes are exact integers (md5-
+    // fingerprinted), mn/scale/mse exact-order double arithmetic.
+    GraftQuery(
+      "v8_int8_quantize",
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding AS e,
+         |    list_min(embedding)::DOUBLE AS mn,
+         |    (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0
+         |      AS scale
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, e, mn, scale,
+         |    [CASE WHEN scale = 0 THEN 0
+         |          ELSE floor((e[i]::DOUBLE - mn) / scale + 0.5)::BIGINT END
+         |     for i in generate_series(1, len(e))] AS q
+         |  FROM p)
+         |SELECT vec_id,
+         |  md5(array_to_string(q, ',')) AS q_fp,
+         |  list_sum(q)::BIGINT AS q_sum,
+         |  round(mn, 6) AS mn_r,
+         |  round(scale, 9) AS scale_r,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(e)),
+         |        i -> (e[i]::DOUBLE - (mn + q[i] * scale))
+         |           * (e[i]::DOUBLE - (mn + q[i] * scale)))),
+         |      (p2, q2) -> p2 + q2) / len(e), 9) AS mse_r
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Quantize.quantized(Tables.load(s, dir, "embeddings"), col("embedding"))
+        .select(col("vec_id"),
+          md5(array_join(transform(col("q"), _.cast("string")), ",")).as("q_fp"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          round(col("q_mn"), 6).as("mn_r"),
+          round(col("q_scale"), 9).as("scale_r"),
+          round(col("q_mse"), 9).as("mse_r"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -168,3 +168,52 @@ class KMeansCodebookSpec extends SparkSpec {
     ivf shouldBe bf
   }
 }
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes stay in [0,255]; reconstruction error bounded by scale/2") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Quantize.quantized(df, col("embedding"))
+      .withColumn("recon",
+        Quantize.dequantized(col("q"), col("q_mn"), col("q_scale")))
+      .withColumn("max_code", array_max(col("q")))
+      .withColumn("min_code", array_min(col("q")))
+      .withColumn("max_err", array_max(zip_with(
+        graft.similarity.VectorOps.asDouble(col("embedding")), col("recon"),
+        (x, r) => abs(x - r))))
+    val bad = q.filter(col("min_code") < 0 || col("max_code") > 255 ||
+      col("max_err") > col("q_scale") / 2 * 1.0000001).count()
+    bad shouldBe 0L
+  }
+
+  test("constant vector quantizes to all-zero codes with zero scale") {
+    val df = Seq((1L, Array(0.25f, 0.25f, 0.25f))).toDF("vec_id", "embedding")
+    val r = Quantize.quantized(df, col("embedding"))
+      .select(col("q"), col("q_scale"), col("q_mse")).head()
+    r.getSeq[Long](0) shouldBe Seq(0L, 0L, 0L)
+    r.getDouble(1) shouldBe 0.0
+    r.getDouble(2) shouldBe 0.0
+  }
+
+  test("quantized cosine preserves exact top-k ordering on real vectors") {
+    // 4x-compressed vectors must rank neighbors like the exact ones do
+    // at small k: reconstruct, re-rank, compare top-3 sets per query.
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val recon = Quantize.quantized(df, col("embedding"))
+      .select(col("vec_id"),
+        Quantize.dequantized(col("q"), col("q_mn"), col("q_scale")).as("embedding"))
+    val q = df.filter(col("vec_id") < 3)
+    def top3(corpus: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      BruteForceKnn.topK(corpus, queries, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top3(df, q)
+    val approx = top3(recon, recon.filter(col("vec_id") < 3))
+    // overlap >= 2 of 3 per query: quantization noise may swap distant ties
+    exact.foreach { case (qid, nbrs) =>
+      (nbrs intersect approx(qid)).size should be >= 2
+    }
+  }
+}
