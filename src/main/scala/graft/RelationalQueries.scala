@@ -701,6 +701,41 @@ object RelationalQueries {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Dataset profiling: null count, exact distinct cardinality, and
+    // rendered min/max per column of `orders`, in ONE table pass
+    // (operators.Profile). The oracle is the per-column UNION ALL the
+    // single-pass plan replaces.
+    GraftQuery(
+      "c1_column_profile", {
+        def leg(c: String, mn: String, mx: String) =
+          s"""SELECT '$c' AS col_name,
+             |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+             |  $mn AS min_s, $mx AS max_s FROM orders""".stripMargin
+        def plain(c: String) = leg(c, s"min($c)::VARCHAR", s"max($c)::VARCHAR")
+        Seq(
+          plain("o_custkey"),
+          leg("o_orderdate",
+            "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+          plain("o_orderkey"),
+          plain("o_orderpriority"),
+          plain("o_orderstatus"),
+          leg("o_totalprice",
+            "round(min(o_totalprice), 2)::VARCHAR",
+            "round(max(o_totalprice), 2)::VARCHAR"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, dir) =>
+      import graft.operators.Profile
+      Profile.profile(Tables.load(s, dir, "orders"), Seq(
+          Profile.Spec("o_custkey"),
+          Profile.Spec("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+          Profile.Spec("o_orderkey"),
+          Profile.Spec("o_orderpriority"),
+          Profile.Spec("o_orderstatus"),
+          Profile.Spec("o_totalprice", round(_, 2))))
+        .orderBy("col_name")
     }
   )
 }

@@ -113,3 +113,31 @@ class SchemaToolsSpec extends SparkSpec {
     aligned.schema("version").dataType shouldBe LongType
   }
 }
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("a"), Some(2.5)),
+    (Some(2L), None, Some(7.125)),
+    (Some(2L), Some("b"), None)).toDF("k", "s", "v")
+
+  test("null / distinct / rendered min-max per column") {
+    val out = Profile.profile(df, Seq(
+        Profile.Spec("k"), Profile.Spec("s"),
+        Profile.Spec("v", org.apache.spark.sql.functions.round(_, 1))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    out shouldBe Set(
+      ("k", 0L, 2L, "1", "2"),
+      ("s", 1L, 2L, "a", "b"),
+      ("v", 1L, 2L, "2.5", "7.1"))
+  }
+
+  test("all metrics ride one scan of the input") {
+    val plan = Profile.profile(df, Seq(Profile.Spec("k"), Profile.Spec("v")))
+      .queryExecution.executedPlan.toString
+    // one source scan only: metrics must not re-read the table per column
+    "LocalTableScan".r.findAllIn(plan).size shouldBe 1
+  }
+}
