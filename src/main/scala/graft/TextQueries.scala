@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions, TextOps}
+import graft.operators.Sampling
 
 /** Text-analysis queries over the `documents` table — language ID,
   * quality scoring, token counting, fingerprinting (the cheap
@@ -269,6 +270,34 @@ object TextQueries {
          |ORDER BY ent.doc_id""".stripMargin) { (s, dir) =>
       TextOps.charStats(Tables.load(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: per-language rates (halve
+    // 'en', quarter everything else) keyed on a stable hash of doc_id
+    // — membership survives re-runs, engine swaps, and cluster
+    // resizes. One pass: the sampled flag is an expression, so totals
+    // and sampled counts ride the same aggregate.
+    GraftQuery(
+      "t10_stratified_sample", {
+        val thrEn = Sampling.thresholdFor(0.5)
+        val thrDef = Sampling.thresholdFor(0.25)
+        s"""WITH b AS (
+           |  SELECT lang,
+           |    ('0x' || substr(md5(doc_id::varchar), 1, 3))::INT AS bucket,
+           |    CASE WHEN lang = 'en' THEN $thrEn ELSE $thrDef END AS thr
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_total,
+           |  sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+           |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, dir) =>
+      val thr = when(col("lang") === "en", lit(Sampling.thresholdFor(0.5)))
+        .otherwise(lit(Sampling.thresholdFor(0.25)))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          (Sampling.hashBucket(col("doc_id")) < thr).cast("long").as("in_sample"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"), sum("in_sample").as("n_sampled"))
+        .orderBy("lang")
     }
   )
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling — the corpus downsampling step that
+  * must be reproducible across runs, engines, and cluster sizes, so
+  * no `rand()`, no `sample()`, no seed-and-partitioning-dependent
+  * path. A row's membership depends only on its KEY: the first three
+  * md5 hex chars map the key to one of 4096 buckets, and a row is
+  * kept when its bucket falls below rate×4096. Re-running, adding
+  * data, or changing parallelism never flips an existing row's
+  * membership (the same property t6's train/val/test split relies
+  * on, at finer rate resolution).
+  *
+  * Stratified form: per-stratum rates (e.g. downsample the dominant
+  * language, keep the long tail) as a literal CASE chain — one
+  * codegen'd filter, no shuffle, no per-stratum scans.
+  */
+object Sampling {
+
+  val buckets = 4096 // 3 hex nibbles => rate resolution of 1/4096
+
+  /** Stable bucket in [0, 4096) from a key column (any type; cast to
+    * string first so engines agree on the hashed text).
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("int")
+
+  /** Keep-threshold bucket count for a rate in [0, 1]. */
+  def thresholdFor(rate: Double): Int = math.round(rate * buckets).toInt
+
+  /** Rows whose key-bucket clears the stratum's rate. `rates` maps
+    * stratum value → sampling rate; strata not listed use
+    * `defaultRate`.
+    */
+  def stratifiedHash(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val thr = rates.foldRight(lit(thresholdFor(defaultRate)): Column) {
+      case ((stratum, rate), els) =>
+        when(col(strataCol) === stratum, lit(thresholdFor(rate))).otherwise(els)
+    }
+    df.filter(hashBucket(col(keyCol)) < thr)
+  }
+}

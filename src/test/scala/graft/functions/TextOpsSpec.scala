@@ -39,6 +39,13 @@ class TextOpsSpec extends SparkSpec {
     covered shouldBe (1 to n).map(i => s"w$i").toSet
   }
 
+  test("chunking plans without any shuffle") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.chunkRows(df, "doc_id", col("text"), 4, 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("char entropy: uniform text is 0 bits, mixed text matches closed form") {
     val df = Seq((1L, "aaaa"), (2L, "ab ab")).toDF("doc_id", "text")
     val out = TextOps.charStats(df, "doc_id", col("text"))

@@ -141,3 +141,38 @@ class ProfileSpec extends SparkSpec {
     "LocalTableScan".r.findAllIn(plan).size shouldBe 1
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else "other"))
+    .toDF("id", "lang")
+
+  test("membership is deterministic and content-stable under corpus growth") {
+    val s1 = Sampling.stratifiedHash(df, "id", "lang",
+      Seq("en" -> 0.5), defaultRate = 0.25).select("id").as[Long].collect().toSet
+    val s2 = Sampling.stratifiedHash(df, "id", "lang",
+      Seq("en" -> 0.5), defaultRate = 0.25).select("id").as[Long].collect().toSet
+    s1 shouldBe s2
+    // growing the corpus never flips an existing row's membership
+    val grown = df.union(Seq((99991L, "en"), (99992L, "other")).toDF("id", "lang"))
+    val s3 = Sampling.stratifiedHash(grown, "id", "lang",
+      Seq("en" -> 0.5), defaultRate = 0.25).select("id").as[Long].collect().toSet
+    (s3 intersect s1) shouldBe s1
+  }
+
+  test("per-stratum rates are honored within hash tolerance") {
+    val sampled = Sampling.stratifiedHash(df, "id", "lang",
+      Seq("en" -> 0.5), defaultRate = 0.25)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    sampled("en").toDouble / 1000 shouldBe 0.5 +- 0.06
+    sampled("other").toDouble / 3000 shouldBe 0.25 +- 0.05
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    Sampling.stratifiedHash(df, "id", "lang", Nil, defaultRate = 0.0)
+      .count() shouldBe 0L
+    Sampling.stratifiedHash(df, "id", "lang", Nil, defaultRate = 1.0)
+      .count() shouldBe 4000L
+  }
+}
