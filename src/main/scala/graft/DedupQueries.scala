@@ -207,6 +207,25 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental LSH probe: the NEW batch (doc_id >= 250) banded and
+    // equi-joined against the STORED corpus index (doc_id < 250) —
+    // near-dup candidates per increment without re-deriving old x old
+    // pairs or re-reading stored text (the d8 discipline, LSH form).
+    GraftQuery(
+      "d10_incremental_lsh",
+      s"""$bandCte
+         |SELECT DISTINCT a.doc_id AS id_index, c.doc_id AS id_probe
+         |FROM bands a JOIN bands c
+         |  ON a.b = c.b AND a.bucket = c.bucket
+         | AND a.doc_id < 250 AND c.doc_id >= 250
+         |ORDER BY id_index, id_probe""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val norm = TextFunctions.normalize(col("text"))
+      val index = MinHashLSH.bandedIndex(d.filter(col("doc_id") < 250), "doc_id", norm)
+      MinHashLSH.probeCandidates(index, d.filter(col("doc_id") >= 250), "doc_id", norm)
+        .orderBy("id_index", "id_probe")
+    },
+
     // Duplicate-cluster resolution: connected components over the d6
     // SimHash near-pairs. Every document gets the min doc_id reachable
     // through any chain of near-dup pairs as its cluster id; the

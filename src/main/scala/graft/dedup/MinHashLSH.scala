@@ -171,6 +171,29 @@ object MinHashLSH {
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
 
+  /** Incremental probe: candidates between a NEW batch and an
+    * EXISTING banded index — the per-increment form of near-dup
+    * detection. The index side is the (id, band, bucket) table a
+    * production pipeline PERSISTS (b rows per doc, no text); each
+    * increment bands only its own documents and equi-joins the stored
+    * index on (band, bucket). Old×old pairs are never re-derived and
+    * the corpus text is never re-read — cost is O(new batch) + one
+    * shuffle of the (tiny) band keys, the same incremental discipline
+    * as ExactDedup's fingerprint anti-join (d8).
+    *
+    * Output: (id_index, id_probe) distinct candidate pairs.
+    */
+  def probeCandidates(index: DataFrame, probes: DataFrame, idCol: String,
+      normTextCol: Column, n: Int = 5, k: Int = defaultK,
+      bands: Int = defaultBands): DataFrame = {
+    val p = bandedIndex(probes, idCol, normTextCol, n, k, bands)
+    index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
+      .join(p.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id_index"), col("id_probe"))
+      .distinct()
+  }
+
   /** Candidates refined with exact Jaccard ≥ threshold — the full
     * near-dup detector. The shingle sets are recomputed on the (tiny)
     * candidate set rather than carried through the shuffle: at scale,

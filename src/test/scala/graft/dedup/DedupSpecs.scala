@@ -201,3 +201,35 @@ class DupClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L), (3L, 1L))
   }
 }
+
+class ProbeCandidatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("probe finds cross-batch near-dups only, never probe-probe pairs") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of 1 AND 10
+      (12L, "zzz entirely novel content qqq www eee rrr"))
+      .toDF("doc_id", "text")
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    val index = MinHashLSH.bandedIndex(old, "doc_id", norm)
+    val out = MinHashLSH.probeCandidates(index, neu, "doc_id", norm)
+      .as[(Long, Long)].collect().toSet
+    // 10 and 11 match stored doc 1; the 10-11 probe-probe pair is NOT
+    // this operator's job (it belongs to the batch's own candidatePairs)
+    out shouldBe Set((1L, 10L), (1L, 11L))
+  }
+
+  test("probe against an empty index yields nothing") {
+    val old = Seq((1L, "abc")).toDF("doc_id", "text").filter(col("doc_id") < 0)
+    val neu = Seq((10L, "abc def ghi jkl")).toDF("doc_id", "text")
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    MinHashLSH.probeCandidates(
+      MinHashLSH.bandedIndex(old, "doc_id", norm), neu, "doc_id", norm)
+      .count() shouldBe 0L
+  }
+}
