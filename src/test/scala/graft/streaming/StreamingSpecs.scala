@@ -365,3 +365,40 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingLshDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches probe the persisted index; near-dups surface across batches") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("slsh")
+    val indexIO = new ParquetTableIO(base.resolve("index").toString)
+    val cands = base.resolve("cands").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingLshDedup.start(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexIO, cands, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+
+    def run(): Unit = { q.processAllAvailable() }
+
+    // batch 1 seeds the index; nothing to probe against yet
+    mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark engines and shuffles"))
+    run()
+    indexIO.read(spark).select("doc_id").distinct().count() shouldBe 2
+
+    // batch 2: doc 10 duplicates doc 1 -> cross-batch candidate emitted
+    mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "zzz entirely novel content qqq www eee rrr"))
+    run()
+    q.stop()
+
+    val pairs = spark.read.parquet(cands)
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 10L))
+    // the index absorbed both batches: all four docs are probe-able now
+    indexIO.read(spark).select("doc_id").distinct().count() shouldBe 4
+  }
+}
