@@ -703,6 +703,39 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Funnel analysis (sequential pattern): per user, the earliest
+    // view / click / purchase timestamps, then ordered-stage
+    // conversion — stage N counts only if its first occurrence is at
+    // or after stage N-1's. One groupBy pass (conditional min per
+    // stage), one small aggregate — no joins, no per-stage scans.
+    GraftQuery(
+      "q26_funnel",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  count(t_view)::BIGINT AS n_view,
+        |  sum(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END)::BIGINT AS n_view_click,
+        |  sum(CASE WHEN t_click >= t_view AND t_buy >= t_click
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_view_click_buy
+        |FROM f""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      def firstTs(kind: String) =
+        min(when(col("event_type") === kind, col("version"))).as(s"t_$kind")
+      val f = ev.groupBy("user_id")
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      f.agg(
+        count(col("t_view")).as("n_view"),
+        sum(when(col("t_click") >= col("t_view"), 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_click") >= col("t_view") &&
+            col("t_purchase") >= col("t_click"), 1L).otherwise(0L))
+          .as("n_view_click_buy"))
+    },
+
     // Dataset profiling: null count, exact distinct cardinality, and
     // rendered min/max per column of `orders`, in ONE table pass
     // (operators.Profile). The oracle is the per-column UNION ALL the

@@ -185,14 +185,22 @@ object MinHashLSH {
     */
   def probeCandidates(index: DataFrame, probes: DataFrame, idCol: String,
       normTextCol: Column, n: Int = 5, k: Int = defaultK,
-      bands: Int = defaultBands): DataFrame = {
-    val p = bandedIndex(probes, idCol, normTextCol, n, k, bands)
+      bands: Int = defaultBands): DataFrame =
+    probeCandidatesBanded(index,
+      bandedIndex(probes, idCol, normTextCol, n, k, bands), idCol)
+
+  /** Probe form for an ALREADY-banded batch — use when the caller has
+    * the batch's (id, band, bucket) rows in hand (e.g. it also merges
+    * them into the stored index, StreamingLshDedup), so signatures are
+    * computed exactly once.
+    */
+  def probeCandidatesBanded(index: DataFrame, probeBands: DataFrame,
+      idCol: String): DataFrame =
     index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
-      .join(p.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
+      .join(probeBands.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("id_index"), col("id_probe"))
       .distinct()
-  }
 
   /** Candidates refined with exact Jaccard ≥ threshold — the full
     * near-dup detector. The shingle sets are recomputed on the (tiny)

@@ -48,11 +48,7 @@ object StreamingLshDedup {
             .localCheckpoint(true)
           if (indexIO.exists) {
             val index = indexIO.read(batch.sparkSession)
-            index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
-              .join(bands.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
-                Seq("band", "bucket"))
-              .select(col("id_index"), col("id_probe"))
-              .distinct()
+            MinHashLSH.probeCandidatesBanded(index, bands, idCol)
               .write.mode("append").parquet(candidatesDir)
             indexIO.overwrite(index.unionByName(bands).distinct())
           } else {
