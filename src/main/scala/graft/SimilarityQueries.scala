@@ -231,6 +231,69 @@ object SimilarityQueries {
           round(col("q_scale"), 9).as("scale_r"),
           round(col("q_mse"), 9).as("mse_r"))
         .orderBy("vec_id")
+    },
+
+    // Two-stage quantized retrieval (the SQ + rescore ANN pattern):
+    // stage 1 scores the full-precision query against the DEQUANTIZED
+    // corpus (asymmetric distance — at scale the corpus holds only
+    // int8 codes, 4x less IO) and keeps top-20 per query; stage 2
+    // re-fetches ONLY those candidates' exact vectors (a broadcast-
+    // size join back to the store, C x |queries| rows) and re-ranks to
+    // the final top-10 with exact cosine.
+    GraftQuery(
+      "v9_quantized_rescore", {
+        val reconDot =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(generate_series(1, len(qe)), i -> qe[i]::DOUBLE * r[i])),
+             |    (p2, s2) -> p2 + s2)""".stripMargin
+        val reconNorm =
+          s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(generate_series(1, len(r)), i -> r[i] * r[i])),
+             |    (p2, s2) -> p2 + s2))""".stripMargin
+        val qNorm =
+          s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(generate_series(1, len(qe)), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)),
+             |    (p2, s2) -> p2 + s2))""".stripMargin
+        s"""WITH p AS (
+           |  SELECT vec_id, embedding AS e,
+           |    list_min(embedding)::DOUBLE AS mn,
+           |    (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0
+           |      AS scale
+           |  FROM embeddings),
+           |qz AS (
+           |  SELECT vec_id, e, mn, scale,
+           |    [CASE WHEN scale = 0 THEN 0
+           |          ELSE floor((e[i]::DOUBLE - mn) / scale + 0.5)::BIGINT END
+           |     for i in generate_series(1, len(e))] AS q
+           |  FROM p),
+           |recon AS (
+           |  SELECT vec_id, [mn + q[i] * scale for i in generate_series(1, len(e))] AS r
+           |  FROM qz),
+           |qry AS (
+           |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           |  WHERE vec_id < 5),
+           |coarse AS (
+           |  SELECT query_id, v.vec_id AS neighbor_id, qe,
+           |    ($reconDot) / (($qNorm) * ($reconNorm)) AS cq,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      ($reconDot) / (($qNorm) * ($reconNorm)) DESC, v.vec_id) AS crank
+           |  FROM qry CROSS JOIN recon v WHERE v.vec_id <> query_id),
+           |resc AS (
+           |  SELECT query_id, neighbor_id,
+           |    ${cosineSql("qe", "x.embedding")} AS c
+           |  FROM coarse JOIN embeddings x ON x.vec_id = neighbor_id
+           |  WHERE crank <= 20)
+           |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           |FROM resc QUALIFY rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Quantize.rescoreTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, coarseK = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

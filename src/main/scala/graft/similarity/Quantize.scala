@@ -56,4 +56,43 @@ object Quantize {
     */
   def dequantized(qCol: Column, mnCol: Column, scaleCol: Column): Column =
     transform(qCol, q => mnCol + q * scaleCol)
+
+  /** Two-stage top-k retrieval over a quantized corpus (the SQ +
+    * rescore pattern): full-precision queries score the DEQUANTIZED
+    * corpus (asymmetric distance — at scale the corpus ships only
+    * int8 codes, 4× less IO), top-`coarseK` survive per query, and
+    * only those candidates' exact vectors are re-fetched (a
+    * candidate-sized join back to the store) for the exact top-`k`
+    * re-rank. With coarseK ≥ |corpus| this is exactly brute force —
+    * the property the spec pins.
+    *
+    * Output: (query_id, neighbor_id, cos, rank).
+    */
+  def rescoreTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, coarseK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recon = quantized(corpus, col(embCol))
+      .select(col(idCol),
+        dequantized(col("q"), col("q_mn"), col("q_scale")).as("_r"))
+    val qry = org.apache.spark.sql.functions.broadcast(
+      queries.select(col(idCol).as("query_id"),
+        VectorOps.asDouble(col(embCol)).as("_qe")))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("_cq").desc, col(idCol))
+    val cand = recon.join(qry, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("_qe"),
+        VectorOps.cosine(col("_qe"), col("_r")).as("_cq"))
+      .withColumn("_crank", row_number().over(wCoarse))
+      .filter(col("_crank") <= coarseK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("_qe"))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        VectorOps.asDouble(col(embCol)).as("_ex")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("_qe"), col("_ex")).as("cos"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+  }
 }

@@ -217,3 +217,35 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 }
+
+class RescoreTopKSpec extends SparkSpec {
+
+  test("coarseK >= corpus makes quantized rescore exactly brute force") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.filter(col("vec_id") < 3)
+    val rescored = Quantize.rescoreTopK(df, q, "vec_id", "embedding",
+        k = 5, coarseK = 1000000)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = BruteForceKnn.topK(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    rescored shouldBe bf
+  }
+
+  test("narrow coarse stage still recovers most exact neighbors") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.filter(col("vec_id") < 3)
+    def ids(r: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val rescored = ids(Quantize.rescoreTopK(df, q, "vec_id", "embedding",
+      k = 5, coarseK = 15))
+    val bf = ids(BruteForceKnn.topK(df, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")))
+    bf.foreach { case (qid, nbrs) =>
+      (nbrs intersect rescored(qid)).size should be >= 4
+    }
+  }
+}
