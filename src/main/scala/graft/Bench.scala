@@ -43,11 +43,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => all || !quadraticBaselines.contains(n))
       .filter(n => only.forall(_.contains(n)))
+    // Two passes per query, min reported: one transient host-steal
+    // burst (observed inflating pair-heavy queries 10-40x on shared
+    // hardware) then contaminates at most one pass. Pass 2 re-plans
+    // from scratch — only JIT and the OS page cache are warm, which is
+    // the steady state a long-running cluster job sees anyway.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to math.max(passes, 1)).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
