@@ -56,13 +56,14 @@ object DupClusters {
 
     // a label only ever decreases, so "changed" == "sum decreased":
     // one tiny aggregate per round instead of a join against the old
-    // labelling (decimal sum so billions of wide ids cannot overflow)
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    // labelling (decimal sum so billions of wide ids cannot overflow;
+    // an empty node set sums to SQL NULL => nothing to propagate)
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
 
     var prevSum = lblSum(labels)
     var round = 0
-    var converged = false
+    var converged = prevSum.isEmpty
     while (round < maxRounds && !converged) {
       // neighbour labels flow along edges; union keeps own label
       val next = labels.join(sym, labels("id") === sym("src"))
@@ -71,11 +72,22 @@ object DupClusters {
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
       val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = (nextSum, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (a, b) => a == b
+      }
       prevSum = nextSum
       labels = next
       round += 1
     }
+    // an unconverged labelling is silently WRONG (nodes beyond
+    // maxRounds hops from their component's minimum still carry
+    // intermediate labels) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "the pair graph has a longer chain than expected; raise maxRounds " +
+        "or switch to large-star/small-star contraction")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 

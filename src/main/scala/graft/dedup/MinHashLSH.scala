@@ -199,6 +199,10 @@ object MinHashLSH {
     index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
       .join(probeBands.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
         Seq("band", "bucket"))
+      // the sides are normally disjoint id sets, but a replayed
+      // streaming batch probes an index that already absorbed its own
+      // bands — never emit a document as its own duplicate
+      .filter(col("id_index") =!= col("id_probe"))
       .select(col("id_index"), col("id_probe"))
       .distinct()
 

@@ -32,6 +32,9 @@ object TextOps {
   def chunkRows(df: DataFrame, idCol: String, rawTextCol: Column,
       window: Int = 64, stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    require(stride <= window,
+      s"stride ($stride) must not exceed window ($window): gaps between " +
+        "windows would silently drop the tokens in between")
     val toks = TextFunctions.tokens(TextFunctions.normalize(rawTextCol))
     // last start offset: stride * ceil(max(n-window,0)/stride), as
     // exact integer arithmetic (values are tiny; doubles stay exact)

@@ -16,9 +16,14 @@ import graft.sources.ParquetTableIO
   * in the batch that carried it.
   *
   * Replay safety: a micro-batch retried after a crash re-derives the
-  * identical (deterministic) bands, and the index merge distincts on
-  * the full row, so replays are idempotent — the engine-wide
-  * discipline (LwwMerge, SkewTools doc) extended to the index table.
+  * identical (deterministic) bands; the index merge distincts on the
+  * full row; candidate pairs are written into a per-batch-id
+  * partition with DYNAMIC partition overwrite, so the retry replaces
+  * its own partition instead of appending a second copy; and the
+  * probe join drops id_index == id_probe (a replayed batch probes an
+  * index that already absorbed its own bands). All three surfaces are
+  * idempotent under replay — the engine-wide discipline (LwwMerge,
+  * SkewTools doc) extended to this pipeline.
   *
   * Scale shape: the index holds b small rows (id, band, bucket) per
   * document and no text. The demo merge rewrites the snapshot via
@@ -40,7 +45,7 @@ object StreamingLshDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val norm = TextFunctions.normalize(col(textCol))
           // signatures computed ONCE per batch, reused for probe + merge
@@ -49,7 +54,11 @@ object StreamingLshDedup {
           if (indexIO.exists) {
             val index = indexIO.read(batch.sparkSession)
             MinHashLSH.probeCandidatesBanded(index, bands, idCol)
-              .write.mode("append").parquet(candidatesDir)
+              .withColumn("_batch", org.apache.spark.sql.functions.lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_batch")
+              .parquet(candidatesDir)
             indexIO.overwrite(index.unionByName(bands).distinct())
           } else {
             indexIO.overwrite(bands)

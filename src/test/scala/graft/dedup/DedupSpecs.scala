@@ -233,3 +233,24 @@ class ProbeCandidatesSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 }
+
+class DupClustersEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("empty node set returns an empty labelling, not an NPE") {
+    val nodes = Seq(1L).toDF("doc_id").filter(col("doc_id") < 0)
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b").filter(col("id_a") < 0)
+    DupClusters.components(nodes, "doc_id", edges, "id_a", "id_b")
+      .count() shouldBe 0L
+  }
+
+  test("exhausting maxRounds on a long chain fails loudly, never silently wrong") {
+    // 0-1-2-...-6 chain needs ~6 rounds; cap at 2 must throw
+    val nodes = (0L to 6L).toDF("doc_id")
+    val edges = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy {
+      DupClusters.components(nodes, "doc_id", edges, "id_a", "id_b",
+        maxRounds = 2).count()
+    }
+  }
+}

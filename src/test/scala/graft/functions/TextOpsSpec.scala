@@ -46,6 +46,12 @@ class TextOpsSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("stride wider than window is rejected (it would drop tokens)") {
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkRows(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", col("text"), window = 4, stride = 8)
+  }
+
   test("char entropy: uniform text is 0 bits, mixed text matches closed form") {
     val df = Seq((1L, "aaaa"), (2L, "ab ab")).toDF("doc_id", "text")
     val out = TextOps.charStats(df, "doc_id", col("text"))

@@ -396,7 +396,7 @@ class StreamingLshDedupSpec extends SparkSpec {
     q.stop()
 
     val pairs = spark.read.parquet(cands)
-      .as[(Long, Long)].collect().toSet
+      .select("id_index", "id_probe").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 10L))
     // the index absorbed both batches: all four docs are probe-able now
     indexIO.read(spark).select("doc_id").distinct().count() shouldBe 4
