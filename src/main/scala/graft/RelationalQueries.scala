@@ -703,6 +703,35 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Z-order layout: bit-interleave two filter dimensions, bucket by
+    // the z-prefix, and report each bucket's min/max in BOTH
+    // dimensions — the per-file footer stats a z-sorted write would
+    // produce, demonstrating that one layout key yields narrow ranges
+    // (=> scan pruning) on either column.
+    GraftQuery(
+      "f13_zorder_layout", {
+        val z = graft.operators.ZOrder.zValueSql("zx", "zy")
+        s"""WITH d AS (
+           |  SELECT l_orderkey % 65536 AS zx, l_partkey % 65536 AS zy
+           |  FROM lineitem),
+           |z AS (SELECT zx, zy, $z AS zval FROM d)
+           |SELECT zval >> 22 AS bucket, count(*) AS n,
+           |  min(zx) AS min_x, max(zx) AS max_x,
+           |  min(zy) AS min_y, max(zy) AS max_y
+           |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+      }) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(pmod(col("l_orderkey"), lit(65536L)).as("zx"),
+          pmod(col("l_partkey"), lit(65536L)).as("zy"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zValue(col("zx"), col("zy")))
+        .groupBy(shiftright(col("zval"), 22).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("zx").as("min_x"), max("zx").as("max_x"),
+          min("zy").as("min_y"), max("zy").as("max_y"))
+        .orderBy("bucket")
+    },
+
     // Funnel analysis (sequential pattern): per user, the earliest
     // view / click / purchase timestamps, then ordered-stage
     // conversion — stage N counts only if its first occurrence is at

@@ -106,6 +106,27 @@ object SyncQueries {
           .orderBy("event_type")
     },
 
+    // SCD2 history: every version with its validity interval — the
+    // warehouse complement of a1's current-state view (same version
+    // total-order, one lead window). valid_to is -1 for the current
+    // row (sentinel instead of NULL so both engines emit one integer
+    // column type).
+    GraftQuery(
+      "a3_scd2_history",
+      """SELECT user_id, event_id, epoch_ms(ts) AS valid_from,
+        |  coalesce(lead(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id), -1)
+        |    AS valid_to
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select("user_id", "event_id", "version")
+      LwwMerge.history(ev, Seq("user_id"), "version", Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          col("valid_from"), coalesce(col("valid_to"), lit(-1L)).as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
     // §2.7 set-op analogue: conflict winners vs losers split — rows of
     // the window that LOSE the LWW race (rank > 1) are the 409/delete
     // set (reference pyCassElastic.py:508-582).

@@ -48,6 +48,30 @@ object LwwMerge {
       .select(df.columns.map(col): _*)
   }
 
+  /** SCD2 history: every version of every key annotated with its
+    * validity interval — the warehouse-shaped complement of
+    * `latestAgg`'s current-state view, derivable because the engine's
+    * version column is a total order per key. `valid_from` is the
+    * row's own version; `valid_to` is the NEXT version (null for the
+    * current row) via one `lead` window — the half-open interval
+    * [valid_from, valid_to) an as-of lookup joins against.
+    *
+    * One shuffle on the key, one sort per partition; ties broken by
+    * `tieBreak` so replays produce identical intervals.
+    */
+  def history(
+      df: DataFrame,
+      idCols: Seq[String],
+      versionCol: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(idCols.map(col): _*)
+      .orderBy((col(versionCol).asc +: tieBreak.map(_.asc)): _*)
+    df.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Keep the newest row per key — ranking-window form. */
   def latestWindow(
       df: DataFrame,

@@ -122,3 +122,29 @@ class LwwMergeSpec extends SparkSpec {
     }
   }
 }
+
+class LwwHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", 1L, "a-v1"), ("a", 3L, "a-v3"), ("a", 2L, "a-v2"),
+    ("b", 5L, "b-v5")).toDF("id", "version", "text")
+
+  test("validity intervals chain per key; exactly one current row each") {
+    val h = LwwMerge.history(rows, Seq("id"), "version")
+      .select("id", "valid_from", "valid_to")
+      .as[(String, Long, Option[Long])].collect().toSet
+    h shouldBe Set(
+      ("a", 1L, Some(2L)), ("a", 2L, Some(3L)), ("a", 3L, None),
+      ("b", 5L, None))
+  }
+
+  test("current rows of the history equal the LWW latest state") {
+    val current = LwwMerge.history(rows, Seq("id"), "version")
+      .filter(col("is_current"))
+      .select("id", "version", "text")
+    val latest = LwwMerge.latestAgg(rows, Seq("id"), "version")
+    current.exceptAll(latest).count() shouldBe 0
+    latest.exceptAll(current).count() shouldBe 0
+  }
+}

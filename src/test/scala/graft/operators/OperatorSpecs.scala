@@ -176,3 +176,29 @@ class SamplingSpec extends SparkSpec {
       .count() shouldBe 4000L
   }
 }
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("known interleavings") {
+    // x=0b11 -> even bits 0,2 = 5; y=0b01 -> odd bit 1 = 2; z = 7
+    val out = Seq((3L, 1L), (0L, 0L), (0L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    out shouldBe Seq(7L, 0L, 10L) // (0, 0b11) -> odd bits 1,3 = 2+8
+  }
+
+  test("z-prefix buckets bound both dimensions (the pruning property)") {
+    val n = 4096
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 256).as("x"),
+      (col("id") * 2246822519L % 256).as("y"))
+    val buckets = df
+      .groupBy(shiftright(ZOrder.zValue(col("x"), col("y"), bits = 8), 8)
+        .as("bucket"))
+      .agg((max(col("x")) - min(col("x"))).as("wx"),
+        (max(col("y")) - min(col("y"))).as("wy"))
+    // a z>>8 bucket fixes the top 4 bits of each dim: width <= 2^4
+    buckets.filter(col("wx") > 15 || col("wy") > 15).count() shouldBe 0L
+  }
+}
