@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BloomDedup, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -254,6 +254,31 @@ object DedupQueries {
       val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
       val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
       DupClusters.components(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered incremental dedup — d8's semantics on the
+    // 100 TB physical path: a driver-built Bloom filter over the seen
+    // fingerprints splits the batch so only maybe-seen rows (dups +
+    // ~1% false positives) pay the exact anti-join; definite-new rows
+    // never shuffle. Result is EXACTLY the anti-join's (no false
+    // negatives; positives refined away), so the oracle is d8's.
+    GraftQuery(
+      "d11_bloom_dedup",
+      s"""WITH f AS (SELECT doc_id, md5($norm) AS fp FROM documents)
+         |SELECT n.doc_id, n.fp
+         |FROM (SELECT * FROM f WHERE doc_id >= 250) n
+         |ANTI JOIN (SELECT * FROM f WHERE doc_id < 250) seen
+         |  ON n.fp = seen.fp
+         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(TextFunctions.normalize(col("text"))).as("fp"))
+      BloomDedup.newRows(
+          batch = d.filter(col("doc_id") >= 250),
+          seen = d.filter(col("doc_id") < 250),
+          fpCol = "fp", expectedItems = 10000)
+        .select("doc_id", "fp")
         .orderBy("doc_id")
     }
   )

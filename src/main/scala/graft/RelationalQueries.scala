@@ -798,6 +798,86 @@ object RelationalQueries {
           Profile.Spec("o_orderstatus"),
           Profile.Spec("o_totalprice", round(_, 2))))
         .orderBy("col_name")
+    },
+
+    // Interval-overlap join (RangeJoin.intervalJoin): per customer,
+    // pairs of orders whose fulfillment windows [orderdate,
+    // orderdate + 1 + orderkey%7 days) overlap. Both interval sets
+    // explode to week buckets, meet in ONE equi-shuffle on
+    // (custkey, bucket), and each pair is emitted exactly once (pinned
+    // to the bucket holding the overlap start) — no cross product, no
+    // distinct. The oracle is the plain theta-join Spark would
+    // otherwise plan as a nested loop.
+    GraftQuery(
+      "q27_interval_join",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS s,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |      + 1 + o_orderkey % 7 AS e
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey,
+        |  a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.s < b.e AND b.s < a.e
+        |ORDER BY custkey, ok_a, ok_b""".stripMargin) { (s, dir) =>
+      import graft.operators.RangeJoin
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+            .as("s"))
+        .withColumn("e", col("s") + 1L + col("o_orderkey") % 7)
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("ok_a"),
+        col("s").as("s_a"), col("e").as("e_a"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("ok_b"),
+        col("s").as("s_b"), col("e").as("e_b"))
+      RangeJoin.intervalJoin(a, b, Seq("o_custkey"),
+          "s_a", "e_a", "s_b", "e_b", bucketWidth = 7L)
+        .filter(col("ok_a") < col("ok_b"))
+        .select(col("o_custkey").as("custkey"), col("ok_a"), col("ok_b"),
+          (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+            .as("overlap_days"))
+        .orderBy("custkey", "ok_a", "ok_b")
+    },
+
+    // Time-series gap-fill + forward fill (TimeSeries.gapFillFfill):
+    // irregular events resampled onto an hourly grid per user, gaps
+    // carried forward by one ordered window pass. The grid explodes
+    // executor-side (`sequence`), and the aggregate, join, and fill
+    // window share one hash partitioning on the key.
+    GraftQuery(
+      "q28_gapfill",
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS tick_ms, value
+        |  FROM events WHERE user_id < 10),
+        |obs AS (
+        |  SELECT user_id, tick_ms, sum(value) AS v_obs
+        |  FROM e GROUP BY user_id, tick_ms),
+        |grid AS (
+        |  SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS tick_ms
+        |  FROM (SELECT user_id, min(tick_ms) AS t0, max(tick_ms) AS t1
+        |        FROM obs GROUP BY user_id)),
+        |j AS (
+        |  SELECT g.user_id, g.tick_ms, o.v_obs
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.tick_ms = o.tick_ms)
+        |SELECT user_id, tick_ms, round(v_obs, 4) AS v_obs,
+        |  round(last_value(v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tick_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill,
+        |  v_obs IS NULL AS is_gap
+        |FROM j ORDER BY user_id, tick_ms""".stripMargin) { (s, dir) =>
+      import graft.operators.TimeSeries
+      val ev = Tables.loadEvents(s, dir).filter(col("user_id") < 10)
+      TimeSeries.gapFillFfill(ev, "user_id", "version", "value",
+          stepMs = 3600000L)
+        .select(col("user_id"), col("tick_ms"),
+          round(col("v_obs"), 4).as("v_obs"),
+          round(col("v_ffill"), 4).as("v_ffill"), col("is_gap"))
+        .orderBy("user_id", "tick_ms")
     }
   )
 }

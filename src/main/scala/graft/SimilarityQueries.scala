@@ -294,6 +294,31 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Semantic dedup (SemDeDup-shaped): drop vectors dominated by a
+    // smaller-id near-duplicate (cosine >= 0.35) within their label
+    // cell — cell-blocked pairs, one equi-shuffle, deterministic
+    // lowest-id-wins keep rule. The oracle derives the dominated set
+    // with the identical fold-order cosine, then anti-joins (NOT
+    // EXISTS would put the cosine lambda in a correlated context
+    // DuckDB's binder rejects).
+    GraftQuery(
+      "v10_semantic_dedup",
+      s"""WITH dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT v.vec_id, v.label FROM embeddings v
+         |ANTI JOIN dropped d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      graft.similarity.SemanticDedup.kept(
+          Tables.load(s, dir, "embeddings"),
+          idCol = "vec_id", vecCol = "embedding", cellCol = "label",
+          minCosine = 0.35)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Watermark}
-import graft.operators.{AntiEcho, IncrementalScan, LwwMerge}
+import graft.operators.{AntiEcho, IncrementalScan, LwwMerge, SnapshotDiff}
 
 /** Reference-parity queries (SURVEY.md §2.1-§2.7) expressed over the
   * driver's `events` / `documents` tables, each with a DuckDB oracle.
@@ -143,6 +143,49 @@ object SyncQueries {
       graft.operators.ConflictSplit
         .losers(ev, Seq("user_id"), "version", Seq(col("event_id")))
         .orderBy("user_id", "event_id")
+    },
+
+    // CDC between two published LWW snapshots: the keyed delta a
+    // downstream incremental consumer reads instead of re-shipping
+    // whole windows (SnapshotDiff). Old = state as of Jan 15, new =
+    // final state; change classes insert/update (no deletes in a
+    // monotone LWW stream — the spec covers them synthetically).
+    GraftQuery(
+      "a4_snapshot_diff",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS version FROM events
+        |  WHERE epoch_ms(ts) <= 1705276800000
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1),
+        |n AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS version FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'insert'
+        |       WHEN n.user_id IS NULL THEN 'delete'
+        |       WHEN o.event_id IS DISTINCT FROM n.event_id
+        |         OR o.version IS DISTINCT FROM n.version THEN 'update' END
+        |    AS change_type,
+        |  o.event_id AS old_event_id, o.version AS old_version,
+        |  n.event_id AS new_event_id, n.version AS new_version
+        |FROM o FULL JOIN n ON o.user_id = n.user_id
+        |WHERE (o.user_id IS NULL OR n.user_id IS NULL
+        |   OR o.event_id IS DISTINCT FROM n.event_id
+        |   OR o.version IS DISTINCT FROM n.version)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select("user_id", "event_id", "version")
+      val tie = Seq(col("event_id"))
+      val oldSnap = LwwMerge.latestAgg(
+        ev.filter(col("version") <= 1705276800000L), Seq("user_id"), "version", tie)
+      val newSnap = LwwMerge.latestAgg(ev, Seq("user_id"), "version", tie)
+      SnapshotDiff.diff(oldSnap, newSnap, Seq("user_id"),
+          compareCols = Seq("event_id", "version"))
+        .select(col("user_id"), col("change_type"),
+          col("old_event_id"), col("old_version"),
+          col("new_event_id"), col("new_version"))
+        .orderBy("user_id")
     },
 
     // P7/F8: regex capture — the reference pulls the winning version out

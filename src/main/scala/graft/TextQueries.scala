@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{TextFunctions, TextOps}
+import graft.functions.{TextFunctions, TextOps, TextSearch}
 import graft.operators.Sampling
 
 /** Text-analysis queries over the `documents` table — language ID,
@@ -298,6 +298,56 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"), sum("in_sample").as("n_sampled"))
         .orderBy("lang")
+    },
+
+    // BM25 full-text search — the reference pushes rows into
+    // Elasticsearch precisely to make them searchable; this is the
+    // search half natively (TextSearch: inverted postings + Lucene's
+    // BM25 idf/tf-norm as two hash aggregates and a broadcast join).
+    // n_terms carries boolean-AND semantics (filter n_terms = |q|).
+    GraftQuery(
+      "t11_bm25_search",
+      s"""$normCte,
+         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
+         |               len(string_split(norm, ' ')) AS dl FROM n),
+         |post AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+         |         FROM tok GROUP BY doc_id, term),
+         |docs AS (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+         |m AS (SELECT * FROM post WHERE term IN ('vector', 'window', 'merge')),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term)
+         |SELECT m.doc_id AS doc_id, count(*) AS n_terms,
+         |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (m.tf * (1.2 + 1.0)
+         |         / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / avgdl)))), 4) AS score
+         |FROM m JOIN dft USING (term) CROSS JOIN stats
+         |GROUP BY m.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      TextSearch.bm25(d, "doc_id", TextFunctions.normalize(col("text")),
+          Seq("vector", "window", "merge"))
+        .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic weighted sample without replacement (A-ExpJ):
+    // priority = -ln(u)/w with u drawn from the key hash and w =
+    // n_chars — longer documents proportionally likelier, membership
+    // reproducible across runs/engines/cluster sizes. Top-25 smallest
+    // priorities win (TakeOrdered, no global sort).
+    GraftQuery(
+      "t12_weighted_sample",
+      s"""WITH p AS (
+         |  SELECT doc_id, n_chars,
+         |    -ln((('0x' || substr(md5(doc_id::varchar), 1, 3))::INT + 1)
+         |        / 4096.0) / n_chars AS priority
+         |  FROM documents)
+         |SELECT doc_id, n_chars, round(priority, 6) AS priority
+         |FROM p ORDER BY priority, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      Sampling.weightedPriority(
+          Tables.load(s, dir, "documents"), "doc_id", col("n_chars"))
+        .orderBy("_priority", "doc_id").limit(25)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("_priority"), 6).as("priority"))
     }
   )
 }

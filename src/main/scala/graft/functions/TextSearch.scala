@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed full-text search: inverted postings + BM25 ranking.
+  *
+  * The reference's entire reason to push rows into Elasticsearch is to
+  * make them text-searchable (reference README.md:4; the ES side holds
+  * an analyzed `text` field, tests/testSyncClass.py:441-444). This
+  * module supplies the search half natively: the postings table IS the
+  * inverted index (built once, persisted like any snapshot, then
+  * probed per query), and `bm25` is Lucene's practical scoring
+  * function re-expressed as two hash aggregates and a broadcast join.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - `postings` is ONE shuffle keyed by (doc, term) with map-side
+  *     combine; it is the index-build cost and amortizes across every
+  *     subsequent query, exactly like ES's segment build.
+  *   - a query filters the postings to its handful of terms FIRST
+  *     (predicate pushed to the parquet scan of a persisted index, so
+  *     a term dictionary/row-group stats skip non-matching files),
+  *     making everything downstream of the scan proportional to the
+  *     matched postings, not the corpus.
+  *   - per-term document frequencies and the corpus constants (N,
+  *     avgdl) are tiny aggregates broadcast to the scoring join; the
+  *     only non-broadcast exchange after the scan is the final
+  *     per-doc score aggregate over matched postings.
+  *
+  * Scoring: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's
+  * non-negative BM25 idf), tf-norm = tf·(k1+1)/(tf + k1·(1 − b +
+  * b·dl/avgdl)). All double arithmetic on built-in expressions —
+  * codegen'd, no UDFs.
+  */
+object TextSearch {
+
+  /** Inverted postings: one row per (doc, term) with term frequency
+    * and the doc's token length. `norm` must already be normalized
+    * (see TextFunctions.normalize); tokenization is whitespace.
+    */
+  def postings(docs: DataFrame, idCol: String, norm: org.apache.spark.sql.Column): DataFrame = {
+    val toks = TextFunctions.tokens(norm)
+    docs
+      .select(col(idCol), explode(toks).as("term"), size(toks).as("dl"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** BM25 scores for every document matching ≥1 query term.
+    *
+    * Output: (idCol, n_terms = distinct query terms present, score).
+    * Callers wanting ES-style boolean AND semantics filter
+    * `n_terms === queryTerms.size`; top-k is an `orderBy(...).limit(k)`
+    * (TakeOrdered — no full sort) on the result.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      norm: org.apache.spark.sql.Column,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val post = postings(docs, idCol, norm)
+    bm25OverPostings(post, idCol, queryTerms, k1, b)
+  }
+
+  /** Same, over a pre-built (persisted) postings index — the
+    * production path: build/maintain the index once, run many queries.
+    */
+  def bm25OverPostings(
+      post: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // corpus constants: one tiny two-column row, broadcast
+    val stats = post.groupBy(col(idCol)).agg(first("dl").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // matched postings: the term filter lands on the index scan
+    val q = queryTerms.distinct
+    val matched = post.filter(col("term").isin(q: _*))
+    // per-term document frequency over the matched slice (small)
+    val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    matched
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), (idf * tfNorm).as("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
+  }
+}

@@ -48,4 +48,35 @@ object RangeJoin {
       .filter(col(startCol) <= col(vCol) && col(vCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join: pairs (a, b) with matching keys whose
+    * half-open intervals intersect — `a.start < b.end AND b.start <
+    * a.end`. Same bucketization as `join`, with both sides exploded;
+    * each overlapping pair would then meet in EVERY bucket both cover,
+    * so the match is pinned to one canonical bucket — the one holding
+    * the overlap's start, `floor(max(a.start, b.start) / width)`,
+    * which both intervals necessarily cover. One equi-shuffle on
+    * (keys, bucket), no cross product, no post-hoc distinct (dedup by
+    * construction keeps the aggregate-free pipeline streamable).
+    *
+    * Column names across the two inputs must be disjoint apart from
+    * the key columns (rename upstream as needed).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(col(s) / bucketWidth),
+          ceil(col(e) / bucketWidth) - 1)))
+    val l = explodeBuckets(left, lStart, lEnd)
+    val r = explodeBuckets(right, rStart, rEnd)
+    l.join(r, keys :+ "_bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bucket") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("_bucket")
+  }
 }

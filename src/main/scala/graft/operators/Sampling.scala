@@ -42,4 +42,23 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < thr)
   }
+
+  /** Deterministic weighted sample without replacement (A-ExpJ /
+    * exponential-jumps family): each row draws `u ∈ (0, 1]` from its
+    * key hash and ranks by `-ln(u) / w` — an Exponential(w) variate,
+    * so the k smallest ranks are a weighted-without-replacement sample
+    * with inclusion probability increasing in `w`. Same determinism
+    * contract as `stratifiedHash`: membership depends only on the key
+    * and weight, never on run, engine, or partitioning.
+    *
+    * Returns the full frame with a `_priority` column; callers take
+    * `orderBy("_priority").limit(k)` (TakeOrdered — a per-partition
+    * bounded heap then a k-row driver merge, no global sort) or a
+    * per-stratum ranking window.
+    */
+  def weightedPriority(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    // (bucket + 1) / 4096 keeps u strictly positive for the log
+    val u = (hashBucket(col(keyCol)) + 1).cast("double") / buckets
+    df.withColumn("_priority", -log(u) / weight)
+  }
 }

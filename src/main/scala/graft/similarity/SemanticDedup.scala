@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) deduplication — SemDeDup-shaped: retire
+  * documents whose embeddings are near-duplicates of a kept document,
+  * comparing only WITHIN cells of a coarse partition (cluster id,
+  * label, or IVF cell from IvfKnn.assign), never across the corpus.
+  *
+  * The cell key turns the O(n²) all-pairs cosine into Σ|cell|² work
+  * behind ONE equi-shuffle on the cell column — the same
+  * candidate-volume law every pair-producing operator in this engine
+  * is sized by (SURVEY.md §9): cells are the knob, and an IVF
+  * codebook with more centroids tightens them at constant recall for
+  * genuinely-clustered corpora.
+  *
+  * Keep rule: deterministic lowest-id-wins dominance — a row is
+  * dropped iff some SMALLER-id row in its cell matches it at ≥
+  * `minCosine`. Unlike connected-component dedup (DupClusters), a
+  * kept row always witnesses each drop directly, and the result is
+  * independent of evaluation order — replays and engine swaps agree
+  * row-for-row.
+  */
+object SemanticDedup {
+
+  /** Rows of `df` that survive dedup. `vecCol` is an Array[Float]
+    * embedding; `cellCol` the coarse-partition key; `idCol` a unique
+    * orderable id.
+    */
+  def kept(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      minCosine: Double): DataFrame = {
+    val e = df.select(col(cellCol).as("__cell"), col(idCol).as("__id"),
+      VectorOps.asDouble(col(vecCol)).as("__v"))
+    val dropped = e.select(col("__cell"), col("__id").as("__id_a"), col("__v").as("__v_a"))
+      .join(e.select(col("__cell"), col("__id").as("__id_b"), col("__v").as("__v_b")),
+        Seq("__cell"))
+      .filter(col("__id_a") < col("__id_b") &&
+        VectorOps.cosine(col("__v_a"), col("__v_b")) >= minCosine)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+}

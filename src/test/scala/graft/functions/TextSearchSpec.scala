@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark engine"),     // tf(spark)=3
+    (2L, "spark engine"),                 // tf(spark)=1
+    (3L, "engine engine engine engine"),  // no query term
+    (4L, "spark rare"))                   // both terms
+    .toDF("doc_id", "text")
+  private def norm = TextFunctions.normalize(col("text"))
+
+  private def scores(terms: String*): Map[Long, (Long, Double)] =
+    TextSearch.bm25(docs, "doc_id", norm, terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("only documents containing >=1 query term appear") {
+    scores("spark").keySet shouldBe Set(1L, 2L, 4L)
+  }
+
+  test("higher tf at equal length scores higher; tf saturates sublinearly") {
+    val s = scores("spark")
+    // doc1 (tf=3, dl=4) vs doc2 (tf=1, dl=2): higher raw tf wins
+    s(1L)._2 should be > s(2L)._2
+    // saturation: tripling tf must NOT triple the score contribution
+    s(1L)._2 should be < 3 * s(2L)._2
+  }
+
+  test("rarer term carries more idf weight") {
+    // 'rare' appears in 1 doc, 'spark' in 3: for doc 4 (tf=1 each,
+    // same dl) the rare term must contribute more than the common one
+    val both = scores("spark", "rare")
+    val sparkOnly = scores("spark")
+    val rareOnly = scores("rare")
+    rareOnly(4L)._2 should be > sparkOnly(4L)._2
+    // n_terms counts distinct matched query terms (boolean AND handle)
+    both(4L)._1 shouldBe 2L
+    both(1L)._1 shouldBe 1L
+  }
+
+  test("AND semantics via n_terms filter") {
+    val and = TextSearch.bm25(docs, "doc_id", norm, Seq("spark", "rare"))
+      .filter(col("n_terms") === 2)
+      .select("doc_id").as[Long].collect()
+    and shouldBe Array(4L)
+  }
+
+  test("bm25 == bm25OverPostings on a prebuilt index (the production path)") {
+    val post = TextSearch.postings(docs, "doc_id", norm)
+    assertSameRows(
+      TextSearch.bm25(docs, "doc_id", norm, Seq("spark", "engine")),
+      TextSearch.bm25OverPostings(post, "doc_id", Seq("spark", "engine")))
+  }
+
+  test("duplicate query terms don't double-count") {
+    assertSameRows(
+      TextSearch.bm25(docs, "doc_id", norm, Seq("spark", "spark")),
+      TextSearch.bm25(docs, "doc_id", norm, Seq("spark")))
+  }
+
+  test("idf is non-negative even for a term in every document") {
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val s = TextSearch.bm25(all, "doc_id", TextFunctions.normalize(col("text")), Seq("x"))
+      .select("score").as[Double].collect()
+    all.count() shouldBe s.length
+    s.foreach(_ should be > 0.0)
+  }
+}

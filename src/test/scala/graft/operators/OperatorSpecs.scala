@@ -175,6 +175,21 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedHash(df, "id", "lang", Nil, defaultRate = 1.0)
       .count() shouldBe 4000L
   }
+
+  test("weightedPriority: deterministic, and heavier rows win far more often") {
+    val wdf = (0L until 2000L)
+      .map(i => (i, if (i % 2 == 0) 100.0 else 1.0)).toDF("id", "w")
+    def top(k: Int) = Sampling.weightedPriority(wdf, "id", col("w"))
+      .orderBy("_priority", "id").limit(k).select("id").as[Long].collect().toSet
+    top(100) shouldBe top(100) // replay-stable
+    // ~99% of the top-100 should be the weight-100 (even-id) rows
+    val heavy = top(100).count(_ % 2 == 0)
+    heavy.toDouble should be >= 90.0
+    // priorities are strictly positive and finite
+    val ps = Sampling.weightedPriority(wdf, "id", col("w"))
+      .select("_priority").as[Double].collect()
+    ps.foreach { p => p should be > 0.0; java.lang.Double.isFinite(p) shouldBe true }
+  }
 }
 
 class ZOrderSpec extends SparkSpec {

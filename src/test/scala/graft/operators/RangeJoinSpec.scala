@@ -80,4 +80,44 @@ class RangeJoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("intervalJoin property: equals brute-force overlap join, each pair once") {
+    val iGen = Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 50L), Gen.chooseNum(1L, 25L))
+    checkProp(Gen.zip(Gen.listOfN(10, iGen), Gen.listOfN(10, iGen)), cases = 8) {
+      case (ls, rs) =>
+        val l = ls.zipWithIndex.map { case ((k, s, len), id) => (k, s, s + len, id.toLong) }
+          .toDF("k", "ls", "le", "lid")
+        val r = rs.zipWithIndex.map { case ((k, s, len), id) => (k, s, s + len, id.toLong) }
+          .toDF("k", "rs", "re", "rid")
+        // collect as a LIST: any pair emitted twice must fail, not be
+        // absorbed by the set
+        val got = RangeJoin.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", 9L)
+          .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toList
+        val expected = (for {
+          ((lk, s1, len1), lid) <- ls.zipWithIndex
+          ((rk, s2, len2), rid) <- rs.zipWithIndex
+          if lk == rk && s1 < s2 + len2 && s2 < s1 + len1
+        } yield (lid.toLong, rid.toLong)).toList
+        got.sorted shouldBe expected.sorted
+    }
+  }
+
+  test("intervalJoin: touching endpoints (half-open) do not overlap") {
+    val l = Seq((1L, 0L, 10L, 1L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, 10L, 20L, 2L)).toDF("k", "rs", "re", "rid")
+    RangeJoin.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", 7L)
+      .count() shouldBe 0
+  }
+
+  test("intervalJoin: result invariant to bucketWidth") {
+    val ls = (0 until 12).map(i => (i.toLong % 3, i * 4L, i * 4L + 9, i.toLong))
+    val rs = (0 until 12).map(i => (i.toLong % 3, i * 5L, i * 5L + 7, i.toLong))
+    val l = ls.toDF("k", "ls", "le", "lid")
+    val r = rs.toDF("k", "rs", "re", "rid")
+    def run(w: Long) =
+      RangeJoin.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val base = run(9L)
+    Seq(1L, 4L, 31L, 1000L).foreach(w => withClue(s"width=$w: ")(run(w) shouldBe base))
+  }
 }
