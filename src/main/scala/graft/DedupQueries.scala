@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{BloomDedup, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BloomDedup, Decontam, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -279,6 +279,40 @@ object DedupQueries {
           seen = d.filter(col("doc_id") < 250),
           fpCol = "fp", expectedItems = 10000)
         .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination (GPT-3/Pile-style): word-5-gram
+    // overlap of the "benchmark" slice (doc_id >= 450) against the
+    // training corpus — the leak check a corpus runs before shipping.
+    // Exact-dup leaks score ratio ~1; fresh text ~0 at n=5 here.
+    GraftQuery(
+      "d12_decontamination",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS a FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(a[i : i + 4], ' ')
+         |     for i in generate_series(1, len(a) - 4)])) AS gram
+         |  FROM t),
+         |bench AS (SELECT doc_id, gram FROM g WHERE doc_id >= 450),
+         |corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id < 450),
+         |hit AS (
+         |  SELECT b.doc_id, count(*) AS n_hit
+         |  FROM bench b JOIN corpus c USING (gram) GROUP BY b.doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM bench GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / greatest(t.n_grams, 1), 4) AS contam_ratio,
+         |  coalesce(h.n_hit, 0) > 0 AS is_contaminated
+         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Decontam.report(
+          bench = d.filter(col("doc_id") >= 450),
+          corpus = d.filter(col("doc_id") < 450),
+          idCol = "doc_id",
+          normCol = TextFunctions.normalize(col("text")), n = 5)
         .orderBy("doc_id")
     }
   )

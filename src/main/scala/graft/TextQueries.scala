@@ -348,6 +348,50 @@ object TextQueries {
         .orderBy("_priority", "doc_id").limit(25)
         .select(col("doc_id"), col("n_chars"),
           round(col("_priority"), 6).as("priority"))
+    },
+
+    // Batch BM25 retrieval: five queries (terms drawn from docs 0-4's
+    // token positions 1/3/5, deduped) scored against the whole corpus
+    // in ONE pass — the (query_id, term) table joins the postings
+    // index instead of a literal term filter (TextSearch.bm25Batch,
+    // the retrieval-mining shape). df/idf come from the full index,
+    // so scores are identical to the single-query path.
+    GraftQuery(
+      "t13_batch_search",
+      s"""$normCte,
+         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
+         |               len(string_split(norm, ' ')) AS dl FROM n),
+         |post AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+         |         FROM tok GROUP BY doc_id, term),
+         |docs AS (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+         |qt AS (SELECT doc_id AS query_id,
+         |         unnest(list_distinct([a[1], a[3], a[5]])) AS term
+         |       FROM (SELECT doc_id, string_split(norm, ' ') AS a FROM n)
+         |       WHERE doc_id < 5),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df FROM post
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term)
+         |SELECT q.query_id, p.doc_id, count(*) AS n_terms,
+         |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (p.tf * (1.2 + 1.0)
+         |         / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / avgdl)))), 4) AS score
+         |FROM post p JOIN qt q USING (term) JOIN dft USING (term)
+         |CROSS JOIN stats
+         |GROUP BY q.query_id, p.doc_id
+         |ORDER BY query_id, doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val norm = TextFunctions.normalize(col("text"))
+      val toks = TextFunctions.tokens(norm)
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(array(
+            element_at(toks, 1), element_at(toks, 3), element_at(toks, 5))))
+            .as("term"))
+      TextSearch.bm25Batch(
+          TextSearch.postings(d, "doc_id", norm), "doc_id", queries)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "doc_id")
     }
   )
 }

@@ -74,12 +74,47 @@ object TextSearch {
       queryTerms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // matched postings: the term filter lands on the index scan
+    val matched = post.filter(col("term").isin(queryTerms.distinct: _*))
+    score(post, matched, idCol, k1, b)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
+  }
+
+  /** Batch retrieval: score MANY queries in one pass — `queryTerms` is
+    * a (query_id, term) DataFrame (distinct terms per query), joined
+    * against the index instead of baked into a literal filter. This is
+    * the retrieval-mining shape (score thousands of queries against
+    * the corpus in one job); the query side broadcasts, so the only
+    * large exchange is still the per-(query, doc) score aggregate.
+    */
+  def bm25Batch(
+      post: DataFrame,
+      idCol: String,
+      queryTerms: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val matched = post.join(
+      broadcast(queryTerms.select("term").distinct()), "term")
+    score(post, matched, idCol, k1, b)
+      .join(broadcast(queryTerms), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
+  }
+
+  /** Per-(posting) BM25 weight `w` over the matched slice; df and the
+    * corpus constants come from the FULL index so batch and
+    * single-query paths score identically.
+    */
+  private def score(
+      post: DataFrame,
+      matched: DataFrame,
+      idCol: String,
+      k1: Double,
+      b: Double): DataFrame = {
     // corpus constants: one tiny two-column row, broadcast
     val stats = post.groupBy(col(idCol)).agg(first("dl").as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    // matched postings: the term filter lands on the index scan
-    val q = queryTerms.distinct
-    val matched = post.filter(col("term").isin(q: _*))
     // per-term document frequency over the matched slice (small)
     val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -89,7 +124,5 @@ object TextSearch {
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), (idf * tfNorm).as("w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
   }
 }

@@ -63,6 +63,19 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25(docs, "doc_id", norm, Seq("spark")))
   }
 
+  test("bm25Batch scores each query identically to the single-query path") {
+    val post = TextSearch.postings(docs, "doc_id", norm)
+    val queries = Seq((0L, "spark"), (0L, "rare"), (1L, "engine"))
+      .toDF("query_id", "term")
+    val batch = TextSearch.bm25Batch(post, "doc_id", queries)
+    assertSameRows(
+      batch.filter(col("query_id") === 0).drop("query_id"),
+      TextSearch.bm25OverPostings(post, "doc_id", Seq("spark", "rare")))
+    assertSameRows(
+      batch.filter(col("query_id") === 1).drop("query_id"),
+      TextSearch.bm25OverPostings(post, "doc_id", Seq("engine")))
+  }
+
   test("idf is non-negative even for a term in every document") {
     val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
     val s = TextSearch.bm25(all, "doc_id", TextFunctions.normalize(col("text")), Seq("x"))
