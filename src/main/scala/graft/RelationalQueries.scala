@@ -878,6 +878,40 @@ object RelationalQueries {
           round(col("v_obs"), 4).as("v_obs"),
           round(col("v_ffill"), 4).as("v_ffill"), col("is_gap"))
         .orderBy("user_id", "tick_ms")
+    },
+
+    // SQL surface with correlated subqueries (TPC-H Q4 shape): the
+    // same engine through spark.sql(...) — Catalyst decorrelates the
+    // EXISTS into a left-semi join and the scalar subquery into a
+    // broadcast, so the declarative form carries no per-row probe
+    // cost. Every other query here uses the DataFrame API; this one
+    // pins the SQL entry point end-to-end.
+    GraftQuery(
+      "q29_exists_subquery",
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |  AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      Seq("orders", "lineitem").foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      s.sql(
+        """SELECT o.o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+          |  AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |GROUP BY o.o_orderpriority
+          |ORDER BY o.o_orderpriority""".stripMargin)
     }
   )
 }

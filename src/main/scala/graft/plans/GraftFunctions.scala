@@ -24,7 +24,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (new FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1), args(2))))
 
   /** Idempotently register on an existing session (classic runtime):
     * the native expressions plus the as-of whole-operator planner

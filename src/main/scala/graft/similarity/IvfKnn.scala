@@ -37,20 +37,23 @@ object IvfKnn {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
-  /** Nearest-cell assignment against a COLLECTED codebook: the
-    * argmax over k cosine evaluations is inlined as one codegen'd
-    * expression per row (k × dims multiply-adds, no join, no shuffle).
-    * Ties break to the lowest cell id.
+  /** Nearest-cell assignment against a COLLECTED codebook: ONE
+    * codegen'd k×d primitive loop per row (plans.NearestCentroid) —
+    * no join, no shuffle, expression size O(1) in k, per-row cost
+    * exactly the flops. The two composed alternatives both collapse
+    * at realistic k (inlined per-cell cosines → janino compile-time
+    * blowup past k ≈ 64; HOF zip_with argmax → per-element lambda
+    * allocation, ~1 ms/row at k=200×64d). Ties break to the lowest
+    * cell id.
     */
   def assignCells(df: DataFrame, embCol: String,
       codebook: Seq[(Int, Seq[Double])], cellCol: String = "_cell"): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
-    val best = array_max(array(codebook.map { case (cell, vec) =>
-      struct(
-        VectorOps.cosineNative(col(embCol), typedlit(vec)).as("cos"),
-        lit(-cell).as("negCell")) // struct max: highest cos, then lowest cell
-    }: _*))
-    df.withColumn(cellCol, (best.getField("negCell") * -1).cast("int"))
+    // sorted by cell id: NearestCentroid keeps the FIRST maximal
+    // position on cosine ties == the lowest cell id
+    val sorted = codebook.sortBy(_._1)
+    df.withColumn(cellCol, call_function("graft_nearest_centroid",
+      col(embCol), typedlit(sorted.map(_._2)), typedlit(sorted.map(_._1))))
   }
 
   /** Collect a (cell, centroid) codebook DataFrame to the driver. */

@@ -45,4 +45,34 @@ object SemanticDedup {
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Self-contained form with TRAINED cells: fits an IvfKnn k-means
+    * codebook sized so the average cell holds ~`targetCellSize` rows,
+    * assigns each row to its nearest centroid (one codegen'd argmax,
+    * no shuffle), then dedups within cells. `k = n / targetCellSize`
+    * bounds expected pair work at n·targetCellSize — the knob that
+    * keeps the quadratic term flat as the corpus grows (SemDeDup's
+    * own recipe). Identical embeddings always share a cell (same
+    * argmax), so EXACT duplicates are never missed; near-dups split
+    * across a cell boundary are the accepted recall trade, shrinking
+    * as targetCellSize grows.
+    */
+  def keptIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      targetCellSize: Int,
+      kmeansIters: Int = 3): DataFrame = {
+    require(targetCellSize > 1, "targetCellSize must be > 1")
+    val n = df.count()
+    val k = math.max(1, (n / targetCellSize).toInt)
+    val codebook = IvfKnn.collectCodebook(
+      IvfKnn.trainCodebook(df, idCol, vecCol, k, kmeansIters), "cell")
+    // materialize the assignment: the dedup self-join would otherwise
+    // re-evaluate the k-way argmax once per join side
+    val assigned = IvfKnn.assignCells(df, vecCol, codebook, "__ivf_cell")
+      .localCheckpoint()
+    kept(assigned, idCol, vecCol, "__ivf_cell", minCosine).drop("__ivf_cell")
+  }
 }

@@ -114,6 +114,42 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "PushedFilters: \\[[^\\]]*EqualTo\\(r_name,ASIA\\)"
   }
 
+  test("interval-overlap join is an equi-join, never nested-loop or cartesian") {
+    val p = plan("q27_interval_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("BM25 broadcasts df/corpus stats; only postings pay a hash exchange") {
+    val p = plan("t11_bm25_search")
+    // the two tiny aggregates (per-term df, corpus stats) join broadcast
+    "BroadcastExchange".r.findAllIn(p).length should be >= 2
+    p should not include "SortMergeJoin"
+  }
+
+  test("gap-fill reuses one key partitioning across agg, join, and fill window") {
+    val p = plan("q28_gapfill")
+    // obs aggregate, span aggregate, join, and window all hash by the
+    // key (+ tick for the join); the final orderBy adds one range
+    // exchange. No more than 4 hash exchanges may appear.
+    "Exchange hashpartitioning".r.findAllIn(p).length should be <= 4
+  }
+
+  test("decontamination: corpus grams deduplicate with a partial phase map-side") {
+    val p = plan("d12_decontamination")
+    // the corpus-side distinct must collapse duplicate grams BEFORE its
+    // exchange (partial aggregate), and the probe is a semi join
+    p should include regex "(?i)leftsemi"
+    p should not include "CartesianProduct"
+  }
+
+  test("correlated EXISTS decorrelates to a semi join; scalar subquery broadcasts") {
+    val p = plan("q29_exists_subquery")
+    p should include regex "(?i)leftsemi"
+    p should include("Subquery") // the avg() scalar, evaluated once
+    p should not include "CartesianProduct"
+  }
+
   test("runtime bloom filter prunes a shuffled fact-dim join at the scan") {
     // The 100 TB shape AQE's runtime filtering covers: a selective dim
     // filter spawns a bloom_filter_agg whose result is pushed into the

@@ -49,6 +49,31 @@ class SemanticDedupSpec extends SparkSpec {
     kept shouldBe Set(1L)
   }
 
+  test("keptIvf: exact duplicates always share a trained cell and dedup") {
+    // two well-separated directions, exact duplicates within each
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f), 0), (4L, Seq(0f, 1f, 0f), 0),
+      (5L, Seq(0f, 0f, 1f), 0)).toDF("vec_id", "embedding", "cell")
+    val kept = SemanticDedup.keptIvf(rows, "vec_id", "embedding",
+        minCosine = 0.99, targetCellSize = 2)
+      .select("vec_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 3L, 5L)
+  }
+
+  test("keptIvf with one cell equals kept with a constant cell") {
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.99f, 0.141f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val viaIvf = SemanticDedup.keptIvf(rows, "vec_id", "embedding",
+      minCosine = 0.98, targetCellSize = 100) // k = max(1, 4/100) = 1
+    val viaConst = SemanticDedup.kept(
+      rows.withColumn("c", org.apache.spark.sql.functions.lit(0)),
+      "vec_id", "embedding", "c", 0.98).drop("c")
+    assertSameRows(viaIvf, viaConst)
+  }
+
   test("payload columns ride through untouched") {
     val rows = Seq((1L, e1, 0, "keepme")).toDF("vec_id", "embedding", "cell", "tag")
     SemanticDedup.kept(rows, "vec_id", "embedding", "cell", 0.9)
