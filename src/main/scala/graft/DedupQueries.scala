@@ -77,6 +77,27 @@ object DedupQueries {
        |  FROM toks GROUP BY doc_id),
        |sh AS (SELECT doc_id, $simhashPack AS simhash FROM bits)""".stripMargin
 
+  /** Recursive-CTE oracle shared by d9 (label propagation) and d13
+    * (star contraction) — both must produce this exact labelling.
+    */
+  private val dupClustersOracle =
+    s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM sh a JOIN sh c
+       |    ON (a.simhash // 65536) = (c.simhash // 65536) AND a.doc_id < c.doc_id
+       |  WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 6),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |cc AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.id = e.src)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id
+       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // Exact dedup groups: one survivor (min id) per identical
@@ -234,26 +255,26 @@ object DedupQueries {
     // (min reachable id per node over the symmetrized edge list).
     GraftQuery(
       "d9_dup_clusters",
-      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
-         |  FROM sh a JOIN sh c
-         |    ON (a.simhash // 65536) = (c.simhash // 65536) AND a.doc_id < c.doc_id
-         |  WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 6),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |cc AS (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
-         |  UNION
-         |  SELECT e.dst AS id, cc.lbl
-         |  FROM cc JOIN edges e ON cc.id = e.src)
-         |SELECT id AS doc_id, min(lbl) AS cluster_id
-         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      dupClustersOracle) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
       val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
       val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
       DupClusters.components(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+
+    // Same clustering through the O(log n)-round alternating
+    // large-star/small-star contraction — the physical path for
+    // adversarially deep duplicate chains, where per-hop propagation
+    // (d9) needs diameter-many rounds. Identical labelling, same
+    // recursive-CTE oracle.
+    GraftQuery(
+      "d13_dup_clusters_star",
+      dupClustersOracle) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
+      DupClusters.componentsAlternating(d, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     },
 

@@ -91,6 +91,88 @@ object DupClusters {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the O(log n)-round path for graphs whose diameter
+    * makes per-hop label propagation (`components`) too slow:
+    * adversarial duplication chains, transcript-like corpora where
+    * near-dup edges form long paths.
+    *
+    * Each round rewrites the edge set itself (nodes hook onto local
+    * minima, stars flatten), so chains contract geometrically instead
+    * of shrinking one hop per round. Per round: one groupBy + one
+    * join per star operation over the current edge list — the same
+    * shuffle volume as one propagation round, but ~log n of them
+    * total. No per-node adjacency lists are ever materialized
+    * (`collect_list` on a million-member star center would be the
+    * classic OOM), and `localCheckpoint` truncates lineage per round.
+    *
+    * Same contract as `components`: cluster_id = min reachable id,
+    * singletons label themselves, deterministic under replay.
+    */
+  def componentsAlternating(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    // canonical larger→smaller edges; self-loops vanish
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // edge-set signature: (count, order-insensitive hash sum) — one
+    // tiny aggregate; equal signature == fixpoint (hash-sum collision
+    // odds are 2^-64-ish per round, and a false "converged" would be
+    // caught by the star-shape check below)
+    def sig(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+
+    var prev = sig(e)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (round < maxRounds && !converged) {
+      // LARGE-STAR: every node u links its strictly-larger neighbors
+      // to min(N(u) ∪ {u}); edges stay larger→smaller since m ≤ x < y
+      val adj = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = adj.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val large = adj.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: u and all its smaller neighbors hook onto the min
+      val sMin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(sMin, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val next = sig(small)
+      converged = next._1 == prev._1 && ((next._2, prev._2) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (a, b) => a == b
+      })
+      prev = next
+      e = small
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edges form two-level stars: u → component min
+    nodes.select(col(idCol).as("id")).distinct()
+      .join(e.groupBy("u").agg(min("v").as("m")), col("id") === col("u"), "left")
+      .select(col("id").as(idCol), coalesce(col("m"), col("id")).as("cluster_id"))
+  }
+
   /** Cluster summary: one row per cluster with its size and member
     * count — the table a dedup job reports and the keep-one filter
     * reads.

@@ -200,6 +200,50 @@ class DupClustersSpec extends SparkSpec {
     DupClusters.clusterSizes(comps)
       .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L), (3L, 1L))
   }
+
+  private def ccStar(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DupClusters.componentsAlternating(
+        nodes.toDF("doc_id"), "doc_id",
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("star contraction matches propagation on chains, stars, and singletons") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq((1L, 2L), (2L, 3L), (3L, 4L))),
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq((2L, 1L), (5L, 4L), (6L, 4L))),
+      (Seq(7L, 8L), Seq.empty[(Long, Long)]),
+      // duplicate + reversed + self-loop edges
+      (Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 1L), (2L, 2L))))
+    cases.foreach { case (ns, es) =>
+      withClue(s"nodes=$ns edges=$es: ")(ccStar(ns, es) shouldBe cc(ns, es))
+    }
+  }
+
+  test("property: star contraction ≡ propagation on random graphs") {
+    import org.scalacheck.Gen
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L))
+    checkProp(Gen.listOfN(25, edgeGen), cases = 6) { es =>
+      val ns = (0L until 30L)
+      ccStar(ns, es) shouldBe cc(ns, es)
+    }
+  }
+
+  test("a 200-node chain converges in O(log n) star rounds (propagation would need 200)") {
+    val ns = (0L until 200L)
+    val es = (0L until 199L).map(i => (i, i + 1))
+    // maxRounds = 12 ≈ 2·log2(200): propagation at this budget throws
+    val got = DupClusters.componentsAlternating(
+        ns.toDF("doc_id"), "doc_id",
+        es.toDF("id_a", "id_b"), "id_a", "id_b", maxRounds = 12)
+      .as[(Long, Long)].collect()
+    got.length shouldBe 200
+    got.foreach { case (_, lbl) => lbl shouldBe 0L }
+    intercept[IllegalStateException] {
+      DupClusters.components(
+        ns.toDF("doc_id"), "doc_id",
+        es.toDF("id_a", "id_b"), "id_a", "id_b", maxRounds = 12)
+    }
+  }
 }
 
 class ProbeCandidatesSpec extends SparkSpec {
