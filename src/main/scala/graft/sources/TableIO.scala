@@ -114,6 +114,39 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
     }
   }
 
+  /** Small-file compaction: republish the current snapshot as
+    * ~`targetFileBytes` files — the hygiene pass that keeps a
+    * frequently-synced table from accruing thousands of tiny files
+    * (each incremental tick writes some; scan cost at 100 TB is
+    * dominated by file-open overhead once files shrink below a row
+    * group). Rewrites via `coalesce` — no shuffle, the whole point of
+    * a cheap compaction; file sizes are therefore approximate (skewed
+    * upstream partitions coalesce unevenly — use an explicit
+    * `overwrite(read(spark).repartition(n))` when strict evenness is
+    * worth a shuffle). Goes through the normal versioned commit, so
+    * readers never see a half-compacted table and the pre-compaction
+    * version survives one commit as the usual grace window.
+    *
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dir = Paths.get(currentDir.getOrElse(
+      throw new IllegalStateException(s"no published snapshot at $path")))
+    def parquetFiles(p: Path) = {
+      val s = Files.walk(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .toArray.toSeq.map(_.asInstanceOf[Path])
+      finally s.close()
+    }
+    val files = parquetFiles(dir)
+    val bytes = files.map(Files.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    overwrite(read(spark).coalesce(n))
+    (files.size.toLong, parquetFiles(Paths.get(currentDir.get)).size.toLong)
+  }
+
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir))
       Files.walk(dir).sorted(Comparator.reverseOrder[Path]())

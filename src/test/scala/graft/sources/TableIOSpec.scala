@@ -96,4 +96,25 @@ class TableIOSpec extends SparkSpec {
     scan.metadata("PartitionFilters") should include("_day")
     scan.metrics("numPartitions").value shouldBe 2
   }
+
+  test("compact collapses small files into few, content and versioning intact") {
+    val io = new ParquetTableIO(tmp)
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("x"))
+    io.overwrite(df.repartition(20)) // 20 tiny files
+    val before = io.read(spark)
+    val (nBefore, nAfter) = io.compact(spark) // default target >> data size
+    nBefore shouldBe 20L
+    nAfter shouldBe 1L
+    assertSameRows(io.read(spark), before)
+    // versioned commit: compaction bumped the version (v-2), and the
+    // pre-compaction snapshot survives as the grace-window version
+    io.currentDir.get should endWith("v-000000002")
+  }
+
+  test("compact on an unpublished table fails loudly") {
+    intercept[IllegalStateException] {
+      new ParquetTableIO(tmp).compact(spark)
+    }
+  }
 }
