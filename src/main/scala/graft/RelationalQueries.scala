@@ -912,6 +912,38 @@ object RelationalQueries {
           |  AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
           |GROUP BY o.o_orderpriority
           |ORDER BY o.o_orderpriority""".stripMargin)
+    },
+
+    // Value-based RANGE window frame (q21 covers ROWS frames): per
+    // customer, trailing-30-day spend — the frame is defined by the
+    // ORDER-BY VALUE (epoch day), not row position, so sparse/bursty
+    // order histories aggregate over true time, and all peers of a
+    // day share one frame. Same single WindowExec pass as a ROWS
+    // frame; only the bound comparison differs.
+    GraftQuery(
+      "q30_range_frame",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        |  count(*) OVER w AS orders_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"),
+          count(lit(1)).over(w).as("orders_30d"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 import graft.SparkSpec
 
@@ -148,6 +148,49 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "(?i)leftsemi"
     p should include("Subquery") // the avg() scalar, evaluated once
     p should not include "CartesianProduct"
+  }
+
+  test("value-based RANGE frame plans as one window pass (no join, no self-union)") {
+    val p = plan("q30_range_frame")
+    "Window".r.findAllIn(p).length should be >= 1
+    p should not include "Join"
+    "FileScan".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("AQE splits a skewed shuffle join at runtime (the engine's join-skew path)") {
+    // SkewTools salts AGGREGATES deterministically; for JOINS the
+    // engine leans on AQE's OptimizeSkewedJoin — this pins that the
+    // runtime re-plan actually fires under our session shape.
+    // Thresholds lowered to trigger at test scale; real scans hit the
+    // defaults.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffled join
+      import spark.implicits._
+      // one pathological key carries ~all fact rows
+      val fact = spark.range(60000)
+        .select(when(col("id") % 100 === 0, col("id")).otherwise(0L).as("k"),
+          col("id").as("payload"))
+      val dim = (0L until 1000L).map(k => (k, s"d$k")).toDF("k", "name")
+      val j = fact.join(dim, "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      p should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("runtime bloom filter prunes a shuffled fact-dim join at the scan") {
