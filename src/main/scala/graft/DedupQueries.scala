@@ -310,18 +310,19 @@ object DedupQueries {
     GraftQuery(
       "d12_decontamination",
       s"""WITH t AS (
-         |  SELECT doc_id, string_split($norm, ' ') AS a FROM documents),
-         |g AS (
-         |  SELECT doc_id, unnest(list_distinct(
+         |  SELECT doc_id, list_distinct(
          |    [array_to_string(a[i : i + 4], ' ')
-         |     for i in generate_series(1, len(a) - 4)])) AS gram
-         |  FROM t),
+         |     for i in generate_series(1, len(a) - 4)]) AS grams
+         |  FROM (SELECT doc_id, string_split($norm, ' ') AS a FROM documents)),
+         |g AS (SELECT doc_id, unnest(grams) AS gram FROM t),
          |bench AS (SELECT doc_id, gram FROM g WHERE doc_id >= 450),
          |corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id < 450),
          |hit AS (
          |  SELECT b.doc_id, count(*) AS n_hit
          |  FROM bench b JOIN corpus c USING (gram) GROUP BY b.doc_id),
-         |tot AS (SELECT doc_id, count(*) AS n_grams FROM bench GROUP BY doc_id)
+         |-- totals from the ARRAY so zero-gram (short) docs keep a row,
+         |-- mirroring the operator's pre-explode size()
+         |tot AS (SELECT doc_id, len(grams) AS n_grams FROM t WHERE doc_id >= 450)
          |SELECT t.doc_id, t.n_grams,
          |  coalesce(h.n_hit, 0) AS n_hit,
          |  round(coalesce(h.n_hit, 0) / greatest(t.n_grams, 1), 4) AS contam_ratio,

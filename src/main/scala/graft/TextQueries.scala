@@ -25,6 +25,19 @@ object TextQueries {
   private def stoplist(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** BM25 inverted-index CTEs (postings + corpus stats) shared by the
+    * t11 single-query and t13 batch oracles — one definition so the
+    * two verifications can never silently de-synchronize.
+    */
+  private val bm25IndexCte =
+    s"""$normCte,
+       |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
+       |               len(string_split(norm, ' ')) AS dl FROM n),
+       |post AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+       |         FROM tok GROUP BY doc_id, term),
+       |docs AS (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs)""".stripMargin
+
   private def stopCountSql(lang: String): String = {
     val words = TextFunctions.stopwords.find(_._1 == lang).get._2
     s"length(list_filter(string_split(norm, ' '), t -> list_contains(${stoplist(words)}, t)))"
@@ -307,13 +320,7 @@ object TextQueries {
     // n_terms carries boolean-AND semantics (filter n_terms = |q|).
     GraftQuery(
       "t11_bm25_search",
-      s"""$normCte,
-         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
-         |               len(string_split(norm, ' ')) AS dl FROM n),
-         |post AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
-         |         FROM tok GROUP BY doc_id, term),
-         |docs AS (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+      s"""$bm25IndexCte,
          |m AS (SELECT * FROM post WHERE term IN ('vector', 'window', 'merge')),
          |dft AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term)
          |SELECT m.doc_id AS doc_id, count(*) AS n_terms,
@@ -339,7 +346,7 @@ object TextQueries {
       s"""WITH p AS (
          |  SELECT doc_id, n_chars,
          |    -ln((('0x' || substr(md5(doc_id::varchar), 1, 3))::INT + 1)
-         |        / 4096.0) / n_chars AS priority
+         |        / 4097.0) / n_chars AS priority
          |  FROM documents)
          |SELECT doc_id, n_chars, round(priority, 6) AS priority
          |FROM p ORDER BY priority, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
@@ -358,13 +365,7 @@ object TextQueries {
     // so scores are identical to the single-query path.
     GraftQuery(
       "t13_batch_search",
-      s"""$normCte,
-         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
-         |               len(string_split(norm, ' ')) AS dl FROM n),
-         |post AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
-         |         FROM tok GROUP BY doc_id, term),
-         |docs AS (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+      s"""$bm25IndexCte,
          |qt AS (SELECT doc_id AS query_id,
          |         unnest(list_distinct([a[1], a[3], a[5]])) AS term
          |       FROM (SELECT doc_id, string_split(norm, ' ') AS a FROM n)

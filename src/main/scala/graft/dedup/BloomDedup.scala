@@ -48,8 +48,16 @@ object BloomDedup {
     val bloom = seen.stat.bloomFilter(fpCol, expectedItems, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val definitelyNew = batch.filter(!mightContain(col(fpCol)))
-    val residue = batch.filter(mightContain(col(fpCol)))
+    // flag ONCE and materialize (the batch is the small per-tick side):
+    // two complementary lazy filters would re-run the batch's upstream
+    // and the probe UDF twice, and the broadcast would have to outlive
+    // this call. After the eager checkpoint the bit array is no longer
+    // needed — release it instead of leaking one broadcast per tick.
+    val flagged = batch.withColumn("__maybe", mightContain(col(fpCol)))
+      .localCheckpoint(true)
+    bc.destroy()
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    val residue = flagged.filter(col("__maybe")).drop("__maybe")
       .join(seen.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definitelyNew.unionByName(residue)
   }

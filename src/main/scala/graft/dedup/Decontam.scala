@@ -62,14 +62,19 @@ object Decontam {
       val g = array_distinct(wordGrams(c, n))
       if (hashGrams) transform(g, x => xxhash64(x)) else g
     }
-    val bGrams = bench
-      .select(col(idCol), explode(grams(normCol)).as("gram"))
+    // totals from the ARRAY, before any explode: a doc shorter than n
+    // tokens has zero grams but must still get a report row
+    // (n_grams=0, not contaminated) — a plain explode would drop it
+    val b = bench.select(col(idCol), grams(normCol).as("__grams"))
+    val totals = b.select(col(idCol),
+      size(col("__grams")).cast("long").as("n_grams"))
+    val bGrams = b.select(col(idCol), explode(col("__grams")).as("gram"))
     val cGrams = corpus
       .select(explode(grams(normCol)).as("gram"))
       .distinct()
     val hits = bGrams.join(cGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    bGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    totals
       .join(hits, Seq(idCol), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("contam_ratio",

@@ -124,8 +124,8 @@ object DupClusters {
 
     // edge-set signature: (count, order-insensitive hash sum) — one
     // tiny aggregate; equal signature == fixpoint (hash-sum collision
-    // odds are 2^-64-ish per round, and a false "converged" would be
-    // caught by the star-shape check below)
+    // odds are 2^-64-ish per round, and a false "converged" is caught
+    // by the explicit star-shape assertion after the loop)
     def sig(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
@@ -167,7 +167,16 @@ object DupClusters {
     }
     if (!converged) throw new IllegalStateException(
       s"star contraction did not converge in $maxRounds rounds")
-    // fixpoint edges form two-level stars: u → component min
+    // fixpoint edges must form two-level stars (every u points
+    // directly at its component min, no root is itself a pointer) —
+    // the cheap structural assertion that makes a signature-collision
+    // false convergence loud instead of silently mislabelled
+    val threeLevel = e.select(col("v").as("mid"))
+      .join(e.select(col("u").as("mid")), Seq("mid"), "left_semi")
+      .limit(1).count()
+    if (threeLevel != 0L) throw new IllegalStateException(
+      "star contraction fixpoint is not a two-level star — " +
+        "convergence signature produced a false positive")
     nodes.select(col(idCol).as("id")).distinct()
       .join(e.groupBy("u").agg(min("v").as("m")), col("id") === col("u"), "left")
       .select(col("id").as(idCol), coalesce(col("m"), col("id")).as("cluster_id"))

@@ -73,13 +73,25 @@ object TextSearch {
       idCol: String,
       queryTerms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      stats: Option[DataFrame] = None): DataFrame = {
     // matched postings: the term filter lands on the index scan
     val matched = post.filter(col("term").isin(queryTerms.distinct: _*))
-    score(post, matched, idCol, k1, b)
+    score(post, matched, idCol, k1, b, stats)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
   }
+
+  /** Corpus constants (n_docs, avgdl) of an index — one row. Compute
+    * this ONCE at index build and persist it next to the postings:
+    * deriving it per query re-aggregates the whole index just to get
+    * two numbers, which on a large corpus dominates the per-query
+    * cost the term-filter pushdown exists to avoid. Pass the persisted
+    * row via the `stats` parameter of the scoring entry points.
+    */
+  def corpusStats(post: DataFrame, idCol: String): DataFrame =
+    post.groupBy(col(idCol)).agg(first("dl").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
 
   /** Batch retrieval: score MANY queries in one pass — `queryTerms` is
     * a (query_id, term) DataFrame (distinct terms per query), joined
@@ -93,10 +105,11 @@ object TextSearch {
       idCol: String,
       queryTerms: DataFrame,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      stats: Option[DataFrame] = None): DataFrame = {
     val matched = post.join(
       broadcast(queryTerms.select("term").distinct()), "term")
-    score(post, matched, idCol, k1, b)
+    score(post, matched, idCol, k1, b, stats)
       .join(broadcast(queryTerms), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
@@ -111,10 +124,11 @@ object TextSearch {
       matched: DataFrame,
       idCol: String,
       k1: Double,
-      b: Double): DataFrame = {
-    // corpus constants: one tiny two-column row, broadcast
-    val stats = post.groupBy(col(idCol)).agg(first("dl").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      b: Double,
+      statsOpt: Option[DataFrame]): DataFrame = {
+    // corpus constants: one tiny two-column row, broadcast — derived
+    // here only when the caller didn't pass the persisted row
+    val stats = statsOpt.getOrElse(corpusStats(post, idCol))
     // per-term document frequency over the matched slice (small)
     val dfs = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))

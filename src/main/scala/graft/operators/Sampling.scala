@@ -57,8 +57,11 @@ object Sampling {
     * per-stratum ranking window.
     */
   def weightedPriority(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
-    // (bucket + 1) / 4096 keeps u strictly positive for the log
-    val u = (hashBucket(col(keyCol)) + 1).cast("double") / buckets
+    // (bucket + 1) / (buckets + 1) keeps u strictly INSIDE (0, 1):
+    // dividing by `buckets` would give bucket 4095 (keys whose md5
+    // starts 'fff') u = 1.0 exactly, priority -ln(1)/w = 0 — always
+    // sampled regardless of weight
+    val u = (hashBucket(col(keyCol)) + 1).cast("double") / (buckets + 1)
     df.withColumn("_priority", -log(u) / weight)
   }
 }

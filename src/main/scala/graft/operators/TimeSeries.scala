@@ -39,7 +39,10 @@ object TimeSeries {
       valueCol: String,
       stepMs: Long): DataFrame = {
     require(stepMs > 0, "stepMs must be positive")
-    val tick = (col(tsMsCol) / stepMs).cast("long") * stepMs
+    // floor, not cast-truncation: truncation rounds toward zero, so
+    // pre-1970 (negative) timestamps would share bucket 0 with early
+    // positive ones and diverge from floor-division semantics
+    val tick = floor(col(tsMsCol) / stepMs).cast("long") * stepMs
     val obs = df
       .groupBy(col(keyCol), tick.as("tick_ms"))
       .agg(sum(col(valueCol)).as("v_obs"))

@@ -51,6 +51,17 @@ class DecontamSpec extends SparkSpec {
       .select("is_contaminated").as[Boolean].collect() shouldBe Array(true)
   }
 
+  test("docs shorter than n tokens still get a report row (n_grams=0, clean)") {
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+    val bench = Seq((10L, "too short"), (11L, "a b c d e f g h")).toDF("id", "text")
+    val r = Decontam.report(bench, corpus, "id", norm, 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_hit"),
+          x.getAs[Boolean]("is_contaminated")))).toMap
+    r(10L) shouldBe ((0L, 0L, false))
+    r(11L)._3 shouldBe true
+  }
+
   test("hashGrams (the scale path) reports identically to string grams") {
     val corpus = Seq((1L, "the cat sat on the mat today fine"),
       (2L, "w1 w2 w3 w4 w5 zz qq")).toDF("id", "text")

@@ -63,6 +63,15 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25(docs, "doc_id", norm, Seq("spark")))
   }
 
+  test("precomputed corpus stats (the persisted-index path) score identically") {
+    val post = TextSearch.postings(docs, "doc_id", norm)
+    val stats = TextSearch.corpusStats(post, "doc_id")
+    assertSameRows(
+      TextSearch.bm25OverPostings(post, "doc_id", Seq("spark", "rare"),
+        stats = Some(stats)),
+      TextSearch.bm25OverPostings(post, "doc_id", Seq("spark", "rare")))
+  }
+
   test("bm25Batch scores each query identically to the single-query path") {
     val post = TextSearch.postings(docs, "doc_id", norm)
     val queries = Seq((0L, "spark"), (0L, "rare"), (1L, "engine"))

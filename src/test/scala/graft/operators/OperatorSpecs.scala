@@ -185,8 +185,11 @@ class SamplingSpec extends SparkSpec {
     // ~99% of the top-100 should be the weight-100 (even-id) rows
     val heavy = top(100).count(_ % 2 == 0)
     heavy.toDouble should be >= 90.0
-    // priorities are strictly positive and finite
-    val ps = Sampling.weightedPriority(wdf, "id", col("w"))
+    // priorities are strictly positive and finite — INCLUDING the
+    // top hash bucket (key 12673 md5-hashes to bucket 4095, which a
+    // /4096 normalization would send to u=1.0, priority exactly 0)
+    val edge = Seq((12673L, 1e9)).toDF("id", "w")
+    val ps = Sampling.weightedPriority(wdf.union(edge), "id", col("w"))
       .select("_priority").as[Double].collect()
     ps.foreach { p => p should be > 0.0; java.lang.Double.isFinite(p) shouldBe true }
   }

@@ -56,6 +56,16 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("negative (pre-1970) timestamps bucket by floor, not truncation") {
+    val ev = Seq(("u", -1L, 1.0), ("u", 1L, 2.0), ("u", -3599999L, 4.0))
+      .toDF("k", "ts", "v")
+    val ticks = TimeSeries.gapFillFfill(ev, "k", "ts", "v", 3600000L)
+      .filter(!org.apache.spark.sql.functions.col("is_gap"))
+      .select("tick_ms", "v_obs").as[(Long, Double)].collect().toMap
+    // -1 and -3599999 share floor bucket -3600000; +1 sits in bucket 0
+    ticks shouldBe Map(-3600000L -> 5.0, 0L -> 2.0)
+  }
+
   test("observed ticks aggregate (sum) all events in the bucket") {
     val ev = Seq(("u", 100L, 1.5), ("u", 900L, 2.5), ("u", 999L, 1.0))
       .toDF("k", "ts", "v")
