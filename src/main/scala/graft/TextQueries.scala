@@ -393,6 +393,30 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "doc_id")
+    },
+
+    // Exact-phrase search (ES match_phrase) over a POSITIONAL inverted
+    // index: per-term position arrays equi-join on the doc and
+    // adjacency folds with array_intersect(prev+1, next) — work
+    // proportional to the rarest term's postings. The oracle counts
+    // phrase starts positionally (overlap-safe, unlike a regex scan).
+    GraftQuery(
+      "t14_phrase_search",
+      s"""$normCte,
+         |tok AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n)
+         |SELECT doc_id,
+         |  len([i for i in generate_series(1, len(a) - 2)
+         |       if a[i] = 'fast' and a[i+1] = 'table' and a[i+2] = 'scan'])
+         |    AS n_hits
+         |FROM tok
+         |WHERE len([i for i in generate_series(1, len(a) - 2)
+         |       if a[i] = 'fast' and a[i+1] = 'table' and a[i+2] = 'scan']) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val idx = TextSearch.positionalPostings(
+        d, "doc_id", TextFunctions.normalize(col("text")))
+      TextSearch.phraseMatch(idx, "doc_id", Seq("fast", "table", "scan"))
+        .orderBy("doc_id")
     }
   )
 }

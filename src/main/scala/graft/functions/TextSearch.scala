@@ -115,6 +115,48 @@ object TextSearch {
       .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
   }
 
+  /** Positional postings: (id, term, positions) with 0-based,
+    * ascending token positions — the index shape phrase and proximity
+    * queries need (ES match_phrase). Build cost is the same doc×term
+    * shuffle as `postings`, carrying an int array instead of a count.
+    */
+  def positionalPostings(
+      docs: DataFrame,
+      idCol: String,
+      norm: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(norm)).as(Seq("pos", "term")))
+      .groupBy(col(idCol), col("term"))
+      .agg(array_sort(collect_list(col("pos"))).as("positions"))
+
+  /** Exact-phrase match (ES match_phrase): documents containing the
+    * words of `phrase` ADJACENT and IN ORDER. Each phrase term's
+    * postings slice is filtered at the index scan, the slices
+    * equi-join on the doc id, and adjacency folds left-to-right with
+    * `array_intersect(positions_so_far + 1, positions_next)` — all
+    * codegen'd array expressions, work proportional to the rarest
+    * term's postings, never to the corpus. Returns (idCol, n_hits =
+    * number of phrase occurrences).
+    */
+  def phraseMatch(
+      positional: DataFrame,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val slices = phrase.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("term") === t)
+        .select(col(idCol), col("positions").as(s"__p$i"))
+    }
+    val joined = slices.reduce(_.join(_, idCol))
+    // fold: positions where the prefix of length i+1 ends
+    val ends = (1 until phrase.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, p => p + 1), col(s"__p$i"))
+    }
+    joined
+      .select(col(idCol), size(ends).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Per-(posting) BM25 weight `w` over the matched slice; df and the
     * corpus constants come from the FULL index so batch and
     * single-query paths score identically.

@@ -85,6 +85,36 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25OverPostings(post, "doc_id", Seq("engine")))
   }
 
+  test("phraseMatch: adjacency and order are required; occurrences counted") {
+    val d = Seq(
+      (1L, "fast table scan wins"),       // 1 hit
+      (2L, "table scan fast"),            // right words, wrong order
+      (3L, "fast big table scan"),        // gap breaks adjacency
+      (4L, "fast table scan fast table scan"), // 2 hits
+      (5L, "unrelated")).toDF("doc_id", "text")
+    val idx = TextSearch.positionalPostings(
+      d, "doc_id", TextFunctions.normalize(col("text")))
+    val got = TextSearch.phraseMatch(idx, "doc_id", Seq("fast", "table", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 4L -> 2L)
+  }
+
+  test("phraseMatch: overlapping occurrences of a self-similar phrase all count") {
+    val d = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val idx = TextSearch.positionalPostings(
+      d, "doc_id", TextFunctions.normalize(col("text")))
+    TextSearch.phraseMatch(idx, "doc_id", Seq("a", "a"))
+      .collect().map(r => r.getLong(1)) shouldBe Array(3L)
+  }
+
+  test("phraseMatch: single-word phrase degenerates to term lookup with tf") {
+    val d = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val idx = TextSearch.positionalPostings(
+      d, "doc_id", TextFunctions.normalize(col("text")))
+    TextSearch.phraseMatch(idx, "doc_id", Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+  }
+
   test("idf is non-negative even for a term in every document") {
     val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
     val s = TextSearch.bm25(all, "doc_id", TextFunctions.normalize(col("text")), Seq("x"))
