@@ -944,6 +944,43 @@ object RelationalQueries {
           round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"),
           count(lit(1)).over(w).as("orders_30d"))
         .orderBy("o_orderkey")
+    },
+
+    // Declarative data-quality constraints (operators.Checks) — the
+    // continuous form of the reference's checkSync oracle (referential
+    // integrity + field validity, tests/testSyncClass.py:273-333):
+    // PK uniqueness, FK resolution, nullability, and a range check
+    // that actually fires, all row-level checks sharing ONE scan.
+    GraftQuery(
+      "c2_constraint_check",
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT 'in_range(o_totalprice,0.0,400000.0)' AS check_name,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_totalprice IS NOT NULL
+        |     AND o_totalprice NOT BETWEEN 0.0 AND 400000.0) AS n_violations,
+        |  n_rows FROM n
+        |UNION ALL
+        |SELECT 'not_null(o_custkey)',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL), n_rows FROM n
+        |UNION ALL
+        |SELECT 'refers_to(o_custkey)',
+        |  (SELECT count(*) FROM
+        |    (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+        |    ANTI JOIN customer c ON o.o_custkey = c.c_custkey), n_rows FROM n
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)',
+        |  (SELECT coalesce(sum(c), 0)::BIGINT FROM
+        |    (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        |     HAVING count(*) > 1)), n_rows FROM n
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import graft.operators.Checks
+      Checks.run(Tables.load(s, dir, "orders"), Seq(
+          Checks.InRange("o_totalprice", 0.0, 400000.0),
+          Checks.NotNull("o_custkey"),
+          Checks.RefersTo(Seq("o_custkey"),
+            Tables.load(s, dir, "customer"), Seq("c_custkey")),
+          Checks.Unique(Seq("o_orderkey"))))
+        .orderBy("check_name")
     }
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the engine-side
+  * generalization of the reference's test oracle, whose whole job is
+  * "after sync, every ES doc exists in C* and all common fields
+  * match" (checkSync, reference tests/testSyncClass.py:273-333): a
+  * referential-integrity check plus field equality. A pipeline wants
+  * the same assertions continuously: primary-key uniqueness, foreign
+  * keys resolving, columns non-null, values in range.
+  *
+  * Each check emits one (check name, n_violations, n_rows) row.
+  * Row-level checks (notNull, inRange, satisfies) share ONE aggregate
+  * pass over the table — violation counts are conditional sums, so N
+  * checks cost one scan, not N. Uniqueness is one hash aggregate on
+  * the key; referential integrity is one left-anti join (broadcast
+  * when the referenced key set is small). Nothing collects to the
+  * driver but the per-check counters.
+  */
+object Checks {
+
+  sealed trait Check { def name: String }
+  /** Every row's `cols` combination appears once. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** `col` is never null. */
+  final case class NotNull(col: String) extends Check {
+    def name = s"not_null($col)"
+  }
+  /** `col` ∈ [lo, hi] (nulls are not violations — combine with
+    * NotNull when they should be).
+    */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+  /** Arbitrary row predicate that must hold. */
+  final case class Satisfies(label: String, predicate: Column) extends Check {
+    def name = s"satisfies($label)"
+  }
+  /** Every non-null `cols` combination exists in `ref`'s `refCols`. */
+  final case class RefersTo(cols: Seq[String], ref: DataFrame, refCols: Seq[String])
+      extends Check {
+    def name = s"refers_to(${cols.mkString(",")})"
+  }
+
+  /** Run all checks; output (check_name, n_violations, n_rows), one
+    * row per check, `n_rows` = table row count (the denominator a
+    * monitor alerts on).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowLevel: Seq[(String, Column)] = checks.collect {
+      case NotNull(c) => (s"not_null($c)", col(c).isNull)
+      case InRange(c, lo, hi) =>
+        (s"in_range($c,$lo,$hi)", col(c).isNotNull && !col(c).between(lo, hi))
+      case s: Satisfies => (s.name, !coalesce(s.predicate, lit(false)))
+    }
+    // one pass: count(*) plus one conditional sum per row-level check
+    val rowAggs = count(lit(1)).as("__n") +:
+      rowLevel.map { case (n, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(n)
+      }
+    val aggRow = df.agg(rowAggs.head, rowAggs.tail: _*).head
+    val nRows = aggRow.getLong(0)
+    val rowResults = rowLevel.zipWithIndex.map { case ((n, _), i) =>
+      (n, aggRow.getLong(i + 1))
+    }
+
+    val uniqueResults = checks.collect { case Unique(cols) =>
+      val dups = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .agg(sum(col("__c"))).head
+      (s"unique(${cols.mkString(",")})",
+        if (dups.isNullAt(0)) 0L else dups.getLong(0))
+    }
+
+    val refResults = checks.collect { case RefersTo(cols, ref, refCols) =>
+      val probe = df.select(cols.map(col): _*)
+        .na.drop("any") // null FKs are NotNull's business
+      val target = ref.select(refCols.zip(cols).map {
+        case (rc, c) => col(rc).as(c)
+      }: _*).distinct()
+      (s"refers_to(${cols.mkString(",")})",
+        probe.join(target, cols, "left_anti").count())
+    }
+
+    (rowResults ++ uniqueResults ++ refResults)
+      .map { case (n, v) => (n, v, nRows) }
+      .toDF("check_name", "n_violations", "n_rows")
+  }
+}
