@@ -981,6 +981,29 @@ object RelationalQueries {
             Tables.load(s, dir, "customer"), Seq("c_custkey")),
           Checks.Unique(Seq("o_orderkey"))))
         .orderBy("check_name")
+    },
+
+    // Sliding event-time windows in BATCH via the built-in `window()`
+    // generator: 2-hour windows every hour, each event expanding to
+    // its two covering windows map-side (an Expand, no join) before
+    // one hash aggregate — the same overlap semantics the streaming
+    // WindowedStats path uses, here over the static table.
+    GraftQuery(
+      "q31_sliding_window",
+      """WITH e AS (SELECT epoch_ms(ts) AS t, value FROM events),
+        |x AS (
+        |  SELECT unnest([
+        |    ((t // 3600000) - 1) * 3600000,
+        |    (t // 3600000) * 3600000]) AS ws, t, value
+        |  FROM e)
+        |SELECT ws, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM x WHERE t >= ws AND t < ws + 7200000
+        |GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(unix_millis(col("w.start")).as("ws"), col("n"), col("sum_v"))
+        .orderBy("ws")
     }
   )
 }

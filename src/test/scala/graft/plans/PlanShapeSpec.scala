@@ -157,6 +157,13 @@ class PlanShapeSpec extends SparkSpec {
     "FileScan".r.findAllIn(p).length shouldBe 1
   }
 
+  test("sliding windows expand map-side into one aggregate — no join, one scan") {
+    val p = plan("q31_sliding_window")
+    p should include("Expand")
+    p should not include "Join"
+    "FileScan".r.findAllIn(p).length shouldBe 1
+  }
+
   test("AQE splits a skewed shuffle join at runtime (the engine's join-skew path)") {
     // SkewTools salts AGGREGATES deterministically; for JOINS the
     // engine leans on AQE's OptimizeSkewedJoin — this pins that the
