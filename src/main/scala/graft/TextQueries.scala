@@ -417,6 +417,27 @@ object TextQueries {
         d, "doc_id", TextFunctions.normalize(col("text")))
       TextSearch.phraseMatch(idx, "doc_id", Seq("fast", "table", "scan"))
         .orderBy("doc_id")
+    },
+
+    // Fuzzy term expansion (ES fuzzy query): vocabulary terms within
+    // one edit of the typo'd query 'scen', with document frequency —
+    // length-banded before the Levenshtein so the edit distance never
+    // sees the full vocabulary.
+    GraftQuery(
+      "t15_fuzzy_terms",
+      s"""$normCte,
+         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+         |voc AS (SELECT term, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term)
+         |SELECT term, df, levenshtein(term, 'scen') AS dist
+         |FROM voc
+         |WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'scen') <= 1
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val post = TextSearch.postings(
+        d, "doc_id", TextFunctions.normalize(col("text")))
+      TextSearch.fuzzyTerms(post, "scen", maxDist = 1)
+        .orderBy("term")
     }
   )
 }

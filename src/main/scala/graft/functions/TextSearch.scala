@@ -157,6 +157,28 @@ object TextSearch {
       .filter(col("n_hits") > 0)
   }
 
+  /** Fuzzy term expansion (ES fuzzy query): vocabulary terms within
+    * `maxDist` edits of `term`, with document frequency — what a
+    * search layer feeds back into `bm25OverPostings` to tolerate
+    * typos. The vocabulary (distinct terms + df) is derived from the
+    * postings index with one hash aggregate; the LENGTH BAND
+    * `abs(len(t) - len(q)) <= maxDist` prunes before the O(len²)
+    * Levenshtein evaluates — at corpus scale the vocabulary is
+    * millions of terms and the band (pushable to a persisted,
+    * length-sorted vocabulary's zone maps) is what keeps the edit
+    * distance off the hot path.
+    */
+  def fuzzyTerms(
+      post: DataFrame,
+      term: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    post.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), lit(term)))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Per-(posting) BM25 weight `w` over the matched slice; df and the
     * corpus constants come from the FULL index so batch and
     * single-query paths score identically.

@@ -115,6 +115,19 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
   }
 
+  test("fuzzyTerms: edit-distance neighbors with df, exact term at dist 0") {
+    val d = Seq(
+      (1L, "scan scan scam"), (2L, "scan plan"), (3L, "scene")).toDF("doc_id", "text")
+    val post = TextSearch.postings(d, "doc_id", TextFunctions.normalize(col("text")))
+    val got = TextSearch.fuzzyTerms(post, "scan", maxDist = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // scan: df 2, dist 0; scam: df 1, dist 1; plan: dist 2 excluded;
+    // scene: length band |5-4|<=1 passes but dist 2 excluded
+    got shouldBe Map("scan" -> ((2L, 0)), "scam" -> ((1L, 1)))
+    TextSearch.fuzzyTerms(post, "scan", maxDist = 0)
+      .collect().map(_.getString(0)) shouldBe Array("scan")
+  }
+
   test("idf is non-negative even for a term in every document") {
     val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
     val s = TextSearch.bm25(all, "doc_id", TextFunctions.normalize(col("text")), Seq("x"))
