@@ -48,16 +48,18 @@ object BloomDedup {
     val bloom = seen.stat.bloomFilter(fpCol, expectedItems, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    // flag ONCE and materialize (the batch is the small per-tick side):
-    // two complementary lazy filters would re-run the batch's upstream
-    // and the probe UDF twice, and the broadcast would have to outlive
-    // this call. After the eager checkpoint the bit array is no longer
-    // needed — release it instead of leaking one broadcast per tick.
-    val flagged = batch.withColumn("__maybe", mightContain(col(fpCol)))
-      .localCheckpoint(true)
-    bc.destroy()
-    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
-    val residue = flagged.filter(col("__maybe")).drop("__maybe")
+    // Deliberately LAZY (no checkpoint, no bc.destroy): the union's
+    // two branches re-evaluate the batch's upstream, but the result
+    // stays recomputable after executor loss — an eager checkpoint +
+    // destroyed broadcast would make a lost block fatal mid-tick.
+    // The bloom-negative branch is the one that must never shuffle;
+    // both branches re-scanning the (small, per-tick) batch is the
+    // cheap side of that trade — callers looping over ticks can
+    // persist `batch` themselves if its upstream is expensive. The
+    // broadcast is reclaimed by Spark's ContextCleaner once the
+    // returned plan is unreferenced.
+    val definitelyNew = batch.filter(!mightContain(col(fpCol)))
+    val residue = batch.filter(mightContain(col(fpCol)))
       .join(seen.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definitelyNew.unionByName(residue)
   }

@@ -123,9 +123,10 @@ object DupClusters {
       .localCheckpoint(true)
 
     // edge-set signature: (count, order-insensitive hash sum) — one
-    // tiny aggregate; equal signature == fixpoint (hash-sum collision
-    // odds are 2^-64-ish per round, and a false "converged" is caught
-    // by the explicit star-shape assertion after the loop)
+    // tiny aggregate per round. A signature MATCH is then confirmed
+    // exactly (one exceptAll, only on the matching round), so a
+    // 2^-64 hash-sum collision can cost one extra round but can never
+    // declare a non-fixpoint converged.
     def sig(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
@@ -157,26 +158,19 @@ object DupClusters {
         .distinct()
         .localCheckpoint(true)
       val next = sig(small)
-      converged = next._1 == prev._1 && ((next._2, prev._2) match {
+      val sigMatch = next._1 == prev._1 && ((next._2, prev._2) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
         case (a, b) => a == b
       })
+      // signatures equal => confirm exactly: counts match, so one
+      // empty multiset difference proves set equality
+      converged = sigMatch && small.exceptAll(e).limit(1).count() == 0L
       prev = next
       e = small
       round += 1
     }
     if (!converged) throw new IllegalStateException(
       s"star contraction did not converge in $maxRounds rounds")
-    // fixpoint edges must form two-level stars (every u points
-    // directly at its component min, no root is itself a pointer) —
-    // the cheap structural assertion that makes a signature-collision
-    // false convergence loud instead of silently mislabelled
-    val threeLevel = e.select(col("v").as("mid"))
-      .join(e.select(col("u").as("mid")), Seq("mid"), "left_semi")
-      .limit(1).count()
-    if (threeLevel != 0L) throw new IllegalStateException(
-      "star contraction fixpoint is not a two-level star — " +
-        "convergence signature produced a false positive")
     nodes.select(col(idCol).as("id")).distinct()
       .join(e.groupBy("u").agg(min("v").as("m")), col("id") === col("u"), "left")
       .select(col("id").as(idCol), coalesce(col("m"), col("id")).as("cluster_id"))

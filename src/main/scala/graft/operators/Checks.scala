@@ -43,7 +43,31 @@ object Checks {
   /** Every non-null `cols` combination exists in `ref`'s `refCols`. */
   final case class RefersTo(cols: Seq[String], ref: DataFrame, refCols: Seq[String])
       extends Check {
+    require(cols.size == refCols.size,
+      s"refers_to: ${cols.size} probe columns vs ${refCols.size} referenced — " +
+        "a zip would silently validate only the shorter prefix")
     def name = s"refers_to(${cols.mkString(",")})"
+  }
+
+  private def violation(c: Check): Option[Column] = c match {
+    case NotNull(col0) => Some(col(col0).isNull)
+    case InRange(col0, lo, hi) =>
+      Some(col(col0).isNotNull && !col(col0).between(lo, hi))
+    case s: Satisfies => Some(!coalesce(s.predicate, lit(false)))
+    case _ => None
+  }
+
+  /** The single shared pass for every row-level check: count(*) plus
+    * one conditional sum per check, over ONE scan of `df`. Exposed so
+    * the spec can pin the one-scan plan; `run` consumes its head row.
+    * Sums are null-guarded so a ZERO-ROW table reports 0 violations
+    * (sum over no rows is SQL NULL, not 0).
+    */
+  def rowLevelAgg(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowAggs = count(lit(1)).as("__n") +:
+      checks.flatMap(c => violation(c).map(v =>
+        coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(c.name)))
+    df.agg(rowAggs.head, rowAggs.tail: _*)
   }
 
   /** Run all checks; output (check_name, n_violations, n_rows), one
@@ -54,40 +78,28 @@ object Checks {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val rowLevel: Seq[(String, Column)] = checks.collect {
-      case NotNull(c) => (s"not_null($c)", col(c).isNull)
-      case InRange(c, lo, hi) =>
-        (s"in_range($c,$lo,$hi)", col(c).isNotNull && !col(c).between(lo, hi))
-      case s: Satisfies => (s.name, !coalesce(s.predicate, lit(false)))
-    }
-    // one pass: count(*) plus one conditional sum per row-level check
-    val rowAggs = count(lit(1)).as("__n") +:
-      rowLevel.map { case (n, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(n)
-      }
-    val aggRow = df.agg(rowAggs.head, rowAggs.tail: _*).head
+    val rowLevel = checks.filter(violation(_).isDefined)
+    val aggRow = rowLevelAgg(df, rowLevel).head
     val nRows = aggRow.getLong(0)
-    val rowResults = rowLevel.zipWithIndex.map { case ((n, _), i) =>
-      (n, aggRow.getLong(i + 1))
+    val rowResults = rowLevel.zipWithIndex.map { case (c, i) =>
+      (c.name, aggRow.getLong(i + 1))
     }
 
-    val uniqueResults = checks.collect { case Unique(cols) =>
+    val uniqueResults = checks.collect { case u @ Unique(cols) =>
       val dups = df.groupBy(cols.map(col): _*)
         .agg(count(lit(1)).as("__c"))
         .filter(col("__c") > 1)
         .agg(sum(col("__c"))).head
-      (s"unique(${cols.mkString(",")})",
-        if (dups.isNullAt(0)) 0L else dups.getLong(0))
+      (u.name, if (dups.isNullAt(0)) 0L else dups.getLong(0))
     }
 
-    val refResults = checks.collect { case RefersTo(cols, ref, refCols) =>
+    val refResults = checks.collect { case r @ RefersTo(cols, ref, refCols) =>
       val probe = df.select(cols.map(col): _*)
         .na.drop("any") // null FKs are NotNull's business
       val target = ref.select(refCols.zip(cols).map {
         case (rc, c) => col(rc).as(c)
       }: _*).distinct()
-      (s"refers_to(${cols.mkString(",")})",
-        probe.join(target, cols, "left_anti").count())
+      (r.name, probe.join(target, cols, "left_anti").count())
     }
 
     (rowResults ++ uniqueResults ++ refResults)

@@ -47,19 +47,38 @@ class ChecksSpec extends SparkSpec {
     r.getLong(1) shouldBe 2L // the two fid=2 rows; null exempt
   }
 
-  test("all row-level checks share one scan") {
+  test("all row-level checks share one scan (plan pin on the shared aggregate)") {
     val checks = Seq(
       Checks.NotNull("name"), Checks.NotNull("v"),
       Checks.InRange("v", 0.0, 100.0),
       Checks.Satisfies("p", col("id") > 0))
-    val rowAggs = df.agg(count(lit(1)).as("n"),
-      sum(when(col("name").isNull, 1L).otherwise(0L)).as("a"))
-    // structural assertion: Checks.run on row-level-only constraints
-    // triggers exactly one Spark job scanning the table once — proxy:
-    // result is correct and computed without Unique/RefersTo joins
-    val out = Checks.run(df, checks)
-    out.count() shouldBe 4
-    rowAggs.count() shouldBe 1
+    // rowLevelAgg IS the pass run() consumes — pin its plan: one scan,
+    // one aggregate pair, no join, regardless of check count
+    val plan = Checks.rowLevelAgg(df, checks).queryExecution.executedPlan.toString
+    "LocalTableScan|FileScan".r.findAllIn(plan).length shouldBe 1
+    plan should not include "Join"
+    // and its single row answers every check
+    val row = Checks.rowLevelAgg(df, checks).head
+    row.getLong(0) shouldBe 4L                      // count(*)
+    row.getLong(row.fieldIndex("not_null(name)")) shouldBe 1L
+    row.getLong(row.fieldIndex("in_range(v,0.0,100.0)")) shouldBe 1L
+  }
+
+  test("empty table: zero violations over zero rows, not an NPE") {
+    val empty = df.filter(col("id") < 0)
+    val r = Checks.run(empty, Seq(
+        Checks.NotNull("name"), Checks.InRange("v", 0.0, 1.0),
+        Checks.Unique(Seq("id"))))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    r.values.foreach(_ shouldBe ((0L, 0L)))
+    r.size shouldBe 3
+  }
+
+  test("refers_to rejects mismatched probe/referenced column counts") {
+    val ref = Seq(1L).toDF("x").withColumn("y", lit(2L))
+    intercept[IllegalArgumentException] {
+      Checks.RefersTo(Seq("fid"), ref, Seq("x", "y"))
+    }
   }
 
   test("clean table reports zero violations everywhere") {
