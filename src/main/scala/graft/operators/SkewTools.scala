@@ -27,17 +27,42 @@ import org.apache.spark.sql.functions._
 object SkewTools {
 
   /** Fan a CPU-bound derivation out to the session's parallelism when
-    * the source arrives under-partitioned. A small dimension parquet is
-    * one file → one task, and an explode-then-hash pipeline downstream
+    * the source scan is genuinely under-split. A small dimension
+    * parquet is one file → effectively one task (a parquet file with a
+    * single row group does all its work in one split no matter how the
+    * byte ranges are cut), and an explode-then-hash pipeline downstream
     * of it runs single-threaded no matter how many cores exist
     * (measured: the MinHash shingle stage at 1 vs 32 partitions is
-    * 11.3 s vs 3.2 s on local[32]). At real scale inputs split by
-    * `files.maxPartitionBytes` and this is a no-op; the round-robin
-    * shuffle it inserts costs only the (small) source's bytes.
+    * 11.3 s vs 3.2 s on local[32]).
+    *
+    * Gating is on the SCAN LAYOUT, read from the logical plan — never
+    * `df.rdd` (which forces a full plan→RDD conversion just to count
+    * partitions). Two conditions must both hold before the round-robin
+    * shuffle is inserted:
+    *
+    *  - fewer input files than cores (`df.inputFiles` — the cached
+    *    file-index listing, no job): at real scale a table is
+    *    thousands of files and this disarms the shuffle entirely;
+    *  - the files are small enough that Spark's own
+    *    `files.maxPartitionBytes` splitting cannot reach the target
+    *    parallelism either (few LARGE files carry many row groups and
+    *    split fine on their own — repartitioning them would shuffle
+    *    gigabytes to fix a problem that doesn't exist).
+    *
+    * Non-file inputs (in-memory test frames, streaming micro-batch
+    * sources) report zero input files and pass through untouched:
+    * their partitioning was chosen by whoever materialized them.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles.length
+    if (files == 0 || files >= target) df
+    else {
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes / maxSplit >= target) df else df.repartition(target)
+    }
   }
 
   /** Two-phase aggregation: group on (keys, salt(spreadCol)) first,

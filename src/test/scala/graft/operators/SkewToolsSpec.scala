@@ -36,4 +36,37 @@ class SkewToolsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     run() shouldBe run()
   }
+
+  test("fanOut spreads a one-file parquet scan to the session parallelism") {
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val fanned = SkewTools.fanOut(scan)
+    // the gate fires (repartition present) and content is untouched
+    assert(fanned.queryExecution.analyzed.toString.contains("Repartition"),
+      "single-file scan should be repartitioned")
+    fanned.rdd.getNumPartitions shouldBe spark.sparkContext.defaultParallelism
+    assertSameRows(fanned, scan)
+  }
+
+  test("fanOut leaves non-file inputs untouched (no blind repartition)") {
+    val local = df // in-memory relation: zero input files
+    val out = SkewTools.fanOut(local)
+    assert(out eq local, "in-memory frame must pass through untouched")
+  }
+
+  test("fanOut skips large scans that Spark's own byte-splitting parallelizes") {
+    val dir = java.nio.file.Files.createTempDirectory("fanout-big").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    // shrink maxPartitionBytes so the (tiny) file *looks* like it splits
+    // into >= parallelism pieces on its own — the gate must stand down
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "16")
+      val scan = spark.read.parquet(dir)
+      val out = SkewTools.fanOut(scan)
+      assert(out eq scan, "byte-splittable scan must pass through untouched")
+    } finally spark.conf.set(key, prev)
+  }
 }
