@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Bloom-prefiltered incremental dedup — the 100 TB path for "which
   * rows of this batch have never been seen before".
@@ -10,11 +10,11 @@ import org.apache.spark.sql.DataFrame
   * against the full seen-fingerprint set: one shuffle of BOTH sides,
   * and the seen side is the whole corpus history — at scale that
   * shuffle dominates every tick. This operator splits the batch with a
-  * driver-built Bloom filter over the seen fingerprints:
+  * Bloom filter over the seen fingerprints:
   *
-  *   - `mightContain == false` → DEFINITELY new (Bloom filters have no
+  *   - `might_contain == false` → DEFINITELY new (Bloom filters have no
   *     false negatives): emitted immediately, zero shuffle;
-  *   - `mightContain == true`  → maybe seen (true duplicate or false
+  *   - `might_contain == true`  → maybe seen (true duplicate or false
   *     positive, rate `fpp`): only this residue — duplicates plus
   *     ~fpp of the uniques — pays the exact anti-join.
   *
@@ -22,18 +22,31 @@ import org.apache.spark.sql.DataFrame
   * refined away; false negatives are impossible), but the shuffled
   * volume drops from |batch| + |seen| to |dups| + fpp·|batch| + the
   * seen side's join build. On mostly-novel corpora (the common crawl
-  * shape) that is a >10× reduction. The filter itself is one compact
-  * bit array built by a distributed aggregate (`stat.bloomFilter`) and
-  * broadcast — ~1.2 GB for 10⁹ items at 1% fpp, sized by
-  * `expectedItems`; beyond that, partition the seen set and stack
-  * filters.
+  * shape) that is a >10× reduction.
   *
-  * The mightContain probe is the engine's one deliberate UDF: Spark's
-  * BloomFilter expression surface is internal-only, and the probe is a
-  * bit-test — not worth a custom Expression until profiles say so
-  * (documented exception to the zero-UDF stance, SURVEY.md §2.11).
+  * Fully expression-based — no UDF, no manual broadcast: the filter is
+  * built by Spark's own `BloomFilterAggregate` as a SCALAR SUBQUERY
+  * over the seen side and probed with `BloomFilterMightContain`
+  * (registered as `graft_bloom_agg` / `graft_might_contain`; the same
+  * expressions `InjectRuntimeFilter` plants for runtime join pruning,
+  * so the probe stays inside whole-stage codegen). Both values hash
+  * through `xxhash64`, build and probe alike.
+  *
+  * Sizing: `BloomFilterAggregate` silently clamps its parameters to
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `.maxNumBits` (defaults 4 M items / 8 MB). A clamp never breaks
+  * correctness — the fpp just degrades and more rows pay the exact
+  * residue join — but past the cap either raise the confs or use
+  * [[newRowsStacked]], which multiplies capacity by hash-partitioning
+  * the seen set across `stacks` independent filters.
   */
 object BloomDedup {
+
+  /** optimal bit count for n items at false-positive rate p (the
+    * standard -n·ln p / ln²2 formula the sketch library itself uses).
+    */
+  private def optimalNumBits(n: Long, p: Double): Long =
+    math.max(64L, math.ceil(-n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong)
 
   /** Rows of `batch` whose `fpCol` value does not occur in
     * `seen.fpCol`. Exact — equivalent to
@@ -45,21 +58,77 @@ object BloomDedup {
       fpCol: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = seen.stat.bloomFilter(fpCol, expectedItems, fpp)
-    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    // Deliberately LAZY (no checkpoint, no bc.destroy): the union's
-    // two branches re-evaluate the batch's upstream, but the result
-    // stays recomputable after executor loss — an eager checkpoint +
-    // destroyed broadcast would make a lost block fatal mid-tick.
-    // The bloom-negative branch is the one that must never shuffle;
-    // both branches re-scanning the (small, per-tick) batch is the
-    // cheap side of that trade — callers looping over ticks can
-    // persist `batch` themselves if its upstream is expensive. The
-    // broadcast is reclaimed by Spark's ContextCleaner once the
-    // returned plan is unreferenced.
-    val definitelyNew = batch.filter(!mightContain(col(fpCol)))
-    val residue = batch.filter(mightContain(col(fpCol)))
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val bloom = seen
+      .agg(call_function("graft_bloom_agg", xxhash64(col(fpCol)),
+        lit(expectedItems), lit(optimalNumBits(expectedItems, fpp))).as("_bf"))
+      .scalar()
+    // a null filter (pathological empty aggregate) must claim "maybe
+    // seen" so the residue join keeps the result exact, never "new"
+    val might = coalesce(
+      call_function("graft_might_contain", bloom, xxhash64(col(fpCol))), lit(true))
+    // Deliberately LAZY (no checkpoint): the union's two branches
+    // re-evaluate the batch's upstream, but the result stays
+    // recomputable after executor loss; the subquery result is
+    // computed once and reused across both branches. The
+    // bloom-negative branch is the one that must never shuffle;
+    // callers looping over ticks can persist `batch` themselves if
+    // its upstream is expensive.
+    val definitelyNew = batch.filter(!might)
+    val residue = batch.filter(might)
+      .join(seen.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(residue)
+  }
+
+  /** [[newRows]] past a single filter's sizing bound: the seen set is
+    * hash-partitioned into `stacks` slices (`xxhash64(fp) mod m`) and
+    * one filter is built PER SLICE — all in a single distributed pass
+    * (one slice-keyed aggregate). A fingerprint can only live in the
+    * slice its own hash selects, so each batch row probes exactly one
+    * filter; a slice with no seen rows at all proves its batch rows
+    * new outright.
+    *
+    * Capacity scales linearly in `stacks` while each aggregation
+    * buffer stays inside the runtime-bloom-filter byte cap — at 10⁹
+    * seen items and 1 % fpp, 150 slices of ~8 MB replace the ~1.2 GB
+    * monolith no single buffer may hold. The probe side carries the
+    * m filter binaries into the task closure (same bytes the monolith
+    * would have broadcast); `stacks` in the tens-to-hundreds keeps
+    * that identical to the single-filter footprint.
+    *
+    * Exactness argument is [[newRows]]'s, per slice: no false
+    * negatives within a slice, false positives refined by the same
+    * residue anti-join.
+    */
+  def newRowsStacked(
+      batch: DataFrame,
+      seen: DataFrame,
+      fpCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      stacks: Int = 16): DataFrame = {
+    require(stacks >= 1, s"stacks must be >= 1, got $stacks")
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val perFilter = math.max(1L, (expectedItems + stacks - 1) / stacks)
+    val numBits = optimalNumBits(perFilter, fpp)
+    def slice(c: Column): Column = pmod(xxhash64(c), lit(stacks.toLong))
+    // one pass over seen builds every slice's filter; each filter is
+    // driver-collected (that is the contract: individually they fit)
+    val blooms: Seq[(Long, Array[Byte])] = seen
+      .groupBy(slice(col(fpCol)).as("_slice"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col(fpCol)),
+        lit(perFilter), lit(numBits)).as("_bf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    // probe only the row's own slice; absent slice => definitely new
+    val might: Column = blooms.foldLeft(lit(false)) { case (acc, (i, bytes)) =>
+      when(slice(col(fpCol)) === lit(i),
+        coalesce(call_function("graft_might_contain", lit(bytes),
+          xxhash64(col(fpCol))), lit(true)))
+        .otherwise(acc)
+    }
+    val definitelyNew = batch.filter(!might)
+    val residue = batch.filter(might)
       .join(seen.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definitelyNew.unionByName(residue)
   }

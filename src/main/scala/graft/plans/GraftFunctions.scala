@@ -27,7 +27,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (new FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
-      (args: Seq[Expression]) => NearestCentroid(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1), args(2))),
+    // Spark's own runtime-filter expressions, surfaced for BloomDedup:
+    // internal-only in the builtin registry (InjectRuntimeFilter plants
+    // them directly), but public classes — registering them here gives
+    // the engine a codegen'd, UDF-free bloom build/probe path.
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    (new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotently register on an existing session (classic runtime):
     * the native expressions plus the as-of whole-operator planner
