@@ -1004,6 +1004,59 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
         .select(unix_millis(col("w.start")).as("ws"), col("n"), col("sum_v"))
         .orderBy("ws")
+    },
+
+    // Correlated NOT EXISTS (TPC-H Q21/Q22 shape): market segments
+    // counted over customers with no finished order. Catalyst
+    // decorrelates the subquery to a LEFT ANTI join — the negated
+    // probe never materializes per-row subplans, and at scale it is
+    // one shuffled anti join against the filtered orders side.
+    GraftQuery(
+      "q32_not_exists",
+      """SELECT c.c_mktsegment, count(*) AS cust_count
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      Seq("customer", "orders").foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      s.sql(
+        """SELECT c.c_mktsegment, count(*) AS cust_count
+          |FROM customer c
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |GROUP BY c.c_mktsegment
+          |ORDER BY c.c_mktsegment""".stripMargin)
+    },
+
+    // Correlated scalar-aggregate subquery (TPC-H Q17 shape, and the
+    // LWW domain's "rows below their key's maximum version" predicate):
+    // each lineitem compares against ITS part's average quantity.
+    // Catalyst decorrelates this to one aggregate over lineitem keyed
+    // by partkey joined back to the probe side — the per-key aggregate
+    // is computed once per key, not once per probe row.
+    GraftQuery(
+      "q33_scalar_subquery",
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, dir) =>
+      Seq("lineitem", "part").foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      s.sql(
+        """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_brand = 'Brand#23'
+          |  AND l.l_quantity < (
+          |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
     }
   )
 }

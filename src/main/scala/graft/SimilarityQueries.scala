@@ -41,6 +41,31 @@ object SimilarityQueries {
   private val bucketPlanes = SignLSH.planes(dim = 64, bits = 8, tables = 1).head
   private val annPlanes = SignLSH.planes(dim = 64, bits = 6, tables = 1, seed = 7L)
 
+  /** One Lloyd assignment step as a CTE: nearest centroid by cosine,
+    * ties to the lowest cell — exactly plans.NearestCentroid's rule.
+    */
+  private def ivfAssignSql(centCte: String, outCte: String): String =
+    s"""$outCte AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.centroid")} DESC, c.cell) AS rnk
+       |    FROM embeddings e CROSS JOIN $centCte c)
+       |  WHERE rnk = 1)""".stripMargin
+
+  /** One Lloyd update step as a CTE: per-cell componentwise mean,
+    * rounded to 6 decimals — IvfKnn.centroids' reproducibility rule.
+    */
+  private def ivfCentSql(assignCte: String, outCte: String): String =
+    s"""$outCte AS (
+       |  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+       |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
+       |      SELECT cell, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+       |             unnest(embedding)::DOUBLE AS v
+       |      FROM $assignCte)
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // Exact top-10 neighbors for 5 probe vectors — the ANN baseline.
@@ -291,6 +316,54 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       Quantize.rescoreTopK(e, e.filter(col("vec_id") < 5), "vec_id",
           "embedding", k = 10, coarseK = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF k-NN over a TRAINED k-means codebook (the full production
+    // chain: trainCodebook -> assignCells -> topK). The oracle unrolls
+    // the two Lloyd iterations as CTEs — seeds are the 4 lowest-id
+    // vectors, assignment is argmax cosine with ties to the lowest
+    // cell, centroid components round to 6 decimals — so every
+    // intermediate double matches the engine bit-for-bit and the
+    // final ranking is exact, not a weaker rows-only check.
+    GraftQuery(
+      "v11_ivf_trained",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |${ivfCentSql("af", "tc")},
+         |probes AS (
+         |  SELECT query_id, q_emb, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.cell)
+         |        AS cell_rank
+         |    FROM embeddings q CROSS JOIN tc c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id AS neighbor_id,
+         |         ${cosineSql("p.q_emb", "v.embedding")} AS c
+         |  FROM probes p JOIN af v
+         |    ON v.cell = p.cell AND v.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val codebook = IvfKnn.trainCodebook(e, "vec_id", "embedding", k = 4, iters = 2)
+      val assigned = IvfKnn.assignCells(e, "embedding",
+        IvfKnn.collectCodebook(codebook, "cell"), "_cell")
+      IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id", "_cell",
+          "embedding", k = 10, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")

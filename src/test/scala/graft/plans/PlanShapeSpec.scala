@@ -150,6 +150,21 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("NOT EXISTS decorrelates to an anti join (no per-row subplan)") {
+    val p = plan("q32_not_exists")
+    p should include regex "(?i)leftanti"
+    p should not include "CartesianProduct"
+  }
+
+  test("correlated scalar aggregate decorrelates to one per-key aggregate + join") {
+    val p = plan("q33_scalar_subquery")
+    // the avg-per-partkey subquery must run as a standalone aggregate
+    // joined back to the probe side — never a per-row subplan
+    "(?i)hashaggregate".r.findAllIn(p.toLowerCase).length should be >= 1
+    "(?i)join".r.findAllIn(p.toLowerCase).length should be >= 2
+    p should not include "CartesianProduct"
+  }
+
   test("value-based RANGE frame plans as one window pass (no join, no self-union)") {
     val p = plan("q30_range_frame")
     "Window".r.findAllIn(p).length should be >= 1
