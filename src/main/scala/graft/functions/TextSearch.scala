@@ -107,10 +107,14 @@ object TextSearch {
       k1: Double = 1.2,
       b: Double = 0.75,
       stats: Option[DataFrame] = None): DataFrame = {
+    // self-enforce the distinct-terms-per-query contract: a duplicate
+    // (query_id, term) row would otherwise silently inflate n_terms
+    // and score; the frame is broadcast-small so the distinct is free
+    val qt = queryTerms.distinct()
     val matched = post.join(
-      broadcast(queryTerms.select("term").distinct()), "term")
+      broadcast(qt.select("term").distinct()), "term")
     score(post, matched, idCol, k1, b, stats)
-      .join(broadcast(queryTerms), "term")
+      .join(broadcast(qt), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
   }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
 object Checks {
 
   sealed trait Check { def name: String }
-  /** Every row's `cols` combination appears once. */
+  /** Every row's `cols` combination appears once. SQL UNIQUE
+    * semantics: rows with a null anywhere in the key are exempt
+    * (combine with NotNull when null keys are themselves violations).
+    */
   final case class Unique(cols: Seq[String]) extends Check {
     def name = s"unique(${cols.mkString(",")})"
   }
@@ -86,7 +89,13 @@ object Checks {
     }
 
     val uniqueResults = checks.collect { case u @ Unique(cols) =>
-      val dups = df.groupBy(cols.map(col): _*)
+      // SQL UNIQUE-constraint semantics: a row with a null anywhere in
+      // the key is exempt (nulls compare UNKNOWN, so they never
+      // duplicate each other) — null keys are NotNull's business, and
+      // exempting them here keeps not_null + unique from double-
+      // reporting the same rows. Mirrors RefersTo's null exemption.
+      val dups = df.na.drop("any", cols)
+        .groupBy(cols.map(col): _*)
         .agg(count(lit(1)).as("__c"))
         .filter(col("__c") > 1)
         .agg(sum(col("__c"))).head

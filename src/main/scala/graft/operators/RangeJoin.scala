@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Range join: points joined to the intervals containing them —
   * `p.key = i.key AND i.start <= p.v AND p.v < i.end` (end exclusive).
@@ -22,6 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** floor(value / w) computed entirely in integer space: exact at ANY
+    * magnitude (`pmod` keeps the remainder non-negative, so this is
+    * true floor division for negatives too). The double-division form
+    * silently loses low bits past 2^53 — epoch-nanos territory — where
+    * a shrunk interval bucket and an exact point bucket stop meeting.
+    */
+  private def floorDivSql(valueSql: String, w: Long): String =
+    s"((($valueSql) - pmod(($valueSql), ${w}L)) div ${w}L)"
+
+  /** Bucket of a single value: integer-exact when the column is an
+    * integral type; double floor otherwise. Fractional columns keep
+    * the documented magnitude bound |value| < 2^53 (beyond it the
+    * values themselves are already quantized coarser than 1).
+    */
+  private def bucketOf(dt: DataType, c: String, w: Long): Column =
+    if (isIntegral(dt)) expr(floorDivSql(s"`$c`", w))
+    else floor(col(c) / w)
+
+  /** Last bucket a half-open interval reaches: floor((end-1)/w) in
+    * exact integer space for integral ends; ceil(end/w)-1 for
+    * fractional ones (an interval ending exactly on a bucket boundary
+    * does not reach into that bucket; [10.0, 10.5) with w=1 must
+    * still cover bucket 10).
+    */
+  private def lastBucketOf(dt: DataType, e: String, w: Long): Column =
+    if (isIntegral(dt)) expr(floorDivSql(s"`$e` - 1", w))
+    else ceil(col(e) / w) - 1
+
   /** @param points    df with `keys`-cols and a numeric `vCol`
     * @param intervals df with `keys`-cols and numeric `startCol`/`endCol`
     *                  (end exclusive); other columns carried through
@@ -30,20 +64,16 @@ object RangeJoin {
       vCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("_bucket", floor(col(vCol) / bucketWidth))
+    val p = points.withColumn("_bucket",
+      bucketOf(points.schema(vCol).dataType, vCol, bucketWidth))
     val i = intervals
       // degenerate intervals (end <= start) match nothing and would
       // otherwise feed sequence() a descending range
       .filter(col(endCol) > col(startCol))
       .withColumn("_bucket",
         explode(sequence(
-          floor(col(startCol) / bucketWidth),
-          // end is exclusive: an interval ending exactly on a bucket
-          // boundary does not reach into that bucket. ceil(end/w)-1
-          // equals floor((end-1)/w) for integer endpoints and stays
-          // correct for fractional ones (e.g. [10.0, 10.5) with w=1
-          // must still cover bucket 10).
-          ceil(col(endCol) / bucketWidth) - 1)))
+          bucketOf(intervals.schema(startCol).dataType, startCol, bucketWidth),
+          lastBucketOf(intervals.schema(endCol).dataType, endCol, bucketWidth))))
     p.join(i, keys :+ "_bucket")
       .filter(col(startCol) <= col(vCol) && col(vCol) < col(endCol))
       .drop("_bucket")
@@ -70,13 +100,22 @@ object RangeJoin {
       .filter(col(e) > col(s))
       .withColumn("_bucket",
         explode(sequence(
-          floor(col(s) / bucketWidth),
-          ceil(col(e) / bucketWidth) - 1)))
+          bucketOf(df.schema(s).dataType, s, bucketWidth),
+          lastBucketOf(df.schema(e).dataType, e, bucketWidth))))
     val l = explodeBuckets(left, lStart, lEnd)
     val r = explodeBuckets(right, rStart, rEnd)
+    // the canonical-bucket pin must use the same arithmetic as the
+    // explode above or a pair straddling 2^53 would pin to a bucket
+    // neither side exploded to
+    val bothIntegral = isIntegral(left.schema(lStart).dataType) &&
+      isIntegral(right.schema(rStart).dataType)
+    val pin =
+      if (bothIntegral)
+        expr(floorDivSql(s"greatest(`$lStart`, `$rStart`)", bucketWidth))
+      else floor(greatest(col(lStart), col(rStart)) / bucketWidth)
     l.join(r, keys :+ "_bucket")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .filter(col("_bucket") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .filter(col("_bucket") === pin)
       .drop("_bucket")
   }
 }

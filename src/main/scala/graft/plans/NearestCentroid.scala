@@ -66,13 +66,31 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
   private def embIsFloat: Boolean =
     first.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Foldable children materialized once: double[][] + int[]. */
+  /** Foldable children materialized once: double[][] + int[]. Null
+    * anywhere in the literals (null outer array, null centroid, null
+    * component, null cell id) fails here with a descriptive error
+    * instead of an anonymous NPE mid-execution — foldable-but-null
+    * inputs pass checkInputDataTypes, so this is the first point the
+    * values are actually seen.
+    */
   @transient private lazy val (centroids, cells): (Array[Array[Double]], Array[Int]) = {
-    val c = second.eval(null).asInstanceOf[ArrayData]
+    val cRaw = second.eval(null)
+    val idsRaw = third.eval(null)
+    require(cRaw != null && idsRaw != null,
+      s"$prettyName: centroids and cells literals must not be null")
+    val c = cRaw.asInstanceOf[ArrayData]
     val cents = Array.tabulate(c.numElements()) { i =>
-      c.getArray(i).toDoubleArray()
+      val a = c.getArray(i)
+      require(a != null, s"$prettyName: centroid $i is null — " +
+        "the centroids array must not contain null elements")
+      require(!(0 until a.numElements()).exists(a.isNullAt),
+        s"$prettyName: centroid $i contains null components")
+      a.toDoubleArray()
     }
-    val ids = third.eval(null).asInstanceOf[ArrayData].toIntArray()
+    val idsArr = idsRaw.asInstanceOf[ArrayData]
+    require(!(0 until idsArr.numElements()).exists(idsArr.isNullAt),
+      s"$prettyName: cells array contains null ids")
+    val ids = idsArr.toIntArray()
     require(cents.length == ids.length,
       s"$prettyName: ${cents.length} centroids vs ${ids.length} cell ids")
     (cents, ids)

@@ -85,6 +85,16 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25OverPostings(post, "doc_id", Seq("engine")))
   }
 
+  test("bm25Batch: duplicate (query_id, term) rows don't inflate scores") {
+    val post = TextSearch.postings(docs, "doc_id", norm)
+    val clean = Seq((0L, "spark"), (0L, "rare")).toDF("query_id", "term")
+    val dupes = Seq((0L, "spark"), (0L, "spark"), (0L, "rare"), (0L, "rare"))
+      .toDF("query_id", "term")
+    assertSameRows(
+      TextSearch.bm25Batch(post, "doc_id", dupes),
+      TextSearch.bm25Batch(post, "doc_id", clean))
+  }
+
   test("phraseMatch: adjacency and order are required; occurrences counted") {
     val d = Seq(
       (1L, "fast table scan wins"),       // 1 hit

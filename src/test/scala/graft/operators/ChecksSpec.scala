@@ -38,6 +38,18 @@ class ChecksSpec extends SparkSpec {
     results(Seq(Checks.Unique(Seq("id"))))("unique(id)")._1 shouldBe 2L
   }
 
+  test("uniqueness exempts null keys (SQL UNIQUE semantics, no double-report with not_null)") {
+    // name: "a","b",null,"c" + one more null — nulls never duplicate
+    // each other, so only NotNull reports them
+    val withNulls = df.unionByName(
+      Seq((9L, Option.empty[Double], Option.empty[String])).toDF("id", "v", "name"))
+    val r = Checks.run(withNulls,
+        Seq(Checks.Unique(Seq("name")), Checks.NotNull("name")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r("unique(name)") shouldBe 0L
+    r("not_null(name)") shouldBe 2L
+  }
+
   test("referential integrity: unresolved foreign keys counted, null FKs exempt") {
     val ref = Seq(1L, 3L).toDF("k")
     val fk = Seq(Some(1L), Some(2L), Some(2L), None).toDF("fid")

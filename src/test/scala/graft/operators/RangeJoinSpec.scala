@@ -55,6 +55,32 @@ class RangeJoinSpec extends SparkSpec {
       .select("name").as[String].collect().toSet shouldBe Set("inside")
   }
 
+  test("integral endpoints past 2^53 (epoch-nanos magnitude) stay exact") {
+    // 2^53+3 is not representable as a double (spacing is 2 up there):
+    // the old floor(col/width) double path rounded the point to a
+    // bucket the interval's shrunk last bucket never reached. The
+    // integer floor-division path must keep the pair.
+    val base = 1L << 53
+    val points = Seq((1L, base + 3, "in"), (1L, base + 7, "out"))
+      .toDF("k", "v", "name")
+    val ivals = Seq((1L, base + 1, base + 4)).toDF("k", "s", "e")
+    RangeJoin.join(points, ivals, Seq("k"), "v", "s", "e", 3L)
+      .select("name").as[String].collect().toSet shouldBe Set("in")
+    // and negative magnitudes floor correctly too
+    val nPoints = Seq((1L, -(base + 3), "neg")).toDF("k", "v", "name")
+    val nIvals = Seq((1L, -(base + 4), -(base + 1))).toDF("k", "s", "e")
+    RangeJoin.join(nPoints, nIvals, Seq("k"), "v", "s", "e", 3L)
+      .count() shouldBe 1
+  }
+
+  test("intervalJoin: integral endpoints past 2^53 pin to a bucket both sides exploded") {
+    val base = 1L << 53
+    val l = Seq((1L, base + 1, base + 5, 1L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, base + 3, base + 9, 2L)).toDF("k", "rs", "re", "rid")
+    RangeJoin.intervalJoin(l, r, Seq("k"), "ls", "le", "rs", "re", 3L)
+      .count() shouldBe 1
+  }
+
   test("degenerate intervals (end <= start) match nothing and don't blow up") {
     val points = Seq((1L, 10L, "p")).toDF("k", "v", "name")
     val ivals = Seq((1L, 10L, 10L), (1L, 20L, 5L)).toDF("k", "s", "e")

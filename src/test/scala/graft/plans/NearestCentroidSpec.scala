@@ -66,6 +66,21 @@ class NearestCentroidSpec extends SparkSpec {
     got shouldBe Array(true, true) // no selectable cell -> null
   }
 
+  test("null inner arrays in the centroids literal fail descriptively, not with an NPE") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "e")
+    val bad = df.withColumn("c", call_function("graft_nearest_centroid",
+      col("e"),
+      typedlit(Seq(Some(Seq(1.0, 0.0)), Option.empty[Seq[Double]])),
+      typedlit(Seq(0, 1))))
+    val ex = intercept[Exception](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    withClue(ex.toString) {
+      assert(messages(ex).exists(_.contains("must not contain null")))
+    }
+  }
+
   test("interpreted eval matches codegen") {
     val df = Seq((1L, Seq(0.9f, 0.1f, 0f)), (2L, Seq(0f, 1f, 0.4f))).toDF("id", "e")
     val withCodegen = IvfKnn.assignCells(df, "e", codebook, "c")
