@@ -43,7 +43,26 @@ object Daemon {
     SyncRunner.runAll(spark, specs, wmPath, nowMs)
   }
 
+  /** CLI argument errors, checked BEFORE any SparkSession spins up —
+    * message parity with the reference CLI (tests/testMain.py:21-32):
+    * missing argument → "too few arguments" (exit 2, argparse's code),
+    * absent config file → "No such file or directory". Bad JSON is the
+    * loader's business (SyncConfig.load → "No JSON object could be
+    * decoded", exit 1 like an uncaught Python exception).
+    */
+  def cliError(args: Array[String]): Option[(Int, String)] =
+    if (args.length < 3)
+      Some(2 -> ("too few arguments: " +
+        "usage: Daemon <config.json> <watermarkFile> <dataRoot>"))
+    else if (!new java.io.File(args(0)).isFile)
+      Some(2 -> s"No such file or directory: '${args(0)}'")
+    else None
+
   def main(args: Array[String]): Unit = {
+    cliError(args).foreach { case (code, msg) =>
+      System.err.println(s"[daemon] $msg")
+      sys.exit(code)
+    }
     val Array(configPath, wmPath, dataRoot) = args.take(3)
     val maxTicks = sys.env.get("SPARK_GRAFT_TICKS").map(_.toInt)
     val spark = SparkSession.builder()
@@ -55,7 +74,12 @@ object Daemon {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = SyncConfig.load(spark, configPath)
+    val cfg = try SyncConfig.load(spark, configPath) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"[daemon] ${e.getMessage}")
+        spark.stop()
+        sys.exit(1)
+    }
     val periodMs = cfg.periodSeconds * 1000
     val start = System.currentTimeMillis()
     var n = 0

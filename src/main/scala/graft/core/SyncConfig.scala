@@ -26,7 +26,14 @@ object SyncConfig {
   final case class Config(periodSeconds: Long, syncs: Seq[SyncSpec])
 
   def load(spark: SparkSession, path: String): Config = {
-    val row = spark.read.option("multiLine", true).json(path).head()
+    val df = spark.read.option("multiLine", true).json(path)
+    // an empty file parses to zero rows and an undecodable one to a
+    // lone _corrupt_record column — both previously fell through to a
+    // silent empty Config. Fail with the reference CLI's message
+    // (Python 2 json, asserted by tests/testMain.py:32) instead.
+    if (df.isEmpty || df.columns.contains("_corrupt_record"))
+      throw new IllegalArgumentException(s"No JSON object could be decoded: $path")
+    val row = df.head()
     def opt[T](r: org.apache.spark.sql.Row, name: String): Option[T] =
       if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
         Some(r.getAs[T](name))

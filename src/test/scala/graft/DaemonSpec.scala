@@ -57,6 +57,43 @@ class DaemonSpec extends SparkSpec {
     assert(Watermark.read(operators.SyncRunner.specWmPath(wm, "t")).isDefined)
   }
 
+  test("CLI: too few arguments reports argparse-style error, exit code 2") {
+    val Some((code, msg)) = Daemon.cliError(Array("only-config.json"))
+    code shouldBe 2
+    msg should include("too few arguments")
+    msg should include("usage:")
+  }
+
+  test("CLI: missing config file reports 'No such file', exit code 2") {
+    val Some((code, msg)) =
+      Daemon.cliError(Array("/nonexistent/any.json", "wm", "root"))
+    code shouldBe 2
+    msg should include("No such file")
+    msg should include("any.json")
+  }
+
+  test("CLI: valid arguments produce no error") {
+    val f = java.nio.file.Files.createTempFile("cfg", ".json")
+    try {
+      java.nio.file.Files.writeString(f, """{"period": 1, "syncs": []}""")
+      Daemon.cliError(Array(f.toString, "wm", "root")) shouldBe None
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("CLI: empty or undecodable config fails with 'No JSON', not a silent empty config") {
+    def loadOf(content: String): Throwable = {
+      val f = java.nio.file.Files.createTempFile("bogus", ".json")
+      try {
+        java.nio.file.Files.writeString(f, content)
+        intercept[IllegalArgumentException](
+          graft.core.SyncConfig.load(spark, f.toString))
+      } finally java.nio.file.Files.delete(f)
+    }
+    // the reference's bogus.json is an EMPTY file (testMain.py:12-13)
+    loadOf("").getMessage should include("No JSON object could be decoded")
+    loadOf("{not json at all").getMessage should include("No JSON object could be decoded")
+  }
+
   test("day_col config publishes day-partitioned pointered snapshots") {
     val base = Files.createTempDirectory("daemon-day")
     val dataRoot = base.resolve("data").toString
