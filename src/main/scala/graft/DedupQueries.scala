@@ -336,6 +336,33 @@ object DedupQueries {
           idCol = "doc_id",
           normCol = TextFunctions.normalize(col("text")), n = 5)
         .orderBy("doc_id")
+    },
+
+    // Cross-document duplicated-SPAN stats (ExactSubstr-lite): every
+    // overlapping 8-token span keyed corpus-wide, earliest (doc, pos)
+    // occurrence keeps it, the rest are duplicates — verbatim-passage
+    // dedup (boilerplate, quotes) that document- and near-dup-level
+    // passes can't see. One span-keyed shuffle; occurrence order is a
+    // single packed long.
+    GraftQuery(
+      "d14_span_dedup",
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+         |off AS (SELECT doc_id, a,
+         |          unnest(generate_series(1, greatest(len(a) - 7, 1))) AS p
+         |        FROM tk),
+         |sp AS (SELECT doc_id, array_to_string(a[p : p + 7], ' ') AS span,
+         |          doc_id * 1048576 + p AS occ FROM off),
+         |k AS (SELECT doc_id, occ, min(occ) OVER (PARTITION BY span) AS keep
+         |      FROM sp)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  sum(CASE WHEN occ <> keep THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+         |  round(sum(CASE WHEN occ <> keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |    AS dup_ratio
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.dedup.SpanDedup.spanStats(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -1057,6 +1057,56 @@ object RelationalQueries {
           |  AND l.l_quantity < (
           |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
           |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE → UnionLoop): walk each
+    // customer's orders in date order as a linked chain, accumulating
+    // a running spend — identical ANSI SQL runs in both engines. The
+    // running sum is rounded at EVERY accumulation step so the two
+    // engines' doubles stay in lockstep (round-at-the-end would
+    // compare differently-ordered partial sums). Iteration count is
+    // bounded by the longest per-customer chain, not corpus size, and
+    // each loop pass is one distributed join — the iterative-SQL
+    // surface (hierarchies, BOM walks, frontier expansion) the
+    // DataFrame loop in DupClusters hand-rolls.
+    GraftQuery(
+      "q34_recursive_cte",
+      """WITH RECURSIVE seq AS (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |walk(custkey, orderkey, rn, step, running) AS (
+        |  SELECT o_custkey, o_orderkey, rn, 1, price FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.o_custkey, s.o_orderkey, s.rn, w.step + 1,
+        |         round(w.running + s.price, 2)
+        |  FROM walk w JOIN seq s
+        |    ON s.o_custkey = w.custkey AND s.rn = w.rn + 1
+        |  WHERE w.step < 8)
+        |SELECT custkey, count(*) AS chain_len, max(step) AS max_step,
+        |       round(max(running), 2) AS total
+        |FROM walk GROUP BY custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE seq AS (
+          |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate, o_orderkey) AS rn
+          |  FROM orders),
+          |walk(custkey, orderkey, rn, step, running) AS (
+          |  SELECT o_custkey, o_orderkey, rn, 1, price FROM seq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.o_custkey, s.o_orderkey, s.rn, w.step + 1,
+          |         round(w.running + s.price, 2)
+          |  FROM walk w JOIN seq s
+          |    ON s.o_custkey = w.custkey AND s.rn = w.rn + 1
+          |  WHERE w.step < 8)
+          |SELECT custkey, count(*) AS chain_len, max(step) AS max_step,
+          |       round(max(running), 2) AS total
+          |FROM walk GROUP BY custkey
+          |ORDER BY custkey""".stripMargin)
     }
   )
 }

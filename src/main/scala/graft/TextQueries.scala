@@ -438,6 +438,58 @@ object TextQueries {
         d, "doc_id", TextFunctions.normalize(col("text")))
       TextSearch.fuzzyTerms(post, "scen", maxDist = 1)
         .orderBy("term")
+    },
+
+    // Sequence-packing plan: concat-then-chunk the corpus token stream
+    // into 512-token packs in deterministic doc_id order. The engine
+    // computes the global offsets WITHOUT a global ordered window
+    // (coarse id-buckets + tiny bucket-prefix window + per-bucket
+    // cumsum); the oracle states the same numbers as one plain cumsum.
+    GraftQuery(
+      "t16_sequence_pack",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, len(string_split(norm, ' '))::BIGINT AS n_tok FROM n),
+         |c AS (SELECT doc_id, n_tok,
+         |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |          AS start_off
+         |      FROM tk)
+         |SELECT doc_id, n_tok, start_off,
+         |  (start_off // 512)::BIGINT AS pack_first,
+         |  ((start_off + n_tok - 1) // 512)::BIGINT AS pack_last,
+         |  (start_off % 512)::BIGINT AS pack_offset,
+         |  ((start_off + n_tok - 1) // 512 - start_off // 512 + 1)::BIGINT AS n_packs
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.packPlan(Tables.load(s, dir, "documents"), "doc_id", col("text"),
+          budget = 512L, bucketSize = 256L)
+        .orderBy("doc_id")
+    },
+
+    // Intra-document repetition (the MassiveText/Gopher filter): the
+    // duplicated-n-gram ratio per document for n = 2 and 3 — t9's
+    // unigram dup ratio generalized to the n-gram overlap that
+    // actually catches looping/boilerplate text.
+    GraftQuery(
+      "t17_repetition_stats",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+         |o2 AS (SELECT doc_id, a,
+         |         unnest(generate_series(1, greatest(len(a) - 1, 1))) AS p FROM tk),
+         |o3 AS (SELECT doc_id, a,
+         |         unnest(generate_series(1, greatest(len(a) - 2, 1))) AS p FROM tk),
+         |g AS (
+         |  SELECT doc_id, 2 AS gram_n, array_to_string(a[p : p + 1], ' ') AS gram
+         |  FROM o2
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS gram_n, array_to_string(a[p : p + 2], ' ') AS gram
+         |  FROM o3)
+         |SELECT doc_id, gram_n, count(*) AS n_grams,
+         |  round(1.0 - count(DISTINCT gram) * 1.0 / count(*), 4) AS dup_ratio
+         |FROM g GROUP BY doc_id, gram_n
+         |ORDER BY doc_id, gram_n""".stripMargin) { (s, dir) =>
+      TextOps.repetitionStats(Tables.load(s, dir, "documents"), "doc_id",
+          col("text"), ns = Seq(2, 3))
+        .orderBy("doc_id", "gram_n")
     }
   )
 }

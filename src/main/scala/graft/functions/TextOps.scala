@@ -52,6 +52,77 @@ object TextOps {
         size(slice(col("_toks"), col("_off") + 1, lit(window))).as("n_tok"))
   }
 
+  /** Sequence-packing plan — the training-data step that concatenates
+    * the corpus token stream in a deterministic document order and
+    * cuts it into fixed-`budget` packs (documents may span packs; the
+    * cut is positional, GPT-style concat-then-chunk). Output per doc:
+    * token count, global start offset, first/last pack, offset inside
+    * the first pack, packs spanned.
+    *
+    * The global running sum is NOT one ordered window (a single
+    * partition would serialize the corpus): documents group into
+    * `bucketSize`-id coarse buckets, per-bucket totals prefix-sum on a
+    * tiny frame (|corpus|/bucketSize rows — the only ordered window),
+    * and the per-document cumsum runs partitioned BY bucket. The
+    * broadcast join then stitches bucket prefix + within-bucket prefix
+    * into the exact global offset: two narrow shuffles, no global
+    * sort. `idCol` must be integral — the bucket is id div bucketSize.
+    */
+  def packPlan(df: DataFrame, idCol: String, rawTextCol: Column,
+      budget: Long, bucketSize: Long = 4096L): DataFrame = {
+    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = df.select(col(idCol),
+      TextFunctions.tokenCount(TextFunctions.normalize(rawTextCol))
+        .cast("long").as("n_tok"),
+      expr(s"`$idCol` div ${bucketSize}L").as("_bkt"))
+    val bucketPrefix = perDoc.groupBy("_bkt")
+      .agg(sum("n_tok").as("_btok"))
+      .withColumn("_bprefix", coalesce(sum(col("_btok")).over(
+        Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_btok")
+    val inBucket = Window.partitionBy("_bkt").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc.join(broadcast(bucketPrefix), "_bkt")
+      .withColumn("start_off",
+        col("_bprefix") + coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
+      .select(col(idCol), col("n_tok"), col("start_off"),
+        expr(s"start_off div ${budget}L").as("pack_first"),
+        expr(s"(start_off + n_tok - 1) div ${budget}L").as("pack_last"),
+        (col("start_off") % budget).as("pack_offset"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+  }
+
+  /** Per-document duplicated-n-gram ratios — the MassiveText/Gopher
+    * repetition filter (t9's dup-token ratio generalized to n-grams):
+    * for each n, 1 - distinct_grams/total_grams over the document's
+    * overlapping token n-grams. Repetitive boilerplate scores high,
+    * natural text near zero. One explode per n (map-side, shuffle-free)
+    * into one (doc, n) hash aggregate; documents shorter than n yield
+    * their single truncated gram (ratio 0), so every doc reports.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, rawTextCol: Column,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), "ns must be positive")
+    val toks = TextFunctions.tokens(TextFunctions.normalize(rawTextCol))
+    val base = df.select(col(idCol), toks.as("_toks"))
+    val perN = ns.map { n =>
+      base
+        .select(col(idCol), lit(n).as("gram_n"), col("_toks"),
+          explode(sequence(lit(1),
+            greatest(size(col("_toks")) - (n - 1), lit(1)))).as("_pos"))
+        .select(col(idCol), col("gram_n"),
+          array_join(slice(col("_toks"), col("_pos"), lit(n)), " ").as("_gram"))
+    }.reduce(_ unionByName _)
+    perN.groupBy(col(idCol), col("gram_n"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("_gram")).as("_nd"))
+      .select(col(idCol), col("gram_n"), col("n_grams"),
+        round(lit(1.0) - col("_nd").cast("double") / col("n_grams"), 4)
+          .as("dup_ratio"))
+  }
+
   /** Per-document character-distribution stats: Shannon entropy of the
     * normalized text's characters (bits/char, 4 decimals) and the
     * duplicate-token ratio 1 - distinct/total (4 decimals) — two cheap

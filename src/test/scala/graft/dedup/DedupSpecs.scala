@@ -57,6 +57,44 @@ class MinHashLSHSpec extends SparkSpec {
   }
 }
 
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(docs: Seq[(Long, String)], n: Int = 8) =
+    SpanDedup.spanStats(docs.toDF("doc_id", "text"), "doc_id", col("text"), n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_spans"),
+        r.getAs[Long]("dup_spans"), r.getAs[Double]("dup_ratio")))).toMap
+
+  test("earliest (doc, pos) occurrence keeps the span; later ones are duplicates") {
+    val r = stats(Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight different tail"),
+      (3L, "zzz"),
+      (4L, "zzz")))
+    r(1L) shouldBe ((2L, 0L, 0.0))   // both spans first seen here
+    r(2L) shouldBe ((3L, 1L, 0.3333)) // its pos-1 span already in doc 1
+    r(3L) shouldBe ((1L, 0L, 0.0))   // short doc: whole text is one span
+    r(4L) shouldBe ((1L, 1L, 1.0))   // exact short dup of doc 3
+  }
+
+  test("a span repeated WITHIN one document counts its later occurrence as dup") {
+    val r = stats(Seq((1L, "a b c d e f g h a b c d e f g h")))
+    // 16 tokens -> 9 spans; pos 9 repeats pos 1's text verbatim
+    r(1L) shouldBe ((9L, 1L, 0.1111))
+  }
+
+  test("every document reports exactly once, disjoint corpora all zero") {
+    val r = stats(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi rho")))
+    r.keySet shouldBe Set(1L, 2L)
+    r.values.foreach { case (_, dups, ratio) =>
+      dups shouldBe 0L; ratio shouldBe 0.0
+    }
+  }
+}
+
 class SimHashSpec extends SparkSpec {
   import spark.implicits._
 

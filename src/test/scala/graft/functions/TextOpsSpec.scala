@@ -52,6 +52,57 @@ class TextOpsSpec extends SparkSpec {
         "doc_id", col("text"), window = 4, stride = 8)
   }
 
+  test("packPlan: offsets are the exclusive cumsum in id order; pack math exact") {
+    val docs = Seq(
+      (0L, "a b c"),          // 3 toks, start 0
+      (1L, "d e f g"),        // 4 toks, start 3
+      (2L, "h i j k l m n o p q"), // 10 toks, start 7 -> spans packs 0..2
+      (3L, "r"))              // 1 tok, start 17
+      .toDF("doc_id", "text")
+    val got = TextOps.packPlan(docs, "doc_id", col("text"),
+        budget = 8L, bucketSize = 2L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tok"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last"),
+        r.getAs[Long]("pack_offset"), r.getAs[Long]("n_packs")))
+    got shouldBe Array(
+      (0L, 3L, 0L, 0L, 0L, 0L, 1L),
+      (1L, 4L, 3L, 0L, 0L, 3L, 1L),
+      (2L, 10L, 7L, 0L, 2L, 7L, 3L),
+      (3L, 1L, 17L, 2L, 2L, 1L, 1L))
+  }
+
+  test("packPlan: result invariant to bucketSize (pure scale knob)") {
+    val docs = (0 until 40).map(i => (i.toLong, ("w " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    def run(b: Long) = TextOps.packPlan(docs, "doc_id", col("text"), 16L, b)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = run(4096L)
+    Seq(1L, 3L, 7L).foreach(b => withClue(s"bucketSize=$b: ")(run(b) shouldBe base))
+  }
+
+  test("repetitionStats: looped text scores high, distinct text zero, short docs report") {
+    val docs = Seq(
+      (1L, "x y x y x y x y"),   // 2-grams: 7 total, dup-heavy
+      (2L, "a b c d e f"),       // all n-grams distinct
+      (3L, "z"))                 // shorter than every n
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, "doc_id", col("text"), Seq(2, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("dup_ratio")))).toMap
+    // doc 1: 7 bigrams, only 2 distinct ("x y", "y x") -> 1 - 2/7
+    got((1L, 2)) shouldBe ((7L, 0.7143))
+    // doc 1 trigrams: 6 total, 2 distinct
+    got((1L, 3)) shouldBe ((6L, 0.6667))
+    got((2L, 2)) shouldBe ((5L, 0.0))
+    got((2L, 3)) shouldBe ((4L, 0.0))
+    // short doc: one truncated gram per n, never dropped
+    got((3L, 2)) shouldBe ((1L, 0.0))
+    got((3L, 3)) shouldBe ((1L, 0.0))
+  }
+
   test("char entropy: uniform text is 0 bits, mixed text matches closed form") {
     val df = Seq((1L, "aaaa"), (2L, "ab ab")).toDF("doc_id", "text")
     val out = TextOps.charStats(df, "doc_id", col("text"))

@@ -156,6 +156,12 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("recursive CTE plans as UnionLoop (iterative joins, no unrolled self-union)") {
+    val p = plan("q34_recursive_cte")
+    p should include("UnionLoop")
+    p should not include "CartesianProduct"
+  }
+
   test("correlated scalar aggregate decorrelates to one per-key aggregate + join") {
     val p = plan("q33_scalar_subquery")
     // the avg-per-partkey subquery must run as a standalone aggregate
