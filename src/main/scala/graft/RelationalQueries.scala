@@ -1089,13 +1089,20 @@ object RelationalQueries {
         |FROM walk GROUP BY custkey
         |ORDER BY custkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      // hoist the loop-INVARIANT seq (the ranked order chain) out of
+      // the recursion and materialize it once: a CTE referenced from
+      // the recursive member would otherwise re-plan and re-execute
+      // its window on EVERY UnionLoop iteration — 8 windows over the
+      // full orders table instead of one (measured 5.9 s → this form)
       s.sql(
-        """WITH RECURSIVE seq AS (
-          |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-          |         row_number() OVER (PARTITION BY o_custkey
-          |           ORDER BY o_orderdate, o_orderkey) AS rn
-          |  FROM orders),
-          |walk(custkey, orderkey, rn, step, running) AS (
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+          |       row_number() OVER (PARTITION BY o_custkey
+          |         ORDER BY o_orderdate, o_orderkey) AS rn
+          |FROM orders""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("seq")
+      s.sql(
+        """WITH RECURSIVE walk(custkey, orderkey, rn, step, running) AS (
           |  SELECT o_custkey, o_orderkey, rn, 1, price FROM seq WHERE rn = 1
           |  UNION ALL
           |  SELECT s.o_custkey, s.o_orderkey, s.rn, w.step + 1,
@@ -1107,6 +1114,84 @@ object RelationalQueries {
           |       round(max(running), 2) AS total
           |FROM walk GROUP BY custkey
           |ORDER BY custkey""".stripMargin)
+    },
+
+    // Incremental aggregate maintenance: per-day additive partials
+    // (the stored state a tick overwrites one day of) rolled up to
+    // months WITHOUT rescanning the facts. The oracle aggregates the
+    // raw table straight to months — partial-merge must equal the
+    // one-shot aggregate exactly (count/sum/min/max decompose; avg
+    // derives at read time as sum/n).
+    GraftQuery(
+      "a5_incremental_rollup",
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS grain,
+        |  l_returnflag,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_r,
+        |  round(min(l_extendedprice), 2) AS min_r,
+        |  round(max(l_extendedprice), 2) AS max_r,
+        |  round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_r
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY grain, l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.operators.AdditiveRollup
+      val li = Tables.load(s, dir, "lineitem")
+      val dayPartials = AdditiveRollup.partials(li,
+        date_trunc("day", col("l_shipdate")), Seq("l_returnflag"),
+        col("l_extendedprice"))
+      AdditiveRollup.rollup(dayPartials,
+          date_format(col("_grain"), "yyyy-MM"), Seq("l_returnflag"))
+        .select(col("grain"), col("l_returnflag"), col("n"),
+          round(col("sum_v"), 2).as("sum_r"),
+          round(col("min_v"), 2).as("min_r"),
+          round(col("max_v"), 2).as("max_r"),
+          // average from the ROUNDED sum: the raw partial-merged sum
+          // and the oracle's one-shot sum differ in the last float
+          // bits (different summation order), which a 4-dp round of
+          // the quotient can surface; dividing the 2-dp sum makes
+          // both engines divide the identical number
+          round(round(col("sum_v"), 2) / col("n"), 4).as("avg_r"))
+        .orderBy("grain", "l_returnflag")
+    },
+
+    // Rolling z-score anomaly detection: per user, each event scored
+    // against the trailing-24h mean/stddev (value-based RANGE frame —
+    // q30's time-true windowing applied to outlier detection). Both
+    // engines filter on the ROUNDED z so the row set is decided by
+    // the same number.
+    GraftQuery(
+      "q35_rolling_zscore",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS t, value
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, user_id, t, value,
+        |    count(*) OVER w AS n_w,
+        |    avg(value) OVER w AS m,
+        |    stddev_samp(value) OVER w AS sd
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t, round(value, 2) AS v, n_w,
+        |       round((value - m) / sd, 3) AS z
+        |FROM s
+        |WHERE n_w >= 5 AND sd > 0 AND abs(round((value - m) / sd, 3)) > 2
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-86400000L, 0L)
+      e.withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("m", avg("value").over(w))
+        .withColumn("sd", stddev_samp("value").over(w))
+        .filter(col("n_w") >= 5 && col("sd") > 0)
+        .withColumn("z", round((col("value") - col("m")) / col("sd"), 3))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("user_id"), col("t"),
+          round(col("value"), 2).as("v"), col("n_w"), col("z"))
+        .orderBy("event_id")
     }
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.{HybridSearch, TextFunctions, TextSearch}
 import graft.similarity.{BruteForceKnn, IvfKnn, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
@@ -367,6 +368,65 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Hybrid retrieval (the ES + vector-db default): BM25 lexical
+    // top-100 over documents and cosine top-100 over embeddings,
+    // fused by reciprocal-rank fusion — ranks, not raw scores, so no
+    // cross-list calibration, and the fused score is a sum of exact
+    // rationals (bit-identical across engines by construction). One
+    // union + one hash aggregate fuses the bounded lists.
+    GraftQuery(
+      "t18_hybrid_rrf", {
+        val w = """ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  |      * (m.tf * (1.2 + 1.0)
+                  |         / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / avgdl)))""".stripMargin
+        s"""${TextQueries.bm25IndexCte},
+           |m AS (SELECT * FROM post WHERE term IN ('vector', 'window', 'merge')),
+           |dft AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+           |bsc AS (
+           |  SELECT m.doc_id, sum($w) AS score
+           |  FROM m JOIN dft USING (term) CROSS JOIN stats
+           |  GROUP BY m.doc_id),
+           |br AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM bsc QUALIFY rank <= 100),
+           |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |vsc AS (
+           |  SELECT v.vec_id AS doc_id, ${cosineSql("qe", "v.embedding")} AS c
+           |  FROM embeddings v CROSS JOIN vq WHERE v.vec_id <> 0),
+           |vr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+           |  FROM vsc QUALIFY rank <= 100),
+           |u AS (
+           |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM br
+           |  UNION ALL
+           |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vr)
+           |SELECT doc_id, count(*) AS n_lists, round(sum(c), 6) AS rrf_score
+           |FROM u GROUP BY doc_id
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val post = TextSearch.postings(docs, "doc_id",
+        TextFunctions.normalize(col("text")))
+      // lexical list: matched set is term-bounded, so the global
+      // ranking window runs over hundreds of rows, not the corpus
+      val bRanked = TextSearch
+        .bm25OverPostings(post, "doc_id", Seq("vector", "window", "merge"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 100)
+        .select("doc_id", "rank")
+      // semantic list: exact top-100 for the vec_id=0 probe
+      val vRanked = BruteForceKnn.topK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      HybridSearch.rrfFuse(Seq(bRanked, vRanked), "doc_id", k = 60)
+        .select(col("doc_id"), col("n_lists"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
     },
 
     // Semantic dedup (SemDeDup-shaped): drop vectors dominated by a

@@ -29,7 +29,7 @@ object TextQueries {
     * t11 single-query and t13 batch oracles — one definition so the
     * two verifications can never silently de-synchronize.
     */
-  private val bm25IndexCte =
+  private[graft] val bm25IndexCte =
     s"""$normCte,
        |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term,
        |               len(string_split(norm, ' ')) AS dl FROM n),
