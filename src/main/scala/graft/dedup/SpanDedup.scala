@@ -22,8 +22,10 @@ import graft.functions.TextFunctions
   * Scale shape: spans explode map-side (zero shuffle), ONE shuffle
   * keys the min-occurrence window on the span, one hash aggregate
   * folds back to documents. Occurrences order through a single long
-  * `doc_id * 2^posBits + pos` (ids must be integral and non-negative,
-  * docs must stay under 2^posBits tokens — 1 M at the default), so
+  * `doc_id * 2^posBits + pos` (ids must be integral, non-negative and
+  * under 2^(63-posBits) — 2^43 at the default; docs must stay under
+  * 2^posBits tokens — 1 M at the default; hash wider ids into that
+  * range first), so
   * the window state is one comparison, not a struct. At production
   * scale swap the span string for `xxhash64(span)` — same plan,
   * 8-byte shuffle keys (the d12 discipline); strings are kept here so
