@@ -124,6 +124,70 @@ object MultimodalQueries {
           round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double")), 4)
             .as("feat_sum"))
         .orderBy("media_id")
+    },
+
+    // Cross-modal time alignment — the A/V-to-transcript pairing step
+    // of a multimodal training pipeline: each sampled video frame is
+    // joined to the transcript chunk(s) whose TIME SPAN covers it.
+    // Chunk spans come from the t7 chunker (64-token windows every 48)
+    // mapped onto the clip timeline at a constant tokens-per-ms rate,
+    // all in exact integer division; the point-in-interval match runs
+    // through RangeJoin's bucketized equi-join (one shuffle, no theta
+    // join). Frames inside a window overlap match BOTH covering
+    // chunks — by construction, the same overlap the chunker encodes.
+    GraftQuery(
+      "m5_frame_alignment",
+      s"""$mediaCte,
+         |n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |      FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+         |meta AS (
+         |  SELECT m.media_id, m.duration_ms, len(t.a)::BIGINT AS n_tot
+         |  FROM media m JOIN tk t ON t.doc_id = m.media_id
+         |  WHERE m.modality = 'video'),
+         |off AS (SELECT doc_id, a,
+         |          unnest(generate_series(
+         |            0, ((greatest(len(a) - 64, 0) + 47) // 48) * 48, 48)) AS o
+         |        FROM tk),
+         |ch AS (SELECT doc_id, o // 48 AS chunk_idx, o,
+         |          len(a[o + 1 : o + 64])::BIGINT AS ct FROM off),
+         |iv AS (
+         |  SELECT m.media_id, c.chunk_idx,
+         |         (c.o * m.duration_ms) // m.n_tot AS s_ms,
+         |         ((c.o + c.ct) * m.duration_ms) // m.n_tot AS e_ms
+         |  FROM ch c JOIN meta m ON m.media_id = c.doc_id),
+         |fr AS (
+         |  SELECT media_id,
+         |         unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000))
+         |           AS frame_ms
+         |  FROM media WHERE modality = 'video')
+         |SELECT f.media_id AS media_id, f.frame_ms, i.chunk_idx
+         |FROM fr f JOIN iv i
+         |  ON i.media_id = f.media_id
+         | AND i.s_ms <= f.frame_ms AND f.frame_ms < i.e_ms
+         |ORDER BY f.media_id, f.frame_ms, i.chunk_idx""".stripMargin) { (s, dir) =>
+      import graft.functions.{TextFunctions, TextOps}
+      import graft.operators.RangeJoin
+      val d = Tables.load(s, dir, "documents")
+      val cat = mediaCatalog(s, dir)
+      val meta = cat.filter(col("modality") === "video")
+        .select(col("media_id"), col("duration_ms"))
+      val docTok = d.select(col("doc_id"),
+        TextFunctions.tokenCount(TextFunctions.normalize(col("text")))
+          .cast("long").as("n_tot"))
+      val iv = TextOps.chunkRows(d, "doc_id", col("text"), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx").cast("long") * 48L).as("o"), col("n_tok"))
+        .join(docTok, "doc_id")
+        .join(meta, col("doc_id") === col("media_id"))
+        .select(col("media_id"), col("chunk_idx"),
+          expr("(o * duration_ms) div n_tot").as("s_ms"),
+          expr("((o + n_tok) * duration_ms) div n_tot").as("e_ms"))
+      val frames = Media.sampleFrames(cat, everyMs = 1000L)
+      RangeJoin.join(frames, iv, Seq("media_id"), "frame_ms", "s_ms", "e_ms",
+          bucketWidth = 4096L)
+        .select("media_id", "frame_ms", "chunk_idx")
+        .orderBy("media_id", "frame_ms", "chunk_idx")
     }
   )
 }

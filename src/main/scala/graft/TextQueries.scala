@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.dedup.MinHashLSH
 import graft.functions.{TextFunctions, TextOps, TextSearch}
 import graft.operators.Sampling
+import graft.sketch.CountMin
 
 /** Text-analysis queries over the `documents` table — language ID,
   * quality scoring, token counting, fingerprinting (the cheap
@@ -490,6 +492,66 @@ object TextQueries {
       TextOps.repetitionStats(Tables.load(s, dir, "documents"), "doc_id",
           col("text"), ns = Seq(2, 3))
         .orderBy("doc_id", "gram_n")
+    },
+
+    // Count-Min sketch: approximate token frequencies from a bounded
+    // (depth × width) additive table — the "novel sketch" surface.
+    // Estimates are never undercounts (min over 3 hash rows); at
+    // width 512 against a multi-thousand-term vocabulary collisions
+    // are real, so the query exposes exact vs estimate side by side
+    // (the absent probe term shows pure collision mass). The oracle
+    // re-derives every md5-based cell index bit-for-bit.
+    GraftQuery(
+      "c3_countmin_sketch", {
+        val w = 512
+        val P = MinHashLSH.P
+        def cellSql(e: String, d: Int): String = {
+          val (a, b, c) = MinHashLSH.hashParams(d)
+          s"((($a * (('0x' || substr(md5($e), 1, 15))::BIGINT % $P) % $P" +
+            s" + $b * (('0x' || substr(md5($e), 16, 15))::BIGINT % $P) % $P" +
+            s" + $c) % $P) % $w)"
+        }
+        val probeList = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+        def threeCells(src: String, withCnt: Boolean): String =
+          (0 until 3).map(d =>
+            s"SELECT term${if (withCnt) ", cnt" else ""}, $d AS d, " +
+              s"${cellSql("term", d)} AS cell FROM $src")
+            .mkString("\n  UNION ALL\n  ")
+        s"""$normCte,
+           |tok AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
+           |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+           |cells AS (
+           |  ${threeCells("tc", withCnt = true)}),
+           |sk AS (SELECT d, cell, sum(cnt)::BIGINT AS c FROM cells GROUP BY d, cell),
+           |probes AS (SELECT unnest($probeList) AS term),
+           |pc AS (
+           |  ${threeCells("probes", withCnt = false)}),
+           |est AS (
+           |  SELECT pc.term, min(coalesce(sk.c, 0))::BIGINT AS cms_count
+           |  FROM pc LEFT JOIN sk USING (d, cell) GROUP BY pc.term)
+           |SELECT term, coalesce(cnt, 0)::BIGINT AS exact_count, cms_count
+           |FROM est LEFT JOIN tc USING (term)
+           |ORDER BY term""".stripMargin
+      }) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(
+          TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
+      val sketch = CountMin.build(toks, col("term"), depth = 3, width = 512)
+      val probeDf = s.createDataFrame(cmsProbes.map(Tuple1.apply)).toDF("term")
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      CountMin.estimate(sketch, probeDf, "term", depth = 3, width = 512)
+        .join(exact, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          col("cms_count"))
+        .orderBy("term")
     }
   )
+
+  /** Probe terms for c3 — common corpus tokens plus one absent term
+    * (whose estimate is pure collision mass). Lazy: referenced from
+    * `all`, which initializes first in declaration order.
+    */
+  private lazy val cmsProbes = Seq("table", "scan", "row", "hash", "fast",
+    "merge", "window", "value", "spark", "zzzabsent")
 }

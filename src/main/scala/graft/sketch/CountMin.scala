@@ -1,0 +1,83 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.MinHashLSH
+
+/** Count-Min sketch as a DISTRIBUTED, MERGEABLE table — approximate
+  * frequencies over item streams too wide for an exact groupBy to be
+  * worth materializing (vocabulary counts, URL/host frequencies,
+  * feature-value histograms at corpus scale).
+  *
+  * The sketch is a sparse `(d, cell, cnt)` DataFrame: `depth`
+  * independent hash rows × `width` cells, each cell the summed count
+  * of items hashing into it. A point estimate is the MINIMUM of an
+  * item's `depth` cells — never an undercount (all occurrences of the
+  * item land in each of its cells), overcounting bounded by collision
+  * mass ≈ N/width per row, error shrinking exponentially in `depth`
+  * (the classic Cormode–Muthukrishnan bound: ε ≈ e/width with
+  * probability 1 − e^(−depth)).
+  *
+  * Why a table and not a driver array: the sketch stays distributed
+  * (≤ depth×width rows — bounded regardless of corpus size), builds
+  * in ONE map-side explode + hash aggregate, and MERGES by union +
+  * re-aggregate (counts are additive) — the per-day/per-shard rollup
+  * shape `AdditiveRollup` uses, applied to approximate state. No
+  * custom buffer, no UDAF, all codegen.
+  *
+  * Hashing reuses MinHashLSH's two-base md5 family
+  * (`(a_d·x1 + b_d·x2 + c_d) mod P mod width`), so the DuckDB oracle
+  * re-derives every cell index bit-for-bit; at production scale the
+  * md5 route can swap for xxhash64 without changing the plan shape.
+  */
+object CountMin {
+
+  /** Cell index of `item` under hash row `d`. */
+  def cellOf(item: Column, d: Int, width: Int): Column = {
+    val (a, b, c) = MinHashLSH.hashParams(d)
+    ((lit(a) * MinHashLSH.baseHash(item) % MinHashLSH.P
+      + lit(b) * MinHashLSH.baseHash2(item) % MinHashLSH.P
+      + lit(c)) % MinHashLSH.P) % width
+  }
+
+  private def withCells(df: DataFrame, itemCol: Column,
+      depth: Int, width: Int): DataFrame =
+    df.select(itemCol.as("_item"))
+      .filter(col("_item").isNotNull)
+      .select(col("_item"), posexplode(
+        array((0 until depth).map(d => cellOf(col("_item"), d, width)): _*))
+        .as(Seq("d", "cell")))
+
+  /** Build the sketch over one item per input row: sparse
+    * (d, cell, cnt), at most depth × width rows.
+    */
+  def build(df: DataFrame, itemCol: Column, depth: Int = 3,
+      width: Int = 1024): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    withCells(df, itemCol, depth, width)
+      .groupBy("d", "cell")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with the SAME depth/width: counts add. */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("d", "cell")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point estimates for the items of `queries(itemCol)`: min over
+    * the item's depth cells, absent cells counting 0. The query side
+    * is bounded (a probe list), so its cells broadcast into a join
+    * against the sketch — the corpus is never touched.
+    */
+  def estimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int = 3, width: Int = 1024): DataFrame =
+    broadcast(withCells(queries, col(itemCol), depth, width)
+      .withColumnRenamed("_item", itemCol))
+      .join(sketch, Seq("d", "cell"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+}
