@@ -1192,6 +1192,31 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("t"),
           round(col("value"), 2).as("v"), col("n_w"), col("z"))
         .orderBy("event_id")
+    },
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // SQL spelling of top-k-per-group (q8's window form, as the
+    // standard LATERAL idiom). Catalyst decorrelates the limited
+    // subquery; the comma-LATERAL syntax parses identically in both
+    // engines.
+    GraftQuery(
+      "q36_lateral_topk",
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin) { (s, dir) =>
+      Seq("customer", "orders").foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      }
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
     }
   )
 }

@@ -409,6 +409,13 @@ object SimilarityQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
+      // bench note: t18's wall time at sf0.1 is stage-COUNT bound,
+      // not data bound — the fused plan chains ~10 tiny AQE stages
+      // (index build + stats/df broadcasts + two ranking windows +
+      // fusion), each with fixed scheduling cost. A localCheckpoint
+      // of the index was measured neutral-to-worse at this scale; at
+      // real scale the per-stage overhead amortizes and the plan
+      // shape (bounded lists into one aggregate) is what matters.
       val post = TextSearch.postings(docs, "doc_id",
         TextFunctions.normalize(col("text")))
       // lexical list: matched set is term-bounded, so the global

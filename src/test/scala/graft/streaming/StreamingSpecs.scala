@@ -366,6 +366,42 @@ class StreamJoinSpec extends SparkSpec {
   }
 }
 
+class StreamingSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches maintain a bounded sketch equal to the one-shot build") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("ssk")
+    val sketchIO = new ParquetTableIO(base.resolve("sketch").toString)
+    val ckpt = base.resolve("ckpt").toString
+
+    val mem = MemoryStream[String]
+    val q = StreamingSketch.start(spark, mem.toDF().toDF("term"), "term",
+      sketchIO, depth = 3, width = 64, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    val b1 = Seq("a", "a", "b", "c")
+    val b2 = Seq("a", "c", "c", "d", "d", "d")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    // stored state stays within the depth x width bound...
+    val stored = sketchIO.read(spark)
+    stored.count() should be <= (3L * 64)
+    // ...and merging batch deltas landed exactly where a one-shot
+    // build over all items would have
+    val direct = graft.sketch.CountMin.build((b1 ++ b2).toDF("term"),
+      col("term"), 3, 64)
+    assertSameRows(stored, direct)
+    // point estimates match the true counts (width 64, tiny vocab)
+    val est = graft.sketch.CountMin.estimate(stored,
+        Seq("a", "b", "c", "d", "nope").toDF("term"), "term", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 3L, "d" -> 3L, "nope" -> 0L)
+  }
+}
+
 class StreamingLshDedupSpec extends SparkSpec {
   import spark.implicits._
 
