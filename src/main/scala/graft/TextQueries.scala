@@ -545,6 +545,55 @@ object TextQueries {
           coalesce(col("exact_count"), lit(0L)).as("exact_count"),
           col("cms_count"))
         .orderBy("term")
+    },
+
+    // HyperLogLog as a mergeable TABLE: per-source distinct-token
+    // counts from 64 registers per source — exact vs estimate side by
+    // side. Registers and ranks are integer arithmetic on the shared
+    // md5 base; SUM(2^-r) is a sum of exact dyadic rationals, so only
+    // the final ln/divide is inexact (rounded to 2 dp in both
+    // dialects). The c4 oracle re-derives register, rank, and the
+    // small-range correction verbatim.
+    GraftQuery(
+      "c4_hll_sketch",
+      s"""$normCte,
+         |tok AS (SELECT d.source, unnest(string_split(n.norm, ' ')) AS term
+         |        FROM n JOIN documents d USING (doc_id)),
+         |h AS (SELECT source,
+         |        ('0x' || substr(md5(term), 1, 15))::BIGINT AS v FROM tok),
+         |hr AS (SELECT source, v % 64 AS register,
+         |         CASE WHEN v // 64 = 0 THEN 55
+         |              ELSE 54 - floor(log2(v // 64))::BIGINT END AS rho
+         |       FROM h),
+         |sk AS (SELECT source, register, max(rho) AS r
+         |       FROM hr GROUP BY source, register),
+         |agg AS (SELECT source, sum(power(2.0, -r)) AS z, count(*) AS np
+         |        FROM sk GROUP BY source),
+         |est AS (SELECT source,
+         |          0.709 * 64 * 64 / (z + (64 - np)) AS e,
+         |          64 - np AS vz
+         |        FROM agg),
+         |fin AS (SELECT source,
+         |          CASE WHEN e <= 160.0 AND vz > 0
+         |               THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+         |        FROM est),
+         |ex AS (SELECT source, count(DISTINCT term) AS exact_distinct
+         |       FROM tok GROUP BY source)
+         |SELECT source, exact_distinct, round(est, 2) AS hll_estimate
+         |FROM fin JOIN ex USING (source)
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.sketch.HyperLogLog
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(
+          TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
+      val sketch = HyperLogLog.build(toks, col("term"), keys = Seq("source"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      HyperLogLog.estimate(sketch, keys = Seq("source"))
+        .join(exact, "source")
+        .select(col("source"), col("exact_distinct"),
+          round(col("hll_estimate"), 2).as("hll_estimate"))
+        .orderBy("source")
     }
   )
 
