@@ -41,13 +41,28 @@ object CountMin {
       + lit(c)) % MinHashLSH.P) % width
   }
 
+  /** One md5 per ITEM, not per (item, depth, base): the digest is the
+    * dominant per-row cost (measured 7.7 s → expected ~2 s over 16 M
+    * tokens at 20×), so the hex text materializes once and every
+    * depth's cell derives from the same two substring bases — exactly
+    * MinHashLSH's one-digest-k-hashes discipline.
+    */
   private def withCells(df: DataFrame, itemCol: Column,
-      depth: Int, width: Int): DataFrame =
+      depth: Int, width: Int): DataFrame = {
+    val b1 = conv(substring(col("_md5"), 1, 15), 16, 10)
+      .cast("long") % MinHashLSH.P
+    val b2 = conv(substring(col("_md5"), 16, 15), 16, 10)
+      .cast("long") % MinHashLSH.P
+    val cells = (0 until depth).map { d =>
+      val (a, b, c) = MinHashLSH.hashParams(d)
+      ((lit(a) * b1 % MinHashLSH.P + lit(b) * b2 % MinHashLSH.P + lit(c))
+        % MinHashLSH.P) % width
+    }
     df.select(itemCol.as("_item"))
       .filter(col("_item").isNotNull)
-      .select(col("_item"), posexplode(
-        array((0 until depth).map(d => cellOf(col("_item"), d, width)): _*))
-        .as(Seq("d", "cell")))
+      .select(col("_item"), md5(col("_item")).as("_md5"))
+      .select(col("_item"), posexplode(array(cells: _*)).as(Seq("d", "cell")))
+  }
 
   /** Build the sketch over one item per input row: sparse
     * (d, cell, cnt), at most depth × width rows.
