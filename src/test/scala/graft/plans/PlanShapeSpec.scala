@@ -156,6 +156,15 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("LATERAL ORDER BY + LIMIT decorrelates to a group-limit window, one join") {
+    val p = plan("q36_lateral_topk")
+    // Catalyst rewrites the per-row limited subquery into exactly the
+    // window top-k form — never a per-row subplan or cross product
+    p should include("Window")
+    p should not include "CartesianProduct"
+    "(?i)join".r.findAllIn(p).length shouldBe 1
+  }
+
   test("recursive CTE plans as UnionLoop (iterative joins, no unrolled self-union)") {
     val p = plan("q34_recursive_cte")
     p should include("UnionLoop")
