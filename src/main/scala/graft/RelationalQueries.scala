@@ -1217,6 +1217,65 @@ object RelationalQueries {
           |  WHERE o.o_custkey = c.c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
+    },
+
+    // Log-histogram quantile sketch (sketch.LogHistogram): price
+    // quantiles from a bounded counter table (16 sub-buckets per
+    // power of two => <= 6.25% relative error at any magnitude),
+    // exact interpolated percentiles alongside for calibration. The
+    // bucket arithmetic is floor/log2/divide on IEEE doubles — the
+    // oracle reproduces every bucket id and edge verbatim, unlike
+    // merge-order-dependent digests.
+    GraftQuery(
+      "c5_histogram_quantiles",
+      """WITH h AS (
+        |  SELECT (floor(log2(o_totalprice)) * 16
+        |          + floor((o_totalprice
+        |                   / power(2.0, floor(log2(o_totalprice))) - 1) * 16)
+        |         )::BIGINT AS bucket,
+        |         count(*) AS cnt
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    sum(cnt) OVER ()::BIGINT AS total
+        |  FROM h),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |sel AS (
+        |  SELECT q, min(bucket) AS bucket
+        |  FROM qs JOIN w ON cum >= q * total GROUP BY q),
+        |est AS (
+        |  SELECT q,
+        |    round((1.0 + (bucket % 16) / 16.0) * power(2.0, bucket // 16), 4)
+        |      AS hist_est
+        |  FROM sel),
+        |ex AS (
+        |  SELECT unnest([0.5, 0.9, 0.99]) AS q,
+        |         unnest([round(quantile_cont(o_totalprice, 0.5), 2),
+        |                 round(quantile_cont(o_totalprice, 0.9), 2),
+        |                 round(quantile_cont(o_totalprice, 0.99), 2)]) AS exact_p
+        |  FROM orders)
+        |SELECT q, exact_p, hist_est
+        |FROM est JOIN ex USING (q)
+        |ORDER BY q""".stripMargin) { (s, dir) =>
+      import graft.sketch.LogHistogram
+      val orders = Tables.load(s, dir, "orders")
+      val hist = LogHistogram.build(orders, col("o_totalprice"))
+      val est = LogHistogram.quantiles(hist, Seq(0.5, 0.9, 0.99))
+        .select(col("q"), round(col("est"), 4).as("hist_est"))
+      val exact = orders.agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+        .select(explode(array(
+          struct(lit(0.5).as("q"), col("p50").as("exact_p")),
+          struct(lit(0.9).as("q"), col("p90").as("exact_p")),
+          struct(lit(0.99).as("q"), col("p99").as("exact_p")))).as("x"))
+        .select(col("x.q"), col("x.exact_p"))
+      est.join(exact, "q")
+        .select(col("q"), col("exact_p"), col("hist_est"))
+        .orderBy("q")
     }
   )
 }
