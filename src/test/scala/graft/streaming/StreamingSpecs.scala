@@ -366,6 +366,41 @@ class StreamJoinSpec extends SparkSpec {
   }
 }
 
+class StreamEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-static broadcast enrichment: every micro-batch joins the dimension map-side") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+    // static side broadcast: the stream never shuffles for the join —
+    // the standard dimension-enrichment shape (per-batch plan is a
+    // BroadcastHashJoin; rows with no dimension match pass with null)
+    val enriched = mem.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          out.add((r.getLong(0), Option(r.getString(2)).getOrElse("none"),
+            r.getDouble(1))))
+        ()
+      }
+      .start()
+    mem.addData((1L, 10.0), (2L, 20.0), (9L, 30.0))
+    q.processAllAvailable()
+    // the join executes in the STREAMING plan (each micro-batch's
+    // incremental execution), so the broadcast pin reads from there
+    val lastPlan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    assert(lastPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast enrichment in the micro-batch plan, got:\n$lastPlan")
+    out.toArray(Array.empty[(Long, String, Double)]).toSet shouldBe Set(
+      (1L, "gold", 10.0), (2L, "silver", 20.0), (9L, "none", 30.0))
+  }
+}
+
 class StreamingSketchSpec extends SparkSpec {
   import spark.implicits._
 
