@@ -63,7 +63,11 @@ object Bench {
     }
     // 1 ms precision: sub-ms digits are noise and the full line must
     // stay small enough for log captures (9-decimal doubles tripled it).
-    def ms3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT pins the decimal POINT: the f-interpolator follows
+    // the JVM default locale, and a comma-decimal locale would emit
+    // JSON the driver can't parse.
+    def ms3(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

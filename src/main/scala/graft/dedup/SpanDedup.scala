@@ -48,7 +48,17 @@ object SpanDedup {
           greatest(size(col("_toks")) - (n - 1), lit(1)))).as("_pos"))
       .select(col(idCol),
         array_join(slice(col("_toks"), col("_pos"), lit(n)), " ").as("_span"),
-        (col(idCol).cast("long") * (1L << posBits) + col("_pos")).as("_occ"))
+        // Guard the pack: an id ≥ 2^(63-posBits) (or non-integral →
+        // null cast) or a pos ≥ 2^posBits would silently overflow and
+        // elect the WRONG earliest occurrence — fail the job instead.
+        when(col(idCol).cast("long").between(0L, (1L << (63 - posBits)) - 1L)
+            && col("_pos") < (1L << posBits),
+          col(idCol).cast("long") * (1L << posBits) + col("_pos"))
+          .otherwise(raise_error(format_string(
+            s"SpanDedup: (id, pos) outside packable range for posBits=$posBits: id=%s pos=%s",
+            col(idCol).cast("string"), col("_pos").cast("string")))
+            .cast("long"))
+          .as("_occ"))
     val bySpan = Window.partitionBy("_span")
     spans
       .withColumn("_keep", min(col("_occ")).over(bySpan))

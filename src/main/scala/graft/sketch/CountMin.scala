@@ -2,6 +2,7 @@ package graft.sketch
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 import graft.dedup.MinHashLSH
 
@@ -32,6 +33,28 @@ import graft.dedup.MinHashLSH
   * md5 route can swap for xxhash64 without changing the plan shape.
   */
 object CountMin {
+
+  private val DepthKey = "graft.cms.depth"
+  private val WidthKey = "graft.cms.width"
+
+  /** Sketches carry their depth/width as column metadata on `cnt`
+    * (schema metadata survives a parquet round-trip), so an
+    * `estimate`/`merge` called with MISMATCHED parameters fails
+    * loudly instead of silently reading the wrong cells and
+    * coalescing misses to 0 — which would break the never-undercount
+    * guarantee without any visible error.
+    */
+  private def tag(df: DataFrame, depth: Int, width: Int): DataFrame = {
+    val m = new MetadataBuilder()
+      .putLong(DepthKey, depth.toLong).putLong(WidthKey, width.toLong).build()
+    df.withColumn("cnt", col("cnt").as("cnt", m))
+  }
+
+  /** (depth, width) a sketch frame was built with, when tagged. */
+  def params(df: DataFrame): Option[(Int, Int)] =
+    df.schema.find(_.name == "cnt").map(_.metadata)
+      .filter(m => m.contains(DepthKey) && m.contains(WidthKey))
+      .map(m => (m.getLong(DepthKey).toInt, m.getLong(WidthKey).toInt))
 
   /** Cell index of `item` under hash row `d`. */
   def cellOf(item: Column, d: Int, width: Int): Column = {
@@ -70,29 +93,49 @@ object CountMin {
   def build(df: DataFrame, itemCol: Column, depth: Int = 3,
       width: Int = 1024): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
-    withCells(df, itemCol, depth, width)
+    tag(withCells(df, itemCol, depth, width)
       .groupBy("d", "cell")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), depth, width)
   }
 
-  /** Merge sketches built with the SAME depth/width: counts add. */
+  /** Merge sketches built with the SAME depth/width: counts add.
+    * Sketches tagged with conflicting parameters refuse to merge —
+    * their cell indices are drawn from different hash ranges and a
+    * sum over them is meaningless, not approximate.
+    */
   def merge(sketches: Seq[DataFrame]): DataFrame = {
     require(sketches.nonEmpty, "need at least one sketch")
-    sketches.reduce(_ unionByName _)
+    val ps = sketches.flatMap(params).distinct
+    require(ps.size <= 1,
+      s"cannot merge sketches built with different (depth, width): $ps")
+    val merged = sketches.reduce(_ unionByName _)
       .groupBy("d", "cell")
       .agg(sum("cnt").as("cnt"))
+    ps.headOption.map { case (d, w) => tag(merged, d, w) }.getOrElse(merged)
   }
 
   /** Point estimates for the items of `queries(itemCol)`: min over
-    * the item's depth cells, absent cells counting 0. The query side
-    * is bounded (a probe list), so its cells broadcast into a join
-    * against the sketch — the corpus is never touched.
+    * the item's depth cells, absent cells counting 0. The SKETCH side
+    * broadcasts (bounded at depth × width rows by construction) —
+    * build-right is what Spark supports for a left-outer join, so the
+    * hint actually applies; the probe side streams through map-side.
+    * A sketch tagged with different parameters than the call fails
+    * loudly (an untagged sketch — built outside this object — is
+    * accepted as-is; tagging survives parquet, so engine-built
+    * sketches always carry it).
     */
   def estimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
-      depth: Int = 3, width: Int = 1024): DataFrame =
-    broadcast(withCells(queries, col(itemCol), depth, width)
-      .withColumnRenamed("_item", itemCol))
-      .join(sketch, Seq("d", "cell"), "left")
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    params(sketch).foreach { case (d0, w0) =>
+      require(d0 == depth && w0 == width,
+        s"sketch was built with depth=$d0 width=$w0 but estimate was " +
+          s"called with depth=$depth width=$width — query cells would " +
+          "miss sketch rows and silently estimate 0")
+    }
+    withCells(queries, col(itemCol), depth, width)
+      .withColumnRenamed("_item", itemCol)
+      .join(broadcast(sketch), Seq("d", "cell"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
 }

@@ -17,16 +17,24 @@ import graft.sources.ParquetTableIO
   * point, and what makes it the streaming-safe alternative to an
   * unbounded exact groupBy state.
   *
-  * Replay caveat (documented, not hidden): CMS merge is additive, so
-  * a crash between the sketch commit and the checkpoint advancing
-  * can double-count one batch on retry — the classic
-  * at-least-once-sink limitation. Estimates stay upper bounds (the
-  * CMS contract survives; counts inflate by at most one batch), and
-  * a deployment needing exactness records the last merged batchId
-  * next to the sketch and skips already-merged batches — the same
-  * pointer the commit already writes versioned state through.
+  * Replay safety: CMS merge is additive, so a bare merge-and-commit
+  * would double-count a batch replayed after a crash between the
+  * sketch commit and the checkpoint advancing (the classic
+  * at-least-once-sink trap). The sink therefore records the LAST
+  * MERGED batchId as a column of the stored sketch itself — it rides
+  * inside the same versioned snapshot, so sketch and marker commit in
+  * ONE atomic pointer swap — and skips any batch at or below it.
+  * foreachBatch replays reuse the original batchId, which makes the
+  * skip exact: the sink is effectively exactly-once.
   */
 object StreamingSketch {
+
+  /** Marker column persisted with the sketch (same value every row —
+    * depth × width rows bound the cost). Strip it before handing the
+    * stored frame to `CountMin.merge`; `estimate` ignores extra
+    * columns.
+    */
+  val LastBatchCol = "_last_batch"
 
   /** Start maintaining `sketchIO` over a streaming frame's `itemCol`. */
   def start(spark: SparkSession, items: DataFrame, itemCol: String,
@@ -35,14 +43,22 @@ object StreamingSketch {
     items.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val delta = CountMin.build(batch, col(itemCol), depth, width)
-          val merged =
-            if (sketchIO.exists)
-              CountMin.merge(Seq(sketchIO.read(batch.sparkSession), delta))
-            else delta
-          sketchIO.overwrite(merged)
+          val prior =
+            if (sketchIO.exists) Some(sketchIO.read(batch.sparkSession))
+            else None
+          val lastMerged = prior
+            .filter(_.columns.contains(LastBatchCol))
+            .flatMap(p => Option(p.agg(max(col(LastBatchCol))).head.get(0))
+              .map(_.asInstanceOf[Long]))
+          if (!lastMerged.exists(_ >= batchId)) {
+            val delta = CountMin.build(batch, col(itemCol), depth, width)
+            val merged = prior
+              .map(p => CountMin.merge(Seq(p.drop(LastBatchCol), delta)))
+              .getOrElse(delta)
+            sketchIO.overwrite(merged.withColumn(LastBatchCol, lit(batchId)))
+          }
         }
         ()
       }

@@ -93,6 +93,17 @@ class SpanDedupSpec extends SparkSpec {
       dups shouldBe 0L; ratio shouldBe 0.0
     }
   }
+
+  test("ids outside the packable range fail loudly instead of mis-electing") {
+    // doc_id = 2^43 overflows the default posBits=20 pack (id must be
+    // < 2^43); before the guard this silently corrupted occurrence
+    // ordering — now the job raises.
+    val bad = Seq((1L << 43, "alpha beta gamma")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SpanDedup.spanStats(bad, "doc_id", col("text")).collect()
+    }
+    e.getMessage should include("packable range")
+  }
 }
 
 class SimHashSpec extends SparkSpec {

@@ -47,6 +47,28 @@ class CountMinSpec extends SparkSpec {
     assertSameRows(merged, direct)
   }
 
+  test("estimate/merge with mismatched depth/width fail loudly, not with silent 0s") {
+    val sk = CountMin.build(Seq("a", "b").toDF("t"), col("t"), 3, 64)
+    val probes = Seq("a").toDF("t")
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, probes, "t", 3, 128)
+    }.getMessage should include("width=64")
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, probes, "t", 4, 64)
+    }.getMessage should include("depth=3")
+    val other = CountMin.build(Seq("a").toDF("t"), col("t"), 3, 128)
+    intercept[IllegalArgumentException] { CountMin.merge(Seq(sk, other)) }
+    // the tag survives a parquet round-trip, so persisted sketches
+    // stay protected
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    CountMin.params(reread) shouldBe Some((3, 64))
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(reread, probes, "t", 3, 128)
+    }
+  }
+
   test("null items are ignored, not hashed") {
     val df = Seq(Some("x"), None, Some("x")).toDF("t")
     val sk = CountMin.build(df, col("t"), 3, 64)

@@ -425,15 +425,48 @@ class StreamingSketchSpec extends SparkSpec {
     val stored = sketchIO.read(spark)
     stored.count() should be <= (3L * 64)
     // ...and merging batch deltas landed exactly where a one-shot
-    // build over all items would have
+    // build over all items would have (modulo the replay marker)
     val direct = graft.sketch.CountMin.build((b1 ++ b2).toDF("term"),
       col("term"), 3, 64)
-    assertSameRows(stored, direct)
+    assertSameRows(stored.drop(StreamingSketch.LastBatchCol), direct)
+    // the replay marker rides with the snapshot and names the last batch
+    stored.select(StreamingSketch.LastBatchCol).distinct()
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
     // point estimates match the true counts (width 64, tiny vocab)
     val est = graft.sketch.CountMin.estimate(stored,
         Seq("a", "b", "c", "d", "nope").toDF("term"), "term", 3, 64)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     est shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 3L, "d" -> 3L, "nope" -> 0L)
+  }
+
+  test("replayed micro-batches are skipped, not double-counted") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sskr")
+    val sketchIO = new ParquetTableIO(base.resolve("sketch").toString)
+
+    // Simulate a crash AFTER the sketch commit but BEFORE the
+    // checkpoint advanced: the store already holds batch 0's merge
+    // (marker = 0), and a fresh checkpoint makes the stream re-deliver
+    // the same data as batchId 0. The sink must skip it.
+    val seeded = graft.sketch.CountMin
+      .build(Seq("a", "a", "b").toDF("term"), col("term"), 3, 64)
+      .withColumn(StreamingSketch.LastBatchCol,
+        org.apache.spark.sql.functions.lit(0L))
+    sketchIO.overwrite(seeded)
+
+    val mem = MemoryStream[String]
+    val q = StreamingSketch.start(spark, mem.toDF().toDF("term"), "term",
+      sketchIO, depth = 3, width = 64, base.resolve("ckpt2").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+    mem.addData("a", "a", "b"); q.processAllAvailable() // replay of batch 0
+    mem.addData("c"); q.processAllAvailable()           // genuinely new batch 1
+    q.stop()
+
+    val est = graft.sketch.CountMin.estimate(sketchIO.read(spark),
+        Seq("a", "b", "c").toDF("term"), "term", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a" stayed 2 (replay skipped); "c" landed (new batch merged)
+    est shouldBe Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
   }
 }
 
