@@ -459,6 +459,44 @@ object SimilarityQueries {
           minCosine = 0.35)
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // Semantic dedup over TRAINED IVF cells — the 100 TB form. v10's
+    // label cells are fixed-cardinality, so at 100x corpus each cell
+    // grows 100x and within-cell pair work 10,000x (SURVEY §9.2
+    // measured the pathology at ~160 M pairs); keptIvf instead sizes
+    // a k-means codebook as k = n / targetCellSize, which keeps the
+    // expected pair volume at n·targetCellSize — LINEAR in corpus
+    // size at a fixed knob. The oracle unrolls the two Lloyd
+    // iterations as CTEs (v11's technique) with a COMPUTED seed count
+    // (count(*) // targetCellSize), so it tracks the engine's n-derived
+    // k at any scale factor and every intermediate double matches
+    // bit-for-bit.
+    GraftQuery(
+      "v12_semantic_dedup_ivf",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT greatest(1, (SELECT count(*) // 64 FROM embeddings))),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT v.vec_id, v.label FROM embeddings v
+         |ANTI JOIN dropped d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      graft.similarity.SemanticDedup.keptIvf(
+          Tables.load(s, dir, "embeddings"),
+          idCol = "vec_id", vecCol = "embedding",
+          minCosine = 0.35, targetCellSize = 64, kmeansIters = 2)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }
   )
 }
