@@ -145,6 +145,39 @@ object SyncQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // THE composed sync tick — the exact end-to-end path the
+    // reference's only recoverable baseline number measures (~11 s
+    // for a 10,000-row bidirectional tick, BASELINE.md;
+    // pyCassElastic.py:54-115): incremental half-open window scan
+    // (S2) → anti-echo filter (S4) → LWW merge (A1: rank 1 per key =
+    // the upsert set) → conflict-loser split (K3: rank > 1 = the
+    // delete set). ConflictSplit.tagged produces BOTH sides from ONE
+    // ranked pass — one scan of the pruned window slice, one key
+    // shuffle — where the reference needs an ES round-trip per
+    // conflicting batch to discover its losers.
+    GraftQuery(
+      "sync_tick",
+      s"""WITH w AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS version FROM events
+         |  WHERE epoch_ms(ts) > $winLast AND epoch_ms(ts) <= $winThis
+         |    AND event_type IS DISTINCT FROM 'error'),
+         |r AS (
+         |  SELECT user_id, event_id, version,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY version DESC, event_id DESC) AS rnk
+         |  FROM w)
+         |SELECT user_id, event_id, version,
+         |  CASE WHEN rnk = 1 THEN 'upsert' ELSE 'delete' END AS action
+         |FROM r ORDER BY user_id, version, event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val windowed = IncrementalScan(ev, "version", Watermark.Span(winLast, winThis))
+      val kept = AntiEcho(windowed, "event_type", "error")
+        .select("user_id", "event_id", "version")
+      graft.operators.ConflictSplit
+        .tagged(kept, Seq("user_id"), "version", Seq(col("event_id")))
+        .orderBy("user_id", "version", "event_id")
+    },
+
     // CDC between two published LWW snapshots: the keyed delta a
     // downstream incremental consumer reads instead of re-shipping
     // whole windows (SnapshotDiff). Old = state as of Jan 15, new =

@@ -47,4 +47,20 @@ object ConflictSplit {
     (r.filter(col("__rn") === 1).drop("__rn"),
      r.filter(col("__rn") > 1).drop("__rn"))
   }
+
+  /** Winners AND losers as one tagged frame — ONE scan, ONE shuffle.
+    * `split` as two separate frames plans two scans: the rank-1
+    * branch earns a map-side WindowGroupLimit that makes its exchange
+    * subtree non-identical to the losers branch, so exchange reuse
+    * can't kick in and a union of the two sides reads the input
+    * twice. When a sync tick consumes both sides together (upsert set
+    * + delete set), this is the single-pass form.
+    */
+  def tagged(df: DataFrame, idCols: Seq[String], versionCol: String,
+      tieBreak: Seq[Column] = Nil, actionCol: String = "action",
+      winnerTag: String = "upsert", loserTag: String = "delete"): DataFrame =
+    ranked(df, idCols, versionCol, tieBreak)
+      .withColumn(actionCol,
+        when(col("__rn") === 1, winnerTag).otherwise(loserTag))
+      .drop("__rn")
 }

@@ -68,6 +68,15 @@ class ConflictSplitSpec extends SparkSpec {
     l.select("id", "version").as[(String, Long)].collect().sorted shouldBe
       Array(("a", 1L), ("a", 2L), ("c", 6L))
   }
+
+  test("tagged = split as one frame (the single-pass sync-tick form)") {
+    val (w, l) = ConflictSplit.split(batch, Seq("id"), "version")
+    val t = ConflictSplit.tagged(batch, Seq("id"), "version")
+    assertSameRows(t.filter(col("action") === "upsert").drop("action"), w)
+    assertSameRows(t.filter(col("action") === "delete").drop("action"), l)
+    // one ranked pass: a single window shuffle, no union of branches
+    t.queryExecution.executedPlan.toString should not include "Union"
+  }
 }
 
 /** SchemaTools — diff / additive evolution / null-pad alignment
