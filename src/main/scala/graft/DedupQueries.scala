@@ -363,6 +363,38 @@ object DedupQueries {
       graft.dedup.SpanDedup.spanStats(
           Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
         .orderBy("doc_id")
+    },
+
+    // Variable-length span dedup: adjacent duplicated 8-spans merged
+    // into MAXIMAL duplicated runs per doc (gaps-and-islands over the
+    // dup-span starts) — the region list an ExactSubstr cut pass
+    // consumes (Lee et al.), where d14 only reports volumes. The
+    // engine shuffles hashed span keys (hashSpans default); the
+    // oracle re-derives the same runs from span strings — outputs are
+    // positions and counts, so they hash-match regardless.
+    GraftQuery(
+      "d15_span_runs",
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+         |off AS (SELECT doc_id, a,
+         |          unnest(generate_series(1, greatest(len(a) - 7, 1))) AS p
+         |        FROM tk),
+         |sp AS (SELECT doc_id, array_to_string(a[p : p + 7], ' ') AS span,
+         |          p, doc_id * 1048576 + p AS occ FROM off),
+         |k AS (SELECT doc_id, p, occ, min(occ) OVER (PARTITION BY span) AS keep
+         |      FROM sp),
+         |d AS (SELECT doc_id, p FROM k WHERE occ <> keep),
+         |i AS (SELECT doc_id, p,
+         |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |      FROM d)
+         |SELECT doc_id, min(p) AS run_start, max(p) AS run_end,
+         |  (max(p) - min(p) + 8)::BIGINT AS run_tokens,
+         |  count(*) AS n_spans
+         |FROM i GROUP BY doc_id, isl
+         |ORDER BY doc_id, run_start""".stripMargin) { (s, dir) =>
+      graft.dedup.SpanDedup.dupRuns(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
+        .orderBy("doc_id", "run_start")
     }
   )
 }

@@ -15,9 +15,9 @@ import graft.functions.TextFunctions
   * (d3/d6), this finds verbatim PASSAGES repeated across otherwise
   * distinct documents — boilerplate, quotes, license headers.
   *
-  * Output per document: span count, duplicate-span count, dup ratio —
-  * the removal plan a span-cut pass consumes (cutting is a slice over
-  * the kept positions; the plan is the expensive, shuffled part).
+  * Two outputs: per-document dup-span STATS ([[spanStats]] — the
+  * removal-volume report) and maximal duplicated RUNS ([[dupRuns]] —
+  * the region list a cut pass actually consumes).
   *
   * Scale shape: spans explode map-side (zero shuffle), ONE shuffle
   * keys the min-occurrence window on the span, one hash aggregate
@@ -25,32 +25,37 @@ import graft.functions.TextFunctions
   * `doc_id * 2^posBits + pos` (ids must be integral, non-negative and
   * under 2^(63-posBits) — 2^43 at the default; docs must stay under
   * 2^posBits tokens — 1 M at the default; hash wider ids into that
-  * range first), so
-  * the window state is one comparison, not a struct. At production
-  * scale swap the span string for `xxhash64(span)` — same plan,
-  * 8-byte shuffle keys (the d12 discipline); strings are kept here so
-  * the oracle re-derives them verbatim.
+  * range first), so the window state is one comparison, not a struct.
+  *
+  * `hashSpans` (default ON — the d12 discipline) shuffles 8-byte
+  * `xxhash64(span)` keys instead of the ~8·wordlen-byte span strings,
+  * which dominate the exchange otherwise. The per-doc OUTPUT is
+  * identical either way (span keys never surface — only counts and
+  * positions), so the string-derived oracle still matches; a 64-bit
+  * collision would merge two distinct spans with probability
+  * ~spans²/2⁶⁵ — irrelevant for dup stats; pass false when span-level
+  * evidence must be exact strings.
   */
 object SpanDedup {
 
-  /** (idCol, n_spans, dup_spans, dup_ratio), one row per document;
-    * documents shorter than `n` tokens contribute their whole text as
-    * one span so every document reports.
+  /** Exploded occurrences: (idCol, _pos long, _span key, _occ packed
+    * order). The pack is GUARDED: an id ≥ 2^(63-posBits) (or
+    * non-integral → null cast) or a pos ≥ 2^posBits would silently
+    * overflow and elect the WRONG earliest occurrence — fail the job
+    * instead.
     */
-  def spanStats(df: DataFrame, idCol: String, rawTextCol: Column,
-      n: Int = 8, posBits: Int = 20): DataFrame = {
+  private def occurrences(df: DataFrame, idCol: String, rawTextCol: Column,
+      n: Int, posBits: Int, hashSpans: Boolean): DataFrame = {
     require(n > 0, "span length must be positive")
     require(posBits > 0 && posBits < 40, "posBits must be in (0, 40)")
     val toks = TextFunctions.tokens(TextFunctions.normalize(rawTextCol))
-    val spans = df.select(col(idCol), toks.as("_toks"))
+    val spanStr = array_join(slice(col("_toks"), col("_pos"), lit(n)), " ")
+    df.select(col(idCol), toks.as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(1),
           greatest(size(col("_toks")) - (n - 1), lit(1)))).as("_pos"))
-      .select(col(idCol),
-        array_join(slice(col("_toks"), col("_pos"), lit(n)), " ").as("_span"),
-        // Guard the pack: an id ≥ 2^(63-posBits) (or non-integral →
-        // null cast) or a pos ≥ 2^posBits would silently overflow and
-        // elect the WRONG earliest occurrence — fail the job instead.
+      .select(col(idCol), col("_pos").cast("long").as("_pos"),
+        (if (hashSpans) xxhash64(spanStr) else spanStr).as("_span"),
         when(col(idCol).cast("long").between(0L, (1L << (63 - posBits)) - 1L)
             && col("_pos") < (1L << posBits),
           col(idCol).cast("long") * (1L << posBits) + col("_pos"))
@@ -59,13 +64,50 @@ object SpanDedup {
             col(idCol).cast("string"), col("_pos").cast("string")))
             .cast("long"))
           .as("_occ"))
-    val bySpan = Window.partitionBy("_span")
-    spans
-      .withColumn("_keep", min(col("_occ")).over(bySpan))
+  }
+
+  /** (idCol, n_spans, dup_spans, dup_ratio), one row per document;
+    * documents shorter than `n` tokens contribute their whole text as
+    * one span so every document reports.
+    */
+  def spanStats(df: DataFrame, idCol: String, rawTextCol: Column,
+      n: Int = 8, posBits: Int = 20, hashSpans: Boolean = true): DataFrame =
+    occurrences(df, idCol, rawTextCol, n, posBits, hashSpans)
+      .withColumn("_keep", min(col("_occ")).over(Window.partitionBy("_span")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("_occ") =!= col("_keep"), 1L).otherwise(0L)).as("dup_spans"))
       .withColumn("dup_ratio",
         round(col("dup_spans").cast("double") / col("n_spans"), 4))
+
+  /** Maximal duplicated RUNS per document — the actual ExactSubstr
+    * output a cut pass consumes (Lee et al.: remove each maximal
+    * duplicated substring, not fixed-width samples of it). Adjacent
+    * duplicated `n`-spans overlap by construction, so a run of
+    * consecutive dup span STARTS [a..b] is one maximal duplicated
+    * token region [a, b+n-1]; merging is the classic gaps-and-islands
+    * window (island id = pos − row_number over pos), NOT another
+    * corpus-wide pass.
+    *
+    * Output: one row per (doc, run) — (idCol, run_start, run_end,
+    * run_tokens = run_end − run_start + n, n_spans), positions
+    * 1-based token indices. Scale shape: the span-keyed shuffle of
+    * [[spanStats]] plus ONE doc-keyed window over the DUP spans only
+    * (bounded by duplicate volume, not corpus size).
+    */
+  def dupRuns(df: DataFrame, idCol: String, rawTextCol: Column,
+      n: Int = 8, posBits: Int = 20, hashSpans: Boolean = true): DataFrame = {
+    val dups = occurrences(df, idCol, rawTextCol, n, posBits, hashSpans)
+      .withColumn("_keep", min(col("_occ")).over(Window.partitionBy("_span")))
+      .filter(col("_occ") =!= col("_keep"))
+    val byDoc = Window.partitionBy(idCol).orderBy("_pos")
+    dups
+      .withColumn("_isl", col("_pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("_pos").as("run_start"), max("_pos").as("run_end"),
+        count(lit(1)).as("n_spans"))
+      .withColumn("run_tokens", col("run_end") - col("run_start") + n)
+      .select(col(idCol), col("run_start"), col("run_end"),
+        col("run_tokens"), col("n_spans"))
   }
 }

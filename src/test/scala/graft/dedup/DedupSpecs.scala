@@ -94,6 +94,35 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("hashed span keys (the scale path) report identically to span strings") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight different tail here"),
+      (3L, "tiny"), (4L, "tiny")).toDF("doc_id", "text")
+    assertSameRows(
+      SpanDedup.spanStats(docs, "doc_id", col("text"), hashSpans = false),
+      SpanDedup.spanStats(docs, "doc_id", col("text"), hashSpans = true))
+  }
+
+  test("dupRuns merges adjacent dup spans into maximal runs") {
+    // doc 2 repeats doc 1's first 10 tokens verbatim, then diverges:
+    // with n=8, dup span starts in doc 2 are positions 1,2,3 -> ONE
+    // run [1..3], covering tokens 1..10 (run_tokens = 3-1+8 = 10);
+    // doc 4 is an exact short dup of doc 3 -> one whole-text run.
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 a b c d e f"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 x y z w v u"),
+      (3L, "zzz short"), (4L, "zzz short")).toDF("doc_id", "text")
+    val runs = SpanDedup.dupRuns(docs, "doc_id", col("text"))
+      .select("doc_id", "run_start", "run_end", "run_tokens", "n_spans")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    runs shouldBe Array((2L, 1L, 3L, 10L, 3L), (4L, 1L, 1L, 8L, 1L))
+    // stats and runs agree on total dup-span volume
+    val statDups = SpanDedup.spanStats(docs, "doc_id", col("text"))
+      .agg(sum("dup_spans")).collect().head.getLong(0)
+    runs.map(_._5).sum shouldBe statDups
+  }
+
   test("ids outside the packable range fail loudly instead of mis-electing") {
     // doc_id = 2^43 overflows the default posBits=20 pack (id must be
     // < 2^43); before the guard this silently corrupted occurrence
