@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{HybridSearch, TextIndexStore, TextSearch}
+import graft.functions.{HybridSearch, TextFunctions, TextIndexStore, TextSearch}
 import graft.similarity.{BruteForceKnn, IvfKnn, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
@@ -431,6 +431,109 @@ object SimilarityQueries {
         .select(col("doc_id"), col("n_lists"),
           round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    },
+
+    // Hybrid retrieval, FLEET form: five (lexical-terms + probe-
+    // vector) queries fused per query in ONE job. Unlike t18's
+    // single-probe shape, the vector leg routes through the TRAINED
+    // IVF index (v11's codebook chain — probes scan nprobe/|cells| of
+    // the corpus, never all of it per query) and the lexical leg
+    // scores the PERSISTED postings; fusion is one union + one hash
+    // aggregate keyed (query, doc), so N queries cost the same
+    // exchanges as one. Oracle = t13's lexical CTEs + v11's Lloyd
+    // CTEs + per-query RRF; ranking windows order by the ROUNDED
+    // fused score (a sum of exact rationals) for cross-engine ties.
+    GraftQuery(
+      "t19_hybrid_batch",
+      s"""${TextQueries.bm25IndexCte},
+         |qt AS (SELECT doc_id AS query_id,
+         |         unnest(list_distinct([a[1], a[3], a[5]])) AS term
+         |       FROM (SELECT doc_id, string_split(norm, ' ') AS a FROM n)
+         |       WHERE doc_id < 5),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df FROM post
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+         |bsc AS (
+         |  SELECT q.query_id, p.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (p.tf * (1.2 + 1.0)
+         |         / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / avgdl)))) AS score
+         |  FROM post p JOIN qt q USING (term) JOIN dft USING (term)
+         |  CROSS JOIN stats
+         |  GROUP BY q.query_id, p.doc_id),
+         |br AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bsc QUALIFY rank <= 100),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |${ivfCentSql("af", "tc")},
+         |probes AS (
+         |  SELECT query_id, q_emb, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.cell)
+         |        AS cell_rank
+         |    FROM embeddings q CROSS JOIN tc c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |vr AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |    SELECT p.query_id, v.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosineSql("p.q_emb", "v.embedding")} DESC, v.vec_id)
+         |        AS rank
+         |    FROM probes p JOIN af v
+         |      ON v.cell = p.cell AND v.vec_id <> p.query_id)
+         |  WHERE rank <= 100),
+         |u AS (
+         |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM br
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM vr),
+         |f AS (
+         |  SELECT query_id, doc_id, count(*) AS n_lists,
+         |         round(sum(c), 6) AS rrf_score
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_lists, rrf_score,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS rank
+         |FROM f QUALIFY rank <= 20
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val toks = TextFunctions.tokens(TextFunctions.normalize(col("text")))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(array(
+            element_at(toks, 1), element_at(toks, 3), element_at(toks, 5))))
+            .as("term"))
+      val bR = TextSearch.bm25Batch(TextIndexStore.postings(s, dir), "doc_id",
+          queries, stats = Some(TextIndexStore.stats(s, dir)))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 100)
+        .select("query_id", "doc_id", "rank")
+      val codebook = IvfKnn.trainCodebook(emb, "vec_id", "embedding", k = 4, iters = 2)
+      val assigned = IvfKnn.assignCells(emb, "embedding",
+        IvfKnn.collectCodebook(codebook, "cell"), "_cell")
+      val vR = IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id",
+          "_cell", "embedding", k = 100, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      HybridSearch.rrfFuse(Seq(bR, vR), Seq("query_id", "doc_id"), 60)
+        .withColumn("rrf_score", round(col("rrf_score"), 6))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select("query_id", "doc_id", "n_lists", "rrf_score", "rank")
+        .orderBy("query_id", "rank")
     },
 
     // Semantic dedup (SemDeDup-shaped): drop vectors dominated by a

@@ -23,14 +23,23 @@ object HybridSearch {
   /** Fuse ranked lists, each `(idCol, rank)` with rank 1-based.
     * Output: (idCol, n_lists = lists containing the id, rrf_score).
     */
-  def rrfFuse(ranked: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame = {
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame =
+    rrfFuse(ranked, Seq(idCol), k)
+
+  /** Composite-key form — the BATCH fleet shape: lists carry
+    * (query_id, doc_id, rank) and fusion groups per (query, doc), so
+    * N queries fuse in the SAME single union + hash aggregate as one
+    * (per-query fan-out would be N tiny jobs of fixed scheduling
+    * cost).
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCols: Seq[String], k: Int): DataFrame = {
     require(ranked.nonEmpty, "need at least one ranked list")
     require(k >= 0, "k must be non-negative")
     ranked
-      .map(df => df.select(col(idCol),
-        (lit(1.0) / (lit(k) + col("rank"))).as("_c")))
+      .map(df => df.select(idCols.map(col) :+
+        (lit(1.0) / (lit(k) + col("rank"))).as("_c"): _*))
       .reduce(_ unionByName _)
-      .groupBy(col(idCol))
+      .groupBy(idCols.map(col): _*)
       .agg(count(lit(1)).as("n_lists"), sum("_c").as("rrf_score"))
   }
 }
