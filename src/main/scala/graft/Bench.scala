@@ -1,6 +1,14 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.ParquetTableIO
+import graft.streaming.{StatefulLww, StreamingLshDedup}
 
 /** Driver-run benchmark: one JSON line of per-query wall times over
   * `SPARK_GRAFT_SF_DIR` (default sf0.1).
@@ -61,6 +69,15 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    // Streaming throughput block: micro-batch rows/s for the two
+    // stateful streaming operators (spec-only otherwise — this makes
+    // throughput regressions visible in the bench artifact). Skipped
+    // under a BENCH_ONLY filter unless it names "streaming".
+    val streaming =
+      if (only.forall(_.exists(p => p == "streaming")))
+        Some(streamingBench(spark, sfDir))
+      else None
+
     // 1 ms precision: sub-ms digits are noise and the full line must
     // stay small enough for log captures (9-decimal doubles tripled it).
     // Locale.ROOT pins the decimal POINT: the f-interpolator follows
@@ -75,12 +92,71 @@ object Bench {
     // driver contract's `"sf":N`; the raw dir rides along separately.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    val streamJson = streaming.map(s => s""","streaming":$s""").getOrElse("")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$streamJson,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     // The driver captures a fixed-size TAIL of stdout; the ~3.6 kB
     // per-query line above once clipped the head and round 3 shipped
     // with no parsed bench. LAST line is therefore a compact summary
-    // that always survives tail capture on its own.
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":$sfNum,"queries_run":${results.size}}""")
+    // that always survives tail capture on its own (the streaming
+    // block is ~100 bytes, small enough to ride along).
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":$sfNum,"queries_run":${results.size}$streamJson}""")
     spark.stop()
+  }
+
+  /** Rows/s over N MemoryStream micro-batches for StreamingLshDedup
+    * (persisted band index, probe + merge per batch) and StatefulLww
+    * (flatMapGroupsWithState winners into a noop sink). Wall time
+    * includes ALL per-batch work — index IO, state store, scheduling —
+    * the number a capacity plan actually needs. Returns a JSON object
+    * string; -1 values mean the harness itself failed.
+    */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rate(rows: Long, sec: Double): Long =
+      if (sec > 0) (rows / sec).toLong else -1L
+
+    val lww =
+      try {
+        val base = Files.createTempDirectory("bench_lww")
+        val mem = MemoryStream[StatefulLww.KeyedVersioned]
+        val q = StatefulLww.latestUpdates(mem.toDS())
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .start()
+        val batches = 5; val rowsPer = 20000
+        val t0 = System.nanoTime()
+        (0 until batches).foreach { b =>
+          mem.addData((0 until rowsPer).map(i =>
+            StatefulLww.KeyedVersioned(s"k${i % 5000}",
+              b.toLong * rowsPer + i, "payload")))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        rate(batches.toLong * rowsPer, sec)
+      } catch { case _: Throwable => -1L }
+
+    val lsh =
+      try {
+        val base = Files.createTempDirectory("bench_lsh")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingLshDedup.start(spark,
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          new ParquetTableIO(base.resolve("index").toString),
+          base.resolve("cand").toString, base.resolve("ckpt").toString,
+          Trigger.ProcessingTime("10 milliseconds"))
+        val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq
+        val t0 = System.nanoTime()
+        slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        rate(docs.length.toLong, sec)
+      } catch { case _: Throwable => -1L }
+
+    s"""{"lww_rows_per_s":$lww,"lsh_docs_per_s":$lsh}"""
   }
 }
