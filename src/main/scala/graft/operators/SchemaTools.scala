@@ -32,12 +32,54 @@ object SchemaTools {
     source.fields.filter(f => !have.contains(f.name)).toSeq
   }
 
+  /** Same-named fields whose types DISAGREE between the two schemas —
+    * the cross-store type-map gap the reference left as a TODO
+    * (pyCassElastic.py:503 maps exactly one type and comments "need
+    * to create the map between the types"): a silent pick-one here
+    * corrupts data store-to-store, so the seam detects conflicts and
+    * [[evolve]] fails loudly on them by default.
+    */
+  def typeConflicts(target: StructType, source: StructType,
+      exclude: Seq[String] = Nil):
+      Seq[(org.apache.spark.sql.types.StructField,
+           org.apache.spark.sql.types.StructField)] = {
+    val excl = exclude.toSet
+    val byName = source.fields.map(f => f.name -> f).toMap
+    target.fields.toSeq.filterNot(f => excl.contains(f.name))
+      .flatMap(t => byName.get(t.name)
+        .filter(_.dataType != t.dataType).map(s => (t, s)))
+  }
+
+  /** Fields `target` carries that `source` no longer has — a column
+    * DROPPED upstream. Additive evolution intentionally keeps them
+    * (the reference never issues DROP COLUMN), but a sync seam must
+    * at least surface the divergence instead of null-padding forever
+    * in silence.
+    */
+  def droppedFrom(target: StructType, source: StructType,
+      exclude: Seq[String] = Nil): Seq[org.apache.spark.sql.types.StructField] =
+    missingIn(source, target, exclude)
+
   /** Additive evolution: `target` plus every field `source` has that it
     * lacks (the reference's ALTER TABLE ADD loop, pyCassElastic.py:438-444).
-    * Never drops or retypes existing fields.
+    * Never drops or retypes existing fields; by default REFUSES a
+    * source whose same-named fields carry different types (see
+    * [[typeConflicts]]) — pass `failOnTypeConflict = false` to keep
+    * the target's types knowingly (align() will then cast, which may
+    * lose precision or null out unparseable values).
     */
-  def evolve(target: StructType, source: StructType): StructType =
+  def evolve(target: StructType, source: StructType,
+      failOnTypeConflict: Boolean = true): StructType = {
+    if (failOnTypeConflict) {
+      val conflicts = typeConflicts(target, source)
+      require(conflicts.isEmpty,
+        "schema evolution type conflicts (target vs source): " +
+          conflicts.map { case (t, s) =>
+            s"${t.name}: ${t.dataType.simpleString} vs ${s.dataType.simpleString}"
+          }.mkString(", "))
+    }
     StructType(target.fields.toSeq ++ missingIn(target, source))
+  }
 
   /** Project `df` onto `target`'s columns in `target`'s order,
     * null-padding absent ones — the reference's insert-side alignment

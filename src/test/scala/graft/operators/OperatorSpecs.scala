@@ -121,6 +121,37 @@ class SchemaToolsSpec extends SparkSpec {
     val aligned = SchemaTools.align(ints, cass.schema)
     aligned.schema("version").dataType shouldBe LongType
   }
+
+  test("type conflicts are detected and evolve fails loudly on them") {
+    // the reference's single-entry type map (pyCassElastic.py:503) let
+    // cross-store type drift through silently; the seam must refuse
+    val retyped = Seq(("1", "not-a-long", "t")).toDF("id", "version", "text")
+    val conflicts = SchemaTools.typeConflicts(cass.schema, retyped.schema)
+    conflicts.map { case (t, s) =>
+      (t.name, t.dataType, s.dataType) } shouldBe
+      Seq(("version", LongType, StringType))
+    // excluded (id-like) columns don't count as conflicts
+    SchemaTools.typeConflicts(cass.schema, retyped.schema,
+      exclude = Seq("version")) shouldBe Nil
+    val e = intercept[IllegalArgumentException] {
+      SchemaTools.evolve(cass.schema, retyped.schema)
+    }
+    e.getMessage should include("version: bigint vs string")
+    // explicit opt-out keeps the target's type (align then casts)
+    SchemaTools.evolve(cass.schema, retyped.schema,
+      failOnTypeConflict = false)("version").dataType shouldBe LongType
+  }
+
+  test("dropped upstream columns are surfaced, not silently null-padded") {
+    val narrower = Seq(("1", 1L)).toDF("id", "version") // lost "text"
+    SchemaTools.droppedFrom(cass.schema, narrower.schema)
+      .map(_.name) shouldBe Seq("text")
+    SchemaTools.droppedFrom(cass.schema, narrower.schema,
+      exclude = Seq("text")) shouldBe Nil
+    // additive evolution still keeps the dropped field (never DROPs)
+    SchemaTools.evolve(cass.schema, narrower.schema)
+      .fieldNames should contain("text")
+  }
 }
 
 class ProfileSpec extends SparkSpec {
