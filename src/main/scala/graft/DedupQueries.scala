@@ -395,6 +395,45 @@ object DedupQueries {
       graft.dedup.SpanDedup.dupRuns(
           Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
         .orderBy("doc_id", "run_start")
+    },
+
+    // The CUT pass — final step of the ExactSubstr chain: re-emit
+    // each document with its d15 runs removed (earliest occurrence
+    // of every span survives corpus-wide). The rebuild is map-side:
+    // a higher-order filter of the token array against the doc's own
+    // run list, joined back doc-keyed — no token-level shuffle.
+    GraftQuery(
+      "d16_span_cut",
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM n),
+         |off AS (SELECT doc_id, a,
+         |          unnest(generate_series(1, greatest(len(a) - 7, 1))) AS p
+         |        FROM tk),
+         |sp AS (SELECT doc_id, array_to_string(a[p : p + 7], ' ') AS span,
+         |          p, doc_id * 1048576 + p AS occ FROM off),
+         |k AS (SELECT doc_id, p, occ, min(occ) OVER (PARTITION BY span) AS keep
+         |      FROM sp),
+         |d AS (SELECT doc_id, p FROM k WHERE occ <> keep),
+         |isl AS (SELECT doc_id, p,
+         |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |        FROM d),
+         |rn AS (SELECT doc_id, min(p) AS rs, max(p) + 7 AS re
+         |       FROM isl GROUP BY doc_id, g),
+         |rl AS (SELECT doc_id, list(struct_pack(rs := rs, re := re)) AS runs
+         |       FROM rn GROUP BY doc_id),
+         |j AS (SELECT tk.doc_id, tk.a, rl.runs FROM tk
+         |      LEFT JOIN rl ON tk.doc_id = rl.doc_id),
+         |cut AS (SELECT doc_id, a, CASE WHEN runs IS NULL THEN a ELSE
+         |    [a[ii] for ii in generate_series(1, len(a))
+         |     if len(list_filter(runs, r -> ii >= r.rs AND ii <= r.re)) = 0]
+         |  END AS kept FROM j)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' '), '') AS text_dedup,
+         |  len(a)::BIGINT AS n_tokens, (len(a) - len(kept))::BIGINT AS cut_tokens
+         |FROM cut ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.dedup.SpanDedup.cutText(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dedup.MinHashLSH
-import graft.functions.{TextFunctions, TextIndexStore, TextOps, TextSearch}
+import graft.functions.{QualityFunnel, TextFunctions, TextIndexStore, TextOps, TextSearch}
 import graft.operators.Sampling
 import graft.sketch.CountMin
 
@@ -596,6 +596,57 @@ object TextQueries {
         .select(col("source"), col("exact_distinct"),
           round(col("hll_estimate"), 2).as("hll_estimate"))
         .orderBy("source")
+    },
+
+    // Quality-filter funnel: the default C4/Gopher-style ordered rule
+    // ledger fused into ONE scan + ONE aggregate; each row attributes
+    // removals to the FIRST rule that rejected the document. The
+    // oracle re-derives every rule (length bounds, argmax language
+    // ID, stopword floor, repetition cap) and the same first-fail
+    // attribution in SQL.
+    GraftQuery(
+      "c6_quality_funnel", {
+        val langs = TextFunctions.stopwords.map(_._1)
+        val langCols = langs.map(l => s"${stopCountSql(l)} AS c_$l").mkString(",\n  ")
+        val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l =>
+          s"WHEN c_$l > 0 AND c_$l = best THEN '$l'").mkString(" ")
+        s"""$normCte,
+           |c AS (SELECT doc_id, norm, len(string_split(norm, ' ')) AS tok,
+           |  len(list_distinct(string_split(norm, ' '))) AS dtok,
+           |  $langCols
+           |FROM n),
+           |b AS (SELECT c.*, $best AS best FROM c),
+           |f AS (SELECT
+           |  tok >= 24 AS r0,
+           |  tok <= 88 AS r1,
+           |  (CASE $cases ELSE 'und' END) = 'en' AS r2,
+           |  round(c_en * 1.0 / greatest(tok, 1), 4) >= 0.06 AS r3,
+           |  round((tok - dtok) * 1.0 / tok, 4) <= 0.6 AS r4
+           |FROM b),
+           |a AS (SELECT count(*)::BIGINT AS total,
+           |  sum(CASE WHEN NOT r0 THEN 1 ELSE 0 END)::BIGINT AS d0,
+           |  sum(CASE WHEN r0 AND NOT r1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+           |  sum(CASE WHEN r0 AND r1 AND NOT r2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+           |  sum(CASE WHEN r0 AND r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+           |  sum(CASE WHEN r0 AND r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END)::BIGINT AS d4
+           |FROM f)
+           |SELECT * FROM (
+           |  SELECT 1::BIGINT AS stage, 'min_tokens' AS rule,
+           |    total AS evaluated, d0 AS dropped, total - d0 AS remaining FROM a
+           |  UNION ALL SELECT 2, 'max_tokens', total - d0, d1,
+           |    total - d0 - d1 FROM a
+           |  UNION ALL SELECT 3, 'lang_en', total - d0 - d1, d2,
+           |    total - d0 - d1 - d2 FROM a
+           |  UNION ALL SELECT 4, 'stopword_floor', total - d0 - d1 - d2, d3,
+           |    total - d0 - d1 - d2 - d3 FROM a
+           |  UNION ALL SELECT 5, 'repetition_cap', total - d0 - d1 - d2 - d3, d4,
+           |    total - d0 - d1 - d2 - d3 - d4 FROM a
+           |) ORDER BY stage""".stripMargin
+      }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      QualityFunnel.report(d, QualityFunnel.defaultRules(col("text")))
+        .orderBy("stage")
     }
   )
 

@@ -95,6 +95,41 @@ object SpanDedup {
     * [[spanStats]] plus ONE doc-keyed window over the DUP spans only
     * (bounded by duplicate volume, not corpus size).
     */
+  /** The CUT pass — the final step of the ExactSubstr chain: emit
+    * each document's normalized text with every duplicated run
+    * ([[dupRuns]]) removed. The globally earliest occurrence of each
+    * span survives (runs only list non-earliest occurrences), so the
+    * corpus keeps exactly one copy of every repeated passage.
+    *
+    * Output: (idCol, text_dedup, n_tokens, cut_tokens), one row per
+    * document (docs with no dup runs pass through verbatim in
+    * normalized form).
+    *
+    * Scale shape: [[dupRuns]]' one span-keyed shuffle + one doc-keyed
+    * aggregate over DUP runs only (bounded by duplicate volume), then
+    * ONE doc-keyed equi-join back onto the corpus — the rebuild
+    * itself is map-side (higher-order filter over the token array
+    * against the doc's own run list; O(tokens × runs-per-doc), no
+    * token-level shuffle, no UDF).
+    */
+  def cutText(df: DataFrame, idCol: String, rawTextCol: Column,
+      n: Int = 8, posBits: Int = 20, hashSpans: Boolean = true): DataFrame = {
+    val runs = dupRuns(df, idCol, rawTextCol, n, posBits, hashSpans)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("run_start").as("rs"),
+        (col("run_end") + (n - 1)).as("re"))).as("_runs"))
+    val toks = TextFunctions.tokens(TextFunctions.normalize(rawTextCol))
+    val kept = when(col("_runs").isNull, col("_toks"))
+      .otherwise(filter(col("_toks"), (_, i) =>
+        !exists(col("_runs"), r => i + 1 >= r("rs") && i + 1 <= r("re"))))
+    df.select(col(idCol), toks.as("_toks"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(kept, " ").as("text_dedup"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(kept)).cast("long").as("cut_tokens"))
+  }
+
   def dupRuns(df: DataFrame, idCol: String, rawTextCol: Column,
       n: Int = 8, posBits: Int = 20, hashSpans: Boolean = true): DataFrame = {
     val dups = occurrences(df, idCol, rawTextCol, n, posBits, hashSpans)

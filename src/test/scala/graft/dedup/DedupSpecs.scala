@@ -123,6 +123,39 @@ class SpanDedupSpec extends SparkSpec {
     runs.map(_._5).sum shouldBe statDups
   }
 
+  test("cutText removes exactly the dup runs; earliest occurrence survives") {
+    // doc 2's first 10 tokens are doc 1's verbatim -> cut; its tail
+    // survives. doc 4 is a whole-doc dup of doc 3 -> cut to empty.
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 a b c d e f"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 x y z w v u"),
+      (3L, "zzz short"), (4L, "zzz short")).toDF("doc_id", "text")
+    val cut = SpanDedup.cutText(docs, "doc_id", col("text"))
+      .select("doc_id", "text_dedup", "n_tokens", "cut_tokens")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    cut shouldBe Array(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 a b c d e f", 16L, 0L),
+      (2L, "x y z w v u", 16L, 10L),
+      (3L, "zzz short", 2L, 0L),
+      (4L, "", 2L, 2L))
+    // cut volume equals dupRuns' run_tokens for full-length docs
+    // (short docs < n report the nominal span width, clamp to doc)
+    val runTok = SpanDedup.dupRuns(docs, "doc_id", col("text"))
+      .groupBy("doc_id").agg(sum("run_tokens").as("rt"))
+      .as[(Long, Long)].collect().toMap
+    cut(1)._4 shouldBe runTok(2L)
+  }
+
+  test("cutText over hashed span keys matches the string-key cut") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight different tail here"),
+      (3L, "tiny"), (4L, "tiny")).toDF("doc_id", "text")
+    assertSameRows(
+      SpanDedup.cutText(docs, "doc_id", col("text"), hashSpans = false),
+      SpanDedup.cutText(docs, "doc_id", col("text"), hashSpans = true))
+  }
+
   test("ids outside the packable range fail loudly instead of mis-electing") {
     // doc_id = 2^43 overflows the default posBits=20 pack (id must be
     // < 2^43); before the guard this silently corrupted occurrence
