@@ -7,25 +7,27 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.ParquetTableIO
 import graft.streaming.{StatefulLww, StreamingLshDedup}
 
 /** Driver-run benchmark: one JSON line of per-query wall times over
   * `SPARK_GRAFT_SF_DIR` (default sf0.1).
   *
-  * Runs every registered query EXCEPT the two deliberately quadratic
+  * Runs every registered query EXCEPT the deliberately quadratic
   * correctness baselines (`v3_near_dup_pairs` exact all-pairs cosine,
-  * `d4_jaccard_pairs` full Jaccard refinement) — each exists as the
-  * oracle its scalable counterpart (v5 LSH ANN, d3 LSH candidates) is
-  * judged against, and at bench scale their O(n²) cost is the point,
-  * not a regression. `SPARK_GRAFT_BENCH_ALL=1` includes them anyway.
+  * `d4_jaccard_pairs` full Jaccard refinement, `v10_semantic_dedup`
+  * label-cell semantic dedup whose pair volume grows n²/|labels|) —
+  * each exists as the oracle its scalable counterpart (v5 LSH ANN,
+  * d3 LSH candidates, v12 trained-cell semantic dedup) is judged
+  * against, and at bench scale their O(n²) cost is the point, not a
+  * regression. `SPARK_GRAFT_BENCH_ALL=1` includes them anyway.
   *
   * A short warm-up action runs first so the first measured query
   * doesn't absorb JVM/codegen/parquet-footer cold-start.
   */
 object Bench {
 
-  private val quadraticBaselines = Set("v3_near_dup_pairs", "d4_jaccard_pairs")
+  private val quadraticBaselines =
+    Set("v3_near_dup_pairs", "d4_jaccard_pairs", "v10_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,59 +106,91 @@ object Bench {
   }
 
   /** Rows/s over N MemoryStream micro-batches for StreamingLshDedup
-    * (persisted band index, probe + merge per batch) and StatefulLww
+    * (persisted band index, probe + append per batch) and StatefulLww
     * (flatMapGroupsWithState winners into a noop sink). Wall time
     * includes ALL per-batch work — index IO, state store, scheduling —
-    * the number a capacity plan actually needs. Returns a JSON object
-    * string; -1 values mean the harness itself failed.
+    * the number a capacity plan actually needs; per-batch p50/p95 wall
+    * (seconds) ride along because rows/s alone hides tail latency.
+    * Returns a JSON object string; -1 values mean the harness itself
+    * failed. Failures catch NonFatal only (OOM/interrupt propagate)
+    * and the started query is always stopped in a finally.
     */
   private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import scala.util.control.NonFatal
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def rate(rows: Long, sec: Double): Long =
       if (sec > 0) (rows / sec).toLong else -1L
+    def pct(sorted: Seq[Double], q: Double): Double =
+      if (sorted.isEmpty) -1.0
+      else sorted(math.min(sorted.size - 1, (q * sorted.size).toInt))
+    def ms3(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val lww =
+    // (rows/s, per-batch walls asc) for a drive loop of micro-batches
+    def timed(batchRows: Seq[Long])(push: Int => Unit): (Long, Seq[Double]) = {
+      val walls = batchRows.indices.map { b =>
+        val t0 = System.nanoTime()
+        push(b)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (rate(batchRows.sum, walls.sum), walls.sorted)
+    }
+
+    val (lww, lwwWalls) = {
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
         val base = Files.createTempDirectory("bench_lww")
         val mem = MemoryStream[StatefulLww.KeyedVersioned]
-        val q = StatefulLww.latestUpdates(mem.toDS())
+        q = StatefulLww.latestUpdates(mem.toDS())
           .writeStream.format("noop").outputMode("update")
           .option("checkpointLocation", base.resolve("ckpt").toString)
           .start()
         val batches = 5; val rowsPer = 20000
-        val t0 = System.nanoTime()
-        (0 until batches).foreach { b =>
+        timed(Seq.fill(batches)(rowsPer.toLong)) { b =>
           mem.addData((0 until rowsPer).map(i =>
             StatefulLww.KeyedVersioned(s"k${i % 5000}",
               b.toLong * rowsPer + i, "payload")))
           q.processAllAvailable()
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        q.stop()
-        rate(batches.toLong * rowsPer, sec)
-      } catch { case _: Throwable => -1L }
+      } catch { case NonFatal(_) => (-1L, Seq.empty[Double]) }
+      finally if (q != null) q.stop()
+    }
 
-    val lsh =
+    val (lsh, lshWalls) = {
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
         val base = Files.createTempDirectory("bench_lsh")
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        // Fixed 40k-doc workload in 4 micro-batches of 10k: batches
+        // sized like a real ingest tick, so the rate measures steady
+        // per-doc cost instead of Spark's ~1-2 s per-batch scheduling
+        // floor (5k docs in tiny batches reports the floor, not the
+        // operator). Corpora smaller than the target are replicated
+        // with offset ids + perturbed text; larger ones are capped so
+        // the driver-side collect stays bounded on any SF_DIR.
+        val target = 40000
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("long"), col("text"))
+          .limit(target)
           .as[(Long, String)].collect()
+        val reps = math.max(1, target / math.max(1, corpus.length))
+        val docs = (0 until reps).flatMap(r => corpus.map { case (id, t) =>
+          (id + r.toLong * 100000000L, if (r == 0) t else s"$t r$r") })
         val mem = MemoryStream[(Long, String)]
-        val q = StreamingLshDedup.start(spark,
+        q = StreamingLshDedup.start(spark,
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          new ParquetTableIO(base.resolve("index").toString),
+          base.resolve("index").toString,
           base.resolve("cand").toString, base.resolve("ckpt").toString,
           Trigger.ProcessingTime("10 milliseconds"))
         val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq
-        val t0 = System.nanoTime()
-        slices.foreach { s => mem.addData(s); q.processAllAvailable() }
-        val sec = (System.nanoTime() - t0) / 1e9
-        q.stop()
-        rate(docs.length.toLong, sec)
-      } catch { case _: Throwable => -1L }
+        timed(slices.map(_.length.toLong)) { b =>
+          mem.addData(slices(b)); q.processAllAvailable()
+        }
+      } catch { case NonFatal(_) => (-1L, Seq.empty[Double]) }
+      finally if (q != null) q.stop()
+    }
 
-    s"""{"lww_rows_per_s":$lww,"lsh_docs_per_s":$lsh}"""
+    s"""{"lww_rows_per_s":$lww,"lww_batch_p50_s":${ms3(pct(lwwWalls, 0.5))},"lww_batch_p95_s":${ms3(pct(lwwWalls, 0.95))},""" +
+      s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))}}"""
   }
 }

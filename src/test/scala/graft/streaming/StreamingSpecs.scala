@@ -476,14 +476,14 @@ class StreamingLshDedupSpec extends SparkSpec {
   test("micro-batches probe the persisted index; near-dups surface across batches") {
     implicit val sql = spark.sqlContext
     val base = Files.createTempDirectory("slsh")
-    val indexIO = new ParquetTableIO(base.resolve("index").toString)
+    val indexDir = base.resolve("index").toString
     val cands = base.resolve("cands").toString
     val ckpt = base.resolve("ckpt").toString
 
     val mem = MemoryStream[(Long, String)]
     val q = StreamingLshDedup.start(spark,
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      indexIO, cands, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+      indexDir, cands, ckpt, Trigger.ProcessingTime("50 milliseconds"))
 
     def run(): Unit = { q.processAllAvailable() }
 
@@ -491,7 +491,8 @@ class StreamingLshDedupSpec extends SparkSpec {
     mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "completely unrelated text about spark engines and shuffles"))
     run()
-    indexIO.read(spark).select("doc_id").distinct().count() shouldBe 2
+    StreamingLshDedup.readIndex(spark, indexDir)
+      .select("doc_id").distinct().count() shouldBe 2
 
     // batch 2: doc 10 duplicates doc 1 -> cross-batch candidate emitted
     mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
@@ -503,6 +504,62 @@ class StreamingLshDedupSpec extends SparkSpec {
       .select("id_index", "id_probe").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 10L))
     // the index absorbed both batches: all four docs are probe-able now
-    indexIO.read(spark).select("doc_id").distinct().count() shouldBe 4
+    StreamingLshDedup.readIndex(spark, indexDir)
+      .select("doc_id").distinct().count() shouldBe 4
+
+    // offline compaction folds the delta partitions into the base
+    // snapshot; the probe-able view is unchanged
+    StreamingLshDedup.compactIndex(spark, indexDir)
+    val delta = base.resolve("index").resolve("delta")
+    val remaining =
+      if (Files.exists(delta)) {
+        val s = Files.list(delta)
+        try s.filter(_.getFileName.toString.startsWith("_batch=")).count()
+        finally s.close()
+      } else 0L
+    remaining shouldBe 0L
+    StreamingLshDedup.readIndex(spark, indexDir)
+      .select("doc_id").distinct().count() shouldBe 4
+  }
+
+  test("per-batch index write cost is independent of index size") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("slsh_cost")
+    val indexDir = base.resolve("index").toString
+    val delta = base.resolve("index").resolve("delta")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingLshDedup.start(spark,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, base.resolve("cands").toString, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    def deltaFiles(): Map[String, Long] = {
+      val s = Files.walk(delta)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+
+    mem.addData((0 until 200).map(i => (i.toLong, s"seed document number $i with some shared text")): _*)
+    q.processAllAvailable()
+    val afterSeed = deltaFiles()
+    afterSeed should not be empty
+
+    // a later batch writes ONLY its own _batch partition: every file
+    // from the seed batch survives byte-for-byte untouched (same path,
+    // same mtime), no matter how large the accumulated index is
+    mem.addData((1000L, "one more tiny batch"), (1001L, "another tiny doc"))
+    q.processAllAvailable()
+    q.stop()
+    val afterSmall = deltaFiles()
+    afterSeed.foreach { case (p, mtime) =>
+      afterSmall.get(p) shouldBe Some(mtime)
+    }
+    (afterSmall.keySet -- afterSeed.keySet).foreach { p =>
+      p should include ("_batch=")
+    }
+    afterSmall.size should be > afterSeed.size
   }
 }
