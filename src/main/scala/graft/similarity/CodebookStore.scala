@@ -1,0 +1,39 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.sources.ArtifactStore
+
+/** Persisted trained IVF codebook — the build-once / query-many
+  * discipline (TextIndexStore's pattern) applied to the coarse
+  * quantizer: a query fleet probes the SAME k×d artifact instead of
+  * re-running Lloyd iterations per execution. The reference's
+  * Elasticsearch leg amortizes its segment build the same way; a
+  * vector index at 100 TB amortizes its training.
+  *
+  * Keyed by the source table's content fingerprint plus every
+  * training parameter (id/emb columns, k, iters), so a regrown corpus
+  * or a different training recipe keys to a fresh artifact and can
+  * never read a stale codebook. Training is deterministic end to end
+  * (seeds = k lowest ids, ties to the lowest cell, 6-decimal
+  * centroid rounding — IvfKnn.trainCodebook's contract), and parquet
+  * stores doubles exactly, so the stored codebook is BIT-IDENTICAL to
+  * an inline train — KMeansCodebookSpec asserts it; persisted-path
+  * query results keep hash-matching the unroll-inline oracles.
+  */
+object CodebookStore {
+
+  /** Stored (cell, centroid) codebook over `table`'s `embCol` at
+    * `sfDir`; trained and committed on first use.
+    */
+  def trained(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, k: Int, iters: Int): DataFrame = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"codebook_${idCol}_${embCol}_k${k}_i$iters")
+    if (!h.exists)
+      h.overwrite(IvfKnn.trainCodebook(
+        Tables.load(spark, sfDir, table), idCol, embCol, k, iters))
+    h.read(spark)
+  }
+}

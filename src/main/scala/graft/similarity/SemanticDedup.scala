@@ -56,6 +56,11 @@ object SemanticDedup {
     * argmax), so EXACT duplicates are never missed; near-dups split
     * across a cell boundary are the accepted recall trade, shrinking
     * as targetCellSize grows.
+    *
+    * `codebook`: a pre-trained (cell, centroid) frame (e.g. from
+    * [[CodebookStore]]) skips the inline Lloyd train — the caller
+    * owns sizing k = n / targetCellSize in that case. Training is
+    * deterministic, so stored and inline codebooks agree bit-for-bit.
     */
   def keptIvf(
       df: DataFrame,
@@ -63,15 +68,18 @@ object SemanticDedup {
       vecCol: String,
       minCosine: Double,
       targetCellSize: Int,
-      kmeansIters: Int = 3): DataFrame = {
+      kmeansIters: Int = 3,
+      codebook: Option[DataFrame] = None): DataFrame = {
     require(targetCellSize > 1, "targetCellSize must be > 1")
-    val n = df.count()
-    val k = math.max(1, (n / targetCellSize).toInt)
-    val codebook = IvfKnn.collectCodebook(
-      IvfKnn.trainCodebook(df, idCol, vecCol, k, kmeansIters), "cell")
+    val trained = codebook.getOrElse {
+      val n = df.count()
+      val k = math.max(1, (n / targetCellSize).toInt)
+      IvfKnn.trainCodebook(df, idCol, vecCol, k, kmeansIters)
+    }
+    val collected = IvfKnn.collectCodebook(trained, "cell")
     // materialize the assignment: the dedup self-join would otherwise
     // re-evaluate the k-way argmax once per join side
-    val assigned = IvfKnn.assignCells(df, vecCol, codebook, "__ivf_cell")
+    val assigned = IvfKnn.assignCells(df, vecCol, collected, "__ivf_cell")
       .localCheckpoint()
     kept(assigned, idCol, vecCol, "__ivf_cell", minCosine).drop("__ivf_cell")
   }

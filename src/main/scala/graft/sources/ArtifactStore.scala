@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Keying discipline for persisted derived artifacts (postings
+  * indexes, trained codebooks): every artifact lives under a key that
+  * folds in a CONTENT FINGERPRINT of its source table, so a corpus
+  * regrown in place — same path, even the same row count — keys to a
+  * fresh build and can never serve a stale artifact. The fingerprint
+  * is a filesystem walk (relative name, size, mtime per file), not a
+  * data scan: any in-place rewrite changes mtimes, any content change
+  * through a normal writer changes sizes/files, and the check costs
+  * microseconds per query instead of a Spark job.
+  *
+  * `SPARK_GRAFT_INDEX_DIR` overrides the store root (defaults under
+  * the build's target dir, so `clean` drops the cache with everything
+  * else).
+  */
+object ArtifactStore {
+
+  def root: String = sys.env.getOrElse(
+    "SPARK_GRAFT_INDEX_DIR", "/root/repo/target/graft_index")
+
+  /** Content fingerprint of a source table path (file or directory):
+    * 16 hex chars over the sorted (relative path, size, mtime-millis)
+    * file entries.
+    */
+  def fingerprint(tablePath: String): String = {
+    val p = Paths.get(tablePath)
+    require(Files.exists(p), s"no source table at $tablePath")
+    val s = Files.walk(p)
+    val entries =
+      try s.filter(f => Files.isRegularFile(f)).toArray.toSeq
+        .map(_.asInstanceOf[Path])
+        .map(f => s"${p.relativize(f)}|${Files.size(f)}|" +
+          Files.getLastModifiedTime(f).toMillis)
+        .sorted
+      finally s.close()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Versioned store handle for `piece` of the artifact derived from
+    * the table at `tablePath`.
+    */
+  def io(tablePath: String, piece: String): ParquetTableIO = {
+    val key = tablePath.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + fingerprint(tablePath)
+    new ParquetTableIO(s"$root/$key/$piece")
+  }
+}

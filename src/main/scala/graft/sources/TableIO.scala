@@ -72,9 +72,13 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
       Some(path)
     else None
 
+  // snapshot dirs are "v-<n>" or "v-<n>-<uid>" (the uid disambiguates
+  // concurrent writers); the numeric prefix is the version
+  private def versionOf(dirName: String): Long =
+    dirName.stripPrefix("v-").takeWhile(_.isDigit).toLong
+
   private def currentVersion: Long = currentDir match {
-    case Some(d) if d != path =>
-      Paths.get(d).getFileName.toString.stripPrefix("v-").toLong
+    case Some(d) if d != path => versionOf(Paths.get(d).getFileName.toString)
     case _ => 0L // nothing published, or an adopted plain layout
   }
 
@@ -86,9 +90,14 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
 
   override def prepare(df: DataFrame): TableIO.Prepared = {
     val prev = currentVersion
-    val vName = f"v-${prev + 1}%09d"
+    // per-writer unique staging name: two JVMs preparing concurrently
+    // (e.g. verify and bench both lazily building the same index)
+    // write disjoint dirs instead of racing a shared v-<n+1> — the
+    // pointer swap stays last-writer-wins, the loser's snapshot ages
+    // out through the normal version cleanup
+    val vName = f"v-${prev + 1}%09d-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val vDir = root.resolve(vName)
-    deleteTree(vDir)
     val w = derive(df).write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(vDir.toString)
@@ -104,7 +113,7 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
         // plain-layout files (version 0) age out on the same schedule.
         if (Files.exists(root)) Files.list(root).forEach { f =>
           val n = f.getFileName.toString
-          if (n.startsWith("v-") && n.stripPrefix("v-").toLong < prev)
+          if (n.startsWith("v-") && versionOf(n) < prev)
             deleteTree(f)
           else if (prev >= 1 && !Files.isDirectory(f) && n != "_current")
             Files.deleteIfExists(f)

@@ -26,6 +26,14 @@ import graft.sources.ParquetTableIO
   * ONE atomic pointer swap — and skips any batch at or below it.
   * foreachBatch replays reuse the original batchId, which makes the
   * skip exact: the sink is effectively exactly-once.
+  *
+  * The marker also records WHICH checkpoint it belongs to: batch ids
+  * restart at 0 under a fresh checkpoint, so a bare id comparison
+  * would silently drop a new run's first batches as "replays" when a
+  * user points a fresh stream at an existing sketch store. The skip
+  * therefore fires only when the stored checkpoint id matches the
+  * running query's — a foreign or legacy marker is ignored and the
+  * batches merge normally.
   */
 object StreamingSketch {
 
@@ -35,6 +43,12 @@ object StreamingSketch {
     * columns.
     */
   val LastBatchCol = "_last_batch"
+
+  /** Checkpoint-identity column persisted beside [[LastBatchCol]]:
+    * the replay skip only applies to markers written under the SAME
+    * checkpoint location.
+    */
+  val CkptCol = "_ckpt"
 
   /** Start maintaining `sketchIO` over a streaming frame's `itemCol`. */
   def start(spark: SparkSession, items: DataFrame, itemCol: String,
@@ -49,15 +63,19 @@ object StreamingSketch {
             if (sketchIO.exists) Some(sketchIO.read(batch.sparkSession))
             else None
           val lastMerged = prior
-            .filter(_.columns.contains(LastBatchCol))
-            .flatMap(p => Option(p.agg(max(col(LastBatchCol))).head.get(0))
+            .filter(p => p.columns.contains(LastBatchCol) &&
+              p.columns.contains(CkptCol))
+            .flatMap(p => Option(p.filter(col(CkptCol) === checkpoint)
+                .agg(max(col(LastBatchCol))).head.get(0))
               .map(_.asInstanceOf[Long]))
           if (!lastMerged.exists(_ >= batchId)) {
             val delta = CountMin.build(batch, col(itemCol), depth, width)
             val merged = prior
-              .map(p => CountMin.merge(Seq(p.drop(LastBatchCol), delta)))
+              .map(p => CountMin.merge(Seq(p.drop(LastBatchCol, CkptCol), delta)))
               .getOrElse(delta)
-            sketchIO.overwrite(merged.withColumn(LastBatchCol, lit(batchId)))
+            sketchIO.overwrite(merged
+              .withColumn(LastBatchCol, lit(batchId))
+              .withColumn(CkptCol, lit(checkpoint)))
           }
         }
         ()

@@ -52,6 +52,19 @@ class QualityFunnelSpec extends SparkSpec {
     revDrops("no_z") shouldBe 3L // now catches the "z" doc first
   }
 
+  test("null-evaluating docs are attributed to their first non-passed rule") {
+    // null text makes every predicate NULL: the doc must show up as
+    // dropped at stage 1, keeping drops summing to total − survivors
+    val withNull = (Seq("a b c x", null): Seq[String]).toDF("text")
+    val r = QualityFunnel.report(withNull, rules)
+      .select("stage", "dropped", "remaining")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    r.map(_._2).sum shouldBe withNull.count() -
+      QualityFunnel.kept(withNull, rules).count()
+    r.head._2 shouldBe 1L   // the null doc dropped at min_tok
+    r.last._3 shouldBe 1L   // the good doc survives
+  }
+
   test("default rules report one live row per rule on a mixed corpus") {
     val mixed = Seq(
       (1L, "the quick brown fox jumps over a lazy dog of great renown " +

@@ -153,6 +153,22 @@ class KMeansCodebookSpec extends SparkSpec {
     cents2 shouldBe cents
   }
 
+  test("persisted codebook (CodebookStore) is bit-identical to an inline train") {
+    val dir = "/root/testdata/sf0.001"
+    val stored = IvfKnn.collectCodebook(
+      CodebookStore.trained(spark, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2), "cell")
+    // second call reads the committed artifact, not a re-train
+    val storedAgain = IvfKnn.collectCodebook(
+      CodebookStore.trained(spark, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2), "cell")
+    val inline = IvfKnn.collectCodebook(
+      IvfKnn.trainCodebook(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 4, iters = 2), "cell")
+    stored shouldBe inline
+    storedAgain shouldBe inline
+  }
+
   test("trained codebook + nprobe = k probes is exactly brute force") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = IvfKnn.trainCodebook(df, "vec_id", "embedding", k = 4, iters = 3)

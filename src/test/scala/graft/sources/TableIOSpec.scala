@@ -49,8 +49,10 @@ class TableIOSpec extends SparkSpec {
     io.read(spark).count() shouldBe 2
     io.overwrite(Seq((3, "v3")).toDF("id", "v"))
     // now v-1 is retired; only the latest two versions remain
-    new java.io.File(io.path).list().filter(_.startsWith("v-")).sorted shouldBe
-      Array("v-000000002", "v-000000003")
+    // (dir names carry a per-writer uid suffix — compare versions)
+    new java.io.File(io.path).list().filter(_.startsWith("v-"))
+      .map(_.stripPrefix("v-").takeWhile(_.isDigit).toLong)
+      .sorted shouldBe Array(2L, 3L)
   }
 
   test("partitionBy lays out date-partitioned directories (pruning-ready)") {
@@ -109,12 +111,40 @@ class TableIOSpec extends SparkSpec {
     assertSameRows(io.read(spark), before)
     // versioned commit: compaction bumped the version (v-2), and the
     // pre-compaction snapshot survives as the grace-window version
-    io.currentDir.get should endWith("v-000000002")
+    io.currentDir.get should include("v-000000002")
   }
 
   test("compact on an unpublished table fails loudly") {
     intercept[IllegalStateException] {
       new ParquetTableIO(tmp).compact(spark)
     }
+  }
+
+  test("artifact fingerprint changes when the source is regrown in place") {
+    // same path, same row count, same sizes — only mtime moves, the
+    // exact in-place-regeneration shape a count-keyed cache misses
+    val src = Files.createTempDirectory("fpr").resolve("t.parquet")
+    Files.createDirectory(src)
+    val f = src.resolve("part-0.parquet")
+    Files.write(f, Array[Byte](1, 2, 3))
+    val fp1 = ArtifactStore.fingerprint(src.toString)
+    ArtifactStore.fingerprint(src.toString) shouldBe fp1 // stable
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(f).toMillis + 5000))
+    ArtifactStore.fingerprint(src.toString) should not be fp1
+  }
+
+  test("concurrent prepares stage disjoint dirs; the committed one wins") {
+    val io = new ParquetTableIO(tmp)
+    io.overwrite(Seq((1, "base")).toDF("id", "v"))
+    // two writers race from the same current version
+    val pA = io.prepare(Seq((1, "A")).toDF("id", "v"))
+    val pB = io.prepare(Seq((1, "B")).toDF("id", "v"))
+    // staging dirs are distinct — neither clobbered the other mid-write
+    pB.commit()
+    io.read(spark).select("v").as[String].collect() shouldBe Array("B")
+    pA.abort() // loser cleans up; the published snapshot is untouched
+    io.read(spark).select("v").as[String].collect() shouldBe Array("B")
   }
 }

@@ -428,7 +428,8 @@ class StreamingSketchSpec extends SparkSpec {
     // build over all items would have (modulo the replay marker)
     val direct = graft.sketch.CountMin.build((b1 ++ b2).toDF("term"),
       col("term"), 3, 64)
-    assertSameRows(stored.drop(StreamingSketch.LastBatchCol), direct)
+    assertSameRows(stored.drop(StreamingSketch.LastBatchCol,
+      StreamingSketch.CkptCol), direct)
     // the replay marker rides with the snapshot and names the last batch
     stored.select(StreamingSketch.LastBatchCol).distinct()
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
@@ -446,17 +447,21 @@ class StreamingSketchSpec extends SparkSpec {
 
     // Simulate a crash AFTER the sketch commit but BEFORE the
     // checkpoint advanced: the store already holds batch 0's merge
-    // (marker = 0), and a fresh checkpoint makes the stream re-deliver
-    // the same data as batchId 0. The sink must skip it.
+    // (marker = 0 under THIS run's checkpoint id), and the restarted
+    // stream re-delivers the same data as batchId 0. The sink must
+    // skip it.
+    val ckpt = base.resolve("ckpt2").toString
     val seeded = graft.sketch.CountMin
       .build(Seq("a", "a", "b").toDF("term"), col("term"), 3, 64)
       .withColumn(StreamingSketch.LastBatchCol,
         org.apache.spark.sql.functions.lit(0L))
+      .withColumn(StreamingSketch.CkptCol,
+        org.apache.spark.sql.functions.lit(ckpt))
     sketchIO.overwrite(seeded)
 
     val mem = MemoryStream[String]
     val q = StreamingSketch.start(spark, mem.toDF().toDF("term"), "term",
-      sketchIO, depth = 3, width = 64, base.resolve("ckpt2").toString,
+      sketchIO, depth = 3, width = 64, ckpt,
       Trigger.ProcessingTime("50 milliseconds"))
     mem.addData("a", "a", "b"); q.processAllAvailable() // replay of batch 0
     mem.addData("c"); q.processAllAvailable()           // genuinely new batch 1
@@ -466,6 +471,39 @@ class StreamingSketchSpec extends SparkSpec {
         Seq("a", "b", "c").toDF("term"), "term", 3, 64)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // "a" stayed 2 (replay skipped); "c" landed (new batch merged)
+    est shouldBe Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
+  }
+
+  test("a fresh checkpoint over an existing store merges instead of skipping") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sskf")
+    val sketchIO = new ParquetTableIO(base.resolve("sketch").toString)
+
+    // The store holds an OLD run's sketch with marker batch 1; a NEW
+    // run (fresh checkpoint, batch ids restart at 0) must NOT treat
+    // its first batches as replays of the old run's — the checkpoint
+    // id on the marker distinguishes the two.
+    val seeded = graft.sketch.CountMin
+      .build(Seq("a", "a").toDF("term"), col("term"), 3, 64)
+      .withColumn(StreamingSketch.LastBatchCol,
+        org.apache.spark.sql.functions.lit(1L))
+      .withColumn(StreamingSketch.CkptCol,
+        org.apache.spark.sql.functions.lit("an-older-runs-checkpoint"))
+    sketchIO.overwrite(seeded)
+
+    val mem = MemoryStream[String]
+    val q = StreamingSketch.start(spark, mem.toDF().toDF("term"), "term",
+      sketchIO, depth = 3, width = 64, base.resolve("ckpt_new").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+    mem.addData("b"); q.processAllAvailable() // new run's batch 0
+    mem.addData("c"); q.processAllAvailable() // new run's batch 1
+    q.stop()
+
+    val est = graft.sketch.CountMin.estimate(sketchIO.read(spark),
+        Seq("a", "b", "c").toDF("term"), "term", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // everything merged: the old sketch survived AND both new batches
+    // landed (batch 1 especially — id equal to the foreign marker)
     est shouldBe Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
   }
 }
