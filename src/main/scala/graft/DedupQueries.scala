@@ -77,6 +77,28 @@ object DedupQueries {
        |  FROM toks GROUP BY doc_id),
        |sh AS (SELECT doc_id, $simhashPack AS simhash FROM bits)""".stripMargin
 
+  /** 64-bit simhash CTE (16 md5 hex chars; bit 63's power is Long.Min,
+    * added LAST so every partial sum stays in BIGINT range).
+    */
+  private val simhash64Cte = {
+    val bitSums = (0 until 64).map { p =>
+      val j = p / 4 + 1
+      val b = 1 << (p % 4)
+      s"sum(((instr('0123456789abcdef', substring(hx, $j, 1)) - 1) // $b) % 2) AS b$p"
+    }.mkString(",\n    ")
+    val pack = (0 until 64)
+      .map(p => s"CASE WHEN b$p * 2 > n THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(norm, ' '))) AS hx
+       |  FROM (SELECT doc_id, $norm AS norm FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $pack AS simhash FROM bits)""".stripMargin
+  }
+
   /** Recursive-CTE oracle shared by d9 (label propagation) and d13
     * (star contraction) — both must produce this exact labelling.
     */
@@ -202,6 +224,34 @@ object DedupQueries {
       val d = Tables.load(s, dir, "documents")
       val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
       SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 3, blocks = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash at the ≥10⁶-doc width: 64-bit hash, 2×32-bit pigeonhole
+    // blocks, Hamming ≤ 1. d7's 16-bit blocks hit their pigeonhole
+    // limit at 10⁶ docs (2¹⁶ bucket values < n ⇒ candidate volume
+    // n²·blocks/2^width blows past the formula — SURVEY §9.5); 32-bit
+    // blocks keep expected occupancy n/2³² ≪ 1 so candidates stay
+    // ~linear in the true near-dup count at 10⁶⁺ docs. Same guaranteed
+    // recall by construction: Hamming ≤ 1 < 2 blocks ⇒ one block
+    // matches exactly.
+    GraftQuery(
+      "d17_simhash_wide",
+      s"""$simhash64Cte,
+         |idx AS (
+         |  SELECT doc_id, simhash, t.b AS blk_i,
+         |         (simhash >> (32 * t.b)) & 4294967295 AS blk_v
+         |  FROM sh CROSS JOIN range(0, 2) t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) AS hamming
+         |FROM idx a JOIN idx c
+         |  ON a.blk_i = c.blk_i AND a.blk_v = c.blk_v AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash::BIGINT, c.simhash::BIGINT)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")),
+        bits = 64)
+      SimHash.nearPairsBlocked(sims, "doc_id", maxDist = 1, blocks = 2, bits = 64)
         .orderBy("id_a", "id_b")
     },
 

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Schema introspection, diff, and additive evolution — SURVEY.md §1.3.
   *
@@ -79,6 +79,39 @@ object SchemaTools {
           }.mkString(", "))
     }
     StructType(target.fields.toSeq ++ missingIn(target, source))
+  }
+
+  /** Catalog-side additive evolution: the DDL form of [[evolve]] —
+    * issues `ALTER TABLE … ADD COLUMNS` for every field `source` has
+    * that the catalog table lacks, exactly the reference's
+    * `sync_schemas` side effect (`ALTER TABLE ADD {column} {type}`
+    * per missing field, pyCassElastic.py:438-444) against a real
+    * catalog instead of a live Cassandra/ES pair. Same contract as
+    * [[evolve]]: add-only, refuses same-named type conflicts by
+    * default. Pre-existing rows read the new columns as NULL — the
+    * reference's insert-side null-pad (:270-274) done by the catalog.
+    * One metadata-only DDL statement regardless of table size.
+    *
+    * Returns the fields actually added (empty = already aligned).
+    */
+  def evolveTable(spark: SparkSession, table: String, source: StructType,
+      failOnTypeConflict: Boolean = true): Seq[StructField] = {
+    val current = spark.table(table).schema
+    if (failOnTypeConflict) {
+      val conflicts = typeConflicts(current, source)
+      require(conflicts.isEmpty,
+        s"catalog evolution type conflicts on $table: " +
+          conflicts.map { case (t, s) =>
+            s"${t.name}: ${t.dataType.simpleString} vs ${s.dataType.simpleString}"
+          }.mkString(", "))
+    }
+    val missing = missingIn(current, source)
+    if (missing.nonEmpty) {
+      val cols = missing
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($cols)")
+    }
+    missing
   }
 
   /** Project `df` onto `target`'s columns in `target`'s order,

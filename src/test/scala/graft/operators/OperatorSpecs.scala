@@ -142,6 +142,34 @@ class SchemaToolsSpec extends SparkSpec {
       failOnTypeConflict = false)("version").dataType shouldBe LongType
   }
 
+  test("evolveTable drives ADD COLUMNS through the catalog; old rows null-pad") {
+    // the reference's sync_schemas DDL side effect
+    // (pyCassElastic.py:438-444) against a real catalog table
+    val table = "graft_evolve_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      cass.write.saveAsTable(table)
+      val added = SchemaTools.evolveTable(spark, table, es.schema)
+      added.map(_.name) shouldBe Seq("new_col")
+      // catalog schema evolved; the pre-existing row reads NULL there
+      val evolved = spark.table(table)
+      evolved.columns shouldBe Array("id", "version", "text", "new_col")
+      assert(evolved.select("new_col").collect().head.isNullAt(0))
+      // idempotent: nothing further to add
+      SchemaTools.evolveTable(spark, table, es.schema) shouldBe Nil
+      // new-schema rows land next to old ones, types intact
+      SchemaTools.align(es, evolved.schema)
+        .write.mode("append").saveAsTable(table)
+      spark.table(table).count() shouldBe 2
+      spark.table(table).where(col("new_col") === "extra").count() shouldBe 1
+      // type conflicts refuse before any DDL runs
+      val retyped = Seq(("1", "not-a-long", "t")).toDF("id", "version", "text")
+      intercept[IllegalArgumentException] {
+        SchemaTools.evolveTable(spark, table, retyped.schema)
+      }.getMessage should include("version")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("dropped upstream columns are surfaced, not silently null-padded") {
     val narrower = Seq(("1", 1L)).toDF("id", "version") // lost "text"
     SchemaTools.droppedFrom(cass.schema, narrower.schema)
