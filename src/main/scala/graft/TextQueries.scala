@@ -45,6 +45,32 @@ object TextQueries {
     s"length(list_filter(string_split(norm, ' '), t -> list_contains(${stoplist(words)}, t)))"
   }
 
+  /** Funnel-rule SQL shared by the c6 ledger and the p1 composed
+    * pipeline — ONE definition (`c`/`b` CTEs over the `n` norm CTE,
+    * plus the five ordered rule predicates), so the funnel c6
+    * verifies is provably the same funnel p1 filters by.
+    */
+  private lazy val (funnelCtes, funnelRules): (String, Seq[String]) = {
+    val langs = TextFunctions.stopwords.map(_._1)
+    val langCols = langs.map(l => s"${stopCountSql(l)} AS c_$l").mkString(",\n  ")
+    val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN c_$l > 0 AND c_$l = best THEN '$l'").mkString(" ")
+    val ctes =
+      s"""c AS (SELECT doc_id, norm, len(string_split(norm, ' ')) AS tok,
+         |  len(list_distinct(string_split(norm, ' '))) AS dtok,
+         |  $langCols
+         |FROM n),
+         |b AS (SELECT c.*, $best AS best FROM c)""".stripMargin
+    val rules = Seq(
+      "tok >= 24",
+      "tok <= 88",
+      s"(CASE $cases ELSE 'und' END) = 'en'",
+      "round(c_en * 1.0 / greatest(tok, 1), 4) >= 0.06",
+      "round((tok - dtok) * 1.0 / tok, 4) <= 0.6")
+    (ctes, rules)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Token statistics: whitespace tokens, BPE-ish subword proxy,
@@ -606,23 +632,14 @@ object TextQueries {
     // attribution in SQL.
     GraftQuery(
       "c6_quality_funnel", {
-        val langs = TextFunctions.stopwords.map(_._1)
-        val langCols = langs.map(l => s"${stopCountSql(l)} AS c_$l").mkString(",\n  ")
-        val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
-        val cases = langs.map(l =>
-          s"WHEN c_$l > 0 AND c_$l = best THEN '$l'").mkString(" ")
         s"""$normCte,
-           |c AS (SELECT doc_id, norm, len(string_split(norm, ' ')) AS tok,
-           |  len(list_distinct(string_split(norm, ' '))) AS dtok,
-           |  $langCols
-           |FROM n),
-           |b AS (SELECT c.*, $best AS best FROM c),
+           |$funnelCtes,
            |f AS (SELECT
-           |  tok >= 24 AS r0,
-           |  tok <= 88 AS r1,
-           |  (CASE $cases ELSE 'und' END) = 'en' AS r2,
-           |  round(c_en * 1.0 / greatest(tok, 1), 4) >= 0.06 AS r3,
-           |  round((tok - dtok) * 1.0 / tok, 4) <= 0.6 AS r4
+           |  ${funnelRules(0)} AS r0,
+           |  ${funnelRules(1)} AS r1,
+           |  ${funnelRules(2)} AS r2,
+           |  ${funnelRules(3)} AS r3,
+           |  ${funnelRules(4)} AS r4
            |FROM b),
            |a AS (SELECT count(*)::BIGINT AS total,
            |  sum(CASE WHEN NOT r0 THEN 1 ELSE 0 END)::BIGINT AS d0,
@@ -647,6 +664,76 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       QualityFunnel.report(d, QualityFunnel.defaultRules(col("text")))
         .orderBy("stage")
+    },
+
+    // The composed training-data pipeline as ONE plan — the shape a
+    // real 100 TB run executes: quality-funnel kept-set (c6's exact
+    // rules) → cross-doc span cut (d16) → exact dedup of the cut text
+    // → token stats (t1's metrics) over the survivors. Every stage is
+    // verified alone elsewhere; this verifies the COMPOSITION. The
+    // corpus is scanned ONCE (the funnel filter rides the scan; the
+    // kept-set is locally checkpointed so span-cut's two consumers —
+    // the span-keyed dup pass and the doc-keyed rebuild join — read
+    // the materialized stage output instead of re-scanning, exactly
+    // how a production pipeline persists its filtered corpus between
+    // stages). Exact dedup is the window form (min-id per content
+    // fingerprint): one fp-keyed shuffle, no self-join that would
+    // re-execute the upstream lineage. Pinned by PipelinePlanSpec.
+    GraftQuery(
+      "p1_pipeline",
+      s"""$normCte,
+         |$funnelCtes,
+         |kept AS (SELECT doc_id, norm FROM b
+         |  WHERE (${funnelRules.mkString(")\n    AND (")})),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS a FROM kept),
+         |off AS (SELECT doc_id, a,
+         |          unnest(generate_series(1, greatest(len(a) - 7, 1))) AS p
+         |        FROM tk),
+         |sp AS (SELECT doc_id, array_to_string(a[p : p + 7], ' ') AS span,
+         |          p, doc_id * 1048576 + p AS occ FROM off),
+         |k AS (SELECT doc_id, p, occ, min(occ) OVER (PARTITION BY span) AS keep
+         |      FROM sp),
+         |dp AS (SELECT doc_id, p FROM k WHERE occ <> keep),
+         |isl AS (SELECT doc_id, p,
+         |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |        FROM dp),
+         |rn AS (SELECT doc_id, min(p) AS rs, max(p) + 7 AS re
+         |       FROM isl GROUP BY doc_id, g),
+         |rl AS (SELECT doc_id, list(struct_pack(rs := rs, re := re)) AS runs
+         |       FROM rn GROUP BY doc_id),
+         |j AS (SELECT tk.doc_id, tk.a, rl.runs FROM tk
+         |      LEFT JOIN rl ON tk.doc_id = rl.doc_id),
+         |cut AS (SELECT doc_id, a, CASE WHEN runs IS NULL THEN a ELSE
+         |    [a[ii] for ii in generate_series(1, len(a))
+         |     if len(list_filter(runs, r -> ii >= r.rs AND ii <= r.re)) = 0]
+         |  END AS kept_toks FROM j),
+         |ct AS (SELECT doc_id,
+         |         coalesce(array_to_string(kept_toks, ' '), '') AS text_dedup,
+         |         (len(a) - len(kept_toks))::BIGINT AS cut_tokens FROM cut),
+         |ded AS (SELECT doc_id, text_dedup, cut_tokens,
+         |          min(doc_id) OVER (PARTITION BY text_dedup) AS keep_id
+         |        FROM ct)
+         |SELECT doc_id, md5(text_dedup) AS fp,
+         |  len(string_split(text_dedup, ' '))::BIGINT AS n_tok,
+         |  cut_tokens,
+         |  round(list_sum([length(t) for t in string_split(text_dedup, ' ')]) * 1.0
+         |        / greatest(len(string_split(text_dedup, ' ')), 1), 4) AS mean_tok_len
+         |FROM ded WHERE doc_id = keep_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val kept = QualityFunnel.kept(d, QualityFunnel.defaultRules(col("text")))
+        .localCheckpoint()
+      val cut = graft.dedup.SpanDedup.cutText(kept, "doc_id", col("text"), n = 8)
+      cut
+        .withColumn("fp", TextFunctions.fingerprint(col("text_dedup")))
+        .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("_keep"))
+        .select(col("doc_id"), col("fp"),
+          TextFunctions.tokenCount(col("text_dedup")).cast("long").as("n_tok"),
+          col("cut_tokens"),
+          TextFunctions.meanTokenLength(col("text_dedup")).as("mean_tok_len"))
+        .orderBy("doc_id")
     }
   )
 
