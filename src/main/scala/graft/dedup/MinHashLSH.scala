@@ -195,8 +195,26 @@ object MinHashLSH {
     * computed exactly once.
     */
   def probeCandidatesBanded(index: DataFrame, probeBands: DataFrame,
-      idCol: String): DataFrame =
-    index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
+      idCol: String, maxIndexPerBucket: Int = Int.MaxValue): DataFrame = {
+    // Candidate volume is Σ_buckets |index∩bucket| × |probe∩bucket| —
+    // on duplication-heavy corpora hot buckets make that quadratic
+    // (the same law PairGen's maxBucket bounds for the batch path).
+    // The cap keeps the `maxIndexPerBucket` SMALLEST index ids per
+    // (band, bucket): deterministic truncation, and the kept witnesses
+    // are the EARLIEST documents — a probe doc colliding with a hot
+    // bucket still surfaces as a duplicate (≥1 witness survives by
+    // construction); only the redundant extra witnesses are dropped.
+    val capped =
+      if (maxIndexPerBucket == Int.MaxValue)
+        index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
+      else
+        index.select(col(idCol).as("id_index"), col("band"), col("bucket"))
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "bucket").orderBy("id_index")))
+          .filter(col("_rn") <= maxIndexPerBucket)
+          .drop("_rn")
+    capped
       .join(probeBands.select(col(idCol).as("id_probe"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       // the sides are normally disjoint id sets, but a replayed
@@ -205,6 +223,7 @@ object MinHashLSH {
       .filter(col("id_index") =!= col("id_probe"))
       .select(col("id_index"), col("id_probe"))
       .distinct()
+  }
 
   /** Candidates refined with exact Jaccard ≥ threshold — the full
     * near-dup detector. The shingle sets are recomputed on the (tiny)

@@ -99,11 +99,21 @@ object StreamingLshDedup {
     * @param compactEvery  fold delta partitions into the base snapshot
     *                      every this many batches; 0 = never (run
     *                      [[compactIndex]] offline instead)
+    * @param maxIndexPerBucket cap on index witnesses per (band, bucket)
+    *                      in the probe join (deterministic smallest-id
+    *                      truncation — the engine-wide candidate-volume
+    *                      knob). On duplication-heavy streams hot
+    *                      buckets otherwise make per-batch candidate
+    *                      OUTPUT quadratic in duplication; a probe doc
+    *                      still surfaces as a duplicate (the earliest
+    *                      witnesses are the kept ones), only redundant
+    *                      extra witnesses drop. Int.MaxValue = exact.
     */
   def start(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, indexDir: String, candidatesDir: String,
       checkpoint: String, trigger: Trigger,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      maxIndexPerBucket: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -124,7 +134,8 @@ object StreamingLshDedup {
           // cold start probes an empty index of the batch's own schema
           val index = readIndexOpt(batch.sparkSession, indexDir)
             .getOrElse(bands.limit(0))
-          MinHashLSH.probeCandidatesBanded(index, bands, idCol)
+          MinHashLSH.probeCandidatesBanded(index, bands, idCol,
+              maxIndexPerBucket)
             .withColumn("_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -379,6 +379,27 @@ class ProbeCandidatesSpec extends SparkSpec {
     out shouldBe Set((1L, 10L), (1L, 11L))
   }
 
+  test("witness cap bounds candidates per bucket but never hides a duplicate") {
+    // 50 identical index docs share every bucket; a capped probe must
+    // still flag the probe doc as a duplicate, pairing it only with
+    // the SMALLEST index ids (the kept survivors in dedup semantics)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val old = (1L to 50L).map(i => (i, txt)).toDF("doc_id", "text")
+    val neu = Seq((100L, txt)).toDF("doc_id", "text")
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    val index = MinHashLSH.bandedIndex(old, "doc_id", norm)
+    val bands = MinHashLSH.bandedIndex(neu, "doc_id", norm)
+    val capped = MinHashLSH.probeCandidatesBanded(index, bands, "doc_id",
+        maxIndexPerBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    capped should not be empty
+    capped.size should be <= 8 // at most cap witnesses survive
+    capped shouldBe (1L to 8L).map(i => (i, 100L)).toSet // smallest ids kept
+    // uncapped default returns every witness
+    MinHashLSH.probeCandidatesBanded(index, bands, "doc_id")
+      .count() shouldBe 50L
+  }
+
   test("probe against an empty index yields nothing") {
     val old = Seq((1L, "abc")).toDF("doc_id", "text").filter(col("doc_id") < 0)
     val neu = Seq((10L, "abc def ghi jkl")).toDF("doc_id", "text")
