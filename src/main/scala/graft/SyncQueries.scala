@@ -58,6 +58,28 @@ object SyncQueries {
         .orderBy("doc_id")
     },
 
+    // S5: the DSv2 connector surface — the table is published into a
+    // versioned snapshot store once (content-fingerprint keyed, like
+    // every derived artifact), then read back through
+    // format("graft-snapshot"): pointer-pinned scan, filters + pruning
+    // delegated to the stock parquet path. The store is a faithful
+    // copy, so the oracle runs on the original table.
+    GraftQuery(
+      "s5_snapshot_source",
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val io = graft.sources.ArtifactStore.io(s"$dir/customer.parquet", "snapshot")
+      if (!io.exists)
+        io.overwrite(s.read.parquet(s"$dir/customer.parquet"))
+      s.read.format("graft-snapshot").load(io.path)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
     // A1 (window form): LWW latest state per key — the engine's reason
     // to exist (reference README.md:17, pyCassElastic.py:337-343).
     GraftQuery(

@@ -84,11 +84,46 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
 
   override def exists: Boolean = currentDir.isDefined
 
+  /** Snapshot dir for a specific published version — the time-travel
+    * hook for [[graft.sources.v2.GraftSnapshotDataSource]]. Only the
+    * current and previous versions survive commit cleanup (the grace
+    * window), so older versions resolve to None. When version `n`
+    * matches the live pointer the pointer target wins (a concurrent
+    * writer that lost the pointer race can leave a same-numbered
+    * orphan dir until cleanup).
+    */
+  def versionDir(n: Long): Option[String] = {
+    val cur = currentDir
+    if (cur.exists(d => d != path &&
+        versionOf(Paths.get(d).getFileName.toString) == n)) cur
+    else if (!Files.exists(root)) None
+    else {
+      val s = Files.list(root)
+      val hits =
+        try s.toArray.toSeq.map(_.asInstanceOf[Path])
+          .filter(f => Files.isDirectory(f) &&
+            f.getFileName.toString.startsWith("v-") &&
+            versionOf(f.getFileName.toString) == n)
+          .map(_.toString).sorted
+        finally s.close()
+      hits.headOption
+    }
+  }
+
   override def read(spark: SparkSession): DataFrame =
     spark.read.parquet(currentDir.getOrElse(
       throw new IllegalStateException(s"no published snapshot at $path")))
 
-  override def prepare(df: DataFrame): TableIO.Prepared = {
+  /** A staged (not yet published) snapshot version: a per-writer
+    * unique dir the caller fills with data files, then publishes via
+    * [[commitStaged]] (ONE atomic pointer replace) or discards via
+    * [[abortStaged]]. `prepare` is stage+write; the DSv2 write path
+    * ([[graft.sources.v2]]) stages a dir and hands it to parquet's own
+    * BatchWrite, committing the pointer only after the file commit.
+    */
+  private[graft] final case class Staged(vName: String, vDir: Path, prev: Long)
+
+  private[graft] def stage(): Staged = {
     val prev = currentVersion
     // per-writer unique staging name: two JVMs preparing concurrently
     // (e.g. verify and bench both lazily building the same index)
@@ -97,29 +132,37 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
     // out through the normal version cleanup
     val vName = f"v-${prev + 1}%09d-" +
       java.util.UUID.randomUUID().toString.take(8)
-    val vDir = root.resolve(vName)
+    Staged(vName, root.resolve(vName), prev)
+  }
+
+  private[graft] def commitStaged(s: Staged): Unit = {
+    val tmp = root.resolve(s"_current.tmp-${s.vName}")
+    Files.writeString(tmp, s.vName)
+    Files.move(tmp, pointer,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retire everything older than the immediately previous
+    // version — kept one commit as a grace window for readers
+    // that resolved the pointer just before the swap. Adopted
+    // plain-layout files (version 0) age out on the same schedule.
+    if (Files.exists(root)) Files.list(root).forEach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("v-") && versionOf(n) < s.prev)
+        deleteTree(f)
+      else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
+        Files.deleteIfExists(f)
+    }
+  }
+
+  private[graft] def abortStaged(s: Staged): Unit = deleteTree(s.vDir)
+
+  override def prepare(df: DataFrame): TableIO.Prepared = {
+    val staged = stage()
     val w = derive(df).write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(vDir.toString)
+      .parquet(staged.vDir.toString)
     new TableIO.Prepared {
-      override def commit(): Unit = {
-        val tmp = root.resolve("_current.tmp")
-        Files.writeString(tmp, vName)
-        Files.move(tmp, pointer,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        // retire everything older than the immediately previous
-        // version — kept one commit as a grace window for readers
-        // that resolved the pointer just before the swap. Adopted
-        // plain-layout files (version 0) age out on the same schedule.
-        if (Files.exists(root)) Files.list(root).forEach { f =>
-          val n = f.getFileName.toString
-          if (n.startsWith("v-") && versionOf(n) < prev)
-            deleteTree(f)
-          else if (prev >= 1 && !Files.isDirectory(f) && n != "_current")
-            Files.deleteIfExists(f)
-        }
-      }
-      override def abort(): Unit = deleteTree(vDir)
+      override def commit(): Unit = commitStaged(staged)
+      override def abort(): Unit = abortStaged(staged)
     }
   }
 
