@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{StatefulLww, StreamingLshDedup}
+import graft.streaming.{StatefulLww, StreamingLshDedup, StreamingPipeline}
 
 /** Driver-run benchmark: one JSON line of per-query wall times over
   * `SPARK_GRAFT_SF_DIR` (default sf0.1).
@@ -190,7 +190,40 @@ object Bench {
       finally if (q != null) q.stop()
     }
 
+    // the composed ingest pipeline (funnel + observed ledger +
+    // within-watermark dedup + stats) — one plan, one state store
+    val (ingest, ingestWalls) = {
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        val base = Files.createTempDirectory("bench_ingest")
+        val target = 40000
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text"))
+          .limit(target)
+          .as[(Long, String)].collect()
+        val reps = math.max(1, target / math.max(1, corpus.length))
+        val docs = (0 until reps).flatMap(r => corpus.map { case (id, t) =>
+          (id + r.toLong * 100000000L, if (r == 0) t else s"$t r$r") })
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val mem = MemoryStream[(Long, String)]
+        q = StreamingPipeline(
+          mem.toDF().toDF("doc_id", "text")
+            .withColumn("ts", org.apache.spark.sql.functions
+              .timestamp_millis(col("doc_id") % 100000000L * 1000L + t0)),
+          "doc_id", "ts", "text")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .start()
+        val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq
+        timed(slices.map(_.length.toLong)) { b =>
+          mem.addData(slices(b)); q.processAllAvailable()
+        }
+      } catch { case NonFatal(_) => (-1L, Seq.empty[Double]) }
+      finally if (q != null) q.stop()
+    }
+
     s"""{"lww_rows_per_s":$lww,"lww_batch_p50_s":${ms3(pct(lwwWalls, 0.5))},"lww_batch_p95_s":${ms3(pct(lwwWalls, 0.95))},""" +
-      s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))}}"""
+      s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))},""" +
+      s""""ingest_docs_per_s":$ingest,"ingest_batch_p50_s":${ms3(pct(ingestWalls, 0.5))},"ingest_batch_p95_s":${ms3(pct(ingestWalls, 0.95))}}"""
   }
 }

@@ -83,4 +83,23 @@ object QualityFunnel {
     */
   def kept(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
     df.filter(rules.map(_._2).reduce(_ && _))
+
+  /** The funnel ledger as aggregate columns — the `Dataset.observe`
+    * form for streaming plans ([[graft.streaming.StreamingPipeline]]):
+    * the same first-fail attribution as [[report]], but emitted as
+    * per-micro-batch observed metrics in `StreamingQueryProgress`
+    * instead of a second aggregation pass. `total` plus one
+    * `dropped_<rule>` counter per rule; drops sum to total − survivors
+    * (null predicates coalesce to failed, as in [[report]]).
+    */
+  def ledgerAggs(rules: Seq[(String, Column)]): Seq[Column] = {
+    require(rules.nonEmpty, "funnel needs at least one rule")
+    val flags = rules.map { case (_, pass) => coalesce(pass, lit(false)) }
+    count(lit(1)).as("total") +: rules.indices.map { i =>
+      val reachedAndFailed =
+        (0 until i).map(flags).foldLeft(!flags(i))(_ && _)
+      sum(when(reachedAndFailed, 1L).otherwise(0L))
+        .as(s"dropped_${rules(i)._1}")
+    }
+  }
 }
