@@ -734,6 +734,42 @@ object TextQueries {
           col("cut_tokens"),
           TextFunctions.meanTokenLength(col("text_dedup")).as("mean_tok_len"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-flattened mixture sampling (α = 0.5, 30% target) —
+    // the data-mixing pass that keeps dominant sources from drowning
+    // the tail. Rates derive from one |sources|-row count aggregate
+    // broadcast back over the corpus; membership is the deterministic
+    // md5 bucket, so the oracle reproduces it exactly. NULL source is
+    // its own group (null-safe join both sides).
+    GraftQuery(
+      "t20_mixture_sample",
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_total)::DOUBLE AS nn,
+        |        sum(pow(n_total::DOUBLE, 0.5)) AS z FROM c),
+        |r AS (SELECT source, n_total,
+        |        floor(least(1.0, 0.3 * nn * pow(n_total::DOUBLE, 0.5) / z
+        |            / n_total::DOUBLE) * 4096 + 0.5)::INT AS thr
+        |      FROM c, t),
+        |k AS (SELECT d.source FROM documents d
+        |      JOIN r ON d.source IS NOT DISTINCT FROM r.source
+        |      WHERE ('0x' || substr(md5(d.doc_id::varchar), 1, 3))::INT < r.thr)
+        |SELECT r.source AS source, r.n_total, coalesce(kk.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN (
+        |  SELECT source, count(*) AS n_kept FROM k GROUP BY source) kk
+        |  ON r.source IS NOT DISTINCT FROM kk.source
+        |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept = Sampling.mixture(docs, "doc_id", "source", 0.5, 0.3)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      Sampling.mixtureThresholds(docs, "source", 0.5, 0.3)
+        .select(col("source"), col("n_total"))
+        .join(kept.withColumnRenamed("source", "_ks"),
+          col("source") <=> col("_ks"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
     }
   )
 

@@ -56,6 +56,54 @@ object Sampling {
     * bounded heap then a k-row driver merge, no global sort) or a
     * per-stratum ranking window.
     */
+  /** Temperature-flattened mixture sampling — the data-mixing step a
+    * pretraining pipeline runs over heterogeneous sources (the
+    * exponent-α reweighting multilingual corpora use to keep dominant
+    * sources from drowning the tail): source s with n_s documents
+    * gets mixture weight n_s^α / Σ_t n_t^α (α = 1 preserves natural
+    * proportions, α → 0 approaches uniform-by-source) and keep rate
+    * r_s = min(1, targetFraction · N · w_s / n_s).
+    *
+    * Scale shape: rates derive from ONE map-side count aggregate
+    * (|sources| rows) whose result is broadcast back onto the corpus —
+    * the corpus itself is never shuffled; the membership filter is the
+    * same codegen'd deterministic `hashBucket` predicate as
+    * [[stratifiedHash]], so re-runs, engine changes, and repartitions
+    * never flip a row. Threshold is `floor(r·4096 + ½)` computed with
+    * the identical expression in the DuckDB oracle.
+    *
+    * Returns (source, n_total, threshold) per source; [[mixture]]
+    * applies it.
+    */
+  def mixtureThresholds(df: DataFrame, srcCol: String, alpha: Double,
+      targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(srcCol).agg(count(lit(1)).as("n_total"))
+    val tot = counts.agg(
+      sum(col("n_total")).cast("double").as("_N"),
+      sum(pow(col("n_total").cast("double"), alpha)).as("_Z"))
+    val rate = least(lit(1.0),
+      lit(targetFraction) * col("_N")
+        * pow(col("n_total").cast("double"), alpha) / col("_Z")
+        / col("n_total").cast("double"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_total"),
+        floor(rate * buckets + 0.5).cast("int").as("threshold"))
+  }
+
+  /** The mixture-sampled corpus: rows whose key-bucket clears their
+    * source's temperature-flattened threshold. NULL source is a
+    * legitimate group of its own (the documents fixture has them), so
+    * the broadcast join is null-safe.
+    */
+  def mixture(df: DataFrame, keyCol: String, srcCol: String, alpha: Double,
+      targetFraction: Double): DataFrame = {
+    val thr = mixtureThresholds(df, srcCol, alpha, targetFraction)
+      .select(col(srcCol).as("_mix_src"), col("threshold"))
+    df.join(broadcast(thr), col(srcCol) <=> col("_mix_src"))
+      .filter(hashBucket(col(keyCol)) < col("threshold"))
+      .drop("_mix_src", "threshold")
+  }
+
   def weightedPriority(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
     // (bucket + 1) / (buckets + 1) keeps u strictly INSIDE (0, 1):
     // dividing by `buckets` would give bucket 4095 (keys whose md5

@@ -261,6 +261,45 @@ class SamplingSpec extends SparkSpec {
       .select("_priority").as[Double].collect()
     ps.foreach { p => p should be > 0.0; java.lang.Double.isFinite(p) shouldBe true }
   }
+
+  test("mixture: α<1 flattens source proportions toward the tail") {
+    // 3000 'big' vs 300 'small': natural proportions 10:1; α=0.5
+    // re-weights to sqrt-counts (√3000:√300 ≈ 3.16:1), so the small
+    // source's SAMPLING RATE must exceed the big one's
+    val mdf = ((0L until 3000L).map((_, "big")) ++
+      (10000L until 10300L).map((_, "small"))).toDF("id", "src")
+    val thr = Sampling.mixtureThresholds(mdf, "src", alpha = 0.5,
+        targetFraction = 0.3)
+      .as[(String, Long, Int)].collect().map(t => t._1 -> t._3).toMap
+    thr("small").toDouble should be > (thr("big").toDouble * 2.5)
+
+    val kept = Sampling.mixture(mdf, "id", "src", 0.5, 0.3)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // overall volume ~30% of 3300, within hash tolerance
+    (kept("big") + kept("small")).toDouble / 3300 shouldBe 0.3 +- 0.05
+    // the flattened mix: small keeps a ~3.2x higher fraction than big
+    val rateBig = kept("big").toDouble / 3000
+    val rateSmall = kept("small").toDouble / 300
+    rateSmall / rateBig shouldBe 3.16 +- 0.8
+
+    // determinism: same call, same membership
+    Sampling.mixture(mdf, "id", "src", 0.5, 0.3)
+      .select("id").as[Long].collect().toSet shouldBe
+      Sampling.mixture(mdf, "id", "src", 0.5, 0.3)
+        .select("id").as[Long].collect().toSet
+  }
+
+  test("mixture: null source is its own group, α=1 preserves proportions") {
+    val mdf = ((0L until 1000L).map(i => (i, "a")) ++
+      (2000L until 2500L).map(i => (i, null: String))).toDF("id", "src")
+    val kept = Sampling.mixture(mdf, "id", "src", alpha = 1.0,
+        targetFraction = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // α=1 ⇒ every source keeps ≈ targetFraction of itself
+    kept(Some("a")).toDouble / 1000 shouldBe 0.5 +- 0.06
+    kept(None).toDouble / 500 shouldBe 0.5 +- 0.08
+  }
 }
 
 class ZOrderSpec extends SparkSpec {
