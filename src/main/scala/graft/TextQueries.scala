@@ -770,6 +770,26 @@ object TextQueries {
         .select(col("source"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
+    },
+
+    // Statistical quality scoring: per-doc mean token log-prob under
+    // the corpus's own unigram distribution (the distributable form of
+    // CCNet perplexity filtering, Wenzek et al. 2020) — low = gibberish
+    // relative to the collection, high = stopword soup; filters keep
+    // the middle band. One scan, two hash aggregates, one token join.
+    GraftQuery(
+      "t21_unigram_logprob",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
+         |f AS (SELECT tok, count(*)::DOUBLE AS c FROM tk GROUP BY tok),
+         |t AS (SELECT sum(c) AS total FROM f)
+         |SELECT tk.doc_id, count(*) AS n_tokens,
+         |  round(avg(ln(f.c / t.total)), 4) AS mean_logprob
+         |FROM tk JOIN f USING (tok), t
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.unigramLogProb(Tables.load(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_id")
     }
   )
 

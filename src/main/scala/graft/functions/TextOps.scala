@@ -154,4 +154,39 @@ object TextOps {
         .as("dup_tok_ratio"))
     entropy.join(dup, idCol)
   }
+
+  /** Statistical quality signal — the distributable unigram form of
+    * CCNet-style perplexity filtering (Wenzek et al. 2020 score docs
+    * under a KenLM; the degenerate-but-shuffle-friendly variant scores
+    * each document's mean token log-probability under the CORPUS'S OWN
+    * unigram distribution). Documents far below the corpus mean are
+    * gibberish / boilerplate relative to the collection; far above are
+    * stopword soup — the standard "middle of the distribution" keep
+    * band.
+    *
+    * Returns (idCol, n_tokens, mean_logprob), mean_logprob = avg over
+    * the doc's tokens of ln(c_t / total), 4 decimals. No smoothing
+    * needed: every scored token exists in the corpus it was counted
+    * from.
+    *
+    * Scale shape: one explode feeds BOTH aggregates (token counts =
+    * map-side-combined hash agg to |vocab| rows; per-doc mean after a
+    * token-keyed join). The frequency side is |vocab|-sized —
+    * broadcast-able for natural-language vocabularies; AQE picks the
+    * strategy when it isn't. Nothing here is quadratic and the corpus
+    * is scanned once.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, rawTextCol: Column): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normalize(rawTextCol))
+    val tokenRows = df.select(col(idCol), explode(toks).as("_tok"))
+    val freq = tokenRows.groupBy("_tok").agg(count(lit(1)).as("_c"))
+    val total = freq.agg(sum("_c").cast("double").as("_total"))
+    tokenRows
+      .join(freq, "_tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("_c").cast("double") / col("_total"))), 4)
+          .as("mean_logprob"))
+  }
 }

@@ -112,6 +112,21 @@ class TextOpsSpec extends SparkSpec {
     out(1)._2 shouldBe 1.5219
     out(1)._3 shouldBe 0.5 // tokens [ab, ab]: 1 - 1/2
   }
+
+  test("unigramLogProb: common-word docs outscore rare-word docs, closed form") {
+    // corpus: 'the' x6, 'rare' x1, 'odd' x1 => total 8
+    val df = Seq(
+      (1L, "the the the"), // 3 tokens of p=6/8
+      (2L, "the the the"),
+      (3L, "rare odd")) // p=1/8 each
+      .toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(df, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L) shouldBe ((3L, math.floor(math.log(6.0 / 8) * 1e4 + 0.5) / 1e4))
+    got(3L)._1 shouldBe 2L
+    got(3L)._2 shouldBe (math.floor(math.log(1.0 / 8) * 1e4 + 0.5) / 1e4 +- 1e-9)
+    got(1L)._2 should be > got(3L)._2 // common beats rare
+  }
 }
 
 class PiiRedactSpec extends SparkSpec {
