@@ -772,6 +772,48 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // The INCREMENTAL composed pipeline — the shape a daily ingest
+    // actually runs at 100 TB: only the NEW window (doc_id >= 250,
+    // the d8/d10 increment convention) flows through the funnel, is
+    // deduped in-batch (first-arrival wins) and against the SEEN
+    // fingerprint set, and emits stats. In production `seen` is the
+    // stored compact digest table (d8's discipline); here it derives
+    // from the same corpus so the oracle can reproduce it. The kept
+    // set is localCheckpointed once for its two consumers — the
+    // increment never re-scans old text, only old fingerprints.
+    GraftQuery(
+      "p2_incremental_pipeline",
+      s"""$normCte,
+         |$funnelCtes,
+         |kept AS (SELECT doc_id, norm FROM b
+         |  WHERE (${funnelRules.mkString(")\n    AND (")})),
+         |f AS (SELECT doc_id, norm, md5(norm) AS fp FROM kept),
+         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         |neu AS (SELECT doc_id, norm, fp,
+         |          min(doc_id) OVER (PARTITION BY fp) AS keep_id
+         |        FROM f WHERE doc_id >= 250)
+         |SELECT n2.doc_id, n2.fp,
+         |  len(string_split(n2.norm, ' '))::BIGINT AS n_tok
+         |FROM neu n2 ANTI JOIN seen ON n2.fp = seen.fp
+         |WHERE n2.doc_id = n2.keep_id
+         |ORDER BY n2.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val norm = TextFunctions.normalize(col("text"))
+      val kept = QualityFunnel.kept(d, QualityFunnel.defaultRules(col("text")))
+        .select(col("doc_id"), norm.as("_norm"),
+          TextFunctions.fingerprint(norm).as("fp"))
+        .localCheckpoint()
+      val seen = kept.filter(col("doc_id") < 250).select("fp").distinct()
+      kept.filter(col("doc_id") >= 250)
+        .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("_keep"))
+        .join(seen, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"),
+          size(TextFunctions.tokens(col("_norm"))).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    },
+
     // Statistical quality scoring: per-doc mean token log-prob under
     // the corpus's own unigram distribution (the distributable form of
     // CCNet perplexity filtering, Wenzek et al. 2020) — low = gibberish
