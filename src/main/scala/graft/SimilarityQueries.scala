@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{HybridSearch, TextFunctions, TextIndexStore, TextSearch}
-import graft.similarity.{BruteForceKnn, CodebookStore, IvfKnn, Quantize, SignLSH, VectorOps}
+import graft.similarity.{BruteForceKnn, CodebookStore, IvfKnn, ProductQuantizer, Quantize, SignLSH, VectorOps}
 
 /** Similarity-search queries over the `embeddings` table (64-dim
   * float vectors): exact brute-force k-NN, per-label centroids,
@@ -63,6 +63,36 @@ object SimilarityQueries {
        |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
        |      SELECT cell, unnest(generate_series(1, len(embedding))) - 1 AS pos,
        |             unnest(embedding)::DOUBLE AS v
+       |      FROM $assignCte)
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell)""".stripMargin
+
+  /** DuckDB subvector slice for PQ subspace `s` (1-based inclusive). */
+  private def pqSubSql(s: Int, subDim: Int, src: String = "embedding"): String =
+    s"list_slice($src, ${s * subDim + 1}, ${(s + 1) * subDim})"
+
+  /** Lloyd assignment CTE over a (vec_id, emb) subvector CTE —
+    * ivfAssignSql's rule (cosine argmax, ties to the lowest cell) with
+    * the column names PQ's per-subspace chains use.
+    */
+  private def pqAssignSql(subCte: String, centCte: String, outCte: String): String =
+    s"""$outCte AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.emb", "c.centroid")} DESC, c.cell) AS rnk
+       |    FROM $subCte e CROSS JOIN $centCte c)
+       |  WHERE rnk = 1)""".stripMargin
+
+  /** Centroid-mean CTE over a PQ assignment CTE — ivfCentSql's
+    * arithmetic (per-position avg rounded to 6) on the `emb` column.
+    */
+  private def pqCentSql(assignCte: String, outCte: String): String =
+    s"""$outCte AS (
+       |  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+       |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
+       |      SELECT cell, unnest(generate_series(1, len(emb))) - 1 AS pos,
+       |             unnest(emb)::DOUBLE AS v
        |      FROM $assignCte)
        |    GROUP BY cell, pos)
        |  GROUP BY cell)""".stripMargin
@@ -609,6 +639,65 @@ object SimilarityQueries {
             "vec_id", "embedding", k, iters = 2)))
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // Product quantization + ADC retrieval (Jégou et al. 2011) — the
+    // MEMORY-side ANN scale path: each 64-dim vector ships as m=4
+    // subspace codes (4 ints vs 64 floats); queries score the whole
+    // corpus via a per-query lookup table (m×k dots) + m adds per
+    // vector, then the top-coarseK candidates rescore exact. The
+    // oracle unrolls all four per-subspace Lloyd chains (v11's
+    // technique over list_slice'd subvectors), rebuilds the same LUT,
+    // and rounds the ADC sum to 6 decimals before ranking (the
+    // cross-engine float discipline) — every intermediate matches.
+    GraftQuery(
+      "v13_pq_adc",
+      s"""WITH ${(0 until 4).map { s =>
+            s"""sub$s AS (SELECT vec_id, ${pqSubSql(s, 16)} AS emb FROM embeddings),
+               |seed$s AS (
+               |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               |         emb::DOUBLE[] AS centroid
+               |  FROM sub$s ORDER BY vec_id LIMIT 4),
+               |${pqAssignSql(s"sub$s", s"seed$s", s"a1_$s")},
+               |${pqCentSql(s"a1_$s", s"c1_$s")},
+               |${pqAssignSql(s"sub$s", s"c1_$s", s"af$s")}""".stripMargin
+          }.mkString(",\n")},
+         |codes AS (
+         |  ${(0 until 4).map(s =>
+              s"SELECT vec_id, $s AS subspace, cell FROM af$s").mkString("\n  UNION ALL ")}),
+         |lut AS (
+         |  ${(0 until 4).map(s =>
+              s"""SELECT q.vec_id AS query_id, $s AS subspace, c.cell,
+                 |    ${dotSql(pqSubSql(s, 16, "q.embedding"), "c.centroid")} AS d
+                 |  FROM embeddings q CROSS JOIN c1_$s c WHERE q.vec_id < 5""".stripMargin)
+              .mkString("\n  UNION ALL ")}),
+         |adc AS (
+         |  SELECT l.query_id, co.vec_id, round(sum(l.d), 6) AS adc
+         |  FROM codes co JOIN lut l ON co.subspace = l.subspace AND co.cell = l.cell
+         |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS cr
+         |    FROM adc) WHERE cr <= 30)
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(${cosineSql("q.embedding", "v.embedding")}, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosineSql("q.embedding", "v.embedding")} DESC, c.vec_id) AS rank
+         |FROM coarse c
+         |JOIN embeddings v ON v.vec_id = c.vec_id
+         |JOIN embeddings q ON q.vec_id = c.query_id
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val books = ProductQuantizer.train(e, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 4, iters = 1)
+      ProductQuantizer.adcTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", subDim = 16, books, k = 10, coarseK = 30)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -1,0 +1,87 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Properties of the PQ + ADC retrieval path. The two exactness-
+  * recovery limits pin the arithmetic end to end: (a) coarseK ≥ n
+  * makes the final ranking EXACTLY brute force regardless of code
+  * quality (the rescore plumbing); (b) m=1, k=n, iters=0 makes the
+  * codebook the corpus itself, so the ADC score IS the exact inner
+  * product (the LUT/scan plumbing).
+  */
+class ProductQuantizerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 3)
+
+  test("codes are bounded by the codebook and cover every vector") {
+    val books = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    books should have size 4
+    books.foreach(_.codebook should have size 4)
+    val coded = ProductQuantizer.encoded(emb, "embedding", 16, books)
+    val n = emb.count()
+    coded.count() shouldBe n
+    (0 until 4).foreach { s =>
+      coded.filter(col(s"pq_$s").isNull || col(s"pq_$s") < 0 || col(s"pq_$s") >= 4)
+        .count() shouldBe 0L
+    }
+  }
+
+  test("coarseK >= n recovers exact brute-force cosine top-k") {
+    val books = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    val got = ProductQuantizer.adcTopK(emb, queries, "vec_id", "embedding",
+        subDim = 16, books, k = 5, coarseK = emb.count().toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = BruteForceKnn.topK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe expected
+  }
+
+  test("m=1, k=n, iters=0: ADC is the exact inner product") {
+    val n = emb.count().toInt
+    val books = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 1, subDim = 64, k = n, iters = 0)
+    // every vector is its own centroid (cosine self-similarity is
+    // maximal), so the candidate set is the exact top-coarseK by dot
+    val got = ProductQuantizer.adcTopK(emb, queries, "vec_id", "embedding",
+        subDim = 64, books, k = 10, coarseK = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qs = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(VectorOps.dotNative(col("_q"), col("_c")), 6).desc, col("vec_id"))
+    val expected = emb.select(col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("_c"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+  }
+
+  test("trained m=4/k=4 codes reach useful recall@10 at test scale") {
+    val books = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    val got = ProductQuantizer.adcTopK(emb, queries, "vec_id", "embedding",
+        subDim = 16, books, k = 10, coarseK = 50)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = BruteForceKnn.topK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 was $recall — PQ candidates lost the true neighbors")
+  }
+}
