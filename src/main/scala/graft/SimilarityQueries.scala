@@ -698,6 +698,46 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Semantic decontamination — the vector analogue of d12: training
+    // vectors (vec_id >= 50) whose embedding matches ANY benchmark
+    // vector (vec_id < 50) at cosine >= 0.30 are retired, comparing
+    // only within trained IVF cells (the same persisted codebook v12
+    // reads — one store build serves both). Benchmark side broadcasts;
+    // the corpus never shuffles. Oracle reuses the v12 Lloyd chain
+    // verbatim, then splits af into the two roles.
+    GraftQuery(
+      "v14_semantic_decontam",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT greatest(1, (SELECT count(*) // 64 FROM embeddings))),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |contaminated AS (
+         |  SELECT DISTINCT t.vec_id
+         |  FROM af t JOIN af b ON t.cell = b.cell
+         |  WHERE t.vec_id >= 50 AND b.vec_id < 50
+         |    AND ${cosineSql("t.embedding", "b.embedding")} >= 0.30)
+         |SELECT v.vec_id, v.label FROM embeddings v
+         |ANTI JOIN contaminated c ON v.vec_id = c.vec_id
+         |WHERE v.vec_id >= 50
+         |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val k = math.max(1, (e.count() / 64).toInt)
+      val codebook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k, iters = 2)
+      graft.similarity.SemanticDecontam.kept(
+          e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+          idCol = "vec_id", vecCol = "embedding",
+          minCosine = 0.30, codebook = codebook)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }
   )
 }
