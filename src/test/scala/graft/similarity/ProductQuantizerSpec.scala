@@ -71,6 +71,17 @@ class ProductQuantizerSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("stored PQ books are bit-identical to the inline train") {
+    val inline = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    val stored = CodebookStore.pqTrained(spark, dir, "embeddings",
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+    stored shouldBe inline
+    // second read serves the committed artifact (no retrain path)
+    CodebookStore.pqTrained(spark, dir, "embeddings",
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1) shouldBe inline
+  }
+
   test("trained m=4/k=4 codes reach useful recall@10 at test scale") {
     val books = ProductQuantizer.train(emb, "vec_id", "embedding",
       m = 4, subDim = 16, k = 4, iters = 1)
