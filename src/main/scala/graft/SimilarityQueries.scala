@@ -398,7 +398,9 @@ object SimilarityQueries {
       val assigned = IvfKnn.assignCells(e, "embedding",
         IvfKnn.collectCodebook(codebook, "cell"), "_cell")
       IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id", "_cell",
-          "embedding", k = 10, nprobe = 2)
+          "embedding", k = 10, nprobe = 2,
+          probeCodebook = Some(CodebookStore.trained(s, dir, "embeddings",
+            "vec_id", "embedding", k = 4, iters = 3)))
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
@@ -561,8 +563,12 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 4, iters = 2)
       val assigned = IvfKnn.assignCells(emb, "embedding",
         IvfKnn.collectCodebook(codebook, "cell"), "_cell")
+      // probe centroids from the store too: centroids-of-assignment ==
+      // trainCodebook(iters+1) bit-for-bit, so no corpus pass here
       val vR = IvfKnn.topK(assigned, assigned.filter(col("vec_id") < 5), "vec_id",
-          "_cell", "embedding", k = 100, nprobe = 2)
+          "_cell", "embedding", k = 100, nprobe = 2,
+          probeCodebook = Some(CodebookStore.trained(s, dir, "embeddings",
+            "vec_id", "embedding", k = 4, iters = 3)))
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       HybridSearch.rrfFuse(Seq(bR, vR), Seq("query_id", "doc_id"), 60)
         .withColumn("rrf_score", round(col("rrf_score"), 6))

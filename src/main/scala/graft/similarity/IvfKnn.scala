@@ -97,11 +97,24 @@ object IvfKnn {
 
   /** Approximate top-k: probe `nprobe` cells per query, exact cosine
     * within them. Output (query_id, neighbor_id, cos, rank).
+    *
+    * `probeCodebook`: the (cell, centroid) frame queries rank cells
+    * by. When absent it is re-derived from the assigned corpus — one
+    * full-corpus aggregate per execution. A fleet should pass the
+    * PERSISTED codebook instead: for a corpus assigned under an
+    * `iters`-step trained codebook, the re-derived centroids are
+    * bit-identical to `trainCodebook(iters+1)`'s output (one more
+    * Lloyd centroid step over the same assignment), so
+    * `CodebookStore.trained(..., iters+1)` serves the same values
+    * with zero corpus passes.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      cellCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+      cellCol: String, embCol: String, k: Int, nprobe: Int,
+      probeCodebook: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val codebook = centroids(corpus, cellCol, embCol)
+    val codebook = probeCodebook
+      .map(_.select(col("cell").as(cellCol), col("centroid")))
+      .getOrElse(centroids(corpus, cellCol, embCol))
 
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val cellRank = Window.partitionBy("query_id")
