@@ -102,7 +102,7 @@ object DedupQueries {
   /** Recursive-CTE oracle shared by d9 (label propagation) and d13
     * (star contraction) — both must produce this exact labelling.
     */
-  private val dupClustersOracle =
+  private val dupClustersCtes =
     s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
@@ -116,7 +116,10 @@ object DedupQueries {
        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
        |  UNION
        |  SELECT e.dst AS id, cc.lbl
-       |  FROM cc JOIN edges e ON cc.id = e.src)
+       |  FROM cc JOIN edges e ON cc.id = e.src)""".stripMargin
+
+  private val dupClustersOracle =
+    s"""$dupClustersCtes
        |SELECT id AS doc_id, min(lbl) AS cluster_id
        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -326,6 +329,38 @@ object DedupQueries {
       val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
       DupClusters.componentsAlternating(d, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
+    },
+
+    // Quality-aware survivor selection: per duplicate cluster keep the
+    // HIGHEST-t2-quality member (ties to the lowest id) — the keep
+    // rule production pipelines actually use, replacing d9/d13's
+    // lowest-id convention. Clusters from the same SimHash component
+    // chain; scores from t2's composite; both window passes share one
+    // cluster_id exchange.
+    GraftQuery(
+      "d18_quality_keep",
+      s"""$dupClustersCtes,
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |       FROM cc GROUP BY id),
+         |${TextQueries.qualityCte},
+         |r AS (
+         |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.quality DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN qual q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, quality, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
+      val clusters = DupClusters.componentsAlternating(d, "doc_id", pairs,
+        "id_a", "id_b")
+      val nc = TextFunctions.normalize(col("text"))
+      val quality = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), nc).as("quality"))
+      DupClusters.keepBest(clusters, quality, "doc_id", "quality")
+        .orderBy("cluster_id")
     },
 
     // Bloom-prefiltered incremental dedup — d8's semantics on the

@@ -747,6 +747,61 @@ object SimilarityQueries {
           minCosine = 0.30, codebook = codebook)
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // Hard-negative mining for contrastive training: per query the
+    // top-10 most-similar vectors with a DIFFERENT label — near
+    // misses, mined through the same IVF probe path as v11 with the
+    // group-mismatch predicate applied BEFORE the ranking window.
+    // Oracle = v11's chain + the label filter (IS DISTINCT FROM
+    // mirrors Spark's null-safe negation).
+    GraftQuery(
+      "v15_hard_negatives",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |${ivfCentSql("af", "tc")},
+         |probes AS (
+         |  SELECT query_id, q_emb, q_label, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+         |      q.label AS q_label, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.cell)
+         |        AS cell_rank
+         |    FROM embeddings q CROSS JOIN tc c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, v.vec_id AS neighbor_id,
+         |         ${cosineSql("p.q_emb", "v.embedding")} AS c
+         |  FROM probes p JOIN af v
+         |    ON v.cell = p.cell AND v.vec_id <> p.query_id
+         |  JOIN embeddings ve ON ve.vec_id = v.vec_id
+         |  WHERE ve.label IS DISTINCT FROM p.q_label)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, neighbor_id) AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val codebook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2)
+      val assigned = IvfKnn.assignCells(e, "embedding",
+        IvfKnn.collectCodebook(codebook, "cell"), "_cell")
+      graft.similarity.HardNegatives.topK(assigned,
+          assigned.filter(col("vec_id") < 5),
+          "vec_id", "_cell", "embedding", "label", k = 10, nprobe = 2,
+          probeCodebook = Some(CodebookStore.trained(s, dir, "embeddings",
+            "vec_id", "embedding", k = 4, iters = 3)))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -45,6 +45,25 @@ object TextQueries {
     s"length(list_filter(string_split(norm, ' '), t -> list_contains(${stoplist(words)}, t)))"
   }
 
+  /** Self-contained `qual AS (doc_id, quality)` CTE — the same
+    * composite-score arithmetic t2 verifies (rounded sub-ratios, then
+    * a rounded blend), packaged for oracles outside this file (d18's
+    * quality-aware dedup keep rule).
+    */
+  private[graft] lazy val qualityCte: String =
+    s"""qual AS (
+       |  SELECT doc_id,
+       |    round(least(n_tok * 1.0 / 50.0, 1.0) * 0.4
+       |        + (1.0 - punct_ratio) * 0.3
+       |        + least(stop_ratio * 4.0, 1.0) * 0.3, 4) AS quality
+       |  FROM (SELECT doc_id,
+       |      round(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+       |            / greatest(length(text), 1), 4) AS punct_ratio,
+       |      round(${stopCountSql("en")} * 1.0
+       |            / greatest(length(string_split(norm, ' ')), 1), 4) AS stop_ratio,
+       |      length(string_split(norm, ' ')) AS n_tok
+       |    FROM (SELECT doc_id, text, $norm AS norm FROM documents)))""".stripMargin
+
   /** Funnel-rule SQL shared by the c6 ledger and the p1 composed
     * pipeline — ONE definition (`c`/`b` CTEs over the `n` norm CTE,
     * plus the five ordered rule predicates), so the funnel c6

@@ -183,4 +183,29 @@ object DupClusters {
   def clusterSizes(components: DataFrame): DataFrame =
     components.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))
+
+  /** Quality-aware survivor selection: per cluster, keep the row with
+    * the HIGHEST score (ties to the lowest id) — the keep rule
+    * production pipelines actually use (the best-written copy
+    * survives, not the first-crawled one). Output
+    * (cluster_id, keep_id, <scoreCol>, n_members), one row per
+    * cluster; singletons keep themselves.
+    *
+    * Scale shape: the scores join shuffles on the id, then BOTH
+    * window passes (membership count + score rank) share ONE
+    * cluster_id exchange — cost is the clusters table, never the
+    * corpus text.
+    */
+  def keepBest(components: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+    components.join(scores, idCol)
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("keep_id"),
+        col(scoreCol), col("n_members"))
+  }
 }

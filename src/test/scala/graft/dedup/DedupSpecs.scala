@@ -339,6 +339,18 @@ class DupClustersSpec extends SparkSpec {
     }
   }
 
+  test("keepBest keeps the highest score per cluster, ties to the lowest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.1), (6L, 0.1))
+      .toDF("doc_id", "quality")
+    DupClusters.keepBest(comps, scores, "doc_id", "quality")
+      .as[(Long, Long, Double, Long)].collect().toSet shouldBe
+      // cluster 1: 2 and 3 tie at 0.9 -> lowest id 2; singleton 4
+      // keeps itself; cluster 5: tie at 0.1 -> 5
+      Set((1L, 2L, 0.9, 3L), (4L, 4L, 0.5, 1L), (5L, 5L, 0.1, 2L))
+  }
+
   test("a 200-node chain converges in O(log n) star rounds (propagation would need 200)") {
     val ns = (0L until 200L)
     val es = (0L until 199L).map(i => (i, i + 1))
