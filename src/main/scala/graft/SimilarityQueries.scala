@@ -802,6 +802,62 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Topic-balanced sampling — the similarity × sampling composition
+    // a cluster-resampled corpus curation run executes: trained IVF
+    // cells are the topics (v12's stored codebook, k = n/64), and the
+    // temperature mixture (t20's math, α=0.5, 30% target) flattens
+    // over-represented topics. Cell assignment is one codegen'd
+    // argmax (checkpointed once for the two consumers); rates derive
+    // from one |cells|-row aggregate broadcast back; the corpus never
+    // shuffles. Oracle = v12's Lloyd chain + t20's threshold CTEs
+    // over the cell column.
+    GraftQuery(
+      "p3_topic_mixture",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT greatest(1, (SELECT count(*) // 64 FROM embeddings))),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |c AS (SELECT cell, count(*) AS n_total FROM af GROUP BY cell),
+         |t AS (SELECT sum(n_total)::DOUBLE AS nn,
+         |        sum(pow(n_total::DOUBLE, 0.5)) AS z FROM c),
+         |r AS (SELECT cell, n_total,
+         |        floor(least(1.0, 0.3 * nn * pow(n_total::DOUBLE, 0.5) / z
+         |            / n_total::DOUBLE) * 4096 + 0.5)::INT AS thr
+         |      FROM c, t),
+         |k AS (SELECT a.cell FROM af a JOIN r ON a.cell = r.cell
+         |      WHERE ('0x' || substr(md5(a.vec_id::varchar), 1, 3))::INT < r.thr)
+         |SELECT r.cell AS topic, r.n_total, coalesce(kk.n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN (
+         |  SELECT cell, count(*) AS n_kept FROM k GROUP BY cell) kk
+         |  ON r.cell = kk.cell
+         |ORDER BY topic""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val k = math.max(1, (e.count() / 64).toInt)
+      val codebook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k, iters = 2)
+      val assigned = IvfKnn.assignCells(e, "embedding",
+          IvfKnn.collectCodebook(codebook, "cell"), "topic")
+        .select("vec_id", "topic")
+        .localCheckpoint()
+      val kept = graft.operators.Sampling.mixture(assigned, "vec_id", "topic",
+          alpha = 0.5, targetFraction = 0.3)
+        .groupBy("topic").agg(count(lit(1)).as("n_kept"))
+      graft.operators.Sampling.mixtureThresholds(assigned, "topic",
+          alpha = 0.5, targetFraction = 0.3)
+        .select(col("topic"), col("n_total"))
+        .join(kept.withColumnRenamed("topic", "_kt"),
+          col("topic") === col("_kt"), "left")
+        .select(col("topic"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("topic")
     }
   )
 }
