@@ -702,8 +702,14 @@ object SimilarityQueries {
       // bit-identical to the inline train
       val books = CodebookStore.pqTrained(s, dir, "embeddings",
         "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+      // stored codes too: the ADC scan reads m ints/row, never the
+      // corpus floats (those appear only in the candidate-sized
+      // rescore join)
+      val codes = CodebookStore.pqCodes(s, dir, "embeddings",
+        "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
       ProductQuantizer.adcTopK(e, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", subDim = 16, books, k = 10, coarseK = 30)
+          "vec_id", "embedding", subDim = 16, books, k = 10, coarseK = 30,
+          storedCodes = Some(codes))
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.core.Tables
 import graft.sources.ArtifactStore
@@ -64,5 +65,26 @@ object CodebookStore {
         ProductQuantizer.SubCodebook(s,
           rows.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
       }
+  }
+
+  /** Stored PQ CODES (id + m int cells per corpus row) — the encoded
+    * corpus is itself a build-once artifact, 64× smaller than the
+    * float vectors at d=64/m=4: query-time ADC then scans codes only,
+    * never re-encodes the corpus. Keyed by the same recipe as the
+    * books (codes are a pure function of corpus + books, and both are
+    * deterministic).
+    */
+  def pqCodes(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, m: Int, subDim: Int,
+      k: Int, iters: Int): DataFrame = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"pqcodes_${idCol}_${embCol}_m${m}_s${subDim}_k${k}_i$iters")
+    if (!h.exists) {
+      val books = pqTrained(spark, sfDir, table, idCol, embCol, m, subDim, k, iters)
+      h.overwrite(ProductQuantizer.encoded(
+          Tables.load(spark, sfDir, table), embCol, subDim, books)
+        .select(col(idCol) +: books.map(b => col(s"pq_${b.subspace}")): _*))
+    }
+    h.read(spark)
   }
 }

@@ -87,16 +87,22 @@ object ProductQuantizer {
   /** ADC top-k retrieval: approximate inner-product scan over the
     * codes, exact cosine rescore of the top-`coarseK` candidates.
     * Output (query_id, neighbor_id, cos, rank).
+    *
+    * `storedCodes`: a pre-encoded (id, pq_0 … pq_{m-1}) frame (e.g.
+    * CodebookStore.pqCodes) — the ADC scan then reads codes only
+    * (m ints/row) and never touches the corpus floats until the
+    * candidate-sized rescore join. Absent, the corpus is encoded
+    * inline (one argmax pass).
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, subDim: Int, books: Seq[SubCodebook],
-      k: Int, coarseK: Int): DataFrame = {
+      k: Int, coarseK: Int, storedCodes: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     // codes melted to (id, subspace, cell): n×m narrow rows, one pass
     val m = books.length
-    val codes = encoded(corpus, embCol, subDim, books)
+    val codes = storedCodes.getOrElse(encoded(corpus, embCol, subDim, books))
       .select(col(idCol) +: books.map(b => col(s"pq_${b.subspace}").as(b.subspace.toString)): _*)
       .unpivot(Array(col(idCol)), books.map(b => col(b.subspace.toString)).toArray,
         "subspace", "cell")

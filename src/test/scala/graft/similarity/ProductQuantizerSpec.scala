@@ -82,6 +82,18 @@ class ProductQuantizerSpec extends SparkSpec {
       "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1) shouldBe inline
   }
 
+  test("stored PQ codes match inline encoding row-for-row") {
+    val books = CodebookStore.pqTrained(spark, dir, "embeddings",
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+    val cols = Seq("vec_id", "pq_0", "pq_1", "pq_2", "pq_3")
+    val stored = CodebookStore.pqCodes(spark, dir, "embeddings",
+        "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val inline = ProductQuantizer.encoded(emb, "embedding", 16, books)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    stored shouldBe inline
+  }
+
   test("trained m=4/k=4 codes reach useful recall@10 at test scale") {
     val books = ProductQuantizer.train(emb, "vec_id", "embedding",
       m = 4, subDim = 16, k = 4, iters = 1)
