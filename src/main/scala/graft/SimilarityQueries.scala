@@ -864,6 +864,103 @@ object SimilarityQueries {
         .select(col("topic"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("topic")
+    },
+
+    // IVF+PQ retrieval — the FAISS IVFPQ shape (no-residual variant):
+    // coarse cells gate WHICH code rows each query scores
+    // (nprobe/|cells| of the corpus, v11's probe discipline), PQ
+    // codes make each scored row m lookups instead of d flops. Every
+    // artifact (coarse codebook, probe centroids, PQ books, codes)
+    // comes from the persisted store. Oracle = the coarse Lloyd chain
+    // + v13's four subspace chains + the cell-gated ADC fusion.
+    GraftQuery(
+      "v16_ivfpq",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |${ivfCentSql("af", "tc")},
+         |${(0 until 4).map { s =>
+            s"""sub$s AS (SELECT vec_id, ${pqSubSql(s, 16)} AS emb FROM embeddings),
+               |seed$s AS (
+               |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               |         emb::DOUBLE[] AS centroid
+               |  FROM sub$s ORDER BY vec_id LIMIT 4),
+               |${pqAssignSql(s"sub$s", s"seed$s", s"a1_$s")},
+               |${pqCentSql(s"a1_$s", s"c1_$s")},
+               |${pqAssignSql(s"sub$s", s"c1_$s", s"af$s")}""".stripMargin
+          }.mkString(",\n")},
+         |codes AS (
+         |  ${(0 until 4).map(s =>
+              s"SELECT vec_id, $s AS subspace, cell FROM af$s").mkString("\n  UNION ALL ")}),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.cell)
+         |        AS cell_rank
+         |    FROM embeddings q CROSS JOIN tc c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |cand AS (
+         |  SELECT p.query_id, v.vec_id
+         |  FROM probes p JOIN af v
+         |    ON v.cell = p.cell AND v.vec_id <> p.query_id),
+         |lut AS (
+         |  ${(0 until 4).map(s =>
+              s"""SELECT q.vec_id AS query_id, $s AS subspace, c.cell,
+                 |    ${dotSql(pqSubSql(s, 16, "q.embedding"), "c.centroid")} AS d
+                 |  FROM embeddings q CROSS JOIN c1_$s c WHERE q.vec_id < 5""".stripMargin)
+              .mkString("\n  UNION ALL ")}),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id, round(sum(l.d), 6) AS adc
+         |  FROM cand c
+         |  JOIN codes co ON co.vec_id = c.vec_id
+         |  JOIN lut l ON l.query_id = c.query_id
+         |    AND l.subspace = co.subspace AND l.cell = co.cell
+         |  GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS cr
+         |    FROM adc) WHERE cr <= 30)
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(${cosineSql("q.embedding", "v.embedding")}, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosineSql("q.embedding", "v.embedding")} DESC, c.vec_id) AS rank
+         |FROM coarse c
+         |JOIN embeddings v ON v.vec_id = c.vec_id
+         |JOIN embeddings q ON q.vec_id = c.query_id
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val coarseBook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2)
+      val probeBook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 3)
+      val books = CodebookStore.pqTrained(s, dir, "embeddings",
+        "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+      // cell + codes in one map-side pass (two codegen'd argmax
+      // projections, no shuffle); a production index persists this
+      // (cell, codes) layout directly — cf. CodebookStore.pqCodes
+      val assignedCodes = ProductQuantizer.encoded(
+        IvfKnn.assignCells(e, "embedding",
+          IvfKnn.collectCodebook(coarseBook, "cell"), "_cell"),
+        "embedding", 16, books)
+        .select(col("vec_id") +: col("_cell") +:
+          (0 until 4).map(i => col(s"pq_$i")): _*)
+      ProductQuantizer.ivfAdcTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", subDim = 16, books,
+          assignedCodes, "_cell", probeBook,
+          k = 10, coarseK = 30, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -145,4 +145,82 @@ object ProductQuantizer {
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
   }
+
+  /** IVF+PQ retrieval (the FAISS IVFPQ shape, no-residual variant —
+    * `by_residual=false`): a coarse IVF quantizer gates WHICH code
+    * rows each query scores (nprobe cells of the corpus, the same
+    * probe discipline as IvfKnn.topK), and PQ codes make each scored
+    * row m lookups instead of d flops. Flat ADC pays n×m per query;
+    * this pays (nprobe/|cells|)·n×m — the composition that keeps a
+    * query fleet sub-linear at corpus scale.
+    *
+    * `assignedCodes`: (id, cellCol, pq_0 … pq_{m-1}) — the
+    * cell-partitioned code layout a production index stores (derive
+    * once via IvfKnn.assignCells ∘ encoded, persist like
+    * CodebookStore.pqCodes). `probeCodebook`: the (cell, centroid)
+    * frame queries rank cells by. Rescore is exact cosine over the
+    * candidate set only. Output (query_id, neighbor_id, cos, rank).
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, subDim: Int, books: Seq[SubCodebook],
+      assignedCodes: DataFrame, cellCol: String, probeCodebook: DataFrame,
+      k: Int, coarseK: Int, nprobe: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+
+    // per-query probe cells (tiny cross join, broadcast codebook)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(VectorOps.cosineNative(col("q_emb"), col("centroid")).desc,
+        col(cellCol))
+    val probes = q.join(broadcast(
+        probeCodebook.select(col("cell").as(cellCol), col("centroid"))))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") <= nprobe)
+      .select(col("query_id"), col(cellCol))
+
+    // candidate codes: only rows in a probed cell, melted per subspace
+    val candCodes = broadcast(probes).join(assignedCodes, cellCol)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id") +: col(idCol) +:
+        books.map(b => col(s"pq_${b.subspace}").as(b.subspace.toString)): _*)
+      .unpivot(Array(col("query_id"), col(idCol)),
+        books.map(b => col(b.subspace.toString)).toArray, "subspace", "cell")
+      .withColumn("subspace", col("subspace").cast("int"))
+
+    // per-query LUT (q×m×k rows), joined per (query, subspace, code)
+    val flat = books.flatMap(b => b.codebook.map { case (cell, c) =>
+      (b.subspace, cell, c) }).toDF("subspace", "cell", "centroid")
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        posexplode(array((0 until m).map(s =>
+          VectorOps.asDouble(sliceCol(embCol, s, subDim))): _*))
+          .as(Seq("subspace", "qsub")))
+    val lut = qsubs.join(flat, "subspace")
+      .select(col("query_id"), col("subspace"), col("cell"),
+        VectorOps.dotNative(col("qsub"), col("centroid")).as("d"))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col(idCol))
+    val cand = candCodes.join(broadcast(lut),
+        Seq("query_id", "subspace", "cell"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum("d"), 6).as("adc"))
+      .withColumn("_crank", row_number().over(wCoarse))
+      .filter(col("_crank") <= coarseK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_ce")),
+        "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(embCol).as("_qe")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineNative(col("_qe"), col("_ce")).as("cos"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+  }
 }

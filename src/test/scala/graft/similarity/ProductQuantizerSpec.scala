@@ -94,6 +94,29 @@ class ProductQuantizerSpec extends SparkSpec {
     stored shouldBe inline
   }
 
+  test("IVFPQ with nprobe = |cells| equals flat ADC exactly") {
+    val books = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    val coarse = IvfKnn.trainCodebook(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val assignedCodes = ProductQuantizer.encoded(
+      IvfKnn.assignCells(emb, "embedding",
+        IvfKnn.collectCodebook(coarse, "cell"), "_cell"),
+      "embedding", 16, books)
+      .select(col("vec_id") +: col("_cell") +:
+        (0 until 4).map(i => col(s"pq_$i")): _*)
+    val probeBook = IvfKnn.trainCodebook(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val gated = ProductQuantizer.ivfAdcTopK(emb, queries, "vec_id", "embedding",
+        subDim = 16, books, assignedCodes, "_cell", probeBook,
+        k = 10, coarseK = 30, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = ProductQuantizer.adcTopK(emb, queries, "vec_id", "embedding",
+        subDim = 16, books, k = 10, coarseK = 30)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    gated shouldBe flat
+  }
+
   test("trained m=4/k=4 codes reach useful recall@10 at test scale") {
     val books = ProductQuantizer.train(emb, "vec_id", "embedding",
       m = 4, subDim = 16, k = 4, iters = 1)
