@@ -195,6 +195,10 @@ object DupClusters {
     * window passes (membership count + score rank) share ONE
     * cluster_id exchange — cost is the clusters table, never the
     * corpus text.
+    *
+    * The join is inner: a row of `components` with no score is
+    * excluded from its cluster's candidacy AND its membership count —
+    * score every row you want considered.
     */
   def keepBest(components: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {

@@ -64,6 +64,13 @@ object ProductQuantizer {
   def train(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, subDim: Int, k: Int, iters: Int): Seq[SubCodebook] = {
     require(m > 0 && subDim > 0, "m and subDim must be positive")
+    // fail loudly on a recipe/dim mismatch: an out-of-range slice is
+    // an empty array, which would silently null every code in the
+    // trailing subspaces (one first() against the already-driver-side
+    // seed path, not a corpus pass)
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    require(m * subDim == dim,
+      s"m * subDim = ${m * subDim} must equal the embedding dim $dim")
     (0 until m).map { s =>
       val sub = corpus.select(col(idCol), sliceCol(embCol, s, subDim).as("_sub"))
       val trained = IvfKnn.trainCodebook(sub, idCol, "_sub", k, iters)

@@ -32,6 +32,14 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("train refuses a recipe/dim mismatch loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 4, subDim = 20, k = 4, iters = 0)
+    }
+    e.getMessage should include("embedding dim")
+  }
+
   test("coarseK >= n recovers exact brute-force cosine top-k") {
     val books = ProductQuantizer.train(emb, "vec_id", "embedding",
       m = 4, subDim = 16, k = 4, iters = 1)
