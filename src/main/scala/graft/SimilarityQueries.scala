@@ -945,15 +945,12 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 4, iters = 3)
       val books = CodebookStore.pqTrained(s, dir, "embeddings",
         "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
-      // cell + codes in one map-side pass (two codegen'd argmax
-      // projections, no shuffle); a production index persists this
-      // (cell, codes) layout directly — cf. CodebookStore.pqCodes
-      val assignedCodes = ProductQuantizer.encoded(
-        IvfKnn.assignCells(e, "embedding",
-          IvfKnn.collectCodebook(coarseBook, "cell"), "_cell"),
-        "embedding", 16, books)
-        .select(col("vec_id") +: col("_cell") +:
-          (0 until 4).map(i => col(s"pq_$i")): _*)
+      // the stored IVFPQ index: (id, cell, codes) in one narrow
+      // table — query-time retrieval never touches the corpus floats
+      // until the rescore join
+      val assignedCodes = CodebookStore.ivfpqIndex(s, dir, "embeddings",
+        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
+        m = 4, subDim = 16, k = 4, iters = 1)
       ProductQuantizer.ivfAdcTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", subDim = 16, books,
           assignedCodes, "_cell", probeBook,

@@ -87,4 +87,29 @@ object CodebookStore {
     }
     h.read(spark)
   }
+
+  /** Stored IVFPQ index: the (id, cell, pq_0 … pq_{m-1}) layout a
+    * production IVF+PQ deployment persists — coarse cell and PQ codes
+    * together, so query-time retrieval reads ONE narrow table and
+    * never touches the corpus floats until the rescore join. Built
+    * from the stored coarse codebook + stored PQ books (one map-side
+    * assign+encode pass); bit-identity follows from theirs.
+    */
+  def ivfpqIndex(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, coarseK: Int, coarseIters: Int,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"ivfpq_${idCol}_${embCol}_c${coarseK}_ci${coarseIters}_m${m}_s${subDim}_k${k}_i$iters")
+    if (!h.exists) {
+      val coarse = trained(spark, sfDir, table, idCol, embCol, coarseK, coarseIters)
+      val books = pqTrained(spark, sfDir, table, idCol, embCol, m, subDim, k, iters)
+      h.overwrite(ProductQuantizer.encoded(
+          IvfKnn.assignCells(Tables.load(spark, sfDir, table), embCol,
+            IvfKnn.collectCodebook(coarse, "cell"), "_cell"),
+          embCol, subDim, books)
+        .select(col(idCol) +: col("_cell") +:
+          books.map(b => col(s"pq_${b.subspace}")): _*))
+    }
+    h.read(spark)
+  }
 }
