@@ -29,6 +29,11 @@ object ClusterStore {
   /** Stored (doc_id, cluster_id) over `table`'s text at `sfDir`,
     * SimHash near-pairs at Hamming ≤ `maxDist`; built and committed
     * on first use via the alternating star contraction.
+    *
+    * The key versions the CORPUS and the radius, not the code: like
+    * every derived artifact here (postings, codebooks), changing the
+    * chain's recipe (SimHash width, normalization) requires clearing
+    * the store — keys are data-versioned by design.
     */
   def clusters(spark: SparkSession, sfDir: String, table: String,
       maxDist: Int): DataFrame = {
