@@ -56,8 +56,13 @@ object StreamingLshDedup {
     val delta = deltaDir(indexDir)
     val parts = Seq(
       if (base.exists) Some(base.read(spark)) else None,
-      if (Files.exists(delta) && Files.list(delta).anyMatch(
-          _.getFileName.toString.startsWith("_batch=")))
+      if (Files.exists(delta) && {
+          // close the DirectoryStream — this runs once per micro-batch,
+          // an unclosed listing leaks one fd per batch until GC
+          val s = Files.list(delta)
+          try s.anyMatch(_.getFileName.toString.startsWith("_batch="))
+          finally s.close()
+        })
         Some(spark.read.parquet(delta.toString).drop("_batch"))
       else None).flatten
     parts.reduceOption(_.unionByName(_))
