@@ -334,11 +334,12 @@ object DedupQueries {
     // Quality-aware survivor selection: per duplicate cluster keep the
     // HIGHEST-t2-quality member (ties to the lowest id) — the keep
     // rule production pipelines actually use, replacing d9/d13's
-    // lowest-id convention. Clusters come from the PERSISTED store
-    // (ClusterStore — the contraction is a once-per-ingest job,
-    // bit-identical to inline by determinism; d9/d13 keep benching
-    // the computation itself); scores from t2's composite; both
-    // window passes share one cluster_id exchange.
+    // lowest-id convention. BOTH inputs come from persisted stores:
+    // clusters from ClusterStore and scores from QualityStore (each a
+    // once-per-ingest job, bit-identical to inline by determinism;
+    // d9/d13 and t2 keep benching the computations themselves) — the
+    // query itself reads two narrow tables and never rescans corpus
+    // text; both window passes share one cluster_id exchange.
     GraftQuery(
       "d18_quality_keep",
       s"""$dupClustersCtes,
@@ -353,11 +354,8 @@ object DedupQueries {
          |  FROM cl JOIN qual q ON cl.doc_id = q.doc_id)
          |SELECT cluster_id, doc_id AS keep_id, quality, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
       val clusters = ClusterStore.clusters(s, dir, "documents", maxDist = 6)
-      val nc = TextFunctions.normalize(col("text"))
-      val quality = d.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text"), nc).as("quality"))
+      val quality = graft.functions.QualityStore.scores(s, dir, "documents")
       DupClusters.keepBest(clusters, quality, "doc_id", "quality")
         .orderBy("cluster_id")
     },

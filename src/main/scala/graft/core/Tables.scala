@@ -12,22 +12,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with normalized time columns. The driver writes `ts` as
-    * parquet TIMESTAMP(NANOS) which vanilla Spark refuses to read
-    * ([PARQUET_TYPE_ILLEGAL]); with `legacy.parquet.nanosAsLong` it
-    * arrives as epoch-nanos LongType. We derive:
+  /** `events` with normalized time columns, adaptive to the generator's
+    * `ts` physical type (it has shipped both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) across driver versions).
+    * Normalized output, identical either way:
     *   - `version` — epoch millis (the reference's `unix_time_millis`
-    *     versioning, reference utils.py:68-74), floor division so it
-    *     matches DuckDB's `epoch_ms` on the µs-truncated timestamp;
-    *   - `ts` — µs-truncated TimestampType (what DuckDB's reader also
+    *     versioning, reference utils.py:68-74), matching DuckDB's
+    *     `epoch_ms(ts)` on the same file;
+    *   - `ts` — µs-precision TimestampType (what DuckDB's reader also
     *     yields), so downstream date functions agree across engines.
-    * Integer `div`, never `/`: epoch-nanos ≈ 1.7e18 exceeds a double's
-    * 2^53 exact-integer range, so float division would corrupt versions.
+    * Nanos arrive as LongType via `legacy.parquet.nanosAsLong`; integer
+    * `div`, never `/`: epoch-nanos ≈ 1.7e18 exceeds a double's 2^53
+    * exact-integer range, so float division would corrupt versions.
+    * Micros arrive as TIMESTAMP_NTZ; the cast to TimestampType reads
+    * the wall-clock as session-local, so the engine-wide UTC session
+    * convention (every entry point sets spark.sql.session.timeZone=UTC)
+    * is what keeps `unix_millis` equal to DuckDB's naive-UTC epoch_ms.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("version", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("version", expr("ts div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("version", expr("unix_millis(ts)"))
+    }
   }
 }

@@ -38,6 +38,19 @@ object CodebookStore {
     h.read(spark)
   }
 
+  /** Per-process memo of parsed PQ books, keyed by the artifact's
+    * store path — which already folds in the corpus content
+    * fingerprint and every training parameter, so a regrown corpus or
+    * different recipe keys to a different entry and a stale memo hit
+    * is impossible (same key ⇒ same deterministic artifact content).
+    * Keeps a 100-query fleet from re-collecting and re-grouping the
+    * small books table once per execution.
+    */
+  private val pqBookMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[ProductQuantizer.SubCodebook]]()
+
+  private[similarity] def pqMemoSize: Int = pqBookMemo.size()
+
   /** Stored PQ subquantizers (all m books as one (subspace, cell,
     * centroid) table) — same discipline, same bit-identity argument
     * (parquet doubles are exact; ProductQuantizer.train is
@@ -58,13 +71,14 @@ object CodebookStore {
         .flatMap(b => b.codebook.map { case (c, cent) => (b.subspace, c, cent) })
         .toDF("subspace", "cell", "centroid"))
     }
-    h.read(spark).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (s, rows) =>
-        ProductQuantizer.SubCodebook(s,
-          rows.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
-      }
+    pqBookMemo.computeIfAbsent(h.path, _ =>
+      h.read(spark).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, rows) =>
+          ProductQuantizer.SubCodebook(s,
+            rows.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+        })
   }
 
   /** Stored PQ CODES (id + m int cells per corpus row) — the encoded

@@ -21,25 +21,40 @@ object ArtifactStore {
   def root: String = sys.env.getOrElse(
     "SPARK_GRAFT_INDEX_DIR", "/root/repo/target/graft_index")
 
+  /** Sorted per-file entries `relativePath|size|mtimeMillis` of a
+    * source table path (file or directory) — the raw material of
+    * [[fingerprint]], and the per-file state ledger the incremental
+    * text index diffs to find what a corpus increment added.
+    */
+  def entries(tablePath: String): Seq[String] = {
+    val p = Paths.get(tablePath)
+    require(Files.exists(p), s"no source table at $tablePath")
+    val s = Files.walk(p)
+    try s.filter(f => Files.isRegularFile(f)).toArray.toSeq
+      .map(_.asInstanceOf[Path])
+      .map(f => s"${p.relativize(f)}|${Files.size(f)}|" +
+        Files.getLastModifiedTime(f).toMillis)
+      .sorted
+    finally s.close()
+  }
+
   /** Content fingerprint of a source table path (file or directory):
     * 16 hex chars over the sorted (relative path, size, mtime-millis)
     * file entries.
     */
   def fingerprint(tablePath: String): String = {
-    val p = Paths.get(tablePath)
-    require(Files.exists(p), s"no source table at $tablePath")
-    val s = Files.walk(p)
-    val entries =
-      try s.filter(f => Files.isRegularFile(f)).toArray.toSeq
-        .map(_.asInstanceOf[Path])
-        .map(f => s"${p.relativize(f)}|${Files.size(f)}|" +
-          Files.getLastModifiedTime(f).toMillis)
-        .sorted
-      finally s.close()
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    entries.foreach(e => md.update(e.getBytes("UTF-8")))
+    entries(tablePath).foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
+
+  /** Sanitized store key segment for a table path WITHOUT the content
+    * fingerprint — the root for artifacts that version their content
+    * internally (the incremental text index tracks indexed corpus
+    * files in its own state ledger instead of keying whole rebuilds).
+    */
+  def pathKey(tablePath: String): String =
+    tablePath.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Versioned store handle for `piece` of the artifact derived from
     * the table at `tablePath`.

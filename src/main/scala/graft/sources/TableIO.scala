@@ -67,8 +67,11 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
   def currentDir: Option[String] =
     if (Files.exists(pointer))
       Some(root.resolve(Files.readString(pointer).trim).toString)
-    else if (Files.exists(root) &&
-        Files.list(root).anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
+    else if (Files.exists(root) && {
+        val s = Files.list(root)
+        try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      })
       Some(path)
     else None
 
@@ -144,12 +147,15 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
     // version — kept one commit as a grace window for readers
     // that resolved the pointer just before the swap. Adopted
     // plain-layout files (version 0) age out on the same schedule.
-    if (Files.exists(root)) Files.list(root).forEach { f =>
-      val n = f.getFileName.toString
-      if (n.startsWith("v-") && versionOf(n) < s.prev)
-        deleteTree(f)
-      else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
-        Files.deleteIfExists(f)
+    if (Files.exists(root)) {
+      val ls = Files.list(root)
+      try ls.forEach { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("v-") && versionOf(n) < s.prev)
+          deleteTree(f)
+        else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
+          Files.deleteIfExists(f)
+      } finally ls.close()
     }
   }
 
@@ -200,9 +206,11 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
   }
 
   private def deleteTree(dir: Path): Unit =
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }
 
 object ParquetTableIO {

@@ -160,7 +160,9 @@ object StreamingLshDedup {
       .start()
 
   private def deleteTree(dir: Path): Unit =
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

@@ -90,6 +90,15 @@ class ProductQuantizerSpec extends SparkSpec {
       "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1) shouldBe inline
   }
 
+  test("pqTrained memoizes parsed books per process (same instance back)") {
+    val a = CodebookStore.pqTrained(spark, dir, "embeddings",
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+    val b = CodebookStore.pqTrained(spark, dir, "embeddings",
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
+    assert(a eq b, "second call should hit the per-process memo")
+    CodebookStore.pqMemoSize should be >= 1
+  }
+
   test("stored PQ codes match inline encoding row-for-row") {
     val books = CodebookStore.pqTrained(spark, dir, "embeddings",
       "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
