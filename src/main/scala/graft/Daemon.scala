@@ -29,14 +29,22 @@ object Daemon {
     periodMs - ((nowMs - startMs) % periodMs)
   }
 
-  /** One tick over every spec in the config. */
+  /** One tick over every spec in the config. Undated stores run
+    * through the DSv2 connector ([[graft.sources.SnapshotSourceIO]] —
+    * pinned reads, pushdown, atomic per-store publish), so the
+    * daemon's own E2E path exercises the same seam a production
+    * deployment fronts with Cassandra/ES connectors. Day-partitioned
+    * stores keep the direct layout: the derived `dayCol` partitioning
+    * that turns window scans into partition pruning is a store-layer
+    * concern the connector write path doesn't carry.
+    */
   def tick(spark: SparkSession, cfg: SyncConfig.Config, wmPath: String,
       dataRoot: String, nowMs: Long): Seq[SyncRunner.RunReport] = {
     val specs = cfg.syncs.map { spec =>
-      def io(table: String) = spec.dayCol match {
+      def io(table: String): graft.sources.TableIO = spec.dayCol match {
         case Some(d) =>
           ParquetTableIO.dayPartitioned(s"$dataRoot/$table", spec.versionCol, d)
-        case None => new ParquetTableIO(s"$dataRoot/$table")
+        case None => new graft.sources.SnapshotSourceIO(s"$dataRoot/$table")
       }
       spec -> SyncRunner.Sides(io(spec.left.table), io(spec.right.table))
     }

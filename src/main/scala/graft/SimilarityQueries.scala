@@ -958,6 +958,103 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Residual IVF+PQ — the FAISS-proper `by_residual=true` form: PQ
+    // books trained on x − centroid(cell) (residuals concentrate near
+    // the origin once the coarse structure is removed, so the same m/k
+    // budget resolves finer detail — the §9.10 ceiling lift), and the
+    // approximate score decomposes exactly as ⟨q, centroid⟩ + ⟨q, r̂⟩:
+    // a per-(query, probed-cell) offset plus the usual m LUT lookups.
+    // All four artifacts store-served. Oracle = v16's coarse chain +
+    // a residual CTE + four residual Lloyd chains + the offset ADC.
+    GraftQuery(
+      "v17_ivfpq_residual",
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |${ivfAssignSql("seeds", "a1")},
+         |${ivfCentSql("a1", "cent1")},
+         |${ivfAssignSql("cent1", "a2")},
+         |${ivfCentSql("a2", "cent2")},
+         |${ivfAssignSql("cent2", "af")},
+         |res AS (
+         |  SELECT a.vec_id,
+         |    list_transform(generate_series(1, len(a.embedding)),
+         |      i -> a.embedding[i]::DOUBLE - c.centroid[i]) AS resid,
+         |    a.cell
+         |  FROM af a JOIN cent2 c ON a.cell = c.cell),
+         |${(0 until 4).map { s =>
+            s"""rsub$s AS (SELECT vec_id, ${pqSubSql(s, 16, "resid")} AS emb FROM res),
+               |rseed$s AS (
+               |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               |         emb::DOUBLE[] AS centroid
+               |  FROM rsub$s ORDER BY vec_id LIMIT 4),
+               |${pqAssignSql(s"rsub$s", s"rseed$s", s"ra1_$s")},
+               |${pqCentSql(s"ra1_$s", s"rc1_$s")},
+               |${pqAssignSql(s"rsub$s", s"rc1_$s", s"raf$s")}""".stripMargin
+          }.mkString(",\n")},
+         |codes AS (
+         |  ${(0 until 4).map(s =>
+              s"SELECT vec_id, $s AS subspace, cell FROM raf$s").mkString("\n  UNION ALL ")}),
+         |probes AS (
+         |  SELECT query_id, cell, off FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      ${dotSql("q.embedding", "c.centroid")} AS off,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.centroid")} DESC, c.cell)
+         |        AS cell_rank
+         |    FROM embeddings q CROSS JOIN cent2 c
+         |    WHERE q.vec_id < 5)
+         |  WHERE cell_rank <= 2),
+         |cand AS (
+         |  SELECT p.query_id, v.vec_id, p.off
+         |  FROM probes p JOIN af v
+         |    ON v.cell = p.cell AND v.vec_id <> p.query_id),
+         |lut AS (
+         |  ${(0 until 4).map(s =>
+              s"""SELECT q.vec_id AS query_id, $s AS subspace, c.cell,
+                 |    ${dotSql(pqSubSql(s, 16, "q.embedding"), "c.centroid")} AS d
+                 |  FROM embeddings q CROSS JOIN rc1_$s c WHERE q.vec_id < 5""".stripMargin)
+              .mkString("\n  UNION ALL ")}),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id, round(max(c.off) + sum(l.d), 6) AS adc
+         |  FROM cand c
+         |  JOIN codes co ON co.vec_id = c.vec_id
+         |  JOIN lut l ON l.query_id = c.query_id
+         |    AND l.subspace = co.subspace AND l.cell = co.cell
+         |  GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS cr
+         |    FROM adc) WHERE cr <= 30)
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(${cosineSql("q.embedding", "v.embedding")}, 4) AS cosine,
+         |  row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosineSql("q.embedding", "v.embedding")} DESC, c.vec_id) AS rank
+         |FROM coarse c
+         |JOIN embeddings v ON v.vec_id = c.vec_id
+         |JOIN embeddings q ON q.vec_id = c.query_id
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val coarseBook = CodebookStore.trained(s, dir, "embeddings",
+        "vec_id", "embedding", k = 4, iters = 2)
+      val books = CodebookStore.pqResidualTrained(s, dir, "embeddings",
+        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
+        m = 4, subDim = 16, k = 4, iters = 1)
+      val idx = CodebookStore.ivfpqResidualIndex(s, dir, "embeddings",
+        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
+        m = 4, subDim = 16, k = 4, iters = 1)
+      ProductQuantizer.ivfAdcTopKResidual(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", subDim = 16, books,
+          idx, "_cell", coarseBook,
+          k = 10, coarseK = 30, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -71,6 +71,11 @@ object CodebookStore {
         .flatMap(b => b.codebook.map { case (c, cent) => (b.subspace, c, cent) })
         .toDF("subspace", "cell", "centroid"))
     }
+    parsedBooks(spark, h)
+  }
+
+  private def parsedBooks(spark: SparkSession,
+      h: graft.sources.ParquetTableIO): Seq[ProductQuantizer.SubCodebook] =
     pqBookMemo.computeIfAbsent(h.path, _ =>
       h.read(spark).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
@@ -79,6 +84,60 @@ object CodebookStore {
           ProductQuantizer.SubCodebook(s,
             rows.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
         })
+
+  /** Stored RESIDUAL PQ subquantizers — trained on x − centroid(cell)
+    * under the (coarseK, coarseIters) coarse book (the FAISS
+    * `by_residual=true` training set). Same storage/memo/bit-identity
+    * discipline as [[pqTrained]]; keyed additionally by the coarse
+    * recipe, because residuals are a function of BOTH the corpus and
+    * the coarse book.
+    */
+  def pqResidualTrained(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, coarseK: Int, coarseIters: Int,
+      m: Int, subDim: Int, k: Int, iters: Int): Seq[ProductQuantizer.SubCodebook] = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"pqresbooks_${idCol}_${embCol}_c${coarseK}_ci${coarseIters}" +
+        s"_m${m}_s${subDim}_k${k}_i$iters")
+    if (!h.exists) {
+      val coarse = trained(spark, sfDir, table, idCol, embCol, coarseK, coarseIters)
+      val assigned = IvfKnn.assignCells(Tables.load(spark, sfDir, table),
+        embCol, IvfKnn.collectCodebook(coarse, "cell"), "_cell")
+      val withRes = ProductQuantizer.withResidual(
+        assigned, embCol, "_cell", coarse, "_res")
+      val books = ProductQuantizer.train(withRes, idCol, "_res", m, subDim, k, iters)
+      import spark.implicits._
+      h.overwrite(books
+        .flatMap(b => b.codebook.map { case (c, cent) => (b.subspace, c, cent) })
+        .toDF("subspace", "cell", "centroid"))
+    }
+    parsedBooks(spark, h)
+  }
+
+  /** Stored residual-IVFPQ index: (id, cell, pq_0 … pq_{m-1}) where the
+    * codes quantize the residual x − centroid(cell) against the
+    * residual books — the layout the `by_residual=true` retrieval
+    * scans. Built from the stored coarse book + stored residual books;
+    * bit-identity follows from theirs.
+    */
+  def ivfpqResidualIndex(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, coarseK: Int, coarseIters: Int,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
+      s"ivfpqres_${idCol}_${embCol}_c${coarseK}_ci${coarseIters}" +
+        s"_m${m}_s${subDim}_k${k}_i$iters")
+    if (!h.exists) {
+      val coarse = trained(spark, sfDir, table, idCol, embCol, coarseK, coarseIters)
+      val books = pqResidualTrained(spark, sfDir, table, idCol, embCol,
+        coarseK, coarseIters, m, subDim, k, iters)
+      val withRes = ProductQuantizer.withResidual(
+        IvfKnn.assignCells(Tables.load(spark, sfDir, table), embCol,
+          IvfKnn.collectCodebook(coarse, "cell"), "_cell"),
+        embCol, "_cell", coarse, "_res")
+      h.overwrite(ProductQuantizer.encoded(withRes, "_res", subDim, books)
+        .select(col(idCol) +: col("_cell") +:
+          books.map(b => col(s"pq_${b.subspace}")): _*))
+    }
+    h.read(spark)
   }
 
   /** Stored PQ CODES (id + m int cells per corpus row) — the encoded

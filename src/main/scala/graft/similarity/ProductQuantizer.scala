@@ -153,6 +153,104 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
   }
 
+  /** Adds `resCol` = embedding − assigned coarse centroid (elementwise,
+    * float→double cast BEFORE the subtraction — the engine's precision
+    * discipline, re-derivable in DuckDB as `e[i]::DOUBLE - c[i]`).
+    * This is the residual the FAISS-proper IVFPQ (`by_residual=true`)
+    * quantizes: residuals concentrate near the origin with most of the
+    * coarse structure removed, so the SAME m/k code budget spends its
+    * resolution on the fine detail — the measured §9.10 ceiling lift.
+    * `coarseBook` must be the codebook `cellCol` was assigned under.
+    */
+  def withResidual(assigned: DataFrame, embCol: String, cellCol: String,
+      coarseBook: DataFrame, resCol: String): DataFrame =
+    assigned
+      .join(broadcast(coarseBook.select(col("cell").as(cellCol),
+        col("centroid").as("_cc"))), cellCol)
+      .withColumn(resCol,
+        zip_with(col(embCol), col("_cc"), (a, b) => a.cast("double") - b))
+      .drop("_cc")
+
+  /** Residual IVF+PQ retrieval (the FAISS `by_residual=true` form):
+    * codes quantize x − centroid(cell), so the approximate inner
+    * product decomposes exactly as ⟨q, centroid(cell)⟩ + ⟨q, r̂⟩ — a
+    * per-(query, probed-cell) offset (nprobe rows per query, broadcast)
+    * plus the usual m LUT lookups against the RESIDUAL books. Same
+    * scan gating and cost shape as [[ivfAdcTopK]]; only the per-row
+    * arithmetic gains the offset term. `coarseBook` is both the probe
+    * ranking book and the residual anchor (they must match — the
+    * decomposition is only exact against the book the codes were
+    * encoded under). Output (query_id, neighbor_id, cos, rank).
+    */
+  def ivfAdcTopKResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, subDim: Int, books: Seq[SubCodebook],
+      assignedCodes: DataFrame, cellCol: String, coarseBook: DataFrame,
+      k: Int, coarseK: Int, nprobe: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+
+    // per-query probe cells WITH the decomposition offset ⟨q, centroid⟩
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(VectorOps.cosineNative(col("q_emb"), col("centroid")).desc,
+        col(cellCol))
+    val probes = q.join(broadcast(
+        coarseBook.select(col("cell").as(cellCol), col("centroid"))))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") <= nprobe)
+      .select(col("query_id"), col(cellCol),
+        VectorOps.dotNative(col("q_emb"), col("centroid")).as("_off"))
+
+    // candidate codes in probed cells, melted per subspace; the cell
+    // rides along so the offset joins back after the LUT aggregate
+    val candCodes = broadcast(probes.select("query_id", cellCol))
+      .join(assignedCodes, cellCol)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id") +: col(cellCol) +: col(idCol) +:
+        books.map(b => col(s"pq_${b.subspace}").as(b.subspace.toString)): _*)
+      .unpivot(Array(col("query_id"), col(cellCol), col(idCol)),
+        books.map(b => col(b.subspace.toString)).toArray, "subspace", "cell")
+      .withColumn("subspace", col("subspace").cast("int"))
+
+    // per-query LUT over the RESIDUAL books
+    val flat = books.flatMap(b => b.codebook.map { case (cell, c) =>
+      (b.subspace, cell, c) }).toDF("subspace", "cell", "centroid")
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        posexplode(array((0 until m).map(s =>
+          VectorOps.asDouble(sliceCol(embCol, s, subDim))): _*))
+          .as(Seq("subspace", "qsub")))
+    val lut = qsubs.join(flat, "subspace")
+      .select(col("query_id"), col("subspace"), col("cell"),
+        VectorOps.dotNative(col("qsub"), col("centroid")).as("d"))
+
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col(idCol))
+    val cand = candCodes.join(broadcast(lut),
+        Seq("query_id", "subspace", "cell"))
+      .groupBy(col("query_id"), col(cellCol), col(idCol))
+      .agg(sum("d").as("_rsum"))
+      .join(broadcast(probes), Seq("query_id", cellCol))
+      .select(col("query_id"), col(idCol),
+        round(col("_off") + col("_rsum"), 6).as("adc"))
+      .withColumn("_crank", row_number().over(wCoarse))
+      .filter(col("_crank") <= coarseK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_ce")),
+        "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(embCol).as("_qe")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineNative(col("_qe"), col("_ce")).as("cos"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF+PQ retrieval (the FAISS IVFPQ shape, no-residual variant —
     * `by_residual=false`): a coarse IVF quantizer gates WHICH code
     * rows each query scores (nprobe cells of the corpus, the same

@@ -601,3 +601,119 @@ class StreamingLshDedupSpec extends SparkSpec {
     afterSmall.size should be > afterSeed.size
   }
 }
+
+class StreamingVectorIngestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.similarity.{IvfKnn, ProductQuantizer}
+
+  // two well-separated directions in R^8 so cluster membership is
+  // unambiguous, plus a deterministic per-id full-dimensional jitter:
+  // residuals (vector - coarse centroid) must span multiple directions
+  // for cosine-PQ training to be non-degenerate — collinear residuals
+  // collapse every subquantizer to one zero-mean centroid (a fixture
+  // pathology, not an operator one; real embeddings never align so)
+  private def vec(base: Array[Float], id: Long): Array[Float] =
+    base.zipWithIndex.map { case (v, i) =>
+      v + 0.02f * (((id * 7 + i * 3) % 5).toInt - 2) }
+  private val dirA = Array(10f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+  private val dirB = Array(0f, 10f, 0f, 0f, 0f, 1f, 0f, 0f)
+
+  test("cross-batch retrieval: a query finds a vector ingested in an earlier batch") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("svec")
+    val indexDir = base.resolve("index").toString
+
+    // stored artifacts: books trained once, offline, on a seed corpus
+    val seed = (0 until 8).map(i =>
+      (i.toLong, vec(if (i % 2 == 0) dirA else dirB, i.toLong)))
+      .toDF("vec_id", "embedding")
+    val coarse = IvfKnn.collectCodebook(
+      IvfKnn.trainCodebook(seed, "vec_id", "embedding", k = 2, iters = 2), "cell")
+    val books = ProductQuantizer.train(seed, "vec_id", "embedding",
+      m = 2, subDim = 4, k = 4, iters = 1)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingVectorIngest.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      indexDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"),
+      coarse, books, subDim = 4)
+
+    // batch 1: an A-cluster vector that only exists in this batch
+    mem.addData((100L, vec(dirA, 100L)), (101L, vec(dirB, 101L)))
+    q.processAllAvailable()
+    // batch 2: more vectors, one nearly identical to 100
+    mem.addData((200L, vec(dirA, 200L)), (201L, vec(dirB, 201L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val idx = StreamingVectorIngest.readIndex(spark, indexDir)
+    idx.select("vec_id").distinct().count() shouldBe 4
+
+    // retrieval over the streamed index: the probe corpus is the four
+    // ingested vectors (re-materialized as the rescore source), the
+    // query is batch 2's 200 — its nearest neighbor must be batch 1's
+    // 100, found through the stored codes
+    val corpus = Seq((100L, vec(dirA, 100L)), (101L, vec(dirB, 101L)),
+      (200L, vec(dirA, 200L)), (201L, vec(dirB, 201L)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 200L)
+    val probeBook = coarse.toDF("cell", "centroid")
+    val got = ProductQuantizer.ivfAdcTopK(corpus, queries, "vec_id",
+        "embedding", subDim = 4, books, idx, "_cell", probeBook,
+        k = 1, coarseK = 4, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    got shouldBe Array((200L, 100L))
+
+    // compaction folds deltas; the retrieval view is unchanged
+    StreamingVectorIngest.compactIndex(spark, indexDir)
+    val delta = base.resolve("index").resolve("delta")
+    val remaining =
+      if (Files.exists(delta)) {
+        val s = Files.list(delta)
+        try s.filter(_.getFileName.toString.startsWith("_batch=")).count()
+        finally s.close()
+      } else 0L
+    remaining shouldBe 0L
+    StreamingVectorIngest.readIndex(spark, indexDir)
+      .select("vec_id").distinct().count() shouldBe 4
+  }
+
+  test("residual mode: codes quantize x - centroid(cell); retrieval still lands") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("svecres")
+    val indexDir = base.resolve("index").toString
+    val seed = (0 until 8).map(i =>
+      (i.toLong, vec(if (i % 2 == 0) dirA else dirB, i.toLong)))
+      .toDF("vec_id", "embedding")
+    val coarseDf = IvfKnn.trainCodebook(seed, "vec_id", "embedding", k = 2, iters = 2)
+    val coarse = IvfKnn.collectCodebook(coarseDf, "cell")
+    val resBooks = ProductQuantizer.train(
+      ProductQuantizer.withResidual(
+        IvfKnn.assignCells(seed, "embedding", coarse, "_cell"),
+        "embedding", "_cell", coarseDf, "_res"),
+      "vec_id", "_res", m = 2, subDim = 4, k = 4, iters = 1)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingVectorIngest.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      indexDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"),
+      coarse, resBooks, subDim = 4, residual = true)
+    mem.addData((100L, vec(dirA, 100L)), (101L, vec(dirB, 101L)))
+    q.processAllAvailable()
+    mem.addData((200L, vec(dirA, 200L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = Seq((100L, vec(dirA, 100L)), (101L, vec(dirB, 101L)),
+      (200L, vec(dirA, 200L))).toDF("vec_id", "embedding")
+    val got = ProductQuantizer.ivfAdcTopKResidual(corpus,
+        corpus.filter(col("vec_id") === 200L), "vec_id", "embedding",
+        subDim = 4, resBooks,
+        StreamingVectorIngest.readIndex(spark, indexDir), "_cell",
+        coarseDf, k = 1, coarseK = 3, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    got shouldBe Array((200L, 100L))
+  }
+}
