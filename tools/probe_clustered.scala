@@ -1,5 +1,5 @@
-// §9 probe: clustered-embedding fixture (mixture of Gaussians) — the
-// §9.7 nprobe/recall curve and the §9.10 PQ ceiling re-measured on
+// S9 probe: clustered-embedding fixture (mixture of Gaussians) - the
+// S9.7 nprobe/recall curve and the S9.10 PQ ceiling re-measured on
 // vectors with real cluster structure, plus the residual-vs-plain
 // IVFPQ ceiling (v17) on both this fixture and the sf0.1 distinct
 // corpus. Run via spark-shell -i (see .claude/skills/verify).
@@ -14,14 +14,14 @@ spark.conf.set("spark.sql.shuffle.partitions", 32)
 val n = 200000; val d = 64; val kc = 64
 val rnd = new scala.util.Random(42)
 val centers: Seq[Seq[Double]] = Seq.fill(kc)(Seq.fill(d)(rnd.nextGaussian()))
-val noise = array((0 until d).map(i => randn(1000L + i) * lit(0.35)): _*)
+val noise = array((0 until d).map(i => randn(1000L + i) * lit(1.0)): _*)
 val emb = spark.range(n)
   .select(col("id").cast("long").as("vec_id"), (col("id") % kc).cast("int").as("label"))
   .withColumn("center", element_at(typedlit(centers), col("label") + 1))
   .withColumn("embedding", transform(zip_with(col("center"), noise, (c, z) => c + z), x => x.cast("float")))
   .drop("center")
   .repartition(32).cache()
-plog.println(s"fixture n=${emb.count()} d=$d clusters=$kc sigma=0.35")
+plog.println(s"fixture n=${emb.count()} d=$d clusters=$kc sigma=1.0")
 val queries = emb.filter(col("vec_id") < 50).cache()
 
 val t0 = System.nanoTime()
@@ -29,7 +29,7 @@ val truth = BruteForceKnn.topKAgg(emb, queries, "vec_id", "embedding", 10)
   .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 plog.println(f"brute_force_wall=${(System.nanoTime()-t0)/1e9}%.1f s truth=${truth.size}")
 
-// ---- §9.7 re-run: trained cells vs (true-)label cells on clustered data
+// ---- S9.7 re-run: trained cells vs (true-)label cells on clustered data
 val tTrain = System.nanoTime()
 val codebook = IvfKnn.trainCodebook(emb, "vec_id", "embedding", kc, 2)
 val cb = IvfKnn.collectCodebook(codebook, "cell")
@@ -50,12 +50,12 @@ for (nprobe <- Seq(1, 2, 4)) {
   plog.println(f"label   nprobe=$nprobe%2d wall=${(System.nanoTime()-t1)/1e9}%.1f s recall@10=${(got intersect truth).size.toDouble / truth.size}%.4f")
 }
 
-// ---- §9.10 re-run on the fixture: PQ ceiling, plain vs residual
+// ---- S9.10 re-run on the fixture: PQ ceiling, plain vs residual
 val books = ProductQuantizer.train(emb, "vec_id", "embedding", 4, d / 4, 256, 1)
 val codes = ProductQuantizer.encoded(assigned, "embedding", d / 4, books)
   .select(col("vec_id") +: col("_cell") +: (0 until 4).map(s => col(s"pq_$s")): _*).cache()
 codes.count()
-{
+locally {
   val t1 = System.nanoTime()
   val got = ProductQuantizer.ivfAdcTopK(emb, queries, "vec_id", "embedding", d / 4,
       books, codes, "_cell", codebook, 10, 200, kc)
@@ -70,7 +70,7 @@ val resCodes = ProductQuantizer.encoded(
     "_res", d / 4, resBooks)
   .select(col("vec_id") +: col("_cell") +: (0 until 4).map(s => col(s"pq_$s")): _*).cache()
 resCodes.count()
-{
+locally {
   val t1 = System.nanoTime()
   val got = ProductQuantizer.ivfAdcTopKResidual(emb, queries, "vec_id", "embedding", d / 4,
       resBooks, resCodes, "_cell", codebook, 10, 200, kc)
@@ -88,7 +88,7 @@ for (nprobe <- Seq(4, 8, 16)) {
   plog.println(f"gated nprobe=$nprobe%2d/$kc plain=${(g1 intersect truth).size.toDouble / truth.size}%.4f residual=${(g2 intersect truth).size.toDouble / truth.size}%.4f")
 }
 
-// ---- sf0.1 distinct corpus: the direct §9.10 ceiling comparison
+// ---- sf0.1 distinct corpus: the direct S9.10 ceiling comparison
 val e01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").repartition(32).cache()
 val d01 = e01.selectExpr("size(embedding)").first.getInt(0)
 val q01 = e01.filter(col("vec_id") < 50).cache()

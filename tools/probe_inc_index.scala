@@ -1,4 +1,4 @@
-// §9 probe: incremental text-index maintenance — increment cost O(new),
+// S9 probe: incremental text-index maintenance - increment cost O(new),
 // not O(corpus). Replicates the sf0.1 documents table to ~1 M docs,
 // times the full base build, then appends a 1% increment and times the
 // reconcile. Run via spark-shell -i (see .claude/skills/verify).
@@ -24,7 +24,7 @@ rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(corpus
 
 val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 val n0 = base.count()
-// 100 replicas with distinct ids and perturbed text (same discipline as §9.5)
+// 100 replicas with distinct ids and perturbed text (same discipline as S9.5)
 val reps = 100
 val big = base.crossJoin(spark.range(reps).toDF("r"))
   .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
