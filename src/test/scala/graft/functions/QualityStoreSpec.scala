@@ -25,4 +25,24 @@ class QualityStoreSpec extends SparkSpec {
     QualityStore.scores(spark, dir, "documents")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe inline
   }
+
+  test("corpus append scores only the new files; totals stay inline-exact") {
+    import spark.implicits._
+    val sf = java.nio.file.Files.createTempDirectory("qstore-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "clean readable text here with words"), (2L, "x!!!"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    QualityStore.scores(spark, sf, "documents").count() shouldBe 2
+
+    Seq((3L, "another perfectly normal document of words and more words"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    val got = QualityStore.scores(spark, sf, "documents")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = spark.read.parquet(corpus)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text"),
+        TextFunctions.normalize(col("text"))).as("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe inline
+    got.keySet shouldBe Set(1L, 2L, 3L)
+  }
 }
