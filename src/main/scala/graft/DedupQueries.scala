@@ -331,6 +331,24 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Same clustering once more through IDENTICAL-SIGNATURE
+    // CONTRACTION — the duplication-heavy-corpus path (§9.11: the
+    // uncontracted build's pair volume is quadratic in duplication
+    // width per bucket): one representative per distinct simhash runs
+    // the pair search and the star contraction, every document then
+    // inherits its signature's label. Exactly the d9/d13 labelling
+    // (the pair predicate is signature-pure, so components correspond
+    // 1:1 and group minima are preserved), same recursive-CTE oracle.
+    GraftQuery(
+      "d19_cluster_contracted",
+      dupClustersOracle) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
+      DupClusters.componentsContracted(d, "doc_id", sims, "simhash",
+        reps => SimHash.nearPairs(reps, "doc_id", maxDist = 6))
+        .orderBy("doc_id")
+    },
+
     // Quality-aware survivor selection: per duplicate cluster keep the
     // HIGHEST-t2-quality member (ties to the lowest id) — the keep
     // rule production pipelines actually use, replacing d9/d13's

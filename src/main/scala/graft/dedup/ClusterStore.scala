@@ -3,49 +3,115 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.sources.ArtifactStore
+import graft.sources.IncrementalDocArtifact
+import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
 
-/** Persisted duplicate-cluster labelling — the build-once / query-many
-  * discipline (CodebookStore's pattern) applied to cluster resolution:
+/** Persisted duplicate-cluster labelling, INCREMENTALLY maintained —
   * the SimHash → near-pairs → connected-components chain is a pure
   * deterministic function of the corpus, and every downstream pass
-  * (keep-one filter, quality-aware keep, cluster stats) re-reads the
-  * SAME (doc_id, cluster_id) table instead of re-running the iterative
-  * contraction per query. At 100 TB the contraction is a once-per-
-  * ingest job; queries pay one narrow table read.
+  * (keep-one filter, quality-aware keep, cluster stats) reads the SAME
+  * (doc_id, cluster_id) table instead of re-running the contraction
+  * per query.
   *
-  * Keyed by the corpus content fingerprint plus the chain's parameters
-  * (hash width via the SimHash default, Hamming radius), so a regrown
-  * corpus or different radius can never serve stale clusters.
-  * Determinism: SimHash is hash-exact, near-pair generation is
-  * set-valued, and min-label components are order-insensitive — the
-  * stored table is bit-identical to an inline run (asserted in
-  * `ClusterStoreSpec`).
+  * Cluster labels are the engine's first KEYED-UPSERT artifact
+  * ([[graft.sources.IncrementalDocArtifact.MergePiece]]): unlike
+  * postings or quality scores they are NOT per-document additive — one
+  * new document can merge two existing clusters — so a corpus file
+  * append advances them by reclustering only the AFFECTED SUBGRAPH:
+  *
+  *  1. signatures for the new docs only (the `sigs` piece is additive);
+  *  2. rep-level near-pair edges touching the increment: new
+  *     representatives probed against the stored representative table
+  *     (same top-16-block + Hamming predicate as the batch build, so
+  *     the edge sets agree), plus pairs within the new reps;
+  *  3. old clusters touched by any cross edge contribute their members
+  *     as (member → cluster_id) star edges — connectivity among old
+  *     docs is exactly what the old labelling already encodes, and a
+  *     near-pair between docs of two DIFFERENT old clusters cannot
+  *     exist (they would have been one cluster);
+  *  4. one star contraction over new docs ∪ affected members relabels
+  *     just that subgraph; unaffected docs keep their stored label via
+  *     the engine's LWW read.
+  *
+  * Increment cost is O(new + affected-cluster membership), never
+  * O(corpus); the labelling is provably identical to a full rebuild
+  * (`ClusterStoreSpec` asserts it across generation chunkings).
+  * Both the full build and the per-increment contraction run
+  * SIGNATURE-CONTRACTED (`DupClusters.componentsContracted`): cost
+  * follows distinct signatures, not duplication width — the §9.11
+  * wide-duplication fix.
+  *
+  * Any non-append corpus change keys a full rebuild through the
+  * engine's ledger, so in-place regrowth can never serve stale labels.
+  * Keys fold in the Hamming radius: a different `maxDist` is a
+  * different artifact.
   */
 object ClusterStore {
 
+  private def norm = TextFunctions.normalize(col("text"))
+
+  private def fullBuild(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sims = SimHash.compute(docs, "doc_id", norm)
+    DupClusters.componentsContracted(docs, "doc_id", sims, "simhash",
+      reps => SimHash.nearPairs(reps, "doc_id", maxDist))
+  }
+
+  /** Recluster the affected subgraph: see class doc. Returns labels
+    * for new docs ∪ members of touched old clusters — the changed
+    * rows the engine upserts.
+    */
+  private def advanceLabels(ctx: AdvanceCtx, maxDist: Int): DataFrame = {
+    val newSigs = SimHash.compute(ctx.newDocs, "doc_id", norm)
+      .localCheckpoint(true)
+    val oldLabels = ctx.stored("labels")
+    val newReps = newSigs.groupBy(col("simhash")).agg(min("doc_id").as("doc_id"))
+    val oldReps = ctx.stored("sigs")
+      .groupBy(col("simhash")).agg(min("doc_id").as("doc_id"))
+    val crossEdges = SimHash.probePairs(oldReps, newReps, "doc_id", maxDist)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val newEdges = SimHash.nearPairs(newReps, "doc_id", maxDist)
+      .select("id_a", "id_b")
+    // members of every old cluster a cross edge touches, as
+    // (member → cluster_id) star edges; the cluster_id is itself a
+    // member, so the star center is in the node set
+    val touched = crossEdges.select(col("id_a").as("doc_id")).distinct()
+      .join(oldLabels, "doc_id").select("cluster_id").distinct()
+    val affected = oldLabels.join(touched, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
+    // same-signature new docs hook onto their representative
+    val docRep = newSigs
+      .join(newReps.withColumnRenamed("doc_id", "_rep"), "simhash")
+      .select(col("doc_id").as("id_a"), col("_rep").as("id_b"))
+    val nodes = ctx.newDocs.select(col("doc_id"))
+      .union(affected.select("doc_id"))
+    val edges = crossEdges
+      .union(newEdges)
+      .union(docRep)
+      .union(affected.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("id_b")))
+    DupClusters.componentsAlternating(nodes, "doc_id", edges, "id_a", "id_b")
+  }
+
+  private def handle(corpusPath: String, maxDist: Int) =
+    IncrementalDocArtifact(corpusPath, s"clusters_h$maxDist",
+      pieces = Seq(Piece("sigs",
+        docs => SimHash.compute(docs, "doc_id", norm))),
+      merges = Seq(MergePiece("labels", Seq("doc_id"),
+        buildFull = docs => fullBuild(docs, maxDist),
+        advance = ctx => advanceLabels(ctx, maxDist))),
+      compactEvery = 8)
+
   /** Stored (doc_id, cluster_id) over `table`'s text at `sfDir`,
-    * SimHash near-pairs at Hamming ≤ `maxDist`; built and committed
-    * on first use via the alternating star contraction.
-    *
-    * The key versions the CORPUS and the radius, not the code: like
-    * every derived artifact here (postings, codebooks), changing the
-    * chain's recipe (SimHash width, normalization) requires clearing
-    * the store — keys are data-versioned by design.
+    * SimHash near-pairs at Hamming ≤ `maxDist`; built on first use,
+    * advanced incrementally when the corpus grows.
     */
   def clusters(spark: SparkSession, sfDir: String, table: String,
-      maxDist: Int): DataFrame = {
-    val h = ArtifactStore.io(s"$sfDir/$table.parquet",
-      s"dupclusters_simhash_h$maxDist")
-    if (!h.exists) {
-      val d = Tables.load(spark, sfDir, table)
-      val sims = SimHash.compute(d, "doc_id", TextFunctions.normalize(col("text")))
-      val pairs = SimHash.nearPairs(sims, "doc_id", maxDist)
-      h.overwrite(DupClusters.componentsAlternating(d, "doc_id", pairs,
-        "id_a", "id_b"))
-    }
-    h.read(spark)
-  }
+      maxDist: Int): DataFrame =
+    handle(s"$sfDir/$table.parquet", maxDist).serve(spark, "labels")
+
+  /** Offline compaction hook. */
+  def compact(spark: SparkSession, corpusPath: String, maxDist: Int): Unit =
+    handle(corpusPath, maxDist).compact(spark)
 }

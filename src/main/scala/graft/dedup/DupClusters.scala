@@ -176,6 +176,58 @@ object DupClusters {
       .select(col("id").as(idCol), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
+  /** Connected components with IDENTICAL-SIGNATURE CONTRACTION — the
+    * scale path for duplication-heavy corpora (crawl data, the §9.11
+    * wide-duplication probe): docs sharing an exact signature are
+    * trivially one cluster, so pair generation and the iterative
+    * contraction run over one REPRESENTATIVE per distinct signature
+    * (the group's min id) and every doc then inherits its signature's
+    * label. Pair volume becomes a function of DISTINCT signatures, not
+    * documents — a 100×-duplicated corpus pays 100× fewer nodes and
+    * ~10⁴× fewer bucket pairs, where the uncontracted form is
+    * quadratic in duplication width per bucket.
+    *
+    * EXACT-equivalence contract (holds for any signature-pure pair
+    * predicate whose blocking keys derive from the signature, e.g.
+    * SimHash near-pairs): identical signatures share every block and
+    * sit at distance 0, so a signature group is connected in the
+    * uncontracted graph; a doc-level edge (x, y) exists iff the
+    * rep-level edge (rep(sig x), rep(sig y)) exists (same signatures,
+    * same predicate). Components therefore correspond 1:1, and the
+    * component minimum is preserved because each representative is
+    * already its group's minimum. Caveat: a binding `maxBucket` cap
+    * counts members differently on the two graphs (docs vs distinct
+    * signatures) — with the cap unbound (the oracle-checked form) the
+    * labelling is bit-identical, and under a cap the contracted form
+    * is strictly MORE complete (a bucket holds more distinct
+    * signatures before truncating).
+    *
+    * @param nodes   one row per doc (absent-from-`sims` docs label
+    *                themselves, same as the other two forms)
+    * @param sims    (idCol, sigCol) one signature per doc
+    * @param pairsOf representative table (idCol, sigCol) → pair list
+    *                with columns `id_a`, `id_b` (e.g.
+    *                `SimHash.nearPairs(_, idCol, maxDist)`)
+    */
+  def componentsContracted(
+      nodes: DataFrame, idCol: String,
+      sims: DataFrame, sigCol: String,
+      pairsOf: DataFrame => DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val reps = sims.groupBy(col(sigCol)).agg(min(col(idCol)).as(idCol))
+    val repPairs = pairsOf(reps.select(col(idCol), col(sigCol)))
+    val repLabels = componentsAlternating(
+      reps.select(col(idCol)), idCol, repPairs, "id_a", "id_b", maxRounds)
+    val expanded = sims.select(col(idCol), col(sigCol))
+      .join(reps.select(col(sigCol), col(idCol).as("_rep")), sigCol)
+      .join(repLabels.select(col(idCol).as("_rep"), col("cluster_id")), "_rep")
+      .select(col(idCol), col("cluster_id"))
+    nodes.select(col(idCol)).distinct()
+      .join(expanded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** Cluster summary: one row per cluster with its size and member
     * count — the table a dedup job reports and the keep-one filter
     * reads.

@@ -80,6 +80,29 @@ object SimHash {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Cross-table near-pairs: every (index doc, probe doc) pair within
+    * Hamming `maxDist`, blocked on the same top-16-bit key as
+    * [[nearPairs]] — the incremental-clustering probe (new signatures
+    * against the stored signature table) and the batch form share one
+    * edge predicate, which is what makes the incremental labelling
+    * provably equal to a full rebuild. Output (id_a = index side,
+    * id_b = probe side, hamming). Cost: probe rows × bucket occupancy,
+    * never index².
+    */
+  def probePairs(index: DataFrame, probe: DataFrame, idCol: String,
+      maxDist: Int = 6, bits: Int = 32): DataFrame = {
+    def blk(c: Column): Column =
+      shiftright(c, bits - 16).bitwiseAND(lit(0xFFFFL))
+    val i = index.select(blk(col("simhash")).as("blk"),
+      col(idCol).as("id_a"), col("simhash").as("_sa"))
+    val p = probe.select(blk(col("simhash")).as("blk"),
+      col(idCol).as("id_b"), col("simhash").as("_sb"))
+    i.join(p, "blk")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** GUARANTEED-recall near-pairs via the pigeonhole multi-block
     * index: the 32-bit simhash splits into `blocks` equal-width
     * blocks; two hashes within Hamming `maxDist < blocks` must agree

@@ -4,14 +4,30 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
-/** Generic incremental maintenance for derived-per-document artifacts —
-  * the base+delta ledger discipline `TextIndexStore` proved, extracted
-  * so ANY artifact whose rows derive per-document (postings, quality
-  * scores, fingerprints, codes) gets O(new)-cost increments instead of
-  * full rebuilds. The engine owns the layout, staleness reconciliation,
+/** Generic incremental maintenance for derived artifacts — the
+  * base+delta ledger discipline `TextIndexStore` proved, extracted so
+  * derived artifacts get O(new)-cost increments instead of full
+  * rebuilds. The engine owns the layout, staleness reconciliation,
   * replay safety and compaction; callers supply the per-piece builders.
+  *
+  * Two piece kinds cover the two classes of derived artifact:
+  *
+  *  - [[Piece]] (ADDITIVE): rows derive per-document (postings,
+  *    quality scores, signatures, codes) — an increment builds rows
+  *    over only the new files and the artifact is the plain union of
+  *    base and deltas. Additivity contract: build(subset) unioned
+  *    across subsets ≡ build(whole), with additive partials folded at
+  *    read where needed (the stats trick).
+  *  - [[MergePiece]] (KEYED UPSERT): a GLOBAL result a new document
+  *    can change for old rows too (duplicate-cluster labels, any
+  *    fixpoint over the corpus graph) — an increment computes only the
+  *    CHANGED keyed rows against the pre-increment views and reads
+  *    resolve last-writer-wins by generation sequence. Upsert
+  *    contract: within one generation each key appears at most once,
+  *    and (pre-increment views + changed rows) ≡ a full rebuild.
   *
   * Layout, per (corpus path, artifact key):
   *
@@ -20,21 +36,23 @@ import org.apache.spark.sql.functions.lit
   *   root/<pathKey>_<key>/<piece>/base   versioned-pointer snapshot
   *   root/<pathKey>_<key>/<piece>/delta/_gen=<g>/  one immutable
   *                                       partition per corpus increment
+  *                                       (merge pieces also carry a
+  *                                       monotone `_seq` column; base
+  *                                       rows rank as seq −1)
   *
   * Reconciliation per read: ledger == listing → serve; pure file
-  * append → build each piece over ONLY the new files into a
-  * deterministic `_gen` partition (replay overwrites itself), advance
-  * the ledger by atomic rename LAST; anything else → full rebuild,
-  * deltas cleared — an in-place regrown corpus can never serve stale
-  * rows. Additivity contract: a piece built over a corpus subset
-  * unioned across subsets must equal the piece built over the whole —
-  * true for any per-document map (and for additive partials folded at
-  * read, the stats trick). Compaction folds deltas into the base via
-  * the pointer commit on the `compactEvery` cadence or on demand.
+  * append → advance each piece into a deterministic `_gen` partition
+  * (replay overwrites itself — every advance reads views that EXCLUDE
+  * the generation being written, so a crashed half-write can never
+  * leak into its own recomputation), advance the ledger by atomic
+  * rename LAST; anything else → full rebuild, deltas cleared — an
+  * in-place regrown corpus can never serve stale rows. Compaction
+  * folds deltas into the base via the pointer commit on the
+  * `compactEvery` cadence or on demand.
   */
 object IncrementalDocArtifact {
 
-  /** One stored piece of the artifact.
+  /** One ADDITIVE stored piece of the artifact.
     *
     * @param build  docs-subset → piece rows (must be per-doc/additive)
     * @param fold   applied to base ∪ delta at compaction (e.g. re-sort
@@ -45,8 +63,38 @@ object IncrementalDocArtifact {
       build: DataFrame => DataFrame,
       fold: Option[DataFrame => DataFrame] = None)
 
+  /** One KEYED-UPSERT stored piece — a global result maintained by
+    * writing only the rows an increment changed; reads resolve
+    * last-writer-wins per `keyCols` by generation sequence.
+    *
+    * @param buildFull whole-corpus build (first build + any non-append
+    *                  corpus change)
+    * @param advance   increment step: returns ONLY the new/changed
+    *                  keyed rows (each key at most once), computed from
+    *                  [[AdvanceCtx]]'s pre-increment views
+    */
+  final case class MergePiece(name: String,
+      keyCols: Seq[String],
+      buildFull: DataFrame => DataFrame,
+      advance: AdvanceCtx => DataFrame)
+
+  /** What an increment step may read: the new documents and the
+    * PRE-INCREMENT view of every piece (the generation being written
+    * is excluded, so a crash replay reads identical inputs).
+    */
+  final class AdvanceCtx private[IncrementalDocArtifact] (
+      val spark: SparkSession,
+      val newDocs: DataFrame,
+      view: String => DataFrame) {
+    def stored(name: String): DataFrame = view(name)
+  }
+
   final class Handle(corpusPath: String, key: String, pieces: Seq[Piece],
-      compactEvery: Int) {
+      merges: Seq[MergePiece], compactEvery: Int) {
+
+    private val allNames: Seq[String] = pieces.map(_.name) ++ merges.map(_.name)
+    require(allNames.nonEmpty, "artifact needs at least one piece")
+    require(allNames.distinct == allNames, "piece names must be unique")
 
     private def root: Path =
       Paths.get(ArtifactStore.root, ArtifactStore.pathKey(corpusPath) + "_" + key)
@@ -72,32 +120,63 @@ object IncrementalDocArtifact {
       md.digest().take(8).map(b => f"$b%02x").mkString
     }
 
-    private[sources] def deltaGens(): Seq[Path] = {
-      val d = deltaDir(pieces.head.name)
+    private def gensOf(piece: String): Seq[String] = {
+      val d = deltaDir(piece)
       if (!Files.exists(d)) Nil
       else {
         val s = Files.list(d)
         try s.filter(_.getFileName.toString.startsWith("_gen="))
-          .toArray.toSeq.map(_.asInstanceOf[Path])
+          .toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
         finally s.close()
       }
     }
 
-    private def readPiece(spark: SparkSession, piece: String): DataFrame = {
+    private[sources] def deltaGens(): Seq[String] =
+      allNames.flatMap(gensOf).distinct
+
+    /** Additive piece view: base ∪ deltas (minus `excludeGen`). */
+    private def readPiece(spark: SparkSession, piece: String,
+        excludeGen: Option[String]): DataFrame = {
       val base = baseIO(piece)
-      val delta = deltaDir(piece)
-      val hasDelta = Files.exists(delta) && {
-        val s = Files.list(delta)
-        try s.anyMatch(_.getFileName.toString.startsWith("_gen="))
-        finally s.close()
-      }
+      val gens = gensOf(piece).filterNot(excludeGen.map("_gen=" + _).contains)
       val parts = Seq(
         if (base.exists) Some(base.read(spark)) else None,
-        if (hasDelta) Some(spark.read.parquet(delta.toString).drop("_gen"))
+        if (gens.nonEmpty) Some(
+          spark.read.parquet(deltaDir(piece).toString)
+            .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
+            .drop("_gen"))
         else None).flatten
       parts.reduceOption(_.unionByName(_)).getOrElse(
         throw new IllegalStateException(s"no $piece artifact for $corpusPath"))
     }
+
+    /** Merge piece view: LWW per key over base (seq −1) ∪ deltas. */
+    private def readMergeResolved(spark: SparkSession, mp: MergePiece,
+        excludeGen: Option[String]): DataFrame = {
+      val base = baseIO(mp.name)
+      val gens = gensOf(mp.name).filterNot(excludeGen.map("_gen=" + _).contains)
+      val parts = Seq(
+        if (base.exists) Some(base.read(spark).withColumn("_seq", lit(-1L)))
+        else None,
+        if (gens.nonEmpty) Some(
+          spark.read.parquet(deltaDir(mp.name).toString)
+            .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
+            .drop("_gen"))
+        else None).flatten
+      val all = parts.reduceOption(_.unionByName(_)).getOrElse(
+        throw new IllegalStateException(s"no ${mp.name} artifact for $corpusPath"))
+      val w = Window.partitionBy(mp.keyCols.map(col): _*)
+        .orderBy(col("_seq").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_seq")
+    }
+
+    private def view(spark: SparkSession, excludeGen: Option[String])(
+        name: String): DataFrame =
+      merges.find(_.name == name) match {
+        case Some(mp) => readMergeResolved(spark, mp, excludeGen)
+        case None => readPiece(spark, name, excludeGen)
+      }
 
     private def writeDelta(df: DataFrame, piece: String, gen: String): Unit =
       df.withColumn("_gen", lit(gen))
@@ -125,11 +204,18 @@ object IncrementalDocArtifact {
           corpusRoot.resolve(e.split('|').head).toString)
         val newDocs = spark.read.parquet(newFiles: _*)
         val gen = genId(newEntries)
+        // seq = covered-file count before this increment: strictly
+        // increasing across appends, deterministic under replay
+        val seq = indexed.size.toLong
+        val ctx = new AdvanceCtx(spark, newDocs, view(spark, Some(gen)))
+        merges.foreach(mp => writeDelta(
+          mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
         pieces.foreach(p => writeDelta(p.build(newDocs), p.name, gen))
       } else {
         val docs = spark.read.parquet(corpusPath)
         pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs)))
-        pieces.foreach(p => deleteTree(deltaDir(p.name)))
+        merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs)))
+        allNames.foreach(n => deleteTree(deltaDir(n)))
       }
       // ledger advance is the commit point — atomic rename, written last
       val tmp = statePath.resolveSibling("state.tmp")
@@ -145,16 +231,21 @@ object IncrementalDocArtifact {
     def compact(spark: SparkSession): Unit = synchronized {
       if (deltaGens().isEmpty) return
       pieces.foreach { p =>
-        val merged = readPiece(spark, p.name)
+        val merged = readPiece(spark, p.name, None)
         baseIO(p.name).overwrite(p.fold.map(_(merged)).getOrElse(merged))
       }
-      pieces.foreach(p => deleteTree(deltaDir(p.name)))
+      merges.foreach { mp =>
+        baseIO(mp.name).overwrite(readMergeResolved(spark, mp, None))
+      }
+      allNames.foreach(n => deleteTree(deltaDir(n)))
     }
 
-    /** Reconcile, then serve base ∪ delta of `piece`. */
+    /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:
+      * the LWW-resolved view).
+      */
     def serve(spark: SparkSession, piece: String): DataFrame = {
       reconcile(spark)
-      readPiece(spark, piece)
+      view(spark, None)(piece)
     }
 
     private def deleteTree(dir: Path): Unit =
@@ -167,5 +258,9 @@ object IncrementalDocArtifact {
 
   def apply(corpusPath: String, key: String, pieces: Seq[Piece],
       compactEvery: Int = 8): Handle =
-    new Handle(corpusPath, key, pieces, compactEvery)
+    new Handle(corpusPath, key, pieces, Nil, compactEvery)
+
+  def apply(corpusPath: String, key: String, pieces: Seq[Piece],
+      merges: Seq[MergePiece], compactEvery: Int): Handle =
+    new Handle(corpusPath, key, pieces, merges, compactEvery)
 }

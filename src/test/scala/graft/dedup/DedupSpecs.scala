@@ -339,6 +339,51 @@ class DupClustersSpec extends SparkSpec {
     }
   }
 
+  test("signature contraction matches the uncontracted labelling, wide dup groups included") {
+    // 3 signature groups: sig 100 duplicated 6-wide, sig 101 within
+    // Hamming 1 of it (one flipped low bit — same top-16 block), sig
+    // 1L<<40 far away; plus a doc with NO signature row (token-less
+    // analogue) that must label itself.
+    val sims = (
+      (1L to 6L).map(i => (i, 100L)) ++
+        Seq((7L, 101L), (8L, 1L << 40), (9L, (1L << 40) | 3L))
+      ).toDF("doc_id", "simhash")
+    val nodes = (1L to 10L).toDF("doc_id")
+    val pairsOf = (reps: org.apache.spark.sql.DataFrame) =>
+      SimHash.nearPairs(reps, "doc_id", maxDist = 2)
+    val contracted = DupClusters.componentsContracted(
+        nodes, "doc_id", sims, "simhash", pairsOf)
+      .as[(Long, Long)].collect().toMap
+    val plain = DupClusters.componentsAlternating(
+        nodes, "doc_id",
+        SimHash.nearPairs(sims, "doc_id", maxDist = 2), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    contracted shouldBe plain
+    contracted(6L) shouldBe 1L // wide group collapses to its min
+    contracted(7L) shouldBe 1L // near signature joins through the rep
+    contracted(9L) shouldBe 8L // separate far component
+    contracted(10L) shouldBe 10L // no signature: labels itself
+  }
+
+  test("property: signature contraction ≡ uncontracted on random signature sets") {
+    import org.scalacheck.Gen
+    // few distinct signatures over many docs => wide groups + near
+    // collisions; signatures drawn from two Hamming-close families
+    val sigGen = Gen.oneOf(Seq(0L, 1L, 3L, 1L << 20, (1L << 20) | 1L, 1L << 33))
+    checkProp(Gen.listOfN(24, sigGen), cases = 5) { sigs =>
+      val sims = sigs.zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+        .toDF("doc_id", "simhash")
+      val ns = (0L until 24L).toDF("doc_id")
+      val a = DupClusters.componentsContracted(ns, "doc_id", sims, "simhash",
+          reps => SimHash.nearPairs(reps, "doc_id", maxDist = 2))
+        .as[(Long, Long)].collect().toMap
+      val b = DupClusters.componentsAlternating(ns, "doc_id",
+          SimHash.nearPairs(sims, "doc_id", maxDist = 2), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      a shouldBe b
+    }
+  }
+
   test("keepBest keeps the highest score per cluster, ties to the lowest id") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "cluster_id")
