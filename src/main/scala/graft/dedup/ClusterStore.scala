@@ -97,9 +97,9 @@ object ClusterStore {
   private def handle(corpusPath: String, maxDist: Int) =
     IncrementalDocArtifact(corpusPath, s"clusters_h$maxDist",
       pieces = Seq(Piece("sigs",
-        docs => SimHash.compute(docs, "doc_id", norm))),
+        (docs, _) => SimHash.compute(docs, "doc_id", norm))),
       merges = Seq(MergePiece("labels", Seq("doc_id"),
-        buildFull = docs => fullBuild(docs, maxDist),
+        buildFull = (docs, _) => fullBuild(docs, maxDist),
         advance = ctx => advanceLabels(ctx, maxDist))),
       compactEvery = 8)
 

@@ -25,7 +25,7 @@ object QualityStore {
 
   private def handle(corpusPath: String) =
     IncrementalDocArtifact(corpusPath, "qt2", Seq(
-      Piece("scores", docs => docs.select(col("doc_id"),
+      Piece("scores", (docs, _) => docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text"),
           TextFunctions.normalize(col("text"))).as("quality")))))
 

@@ -54,13 +54,13 @@ object TextIndexStore {
   private def handle(corpusPath: String) =
     IncrementalDocArtifact(corpusPath, "inc", Seq(
       Piece("postings",
-        docs => byTerm(TextSearch.postings(docs, "doc_id", normCol)),
+        (docs, _) => byTerm(TextSearch.postings(docs, "doc_id", normCol)),
         fold = Some(byTerm)),
       Piece("positional",
-        docs => byTerm(TextSearch.positionalPostings(docs, "doc_id", normCol)),
+        (docs, _) => byTerm(TextSearch.positionalPostings(docs, "doc_id", normCol)),
         fold = Some(byTerm)),
       Piece("statsparts",
-        docs => TextSearch.postings(docs, "doc_id", normCol)
+        (docs, _) => TextSearch.postings(docs, "doc_id", normCol)
           .groupBy(col("doc_id")).agg(first("dl").as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
         fold = Some(m =>

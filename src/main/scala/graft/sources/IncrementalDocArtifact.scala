@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * rebuilds. The engine owns the layout, staleness reconciliation,
   * replay safety and compaction; callers supply the per-piece builders.
   *
-  * Two piece kinds cover the two classes of derived artifact:
+  * Three piece kinds cover the three classes of derived artifact:
   *
   *  - [[Piece]] (ADDITIVE): rows derive per-document (postings,
   *    quality scores, signatures, codes) — an increment builds rows
@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   *    base and deltas. Additivity contract: build(subset) unioned
   *    across subsets ≡ build(whole), with additive partials folded at
   *    read where needed (the stats trick).
+  *  - [[Piece]] with `pinned = true` (TRAINED): a whole-corpus
+  *    artifact that increments deliberately do NOT touch — codebooks,
+  *    subquantizers, any trained model. Built at full (re)build only;
+  *    appends reuse it unchanged (the fixed-codebook production
+  *    contract: encode new data with the versioned books, retrain
+  *    offline into a fresh artifact when drift warrants).
   *  - [[MergePiece]] (KEYED UPSERT): a GLOBAL result a new document
   *    can change for old rows too (duplicate-cluster labels, any
   *    fixpoint over the corpus graph) — an increment computes only the
@@ -28,6 +34,14 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   *    resolve last-writer-wins by generation sequence. Upsert
   *    contract: within one generation each key appears at most once,
   *    and (pre-increment views + changed rows) ≡ a full rebuild.
+  *
+  * Builders receive an [[AdvanceCtx]] and may read OTHER pieces
+  * through it: at full rebuild, pieces build in declaration order
+  * (additive/pinned first, then merges) and see the pieces rebuilt
+  * before them; at an increment, every view excludes the generation
+  * being written (crash replay reads identical inputs). That is how a
+  * codes piece encodes with the pinned books, and how cluster labels
+  * probe the stored signature table.
   *
   * Layout, per (corpus path, artifact key):
   *
@@ -52,16 +66,23 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   */
 object IncrementalDocArtifact {
 
-  /** One ADDITIVE stored piece of the artifact.
+  /** One ADDITIVE (or, with `pinned`, TRAINED) stored piece.
     *
-    * @param build  docs-subset → piece rows (must be per-doc/additive)
+    * @param build  (docs-subset, ctx) → piece rows. Additive pieces
+    *               must be per-doc/additive; pinned pieces always
+    *               receive the WHOLE corpus (they only build at full
+    *               rebuild). `ctx.stored` may read pieces declared
+    *               earlier.
     * @param fold   applied to base ∪ delta at compaction (e.g. re-sort
     *               by a filter column, or collapse additive partials);
     *               identity when None
+    * @param pinned built at full rebuild only; increments write no
+    *               delta — the fixed-trained-artifact contract
     */
   final case class Piece(name: String,
-      build: DataFrame => DataFrame,
-      fold: Option[DataFrame => DataFrame] = None)
+      build: (DataFrame, AdvanceCtx) => DataFrame,
+      fold: Option[DataFrame => DataFrame] = None,
+      pinned: Boolean = false)
 
   /** One KEYED-UPSERT stored piece — a global result maintained by
     * writing only the rows an increment changed; reads resolve
@@ -75,12 +96,14 @@ object IncrementalDocArtifact {
     */
   final case class MergePiece(name: String,
       keyCols: Seq[String],
-      buildFull: DataFrame => DataFrame,
+      buildFull: (DataFrame, AdvanceCtx) => DataFrame,
       advance: AdvanceCtx => DataFrame)
 
-  /** What an increment step may read: the new documents and the
-    * PRE-INCREMENT view of every piece (the generation being written
-    * is excluded, so a crash replay reads identical inputs).
+  /** What a builder may read: the documents it must process (`newDocs`
+    * is the increment's new files, or the whole corpus at full
+    * rebuild) and a view of the stored pieces — pre-increment during
+    * an advance (the generation being written is excluded, so a crash
+    * replay reads identical inputs), rebuilt-so-far during a rebuild.
     */
   final class AdvanceCtx private[IncrementalDocArtifact] (
       val spark: SparkSession,
@@ -150,21 +173,27 @@ object IncrementalDocArtifact {
         throw new IllegalStateException(s"no $piece artifact for $corpusPath"))
     }
 
-    /** Merge piece view: LWW per key over base (seq −1) ∪ deltas. */
+    /** Merge piece view: LWW per key over base (seq −1) ∪ deltas.
+      * Steady state (no deltas — fresh build or post-compaction) is a
+      * plain base scan: the LWW window and its shuffle only exist
+      * while unfolded generations do.
+      */
     private def readMergeResolved(spark: SparkSession, mp: MergePiece,
         excludeGen: Option[String]): DataFrame = {
       val base = baseIO(mp.name)
       val gens = gensOf(mp.name).filterNot(excludeGen.map("_gen=" + _).contains)
-      val parts = Seq(
-        if (base.exists) Some(base.read(spark).withColumn("_seq", lit(-1L)))
-        else None,
-        if (gens.nonEmpty) Some(
-          spark.read.parquet(deltaDir(mp.name).toString)
-            .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
-            .drop("_gen"))
-        else None).flatten
-      val all = parts.reduceOption(_.unionByName(_)).getOrElse(
-        throw new IllegalStateException(s"no ${mp.name} artifact for $corpusPath"))
+      if (gens.isEmpty) {
+        if (!base.exists) throw new IllegalStateException(
+          s"no ${mp.name} artifact for $corpusPath")
+        return base.read(spark)
+      }
+      val deltas = spark.read.parquet(deltaDir(mp.name).toString)
+        .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
+        .drop("_gen")
+      val all =
+        if (base.exists)
+          base.read(spark).withColumn("_seq", lit(-1L)).unionByName(deltas)
+        else deltas
       val w = Window.partitionBy(mp.keyCols.map(col): _*)
         .orderBy(col("_seq").desc)
       all.withColumn("_rn", row_number().over(w))
@@ -210,12 +239,16 @@ object IncrementalDocArtifact {
         val ctx = new AdvanceCtx(spark, newDocs, view(spark, Some(gen)))
         merges.foreach(mp => writeDelta(
           mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
-        pieces.foreach(p => writeDelta(p.build(newDocs), p.name, gen))
+        pieces.filterNot(_.pinned)
+          .foreach(p => writeDelta(p.build(newDocs, ctx), p.name, gen))
       } else {
-        val docs = spark.read.parquet(corpusPath)
-        pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs)))
-        merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs)))
+        // stale deltas go FIRST so rebuild-order reads (a later piece
+        // reading an earlier one through ctx) see only rebuilt bases
         allNames.foreach(n => deleteTree(deltaDir(n)))
+        val docs = spark.read.parquet(corpusPath)
+        val ctx = new AdvanceCtx(spark, docs, view(spark, None))
+        pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs, ctx)))
+        merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs, ctx)))
       }
       // ledger advance is the commit point — atomic rename, written last
       val tmp = statePath.resolveSibling("state.tmp")
