@@ -36,7 +36,7 @@ big.repartition(32).write.mode("overwrite").parquet(corpus)
 val nDocs = spark.read.parquet(corpus).count()
 plog.println(s"corpus_docs=$nDocs duplication_width=$reps")
 
-// contracted full build — previously pathological at this shape
+// contracted full build - previously pathological at this shape
 val t0 = System.nanoTime()
 val labels0 = graft.dedup.ClusterStore.clusters(spark, corpusRoot, "documents", maxDist = 6)
 plog.println(f"full_build_contracted=${(System.nanoTime()-t0)/1e9}%.1f s labels=${labels0.count()}")
@@ -47,7 +47,7 @@ graft.dedup.ClusterStore.clusters(spark, corpusRoot, "documents", maxDist = 6).c
 plog.println(f"steady_read=${(System.nanoTime()-t1)/1e9}%.1f s")
 
 // 2% increment: half duplicates of existing texts (each touches a
-// 100-wide cluster — the expensive path), half brand-new texts
+// 100-wide cluster - the expensive path), half brand-new texts
 val newDup = base.limit(250).select((col("doc_id") + 990000000L).as("doc_id"), col("text"))
 val newFresh = base.limit(250).select((col("doc_id") + 995000000L).as("doc_id"),
   concat(lit("entirely novel increment document "), col("doc_id"), lit(" "), col("text")).as("text"))

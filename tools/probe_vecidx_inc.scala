@@ -1,5 +1,5 @@
 // S9.12 probe: incremental IVFPQ index for batch appends at 400k
-// vectors — increment cost O(new) with pinned books vs full re-encode.
+// vectors - increment cost O(new) with pinned books vs full re-encode.
 import java.io.{PrintWriter, FileWriter}
 val plog = new PrintWriter(new FileWriter("/root/repo/target/probe_vecidx_inc.plog", true), true)
 plog.println("=== vector index incremental probe " + java.time.Instant.now)
