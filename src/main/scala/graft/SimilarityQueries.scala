@@ -939,18 +939,19 @@ object SimilarityQueries {
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val coarseBook = CodebookStore.trained(s, dir, "embeddings",
-        "vec_id", "embedding", k = 4, iters = 2)
       val probeBook = CodebookStore.trained(s, dir, "embeddings",
         "vec_id", "embedding", k = 4, iters = 3)
-      val books = CodebookStore.pqTrained(s, dir, "embeddings",
-        "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 1)
-      // the stored IVFPQ index: (id, cell, codes) in one narrow
-      // table — query-time retrieval never touches the corpus floats
-      // until the rescore join
-      val assignedCodes = CodebookStore.ivfpqIndex(s, dir, "embeddings",
-        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
-        m = 4, subDim = 16, k = 4, iters = 1)
+      // index + books from the INCREMENTALLY-maintained store —
+      // bit-identical to CodebookStore's on a static corpus
+      // (VectorIndexStoreSpec), so this oracle also pins the
+      // incremental serving path; retrieval reads (id, cell, codes)
+      // and never touches the corpus floats until the rescore join
+      val recipe = graft.similarity.VectorIndexStore.Recipe(
+        coarseK = 4, coarseIters = 2, m = 4, subDim = 16, k = 4, iters = 1)
+      val books = graft.similarity.VectorIndexStore.books(s, dir, "embeddings",
+        "vec_id", "embedding", recipe)
+      val assignedCodes = graft.similarity.VectorIndexStore.index(s, dir,
+        "embeddings", "vec_id", "embedding", recipe)
       ProductQuantizer.ivfAdcTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", subDim = 16, books,
           assignedCodes, "_cell", probeBook,
@@ -1040,14 +1041,19 @@ object SimilarityQueries {
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val coarseBook = CodebookStore.trained(s, dir, "embeddings",
-        "vec_id", "embedding", k = 4, iters = 2)
-      val books = CodebookStore.pqResidualTrained(s, dir, "embeddings",
-        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
-        m = 4, subDim = 16, k = 4, iters = 1)
-      val idx = CodebookStore.ivfpqResidualIndex(s, dir, "embeddings",
-        "vec_id", "embedding", coarseK = 4, coarseIters = 2,
-        m = 4, subDim = 16, k = 4, iters = 1)
+      // all three artifacts from the INCREMENTALLY-maintained store
+      // (bit-identical to CodebookStore's residual chain on a static
+      // corpus — VectorIndexStoreSpec), so the residual oracle also
+      // pins the incremental serving path
+      val recipe = graft.similarity.VectorIndexStore.Recipe(
+        coarseK = 4, coarseIters = 2, m = 4, subDim = 16, k = 4, iters = 1,
+        residual = true)
+      val coarseBook = graft.similarity.VectorIndexStore.coarse(s, dir,
+        "embeddings", "vec_id", "embedding", recipe)
+      val books = graft.similarity.VectorIndexStore.books(s, dir, "embeddings",
+        "vec_id", "embedding", recipe)
+      val idx = graft.similarity.VectorIndexStore.index(s, dir, "embeddings",
+        "vec_id", "embedding", recipe)
       ProductQuantizer.ivfAdcTopKResidual(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", subDim = 16, books,
           idx, "_cell", coarseBook,
