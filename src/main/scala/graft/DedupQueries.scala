@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{BloomDedup, ClusterStore, Decontam, DupClusters, ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BloomDedup, ClusterStore, Decontam, DigestStore, DupClusters, ExactDedup, GramStore, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -384,6 +384,11 @@ object DedupQueries {
     // ~1% false positives) pay the exact anti-join; definite-new rows
     // never shuffle. Result is EXACTLY the anti-join's (no false
     // negatives; positives refined away), so the oracle is d8's.
+    // The seen side reads the STORED fingerprint table (DigestStore,
+    // maintained O(new) per corpus increment — per-doc md5 is
+    // deterministic, so stored ≡ inline), not a per-batch corpus
+    // rescan; the incoming batch is fingerprinted inline as it must
+    // be.
     GraftQuery(
       "d11_bloom_dedup",
       s"""WITH f AS (SELECT doc_id, md5($norm) AS fp FROM documents)
@@ -397,7 +402,8 @@ object DedupQueries {
           TextFunctions.fingerprint(TextFunctions.normalize(col("text"))).as("fp"))
       BloomDedup.newRows(
           batch = d.filter(col("doc_id") >= 250),
-          seen = d.filter(col("doc_id") < 250),
+          seen = DigestStore.digests(s, dir, "documents")
+            .filter(col("doc_id") < 250),
           fpCol = "fp", expectedItems = 10000)
         .select("doc_id", "fp")
         .orderBy("doc_id")
@@ -407,6 +413,11 @@ object DedupQueries {
     // overlap of the "benchmark" slice (doc_id >= 450) against the
     // training corpus — the leak check a corpus runs before shipping.
     // Exact-dup leaks score ratio ~1; fresh text ~0 at n=5 here.
+    // The corpus side reads the STORED per-doc gram table (GramStore,
+    // maintained O(new) per corpus increment — gram extraction is
+    // per-doc deterministic, so stored ≡ inline): every release/eval
+    // check filters the stored table instead of re-deriving 100 TB of
+    // corpus grams.
     GraftQuery(
       "d12_decontamination",
       s"""WITH t AS (
@@ -430,9 +441,10 @@ object DedupQueries {
          |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      Decontam.report(
+      Decontam.reportAgainstGrams(
           bench = d.filter(col("doc_id") >= 450),
-          corpus = d.filter(col("doc_id") < 450),
+          corpusGrams = GramStore.grams(s, dir, "documents", n = 5)
+            .filter(col("doc_id") < 450),
           idCol = "doc_id",
           normCol = TextFunctions.normalize(col("text")), n = 5)
         .orderBy("doc_id")

@@ -62,6 +62,28 @@ object Decontam {
       val g = array_distinct(wordGrams(c, n))
       if (hashGrams) transform(g, x => xxhash64(x)) else g
     }
+    reportAgainstGrams(bench,
+      corpus.select(explode(grams(normCol)).as("gram")),
+      idCol, normCol, n, hashGrams)
+  }
+
+  /** [[report]] with the corpus side PRE-DERIVED — a (…, gram) table,
+    * typically `GramStore`'s persisted per-doc grams (maintained
+    * O(new) per corpus increment) instead of a per-check corpus text
+    * scan. Rows are deduplicated here, so per-doc-distinct storage is
+    * fine.
+    */
+  def reportAgainstGrams(
+      bench: DataFrame,
+      corpusGrams: DataFrame,
+      idCol: String,
+      normCol: Column,
+      n: Int,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(c: Column): Column = {
+      val g = array_distinct(wordGrams(c, n))
+      if (hashGrams) transform(g, x => xxhash64(x)) else g
+    }
     // totals from the ARRAY, before any explode: a doc shorter than n
     // tokens has zero grams but must still get a report row
     // (n_grams=0, not contaminated) — a plain explode would drop it
@@ -69,9 +91,7 @@ object Decontam {
     val totals = b.select(col(idCol),
       size(col("__grams")).cast("long").as("n_grams"))
     val bGrams = b.select(col(idCol), explode(col("__grams")).as("gram"))
-    val cGrams = corpus
-      .select(explode(grams(normCol)).as("gram"))
-      .distinct()
+    val cGrams = corpusGrams.select(col("gram")).distinct()
     val hits = bGrams.join(cGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals

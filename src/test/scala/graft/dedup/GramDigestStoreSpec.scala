@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** The stored gram / fingerprint tables are bit-identical to inline
+  * derivation (both are pure per-doc functions), advance O(new) on a
+  * corpus append, and their consumers (d12 decontam, d11 bloom dedup)
+  * keep matching the inline-path results row for row.
+  */
+class GramStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def inlineGrams(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("doc_id"), explode(array_distinct(
+        Decontam.wordGrams(TextFunctions.normalize(col("text")), 5))).as("gram"))
+      .as[(Long, String)].collect().toSet
+
+  test("stored grams equal the inline per-doc derivation") {
+    val stored = GramStore.grams(spark, dir, "documents", n = 5)
+      .as[(Long, String)].collect().toSet
+    stored shouldBe inlineGrams(Tables.load(spark, dir, "documents"))
+  }
+
+  test("append extracts grams for new files only; decontam equal through the store") {
+    val sf = java.nio.file.Files.createTempDirectory("gstore-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "short"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    GramStore.grams(spark, sf, "documents", n = 5).count() should be > 0L
+
+    Seq((3L, "an appended document with the quick brown fox jumps over it"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    val stored = GramStore.grams(spark, sf, "documents", n = 5)
+      .as[(Long, String)].collect().toSet
+    stored shouldBe inlineGrams(spark.read.parquet(corpus))
+    stored.map(_._1) should contain(3L)
+
+    // d12-shape equality: report over stored grams == inline report
+    val d = spark.read.parquet(corpus)
+    val viaStore = Decontam.reportAgainstGrams(
+        d.filter(col("doc_id") === 1L),
+        GramStore.grams(spark, sf, "documents", n = 5)
+          .filter(col("doc_id") =!= 1L),
+        "doc_id", TextFunctions.normalize(col("text")), n = 5)
+      .collect().map(_.toSeq).toSet
+    val inline = Decontam.report(
+        d.filter(col("doc_id") === 1L), d.filter(col("doc_id") =!= 1L),
+        "doc_id", TextFunctions.normalize(col("text")), n = 5)
+      .collect().map(_.toSeq).toSet
+    viaStore shouldBe inline
+  }
+}
+
+class DigestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored digests equal inline fingerprints; bloom dedup equal through the store") {
+    val sf = java.nio.file.Files.createTempDirectory("dstore-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "seen document one"), (2L, "seen document two"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    DigestStore.digests(spark, sf, "documents").count() shouldBe 2
+
+    Seq((3L, "a later ingest accepted into the corpus"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    val stored = DigestStore.digests(spark, sf, "documents")
+      .as[(Long, String)].collect().toMap
+    val inline = spark.read.parquet(corpus)
+      .select(col("doc_id"), TextFunctions.fingerprint(
+        TextFunctions.normalize(col("text"))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    stored shouldBe inline
+
+    // an incoming batch with one dup of doc 2 and one new doc screens
+    // against the STORED seen set
+    val batch = Seq((10L, "seen document two"), (11L, "never seen before"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.fingerprint(
+        TextFunctions.normalize(col("text"))).as("fp"))
+    val kept = BloomDedup.newRows(batch,
+        DigestStore.digests(spark, sf, "documents"),
+        fpCol = "fp", expectedItems = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(11L)
+  }
+}
