@@ -143,13 +143,32 @@ object IncrementalDocArtifact {
       md.digest().take(8).map(b => f"$b%02x").mkString
     }
 
+    /** Gen names the CURRENT base snapshot already folded in — written
+      * inside the base version dir, so the list commits atomically
+      * with the base pointer flip. A gen listed here is dead even if
+      * its directory still exists (its deletion is mere GC): a crash
+      * between the compaction commit and the physical delete can
+      * never double-count rows.
+      */
+    private def foldedGens(piece: String): Set[String] =
+      baseIO(piece).currentDir
+        .map(d => Paths.get(d).resolve("_folded_gens"))
+        .filter(Files.exists(_)) match {
+        case Some(m) =>
+          Files.readAllLines(m).toArray.toSeq.map(_.toString)
+            .filter(_.nonEmpty).toSet
+        case None => Set.empty
+      }
+
     private def gensOf(piece: String): Seq[String] = {
       val d = deltaDir(piece)
       if (!Files.exists(d)) Nil
       else {
+        val folded = foldedGens(piece)
         val s = Files.list(d)
         try s.filter(_.getFileName.toString.startsWith("_gen="))
           .toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+          .filterNot(folded)
         finally s.close()
       }
     }
@@ -157,18 +176,27 @@ object IncrementalDocArtifact {
     private[sources] def deltaGens(): Seq[String] =
       allNames.flatMap(gensOf).distinct
 
+    /** Live delta rows of `piece` (folded and excluded gens skipped at
+      * the PATH level — absorbed directories are never even listed in
+      * the scan).
+      */
+    private def liveDelta(spark: SparkSession, piece: String,
+        excludeGen: Option[String]): Option[DataFrame] = {
+      val gens = gensOf(piece).filterNot(excludeGen.map("_gen=" + _).contains)
+      if (gens.isEmpty) None
+      else Some(spark.read
+        .option("basePath", deltaDir(piece).toString)
+        .parquet(gens.map(g => deltaDir(piece).resolve(g).toString): _*)
+        .drop("_gen"))
+    }
+
     /** Additive piece view: base ∪ deltas (minus `excludeGen`). */
     private def readPiece(spark: SparkSession, piece: String,
         excludeGen: Option[String]): DataFrame = {
       val base = baseIO(piece)
-      val gens = gensOf(piece).filterNot(excludeGen.map("_gen=" + _).contains)
       val parts = Seq(
         if (base.exists) Some(base.read(spark)) else None,
-        if (gens.nonEmpty) Some(
-          spark.read.parquet(deltaDir(piece).toString)
-            .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
-            .drop("_gen"))
-        else None).flatten
+        liveDelta(spark, piece, excludeGen)).flatten
       parts.reduceOption(_.unionByName(_)).getOrElse(
         throw new IllegalStateException(s"no $piece artifact for $corpusPath"))
     }
@@ -181,23 +209,21 @@ object IncrementalDocArtifact {
     private def readMergeResolved(spark: SparkSession, mp: MergePiece,
         excludeGen: Option[String]): DataFrame = {
       val base = baseIO(mp.name)
-      val gens = gensOf(mp.name).filterNot(excludeGen.map("_gen=" + _).contains)
-      if (gens.isEmpty) {
-        if (!base.exists) throw new IllegalStateException(
-          s"no ${mp.name} artifact for $corpusPath")
-        return base.read(spark)
+      liveDelta(spark, mp.name, excludeGen) match {
+        case None =>
+          if (!base.exists) throw new IllegalStateException(
+            s"no ${mp.name} artifact for $corpusPath")
+          base.read(spark)
+        case Some(deltas) =>
+          val all =
+            if (base.exists)
+              base.read(spark).withColumn("_seq", lit(-1L)).unionByName(deltas)
+            else deltas
+          val w = Window.partitionBy(mp.keyCols.map(col): _*)
+            .orderBy(col("_seq").desc)
+          all.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn", "_seq")
       }
-      val deltas = spark.read.parquet(deltaDir(mp.name).toString)
-        .filter(!excludeGen.map(col("_gen") === _).getOrElse(lit(false)))
-        .drop("_gen")
-      val all =
-        if (base.exists)
-          base.read(spark).withColumn("_seq", lit(-1L)).unionByName(deltas)
-        else deltas
-      val w = Window.partitionBy(mp.keyCols.map(col): _*)
-        .orderBy(col("_seq").desc)
-      all.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn", "_seq")
     }
 
     private def view(spark: SparkSession, excludeGen: Option[String])(
@@ -258,19 +284,44 @@ object IncrementalDocArtifact {
       if (compactEvery > 0 && deltaGens().size >= compactEvery) compact(spark)
     }
 
-    /** Fold every delta generation into the base snapshots (pointer
-      * commit per piece), then delete the absorbed partitions.
+    /** Fold every delta generation into the base snapshots. CRASH
+      * ATOMIC: the list of folded gens is written INSIDE the staged
+      * base version, so it publishes in the same atomic pointer flip
+      * as the folded data — a crash at any point leaves either the old
+      * state (pointer unflipped, deltas live) or the new state
+      * (pointer flipped, absorbed gens dead by marker even if their
+      * directories survive). Physical deletion of absorbed gens is
+      * garbage collection, re-attempted at the start of every
+      * compaction.
       */
     def compact(spark: SparkSession): Unit = synchronized {
+      // GC: directories a previous compaction absorbed but failed to
+      // delete (they are dead by marker; remove before the marker is
+      // superseded, or they would resurface as live gens)
+      allNames.foreach { n =>
+        foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+      }
       if (deltaGens().isEmpty) return
+      def foldInto(io: ParquetTableIO, df: DataFrame, folded: Seq[String]): Unit = {
+        val staged = io.stage()
+        df.write.mode("overwrite").parquet(staged.vDir.toString)
+        Files.writeString(staged.vDir.resolve("_folded_gens"),
+          folded.mkString("\n"))
+        io.commitStaged(staged)
+      }
       pieces.foreach { p =>
+        val gens = gensOf(p.name)
         val merged = readPiece(spark, p.name, None)
-        baseIO(p.name).overwrite(p.fold.map(_(merged)).getOrElse(merged))
+        foldInto(baseIO(p.name), p.fold.map(_(merged)).getOrElse(merged), gens)
       }
       merges.foreach { mp =>
-        baseIO(mp.name).overwrite(readMergeResolved(spark, mp, None))
+        foldInto(baseIO(mp.name), readMergeResolved(spark, mp, None),
+          gensOf(mp.name))
       }
-      allNames.foreach(n => deleteTree(deltaDir(n)))
+      // tidy path; a crash here is covered by the marker + next GC
+      allNames.foreach { n =>
+        foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+      }
     }
 
     /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:

@@ -45,17 +45,47 @@ object StreamingVectorIngest {
     new ParquetTableIO(Paths.get(indexDir, "base").toString)
   private def deltaDir(indexDir: String): Path = Paths.get(indexDir, "delta")
 
-  private def readIndexOpt(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val base = baseIO(indexDir)
+  /** Batch partitions the CURRENT base snapshot already folded in —
+    * the marker commits inside the base version dir (same atomic
+    * pointer flip as the folded data), and is CUMULATIVE across
+    * compactions, so an absorbed partition is dead even if its
+    * physical deletion crashed, and a batch replayed from an old
+    * checkpoint after its compaction re-creates a DEAD partition
+    * instead of double-counting codes (unlike the band index, code
+    * rows are not set-like: a duplicate row would score twice in the
+    * ADC rank).
+    */
+  private def foldedBatches(indexDir: String): Set[String] =
+    baseIO(indexDir).currentDir
+      .map(d => Paths.get(d).resolve("_folded_batches"))
+      .filter(Files.exists(_)) match {
+      case Some(m) =>
+        Files.readAllLines(m).toArray.toSeq.map(_.toString)
+          .filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
+
+  private def liveBatches(indexDir: String): Seq[Path] = {
     val delta = deltaDir(indexDir)
-    val hasDelta = Files.exists(delta) && {
+    if (!Files.exists(delta)) Nil
+    else {
+      val folded = foldedBatches(indexDir)
       val s = Files.list(delta)
-      try s.anyMatch(_.getFileName.toString.startsWith("_batch="))
+      try s.filter(_.getFileName.toString.startsWith("_batch="))
+        .toArray.toSeq.map(_.asInstanceOf[Path])
+        .filterNot(p => folded(p.getFileName.toString))
       finally s.close()
     }
+  }
+
+  private def readIndexOpt(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val base = baseIO(indexDir)
+    val live = liveBatches(indexDir)
     val parts = Seq(
       if (base.exists) Some(base.read(spark)) else None,
-      if (hasDelta) Some(spark.read.parquet(delta.toString).drop("_batch"))
+      if (live.nonEmpty) Some(
+        spark.read.option("basePath", deltaDir(indexDir).toString)
+          .parquet(live.map(_.toString): _*).drop("_batch"))
       else None).flatten
     parts.reduceOption(_.unionByName(_))
   }
@@ -65,24 +95,32 @@ object StreamingVectorIngest {
     readIndexOpt(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no code index at $indexDir"))
 
-  /** Fold all delta partitions into the base snapshot (pointer commit,
-    * computed FROM the old base), then delete the absorbed partitions.
+  /** Fold the LIVE delta partitions into the base snapshot. CRASH
+    * ATOMIC: the cumulative folded-batch list is written inside the
+    * staged base version, so it publishes in the same pointer flip as
+    * the folded codes — a crash at any point leaves either the old
+    * state (deltas live) or the new state (absorbed partitions dead by
+    * marker even if still on disk); physical deletion is GC,
+    * re-attempted on every compaction.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val delta = deltaDir(indexDir)
-    if (!Files.exists(delta)) return
-    val absorbed = {
-      val s = Files.list(delta)
-      try s.filter(_.getFileName.toString.startsWith("_batch="))
-        .toArray.toSeq.map(_.asInstanceOf[Path])
-      finally s.close()
-    }
+    // GC partitions a previous compaction absorbed but failed to delete
+    val deadFirst = foldedBatches(indexDir)
+    deadFirst.foreach(b => deleteTree(deltaDir(indexDir).resolve(b)))
+    val absorbed = liveBatches(indexDir)
     if (absorbed.isEmpty) return
     val base = baseIO(indexDir)
-    val deltaDf = spark.read.parquet(delta.toString).drop("_batch")
+    val deltaDf = spark.read
+      .option("basePath", deltaDir(indexDir).toString)
+      .parquet(absorbed.map(_.toString): _*).drop("_batch")
     val merged = if (base.exists) base.read(spark).unionByName(deltaDf) else deltaDf
-    base.overwrite(merged.distinct())
-    absorbed.foreach(deleteTree)
+    val staged = base.stage()
+    merged.distinct().write.mode("overwrite").parquet(staged.vDir.toString)
+    Files.writeString(staged.vDir.resolve("_folded_batches"),
+      (deadFirst ++ absorbed.map(_.getFileName.toString)).toSeq.sorted
+        .mkString("\n"))
+    base.commitStaged(staged)
+    absorbed.foreach(deleteTree) // tidy; a crash here is GC-covered
   }
 
   /** Start the ingest on a streaming (id, embedding) DataFrame.

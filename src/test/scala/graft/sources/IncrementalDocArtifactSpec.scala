@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IncrementalDocArtifact.Piece
+
+/** Engine-level crash-atomicity of compaction: the folded-gen list
+  * commits inside the base snapshot with the pointer flip, so an
+  * absorbed delta directory whose physical deletion never ran (crash
+  * between commit and delete) is DEAD BY MARKER — reads never
+  * double-count it, and the next compaction garbage-collects it.
+  */
+class IncrementalDocArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def handle(corpus: String) =
+    IncrementalDocArtifact(corpus, "spec",
+      Seq(Piece("rows", (docs, _) => docs)), compactEvery = 0)
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.forEach { f =>
+      val t = dst.resolve(src.relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(f, t) }
+    } finally s.close()
+  }
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  test("an absorbed gen that survives compaction (simulated crashed delete) is dead by marker") {
+    val sf = Files.createTempDirectory("graft-engine-crash").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    handle(corpus).serve(spark, "rows").count() shouldBe 2
+
+    Seq((3L, "three")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    handle(corpus).serve(spark, "rows").count() shouldBe 3
+
+    // snapshot the live delta gen, compact, then "fail" the deletion
+    // by restoring the absorbed directory
+    val deltaDir = Paths.get(ArtifactStore.root,
+      ArtifactStore.pathKey(corpus) + "_spec", "rows", "delta")
+    val gen = {
+      val s = Files.list(deltaDir)
+      try s.filter(_.getFileName.toString.startsWith("_gen="))
+        .toArray.toSeq.map(_.asInstanceOf[Path]).head
+      finally s.close()
+    }
+    val stash = Files.createTempDirectory("gen-stash").resolve(gen.getFileName)
+    copyTree(gen, stash)
+    handle(corpus).compact(spark)
+    Files.exists(gen) shouldBe false
+    copyTree(stash, gen) // the crashed-delete state
+
+    // marker kills it: no double count, rows identical
+    val served = handle(corpus).serve(spark, "rows")
+      .as[(Long, String)].collect().sorted
+    served shouldBe Array((1L, "one"), (2L, "two"), (3L, "three"))
+
+    // next compaction garbage-collects the dead directory
+    handle(corpus).compact(spark)
+    Files.exists(gen) shouldBe false
+    handle(corpus).serve(spark, "rows").count() shouldBe 3
+    deleteTree(Paths.get(sf))
+  }
+
+  test("a fresh gen after compaction is live even with the marker present") {
+    val sf = Files.createTempDirectory("graft-engine-fresh").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    handle(corpus).serve(spark, "rows").count() shouldBe 1
+    Seq((2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    handle(corpus).compact(spark) // folds gen A; marker lists it
+    Seq((3L, "three")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    // gen B (new, unlisted) must serve alongside the folded base
+    handle(corpus).serve(spark, "rows")
+      .as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "one"), (2L, "two"), (3L, "three"))
+    deleteTree(Paths.get(sf))
+  }
+}

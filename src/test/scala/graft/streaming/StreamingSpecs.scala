@@ -677,6 +677,18 @@ class StreamingVectorIngestSpec extends SparkSpec {
     remaining shouldBe 0L
     StreamingVectorIngest.readIndex(spark, indexDir)
       .select("vec_id").distinct().count() shouldBe 4
+
+    // crash-atomicity: a batch replayed (or whose deletion crashed)
+    // AFTER compaction recreates an absorbed partition — it is dead
+    // by the folded-batches marker, so codes never double-count
+    val dead = delta.resolve("_batch=0")
+    StreamingVectorIngest.readIndex(spark, indexDir).limit(2)
+      .write.mode("overwrite").parquet(dead.toString)
+    StreamingVectorIngest.readIndex(spark, indexDir).count() shouldBe 4
+    // next compaction garbage-collects the dead directory
+    StreamingVectorIngest.compactIndex(spark, indexDir)
+    Files.exists(dead) shouldBe false
+    StreamingVectorIngest.readIndex(spark, indexDir).count() shouldBe 4
   }
 
   test("residual mode: codes quantize x - centroid(cell); retrieval still lands") {
