@@ -62,7 +62,20 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * rename LAST; anything else → full rebuild, deltas cleared — an
   * in-place regrown corpus can never serve stale rows. Compaction
   * folds deltas into the base via the pointer commit on the
-  * `compactEvery` cadence or on demand.
+  * `compactEvery` cadence or on demand — CRASH-ATOMICALLY: the
+  * folded-gen list publishes inside the base version in the same
+  * pointer flip as the folded data, so absorbed partitions are dead
+  * by marker even if their physical deletion (mere GC) never ran.
+  *
+  * Concurrency contract: mutation (reconcile, compact) is synchronized
+  * per handle per JVM; ACROSS processes the design is single-writer
+  * per (corpus, artifact) — the standard ingest-pipeline shape. A
+  * racing second builder is benign on the full-rebuild path (staged
+  * versions are per-writer unique, the pointer swap last-writer-wins
+  * over identical deterministic content), but two processes appending
+  * the SAME increment concurrently could interleave files inside one
+  * deterministic `_gen` partition — serialize ingest, as any table
+  * format requires of its committers.
   */
 object IncrementalDocArtifact {
 
