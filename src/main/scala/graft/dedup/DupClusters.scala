@@ -214,11 +214,17 @@ object DupClusters {
       sims: DataFrame, sigCol: String,
       pairsOf: DataFrame => DataFrame,
       maxRounds: Int = 30): DataFrame = {
-    val reps = sims.groupBy(col(sigCol)).agg(min(col(idCol)).as(idCol))
+    // the signature table feeds three consumers (reps, pair gen, the
+    // expand join) — materialize the narrow (id, sig) rows ONCE so the
+    // signature computation's lineage (a full corpus text scan) never
+    // re-executes per consumer
+    val simsM = sims.select(col(idCol), col(sigCol)).localCheckpoint(true)
+    val reps = simsM.groupBy(col(sigCol)).agg(min(col(idCol)).as(idCol))
+      .localCheckpoint(true)
     val repPairs = pairsOf(reps.select(col(idCol), col(sigCol)))
     val repLabels = componentsAlternating(
       reps.select(col(idCol)), idCol, repPairs, "id_a", "id_b", maxRounds)
-    val expanded = sims.select(col(idCol), col(sigCol))
+    val expanded = simsM
       .join(reps.select(col(sigCol), col(idCol).as("_rep")), sigCol)
       .join(repLabels.select(col(idCol).as("_rep"), col("cluster_id")), "_rep")
       .select(col(idCol), col("cluster_id"))
