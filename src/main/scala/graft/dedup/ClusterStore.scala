@@ -51,27 +51,33 @@ object ClusterStore {
 
   private def norm = TextFunctions.normalize(col("text"))
 
-  private def fullBuild(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sims = SimHash.compute(docs, "doc_id", norm)
-    DupClusters.componentsContracted(docs, "doc_id", sims, "simhash",
-      reps => SimHash.nearPairs(reps, "doc_id", maxDist))
-  }
-
   /** Recluster the affected subgraph: see class doc. Returns labels
     * for new docs ∪ members of touched old clusters — the changed
-    * rows the engine upserts.
+    * rows the engine upserts. The OLD representative table is the
+    * stored `reps` piece (maintained by min-merge, O(new) per
+    * increment), never a re-aggregation of the whole signature table.
     */
   private def advanceLabels(ctx: AdvanceCtx, maxDist: Int): DataFrame = {
     val newSigs = SimHash.compute(ctx.newDocs, "doc_id", norm)
       .localCheckpoint(true)
     val oldLabels = ctx.stored("labels")
     val newReps = newSigs.groupBy(col("simhash")).agg(min("doc_id").as("doc_id"))
-    val oldReps = ctx.stored("sigs")
-      .groupBy(col("simhash")).agg(min("doc_id").as("doc_id"))
+    val oldReps = ctx.stored("reps")
     val crossEdges = SimHash.probePairs(oldReps, newReps, "doc_id", maxDist)
       .select("id_a", "id_b").localCheckpoint(true)
     val newEdges = SimHash.nearPairs(newReps, "doc_id", maxDist)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").localCheckpoint(true)
+    // same-signature new docs hook onto their representative
+    val docRep = newSigs
+      .join(newReps.withColumnRenamed("doc_id", "_rep"), "simhash")
+      .select(col("doc_id").as("id_a"), col("_rep").as("id_b"))
+    // fast path — a fresh-content increment (no near-pair edge at all,
+    // the common case for novel data): every new doc's cluster is its
+    // signature group's representative; nothing old is affected and
+    // the contraction is skipped entirely
+    if (crossEdges.isEmpty && newEdges.isEmpty)
+      return docRep.select(col("id_a").as("doc_id"),
+        col("id_b").as("cluster_id"))
     // members of every old cluster a cross edge touches, as
     // (member → cluster_id) star edges; the cluster_id is itself a
     // member, so the star center is in the node set
@@ -80,10 +86,6 @@ object ClusterStore {
     val affected = oldLabels.join(touched, "cluster_id")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true)
-    // same-signature new docs hook onto their representative
-    val docRep = newSigs
-      .join(newReps.withColumnRenamed("doc_id", "_rep"), "simhash")
-      .select(col("doc_id").as("id_a"), col("_rep").as("id_b"))
     val nodes = ctx.newDocs.select(col("doc_id"))
       .union(affected.select("doc_id"))
     val edges = crossEdges
@@ -94,13 +96,35 @@ object ClusterStore {
     DupClusters.componentsAlternating(nodes, "doc_id", edges, "id_a", "id_b")
   }
 
+  /** Changed representative rows: one row per signature seen in the
+    * increment, rep = min(existing rep, increment's min id).
+    */
+  private def advanceReps(ctx: AdvanceCtx): DataFrame = {
+    val newMins = SimHash.compute(ctx.newDocs, "doc_id", norm)
+      .groupBy(col("simhash")).agg(min("doc_id").as("_new"))
+    newMins
+      .join(ctx.stored("reps").withColumnRenamed("doc_id", "_old"),
+        Seq("simhash"), "left")
+      .select(col("simhash"),
+        least(col("_new"), coalesce(col("_old"), col("_new"))).as("doc_id"))
+  }
+
   private def handle(corpusPath: String, maxDist: Int) =
-    IncrementalDocArtifact(corpusPath, s"clusters_h$maxDist",
+    IncrementalDocArtifact(corpusPath, s"clusters2_h$maxDist",
       pieces = Seq(Piece("sigs",
         (docs, _) => SimHash.compute(docs, "doc_id", norm))),
-      merges = Seq(MergePiece("labels", Seq("doc_id"),
-        buildFull = (docs, _) => fullBuild(docs, maxDist),
-        advance = ctx => advanceLabels(ctx, maxDist))),
+      merges = Seq(
+        MergePiece("reps", Seq("simhash"),
+          buildFull = (_, ctx) => ctx.stored("sigs")
+            .groupBy(col("simhash")).agg(min("doc_id").as("doc_id")),
+          advance = advanceReps),
+        MergePiece("labels", Seq("doc_id"),
+          // the full build reuses the just-built sigs piece — the
+          // corpus text is hashed exactly once per rebuild
+          buildFull = (docs, ctx) => DupClusters.componentsContracted(
+            docs, "doc_id", ctx.stored("sigs"), "simhash",
+            reps => SimHash.nearPairs(reps, "doc_id", maxDist)),
+          advance = ctx => advanceLabels(ctx, maxDist))),
       compactEvery = 8)
 
   /** Stored (doc_id, cluster_id) over `table`'s text at `sfDir`,

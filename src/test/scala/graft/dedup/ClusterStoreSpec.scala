@@ -59,7 +59,7 @@ class ClusterStoreSpec extends SparkSpec {
 
   private def labelBaseFiles(corpus: String): Map[String, (Long, Long)] = {
     val base = Paths.get(ArtifactStore.root,
-      ArtifactStore.pathKey(corpus) + "_clusters_h6", "labels", "base")
+      ArtifactStore.pathKey(corpus) + "_clusters2_h6", "labels", "base")
     val s = Files.walk(base)
     try s.filter(f => Files.isRegularFile(f)).toArray.toSeq
       .map(_.asInstanceOf[Path])
@@ -95,9 +95,21 @@ class ClusterStoreSpec extends SparkSpec {
     third(1L) shouldBe 1L // unaffected labels survive via the LWW read
     labelBaseFiles(corpus) shouldBe before
 
+    // gen 4: FRESH content only (no near-pair edge to anything) — the
+    // fast path: each doc labels to its signature group's rep, two
+    // docs sharing a fresh signature cluster together
+    writeDocs(corpus, "append",
+      10L -> "w014713", 11L -> "w014713", 12L -> "w051216")
+    val fourth = served(sf)
+    fourth shouldBe fullRebuildInline(corpus)
+    fourth(10L) shouldBe 10L
+    fourth(11L) shouldBe 10L
+    fourth(12L) shouldBe 12L
+    labelBaseFiles(corpus) shouldBe before
+
     // compaction folds the resolved view into the base, same answer
     ClusterStore.compact(spark, corpus, maxDist = 6)
-    served(sf) shouldBe third
+    served(sf) shouldBe fourth
 
     // a NON-append change (rewrite in place) keys a full rebuild
     writeDocs(corpus, "overwrite",
