@@ -729,3 +729,47 @@ class StreamingVectorIngestSpec extends SparkSpec {
     got shouldBe Array((200L, 100L))
   }
 }
+
+class StreamingDecontamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.dedup.GramStore
+
+  test("micro-batches are screened against the stored eval gram index; leaks flagged, fresh text passes") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sdecon")
+    val evalSf = base.resolve("eval").toString
+    val evalCorpus = s"$evalSf/documents.parquet"
+    Seq(
+      (1L, "which river is the longest river on the european continent today"),
+      (2L, "name the chemical symbol for the noble gas used in bright signs"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(evalCorpus)
+    val evalGrams = GramStore.grams(spark, evalSf, "documents", n = 5)
+      .localCheckpoint(true)
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id",
+      evalGrams, n = 5, outDir,
+      base.resolve("ckpt").toString, Trigger.ProcessingTime("50 milliseconds"))
+
+    // batch 1: one verbatim eval leak, one fresh doc
+    mem.addData(
+      (10L, "trivia answer which river is the longest river on the european continent today obviously"),
+      (11L, "a completely fresh training document about distributed query engines"))
+    q.processAllAvailable()
+    // batch 2: another fresh doc; a short doc (no grams) still reports
+    mem.addData((12L, "more novel text unrelated to any benchmark"), (13L, "tiny"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(outDir)
+      .select("doc_id", "is_contaminated", "n_grams")
+      .as[(Long, Boolean, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    rep.keySet shouldBe Set(10L, 11L, 12L, 13L)
+    rep(10L)._1 shouldBe true   // verbatim leak caught
+    rep(11L)._1 shouldBe false
+    rep(12L)._1 shouldBe false
+    rep(13L) shouldBe ((false, 0L)) // short doc: zero grams, still reported
+  }
+}
