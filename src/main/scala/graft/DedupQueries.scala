@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{BloomDedup, ClusterStore, Decontam, DigestStore, DupClusters, ExactDedup, GramStore, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BandStore, BloomDedup, ClusterStore, Decontam, DigestStore, DupClusters, ExactDedup, GramStore, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -297,6 +297,28 @@ object DedupQueries {
       val norm = TextFunctions.normalize(col("text"))
       val index = MinHashLSH.bandedIndex(d.filter(col("doc_id") < 250), "doc_id", norm)
       MinHashLSH.probeCandidates(index, d.filter(col("doc_id") >= 250), "doc_id", norm)
+        .orderBy("id_index", "id_probe")
+    },
+
+    // The same probe against the PERSISTED band index (BandStore,
+    // maintained O(new) per corpus increment — banding is per-doc
+    // deterministic, so stored ≡ inline and d10's oracle transfers):
+    // an ingest batch screens for near-dups without re-shingling one
+    // byte of corpus text. Near-dup counterpart of d11's stored
+    // fingerprint screen.
+    GraftQuery(
+      "d20_stored_band_probe",
+      s"""$bandCte
+         |SELECT DISTINCT a.doc_id AS id_index, c.doc_id AS id_probe
+         |FROM bands a JOIN bands c
+         |  ON a.b = c.b AND a.bucket = c.bucket
+         | AND a.doc_id < 250 AND c.doc_id >= 250
+         |ORDER BY id_index, id_probe""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val index = BandStore.bands(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+      MinHashLSH.probeCandidates(index, d.filter(col("doc_id") >= 250),
+          "doc_id", TextFunctions.normalize(col("text")))
         .orderBy("id_index", "id_probe")
     },
 

@@ -91,3 +91,41 @@ class DigestStoreSpec extends SparkSpec {
     kept shouldBe Set(11L)
   }
 }
+
+class BandStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored bands equal inline banding; probe through the store finds near-dups O(new)") {
+    val sf = java.nio.file.Files.createTempDirectory("bstore-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different content about compilers and type systems"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    def inlineBands(df: org.apache.spark.sql.DataFrame) =
+      MinHashLSH.bandedIndex(df, "doc_id", norm)
+        .as[(Long, Int, String)].collect().toSet
+    BandStore.bands(spark, sf, "documents")
+      .as[(Long, Int, String)].collect().toSet shouldBe
+      inlineBands(spark.read.parquet(corpus))
+
+    // append: only new files banded; probe an incoming batch with one
+    // near-dup of doc 1 and one fresh doc against the stored index
+    Seq((3L, "more corpus growth with novel words and phrases"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    BandStore.bands(spark, sf, "documents")
+      .as[(Long, Int, String)].collect().toSet shouldBe
+      inlineBands(spark.read.parquet(corpus))
+
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely unrelated incoming text"))
+      .toDF("doc_id", "text")
+    val hits = MinHashLSH.probeCandidates(
+        BandStore.bands(spark, sf, "documents"), batch, "doc_id", norm)
+      .select("id_index", "id_probe").as[(Long, Long)].collect().toSet
+    hits should contain((1L, 10L)) // exact dup collides in every band
+    hits.map(_._2) should not contain 11L
+  }
+}
