@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.{BandStore, BloomDedup, ClusterStore, Decontam, DigestStore, DupClusters, ExactDedup, GramStore, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{BandStore, BloomDedup, ClusterStore, Decontam, DigestStore, DupClusters, ExactDedup, GramStore, IngestScreen, MinHashLSH, Shingles, SimHash}
 import graft.functions.TextFunctions
 
 /** Deduplication queries over `documents`: exact content hashing,
@@ -320,6 +320,39 @@ object DedupQueries {
       MinHashLSH.probeCandidates(index, d.filter(col("doc_id") >= 250),
           "doc_id", TextFunctions.normalize(col("text")))
         .orderBy("id_index", "id_probe")
+    },
+
+    // The composed per-batch INGEST SCREEN — the one call a production
+    // pipeline makes per incoming batch: split into exact_dup (stored
+    // fingerprint table), near_dup (stored band index, with witness
+    // count), fresh. Both stored sides maintained O(new); corpus text
+    // never re-read. Statuses and counts re-derived in full by the
+    // oracle.
+    GraftQuery(
+      "d21_ingest_screen",
+      s"""$bandCte,
+         |f AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         |ex AS (SELECT DISTINCT n.doc_id FROM f n JOIN f s
+         |        ON n.fp = s.fp AND n.doc_id >= 250 AND s.doc_id < 250),
+         |nw AS (SELECT c.doc_id, count(DISTINCT a.doc_id) AS n_near
+         |       FROM bands a JOIN bands c
+         |         ON a.b = c.b AND a.bucket = c.bucket
+         |        AND a.doc_id < 250 AND c.doc_id >= 250
+         |       GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nw.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'fresh' END AS status,
+         |  coalesce(nw.n_near, 0)::BIGINT AS n_near_witnesses
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN ex USING (doc_id)
+         |LEFT JOIN nw ON d.doc_id = nw.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      IngestScreen.screen(s, dir, "documents",
+          batch = d.filter(col("doc_id") >= 250), "doc_id",
+          corpusFilter = col("doc_id") < 250)
+        .orderBy("doc_id")
     },
 
     // Duplicate-cluster resolution: connected components over the d6

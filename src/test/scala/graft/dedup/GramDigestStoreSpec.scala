@@ -129,3 +129,35 @@ class BandStoreSpec extends SparkSpec {
     hits.map(_._2) should not contain 11L
   }
 }
+
+class IngestScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one call splits a batch into exact_dup / near_dup / fresh against stored artifacts") {
+    val sf = java.nio.file.Files.createTempDirectory("iscreen").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "a corpus document about scala spark engines and their optimizers"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+
+    val batch = Seq(
+      (10L, "The Quick  Brown fox jumps over the lazy dog every single day"), // exact after normalization
+      (11L, "the quick brown fox jumps over the lazy cat every single day"),  // near-dup of 1
+      (12L, "entirely novel content that matches nothing stored"))            // fresh
+      .toDF("doc_id", "text")
+    val got = IngestScreen.screen(spark, sf, "documents", batch, "doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    got(10L) shouldBe "exact_dup"
+    got(11L) shouldBe "near_dup"
+    got(12L) shouldBe "fresh"
+
+    // the stored sides advance O(new): after committing the fresh doc,
+    // re-screening it reports exact_dup
+    Seq((12L, "entirely novel content that matches nothing stored"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    IngestScreen.screen(spark, sf, "documents",
+        batch.filter(col("doc_id") === 12L), "doc_id")
+      .select("status").as[String].collect() shouldBe Array("exact_dup")
+  }
+}
