@@ -1061,6 +1061,58 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Multi-probe LSH (Lv et al., VLDB 2007): one stored table, each
+    // query probes its own bucket plus the nprobe-1 single-bit flips
+    // with the smallest hyperplane margin — L-table recall at 1/L of
+    // the index memory. The memory/recall trade that matters when the
+    // INDEX side is the 100 TB side.
+    GraftQuery(
+      "v18_multiprobe_lsh", {
+        val dotsList = bucketPlanes.map(p => dotPlaneSql(p, "q.embedding"))
+          .mkString("[\n    ", ",\n    ", "\n  ]")
+        val bucketFromDots = (0 until 8)
+          .map(b => s"(CASE WHEN dots[${b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH qd AS (
+           |  SELECT q.vec_id AS qid, q.embedding AS q_emb, $dotsList AS dots
+           |  FROM embeddings q WHERE q.vec_id < 5),
+           |qb AS (SELECT qid, q_emb, dots, $bucketFromDots AS bucket FROM qd),
+           |bits AS (
+           |  SELECT qid, bucket, t.b, abs(dots[t.b + 1]) AS m
+           |  FROM qb CROSS JOIN range(0, 8) t(b)),
+           |flips AS (
+           |  SELECT qid, bucket, b FROM (
+           |    SELECT qid, bucket, b,
+           |      row_number() OVER (PARTITION BY qid ORDER BY m, b) AS rn
+           |    FROM bits) WHERE rn <= 3),
+           |probes AS (
+           |  SELECT qid, q_emb, bucket AS pb FROM qb
+           |  UNION ALL
+           |  SELECT f.qid, qb.q_emb, xor(f.bucket, 1 << f.b) AS pb
+           |  FROM flips f JOIN qb ON qb.qid = f.qid),
+           |corpus AS (
+           |  SELECT vec_id, embedding,
+           |    ${bucketSql(bucketPlanes, "embedding")} AS bucket
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+           |         ${cosineSql("p.q_emb", "c.embedding")} AS c
+           |  FROM probes p JOIN corpus c ON c.bucket = p.pb
+           |  WHERE c.vec_id <> p.qid)
+           |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY c DESC, neighbor_id) AS rank
+           |FROM cand QUALIFY rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      SignLSH.multiprobeTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 4, bucketPlanes)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

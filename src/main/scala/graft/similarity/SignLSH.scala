@@ -77,4 +77,72 @@ object SignLSH {
         VectorOps.cosineNative(col("e_a"), col("e_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Query-directed probe buckets for multi-probe LSH (Lv et al.,
+    * VLDB 2007): the query's own bucket plus the `nprobe - 1`
+    * single-bit perturbations whose hyperplane margin |⟨q, plane_b⟩|
+    * is SMALLEST — the bits most likely to have landed on the wrong
+    * side for a true near neighbor. Ties between equal margins break
+    * to the lower bit, so the probe set is fully deterministic and a
+    * SQL oracle reproduces it exactly.
+    *
+    * Returns an array column of distinct bucket ids (own bucket
+    * first). `nprobe` is capped at `bits + 1` — beyond that every
+    * Hamming-1 neighbor is already probed.
+    */
+  def multiprobeBuckets(emb: Column, tablePlanes: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    val dots = tablePlanes.map(p => VectorOps.dotConst(p, emb))
+    val bucket = dots.zipWithIndex.map { case (d, b) =>
+      when(d >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // (|margin|, bit) structs sort lexicographically: closest-to-plane
+    // bits first, ties to the lower bit.
+    val ranked = array_sort(array(dots.zipWithIndex.map { case (d, b) =>
+      struct(abs(d).as("margin"), lit(b).as("bit"))
+    }: _*))
+    val flips = slice(ranked, 1, math.min(nprobe - 1, tablePlanes.size))
+    concat(array(bucket),
+      transform(flips, f =>
+        bucket.bitwiseXOR(call_function("shiftleft", lit(1), f.getField("bit")))))
+  }
+
+  /** Multi-probe LSH top-k: one table's recall budget spent on extra
+    * PROBES instead of extra TABLES. A classic L-table index costs L×
+    * the index memory and L bucketing passes; multi-probe keeps ONE
+    * stored bucket per corpus vector and lets each query inspect its
+    * `nprobe` most-promising buckets — the standard memory/recall
+    * trade for LSH at corpus scale (the index is the big side; queries
+    * are cheap).
+    *
+    * Plan shape: the corpus is bucketed map-side (no shuffle) and
+    * joined against the BROADCAST exploded (query, probe-bucket) set —
+    * each corpus row has exactly one bucket and a query's probe set is
+    * distinct, so no candidate dedup is needed; exact cosine runs on
+    * candidates only; the single shuffle is the per-query top-k
+    * ranking window keyed on query id.
+    */
+  def multiprobeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nprobe: Int,
+      tablePlanes: Seq[Seq[Double]]): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val bucketed = corpus.select(col(idCol), col(embCol).as("c_emb"),
+      bucketOf(VectorOps.asDouble(col(embCol)), tablePlanes).as("bucket"))
+    val probes = queries.select(
+        col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        explode(multiprobeBuckets(VectorOps.asDouble(col(embCol)),
+          tablePlanes, nprobe)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        VectorOps.cosineNative(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
 }

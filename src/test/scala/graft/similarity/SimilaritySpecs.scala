@@ -265,3 +265,74 @@ class RescoreTopKSpec extends SparkSpec {
     }
   }
 }
+
+class MultiprobeLshSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private val planes = SignLSH.planes(dim = 64, bits = 8, tables = 1).head
+
+  private def recallVsBruteForce(nprobe: Int): Double = {
+    val q = emb.filter(col("vec_id") < 10)
+    val mp = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 10, nprobe = nprobe, planes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (bf.isEmpty) 1.0 else (mp intersect bf).size.toDouble / bf.size
+  }
+
+  test("nprobe=1 returns exactly the own-bucket candidates, ranked") {
+    val q = emb.filter(col("vec_id") < 5)
+    val got = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 1000, nprobe = 1, planes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: explicit bucket filter per query
+    val bucketed = emb.select(col("vec_id"),
+      SignLSH.bucketOf(VectorOps.asDouble(col("embedding")), planes).as("b"))
+    val qb = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("b"))
+    val want = bucketed.join(qb, "b")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want
+  }
+
+  test("every probed neighbor's bucket is within Hamming 1 of the query bucket") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bucketed = emb.select(col("vec_id"),
+      SignLSH.bucketOf(VectorOps.asDouble(col("embedding")), planes).as("b"))
+    val out = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 50, nprobe = 4, planes)
+      .join(bucketed.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("b", "nb"), "neighbor_id")
+      .join(bucketed.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("b", "qb"), "query_id")
+      .select(bit_count(col("nb").bitwiseXOR(col("qb"))).as("d"))
+      .collect().map(_.getInt(0))
+    all(out) should be <= 1
+  }
+
+  test("recall is monotone in nprobe and nprobe=bits+1 probes the full Hamming-1 ball") {
+    val r1 = recallVsBruteForce(1)
+    val r4 = recallVsBruteForce(4)
+    val r9 = recallVsBruteForce(9)
+    assert(r4 >= r1 - 1e-9, s"recall fell: nprobe1=$r1 nprobe4=$r4")
+    assert(r9 >= r4 - 1e-9, s"recall fell: nprobe4=$r4 nprobe9=$r9")
+    // oversized nprobe caps at bits+1: identical result, no error
+    recallVsBruteForce(100) shouldBe r9
+  }
+
+  test("deterministic: two runs are identical") {
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 10, nprobe = 4, planes)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run() shouldBe run()
+  }
+}
