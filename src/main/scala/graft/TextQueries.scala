@@ -851,6 +851,33 @@ object TextQueries {
       TextOps.unigramLogProb(Tables.load(s, dir, "documents"), "doc_id",
           col("text"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic shard-export manifest: hash sharding (md5 of the
+    // seeded key, mod N — balanced in expectation, no global sort) +
+    // a pseudo-random within-shard order key; the manifest is one
+    // hash aggregate. The reproducible-training-order layout step.
+    GraftQuery(
+      "t22_shard_manifest", {
+        val hx = "strpos('0123456789abcdef', substr(hx, %d, 1)) - 1"
+        val shardVal = (1 to 6)
+          .map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ")")
+        s"""WITH h AS (
+           |  SELECT doc_id, text, md5('42:' || doc_id::varchar) AS hx
+           |  FROM documents),
+           |a AS (
+           |  SELECT doc_id, text, hx, ($shardVal % 8)::INT AS shard,
+           |    len(string_split($norm, ' '))::BIGINT AS tok
+           |  FROM h)
+           |SELECT shard, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+           |  sum(strlen(text))::BIGINT AS n_bytes,
+           |  min(hx) AS first_key, max(hx) AS last_key
+           |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+      }) { (s, dir) =>
+      graft.operators.ShardExport.manifest(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        numShards = 8, seed = "42")
     }
   )
 
