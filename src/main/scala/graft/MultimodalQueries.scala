@@ -188,6 +188,40 @@ object MultimodalQueries {
           bucketWidth = 4096L)
         .select("media_id", "frame_ms", "chunk_idx")
         .orderBy("media_id", "frame_ms", "chunk_idx")
+    },
+
+    // Perceptual-hash near-dup: mean-thresholded feature bits → 16-bit
+    // pHash → 2×8-bit pigeonhole blocks → bucket-local pairs → exact
+    // Hamming refine. The multimodal dedup step (image near-dup in a
+    // real pipeline; the stub codec stands in for the DCT).
+    GraftQuery(
+      "m6_phash_neardup", {
+        val hx = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"
+        val v = (1 to 6).map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ") / 16777216.0")
+        s"""WITH f AS (
+           |  SELECT doc_id AS media_id, t.j, md5(text || ':' || t.j) AS h
+           |  FROM documents CROSS JOIN range(0, 16) t(j)),
+           |fv AS (SELECT media_id, j, $v AS v FROM f),
+           |m AS (SELECT media_id, sum(v) / 16.0 AS mu FROM fv GROUP BY media_id),
+           |sig AS (
+           |  SELECT fv.media_id,
+           |    sum(CASE WHEN fv.v > m.mu THEN (1::BIGINT << fv.j) ELSE 0 END)::BIGINT AS sig
+           |  FROM fv JOIN m ON m.media_id = fv.media_id
+           |  GROUP BY fv.media_id)
+           |SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+           |FROM sig a JOIN sig b ON a.media_id < b.media_id
+           | AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val media = mediaCatalog(s, dir).as[Media.MediaRow]
+      val hashed = Media.perceptualHash(
+        Media.extractFeatures(media, dim = 16).toDF())
+      Media.phashNearDups(hashed, maxDist = 1)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -103,6 +103,49 @@ object Media {
         explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
           lit(everyMs))).as("frame_ms"))
 
+  /** Perceptual hash over the codec's feature vector: bit j set iff
+    * feature_j exceeds the feature MEAN — the pHash construction
+    * (mean-thresholded transform coefficients; a real image codec
+    * feeds DCT coefficients here, the stub feeds its deterministic
+    * fake features — the hashing/blocking plumbing is identical).
+    * Feature sums are exact in double for the stub's 24-bit/2^24
+    * values, so the threshold compare is bit-stable cross-engine.
+    */
+  def perceptualHash(features: DataFrame, dim: Int = 16): DataFrame = {
+    val mu = (aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double"))
+      / lit(dim.toDouble)).as("_mu")
+    val bits = zip_with(col("feature"), sequence(lit(0), lit(dim - 1)), (v, j) =>
+      when(v.cast("double") > col("_mu"),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    features.select(col("media_id"), col("feature"), mu)
+      .select(col("media_id"),
+        aggregate(bits, lit(0L), (a, b) => a + b).as("phash"))
+  }
+
+  /** Near-duplicate media pairs by blocked Hamming distance over the
+    * perceptual hash — the multimodal counterpart of SimHash text
+    * dedup: two 8-bit pigeonhole blocks cover Hamming ≤ 1 exactly
+    * (a pair differing in ≤ 1 bit agrees on at least one block), pair
+    * expansion is bucket-local (PairGen — one shuffle on the block
+    * key), the exact bit_count refine runs on candidates only.
+    */
+  def phashNearDups(hashed: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist <= 1, "2-block pigeonhole guarantees recall only to Hamming 1")
+    val payload = struct(col("media_id"), col("phash"))
+    val halves = hashed
+      .select(col("media_id"), col("phash"),
+        pmod(col("phash"), lit(256L)).as("blk"), lit(0).as("half"))
+      .unionAll(hashed.select(col("media_id"), col("phash"),
+        floor(col("phash") / 256).cast("long").as("blk"), lit(1).as("half")))
+    graft.dedup.PairGen.pairsWithin(halves, Seq("half", "blk"), payload)
+      .select(col("a.media_id").as("id_a"), col("a.phash").as("pa"),
+        col("b.media_id").as("id_b"), col("b.phash").as("pb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** "Resize" planning: target dims preserving aspect ratio against a
     * bounding box — metadata-only arithmetic, the byte work happens in
     * the codec later.

@@ -62,3 +62,51 @@ class MediaSpec extends SparkSpec {
     pairs should contain((1L, 2L)) // identical payload => identical feature
   }
 }
+
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(id: Long, payload: String) =
+    Media.MediaRow(id, "image", payload.getBytes("UTF-8"), "png", 64, 64, 0, 0L)
+
+  private def hashes(rows: Seq[Media.MediaRow]) =
+    Media.perceptualHash(
+      Media.extractFeatures(rows.toDS(), dim = 16).toDF())
+
+  test("identical payloads hash identically; hash is 16-bit") {
+    val h = hashes(Seq(row(1, "same bytes"), row(2, "same bytes"),
+        row(3, "other bytes")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    h.values.foreach(v => assert(v >= 0L && v < 65536L))
+  }
+
+  test("exact duplicates always pair at Hamming 0") {
+    val h = hashes(Seq(row(1, "dup payload"), row(2, "dup payload"),
+      row(3, "something else entirely")))
+    val pairs = Media.phashNearDups(h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs should contain((1L, 2L, 0))
+  }
+
+  test("blocked pairs equal the brute-force Hamming<=1 pairs (pigeonhole exact)") {
+    val rows = (1L to 40L).map(i => row(i, s"payload $i")) ++
+      Seq(row(100L, "payload 7"), row(101L, "payload 13"))
+    val h = hashes(rows)
+    val got = Media.phashNearDups(h).select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = h.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    got shouldBe want
+  }
+
+  test("mean threshold splits the bits (not degenerate all-0/all-1)") {
+    val h = hashes(Seq(row(1, "a representative payload with some length")))
+      .collect().head.getLong(1)
+    val bits = java.lang.Long.bitCount(h)
+    assert(bits > 0 && bits < 16, s"degenerate hash: $bits bits set")
+  }
+}
