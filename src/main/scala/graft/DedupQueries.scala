@@ -433,6 +433,46 @@ object DedupQueries {
         .orderBy("cluster_id")
     },
 
+    // Provenance-priority keep: a curated source tier beats per-doc
+    // quality, quality breaks ties inside a tier — the licensing-aware
+    // keep rule (d18 with an explicit preference ordering). Same
+    // stored clusters + stored quality scores; priority is a literal
+    // tier map over the source column.
+    GraftQuery(
+      "d22_priority_keep",
+      s"""$dupClustersCtes,
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |       FROM cc GROUP BY id),
+         |${TextQueries.qualityCte},
+         |pr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 2
+         |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1
+         |         ELSE 0 END AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT cl.cluster_id, cl.doc_id, pr.source, pr.priority, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY pr.priority DESC, q.quality DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN qual q ON cl.doc_id = q.doc_id
+         |          JOIN pr ON cl.doc_id = pr.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, source, priority, quality,
+         |       n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val clusters = ClusterStore.clusters(s, dir, "documents", maxDist = 6)
+      val quality = graft.functions.QualityStore.scores(s, dir, "documents")
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val attrs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(srcNum < 5, 2).when(srcNum < 10, 1).otherwise(0).as("priority"))
+        .join(quality, "doc_id")
+      DupClusters.keepPreferred(clusters, attrs, "doc_id",
+          Seq(col("priority").desc, col("quality").desc, col("doc_id")),
+          Seq("source", "priority", "quality"))
+        .orderBy("cluster_id")
+    },
+
     // Bloom-prefiltered incremental dedup — d8's semantics on the
     // 100 TB physical path: a driver-built Bloom filter over the seen
     // fingerprints splits the batch so only maybe-seen rows (dups +

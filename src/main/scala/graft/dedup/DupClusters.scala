@@ -270,4 +270,30 @@ object DupClusters {
       .select(col("cluster_id"), col(idCol).as("keep_id"),
         col(scoreCol), col("n_members"))
   }
+
+  /** Generalized survivor selection under an EXPLICIT preference
+    * ordering — the provenance-aware keep rule: a curated/licensed
+    * source beats a crawl dump regardless of per-document quality,
+    * quality breaks ties within a priority tier, the lowest id breaks
+    * exact ties. [[keepBest]] is the (score desc, id asc) special
+    * case. `attrs` carries whatever columns the ordering references;
+    * same inner-join contract and single cluster_id exchange as
+    * keepBest (both windows share one partitioning — cost is the
+    * clusters table, never corpus text).
+    *
+    * @param preference window ordering, most-significant first; make
+    *   it total (end with the id) or survivors are nondeterministic
+    * @param outCols    attr columns to carry onto the survivor row
+    */
+  def keepPreferred(components: DataFrame, attrs: DataFrame, idCol: String,
+      preference: Seq[Column], outCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+    components.join(attrs, idCol)
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(w.orderBy(preference: _*)))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id") +: col(idCol).as("keep_id") +:
+        outCols.map(col) :+ col("n_members"): _*)
+  }
 }

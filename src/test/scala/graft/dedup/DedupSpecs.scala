@@ -396,6 +396,33 @@ class DupClustersSpec extends SparkSpec {
       Set((1L, 2L, 0.9, 3L), (4L, 4L, 0.5, 1L), (5L, 5L, 0.1, 2L))
   }
 
+  test("keepPreferred: source priority beats quality, quality breaks ties in-tier") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val attrs = Seq(
+      // cluster 1: doc 1 is highest quality but tier 0; doc 3 wins on tier
+      (1L, "crawl", 0, 0.9), (2L, "curated", 2, 0.3), (3L, "curated", 2, 0.7),
+      // cluster 4: same tier -> quality decides
+      (4L, "crawl", 0, 0.2), (5L, "crawl", 0, 0.8))
+      .toDF("doc_id", "source", "priority", "quality")
+    DupClusters.keepPreferred(comps, attrs, "doc_id",
+        Seq(col("priority").desc, col("quality").desc, col("doc_id")),
+        Seq("source", "priority", "quality"))
+      .as[(Long, Long, String, Int, Double, Long)].collect().toSet shouldBe
+      Set((1L, 3L, "curated", 2, 0.7, 3L), (4L, 5L, "crawl", 0, 0.8, 2L))
+  }
+
+  test("keepPreferred with (score desc, id) preference is exactly keepBest") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.4), (2L, 0.4), (3L, 0.6)).toDF("doc_id", "quality")
+    val a = DupClusters.keepPreferred(comps, scores, "doc_id",
+        Seq(col("quality").desc, col("doc_id")), Seq("quality"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = DupClusters.keepBest(comps, scores, "doc_id", "quality")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    a shouldBe b
+  }
+
   test("a 200-node chain converges in O(log n) star rounds (propagation would need 200)") {
     val ns = (0L until 200L)
     val es = (0L until 199L).map(i => (i, i + 1))
