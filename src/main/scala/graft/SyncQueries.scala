@@ -80,6 +80,50 @@ object SyncQueries {
         .orderBy("c_custkey")
     },
 
+    // Version-to-version CDC through the connector: two committed
+    // snapshots read via option("version") time travel (exactly the
+    // current + previous grace window the store's retention keeps),
+    // diffed with SnapshotDiff — the change feed a downstream
+    // incremental materialization consumes. Output ∝ churn.
+    GraftQuery(
+      "s6_version_diff",
+      """WITH oldv AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |  FROM customer WHERE c_custkey % 10 < 9),
+        |newv AS (
+        |  SELECT c_custkey, c_name,
+        |    round(c_acctbal, 2)
+        |      + CASE WHEN c_custkey % 10 = 5 THEN 100.0 ELSE 0.0 END AS acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 0)
+        |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  o.acctbal AS old_acctbal, n.acctbal AS new_acctbal
+        |FROM oldv o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.acctbal IS DISTINCT FROM n.acctbal
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      val oldV = cust.filter(col("c_custkey") % 10 < 9)
+      val newV = cust.filter(col("c_custkey") % 10 =!= 0)
+        .withColumn("acctbal",
+          col("acctbal") + when(col("c_custkey") % 10 === 5, 100.0).otherwise(0.0))
+      val io = graft.sources.ArtifactStore.io(s"$dir/customer.parquet", "verdiff")
+      if (!io.exists) { io.overwrite(oldV); io.overwrite(newV) }
+      else if (io.currentVersion < 2) io.overwrite(newV) // crash between publishes
+      val cur = io.currentVersion
+      def at(v: Long) = s.read.format("graft-snapshot")
+        .option("version", v).load(io.path)
+      graft.operators.SnapshotDiff.diff(at(cur - 1), at(cur), Seq("c_custkey"))
+        .select(col("c_custkey"), col("change_type"),
+          col("old_acctbal"), col("new_acctbal"))
+        .orderBy("c_custkey")
+    },
+
     // A1 (window form): LWW latest state per key — the engine's reason
     // to exist (reference README.md:17, pyCassElastic.py:337-343).
     GraftQuery(

@@ -878,6 +878,45 @@ object TextQueries {
       graft.operators.ShardExport.manifest(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         numShards = 8, seed = "42")
+    },
+
+    // Dataset card: per-language, per-source, and overall corpus
+    // totals from ONE scan via GROUPING SETS (the general form next
+    // to q10's rollup and q15's cube) — the sidecar summary a corpus
+    // release publishes.
+    GraftQuery(
+      "c7_corpus_card",
+      s"""WITH pre AS (
+         |  SELECT lang, source,
+         |    len(string_split($norm, ' '))::BIGINT AS tok,
+         |    strlen(text)::BIGINT AS bts
+         |  FROM documents)
+         |SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+         |            WHEN GROUPING(source) = 0 THEN 'source'
+         |            ELSE 'all' END AS dim,
+         |  coalesce(lang, source, '*') AS key,
+         |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+         |  sum(bts)::BIGINT AS n_bytes
+         |FROM pre GROUP BY GROUPING SETS ((lang), (source), ())
+         |ORDER BY dim, key""".stripMargin) { (s, dir) =>
+      val normC = TextFunctions.normalize(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          TextFunctions.tokenCount(normC).cast("long").as("tok"),
+          octet_length(col("text")).cast("long").as("bts"))
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(grouping(col("lang")).as("g_lang"),
+          grouping(col("source")).as("g_src"),
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"), sum(col("bts")).as("n_bytes"))
+        .select(
+          when(col("g_lang") === 0, lit("lang"))
+            .when(col("g_src") === 0, lit("source"))
+            .otherwise(lit("all")).as("dim"),
+          coalesce(col("lang"), col("source"), lit("*")).as("key"),
+          col("n_docs"), col("n_tokens"), col("n_bytes"))
+        .orderBy("dim", "key")
     }
   )
 

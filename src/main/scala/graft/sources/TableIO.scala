@@ -80,7 +80,10 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
   private def versionOf(dirName: String): Long =
     dirName.stripPrefix("v-").takeWhile(_.isDigit).toLong
 
-  private def currentVersion: Long = currentDir match {
+  /** Version number of the live snapshot (0 when nothing is published
+    * or the layout was adopted from a plain parquet dir).
+    */
+  def currentVersion: Long = currentDir match {
     case Some(d) if d != path => versionOf(Paths.get(d).getFileName.toString)
     case _ => 0L // nothing published, or an adopted plain layout
   }
