@@ -1,28 +1,27 @@
-// S9.13 probe: multi-probe LSH at 400k vectors - recall@10 vs nprobe,
-// and the memory claim: one table at nprobe=L vs L tables at nprobe=1.
+// S9.13 probe: multi-probe LSH on the clustered fixture (200k vectors,
+// 64 Gaussian clusters, sigma 1.0 - same fixture as S9.11) - recall@10
+// vs nprobe, against L independent tables at nprobe=1 (the classic
+// memory-expensive form: index rows = L x corpus).
 import java.io.{PrintWriter, FileWriter}
 val plog = new PrintWriter(new FileWriter("/root/repo/target/probe_multiprobe.plog", true), true)
-plog.println("=== multiprobe probe " + java.time.Instant.now)
+plog.println("=== multiprobe probe (clustered fixture) " + java.time.Instant.now)
 import org.apache.spark.sql.functions._
 import graft.similarity.{BruteForceKnn, SignLSH, VectorOps}
 spark.conf.set("spark.sql.shuffle.partitions", 32)
 
-// 200x replication of sf0.1 embeddings (2k vecs) = 400k, distinct ids,
-// deterministic per-replica perturbation
-val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-val reps = 200
-val corpus = "/root/repo/target/probe_mp_embeddings.parquet"
-val big = base.crossJoin(spark.range(reps).toDF("r"))
-  .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
-    transform(col("embedding"),
-      (x, i) => x + (pmod(col("vec_id") * 31 + col("r") * 7 + i, lit(11)).cast("float") - 5.0f) / 1000.0f)
-      .as("embedding"))
-big.repartition(32).write.mode("overwrite").parquet(corpus)
-val emb = spark.read.parquet(corpus)
-plog.println(s"corpus_vecs=${emb.count()}")
-
-val queries = emb.filter(col("vec_id") < 50)
-plog.println(s"queries=${queries.count()}")
+val n = 200000; val d = 64; val kc = 64
+val rnd = new scala.util.Random(42)
+val centers: Seq[Seq[Double]] = Seq.fill(kc)(Seq.fill(d)(rnd.nextGaussian()))
+val noise = array((0 until d).map(i => randn(1000L + i) * lit(1.0)): _*)
+val emb = spark.range(n)
+  .select(col("id").cast("long").as("vec_id"), (col("id") % kc).cast("int").as("label"))
+  .withColumn("center", element_at(typedlit(centers), col("label") + 1))
+  .withColumn("embedding", transform(zip_with(col("center"), noise, (c, z) => c + z), x => x.cast("float")))
+  .drop("center")
+  .repartition(32).cache()
+plog.println(s"fixture n=${emb.count()} d=$d clusters=$kc sigma=1.0")
+val queries = emb.filter(col("vec_id") < 50).cache()
+queries.count()
 
 def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
   df.select("query_id", "neighbor_id").collect()
@@ -48,11 +47,11 @@ for (np <- Seq(1, 2, 4, 8)) {
   plog.println(f"multiprobe np=$np recall@10=$rec%.3f")
 }
 
-// L independent tables at nprobe=1 (the memory-expensive classic):
-// candidates = union of own-bucket across tables, one ranking.
+// L independent tables at nprobe=1: candidates = union of own-bucket
+// across tables, one ranking. Index rows = L x corpus.
 def multiTableTopK(tables: Int): org.apache.spark.sql.DataFrame = {
   val ps = SignLSH.planes(dim = 64, bits = 8, tables = tables, seed = 42L)
-  val cands = ps.zipWithIndex.map { case (tp, _) =>
+  val cands = ps.map { tp =>
     val bucketed = emb.select(col("vec_id"), col("embedding").as("c_emb"),
       SignLSH.bucketOf(VectorOps.asDouble(col("embedding")), tp).as("bucket"))
     val probes = queries.select(col("vec_id").as("query_id"),
@@ -64,13 +63,14 @@ def multiTableTopK(tables: Int): org.apache.spark.sql.DataFrame = {
   }.reduce(_ unionAll _).dropDuplicates("query_id", "vec_id")
   graft.plans.GraftFunctions.ensureRegistered(spark)
   val w = org.apache.spark.sql.expressions.Window
-    .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
   cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
       VectorOps.cosineNative(col("q_emb"), col("c_emb")).as("cos"))
-    .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+    .filter(col("rank") <= 10)
 }
 
-for (lt <- Seq(4, 8)) {
+for (lt <- Seq(2, 4, 8)) {
   val got = timed(s"multitable_L$lt") { pairsOf(multiTableTopK(lt)) }
   val rec = (got intersect truth).size.toDouble / truth.size
   plog.println(f"multitable L=$lt recall@10=$rec%.3f (index rows = L x corpus)")
