@@ -1113,6 +1113,61 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Hamming-2 multi-probe: perturbations drawn from singles AND
+    // margin-pair-ranked double flips — recall keeps climbing after
+    // the Hamming-1 ball saturates (§9.13), still one stored table.
+    GraftQuery(
+      "v19_multiprobe_h2", {
+        val dotsList = bucketPlanes.map(p => dotPlaneSql(p, "q.embedding"))
+          .mkString("[\n    ", ",\n    ", "\n  ]")
+        val bucketFromDots = (0 until 8)
+          .map(b => s"(CASE WHEN dots[${b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH qd AS (
+           |  SELECT q.vec_id AS qid, q.embedding AS q_emb, $dotsList AS dots
+           |  FROM embeddings q WHERE q.vec_id < 5),
+           |qb AS (SELECT qid, q_emb, dots, $bucketFromDots AS bucket FROM qd),
+           |bits AS (
+           |  SELECT qid, bucket, t.b, abs(dots[t.b + 1]) AS m
+           |  FROM qb CROSS JOIN range(0, 8) t(b)),
+           |pert AS (
+           |  SELECT qid, bucket, s, mask,
+           |    row_number() OVER (PARTITION BY qid ORDER BY s, mask) AS rn
+           |  FROM (
+           |    SELECT qid, bucket, m AS s, (1 << b) AS mask FROM bits
+           |    UNION ALL
+           |    SELECT x.qid, x.bucket, x.m + y.m AS s,
+           |           (1 << x.b) | (1 << y.b) AS mask
+           |    FROM bits x JOIN bits y ON x.qid = y.qid AND x.b < y.b)),
+           |probes AS (
+           |  SELECT qid, q_emb, bucket AS pb FROM qb
+           |  UNION ALL
+           |  SELECT p.qid, qb.q_emb, xor(p.bucket, p.mask) AS pb
+           |  FROM pert p JOIN qb ON qb.qid = p.qid WHERE p.rn <= 11),
+           |corpus AS (
+           |  SELECT vec_id, embedding,
+           |    ${bucketSql(bucketPlanes, "embedding")} AS bucket
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+           |         ${cosineSql("p.q_emb", "c.embedding")} AS c
+           |  FROM probes p JOIN corpus c ON c.bucket = p.pb
+           |  WHERE c.vec_id <> p.qid)
+           |SELECT query_id, neighbor_id, round(c, 4) AS cosine,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY c DESC, neighbor_id) AS rank
+           |FROM cand QUALIFY rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      SignLSH.multiprobeTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 12, bucketPlanes,
+          maxFlips = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -80,31 +80,42 @@ object SignLSH {
 
   /** Query-directed probe buckets for multi-probe LSH (Lv et al.,
     * VLDB 2007): the query's own bucket plus the `nprobe - 1`
-    * single-bit perturbations whose hyperplane margin |⟨q, plane_b⟩|
-    * is SMALLEST — the bits most likely to have landed on the wrong
-    * side for a true near neighbor. Ties between equal margins break
-    * to the lower bit, so the probe set is fully deterministic and a
-    * SQL oracle reproduces it exactly.
+    * perturbations whose total hyperplane margin Σ|⟨q, plane_b⟩| over
+    * the flipped bits is SMALLEST — the bit sets most likely to have
+    * landed on the wrong side for a true near neighbor. `maxFlips`
+    * bounds the perturbation depth: 1 probes the Hamming-1 ball
+    * (`bits` candidates), 2 adds the margin-pair-ranked Hamming-2
+    * ball (`bits·(bits−1)/2` more) — the extension that keeps recall
+    * climbing after single-bit flips saturate (§9.13). Ties between
+    * equal margins break to the smaller flip mask, so the probe set
+    * is fully deterministic and a SQL oracle reproduces it exactly.
     *
     * Returns an array column of distinct bucket ids (own bucket
-    * first). `nprobe` is capped at `bits + 1` — beyond that every
-    * Hamming-1 neighbor is already probed.
+    * first); `nprobe` caps at the number of candidates + 1.
     */
   def multiprobeBuckets(emb: Column, tablePlanes: Seq[Seq[Double]],
-      nprobe: Int): Column = {
+      nprobe: Int, maxFlips: Int = 1): Column = {
+    require(maxFlips == 1 || maxFlips == 2, "maxFlips must be 1 or 2")
     val dots = tablePlanes.map(p => VectorOps.dotConst(p, emb))
     val bucket = dots.zipWithIndex.map { case (d, b) =>
       when(d >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    // (|margin|, bit) structs sort lexicographically: closest-to-plane
-    // bits first, ties to the lower bit.
-    val ranked = array_sort(array(dots.zipWithIndex.map { case (d, b) =>
-      struct(abs(d).as("margin"), lit(b).as("bit"))
-    }: _*))
-    val flips = slice(ranked, 1, math.min(nprobe - 1, tablePlanes.size))
+    val idx = tablePlanes.indices
+    // (score, flip-mask) structs sort lexicographically: smallest
+    // total margin first, ties to the smaller mask.
+    val singles = dots.zipWithIndex.map { case (d, b) =>
+      struct(abs(d).as("score"), lit(1 << b).as("mask"))
+    }
+    val doubles =
+      if (maxFlips < 2) Nil
+      else for { i <- idx; j <- idx if i < j } yield
+        struct((abs(dots(i)) + abs(dots(j))).as("score"),
+          lit((1 << i) | (1 << j)).as("mask"))
+    val ranked = array_sort(array(singles ++ doubles: _*))
+    val flips = slice(ranked, 1,
+      math.min(nprobe - 1, singles.size + doubles.size))
     concat(array(bucket),
-      transform(flips, f =>
-        bucket.bitwiseXOR(call_function("shiftleft", lit(1), f.getField("bit")))))
+      transform(flips, f => bucket.bitwiseXOR(f.getField("mask"))))
   }
 
   /** Multi-probe LSH top-k: one table's recall budget spent on extra
@@ -124,14 +135,14 @@ object SignLSH {
     */
   def multiprobeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nprobe: Int,
-      tablePlanes: Seq[Seq[Double]]): DataFrame = {
+      tablePlanes: Seq[Seq[Double]], maxFlips: Int = 1): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val bucketed = corpus.select(col(idCol), col(embCol).as("c_emb"),
       bucketOf(VectorOps.asDouble(col(embCol)), tablePlanes).as("bucket"))
     val probes = queries.select(
         col(idCol).as("query_id"), col(embCol).as("q_emb"),
         explode(multiprobeBuckets(VectorOps.asDouble(col(embCol)),
-          tablePlanes, nprobe)).as("bucket"))
+          tablePlanes, nprobe, maxFlips)).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col(idCol))

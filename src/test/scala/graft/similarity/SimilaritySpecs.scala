@@ -335,4 +335,44 @@ class MultiprobeLshSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     run() shouldBe run()
   }
+
+  test("maxFlips=2: neighbors within Hamming 2, recall >= Hamming-1 at full ball") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bucketed = emb.select(col("vec_id"),
+      SignLSH.bucketOf(VectorOps.asDouble(col("embedding")), planes).as("b"))
+    val out = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 50, nprobe = 37, planes, maxFlips = 2) // own + 8 singles + 28 doubles
+      .join(bucketed.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("b", "nb"), "neighbor_id")
+      .join(bucketed.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("b", "qb"), "query_id")
+      .select(bit_count(col("nb").bitwiseXOR(col("qb"))).as("d"))
+      .collect().map(_.getInt(0))
+    all(out) should be <= 2
+    // the full Hamming-2 ball finds at least as many true neighbors
+    // as the full Hamming-1 ball
+    recallVsBruteForce(9) should be <= {
+      val mp2 = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+          k = 10, nprobe = 37, planes, maxFlips = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (bf.isEmpty) 1.0 else (mp2 intersect bf).size.toDouble / bf.size
+    } + 1e-9
+  }
+
+  test("maxFlips=2 with nprobe <= bits+1 ranks singles and doubles together") {
+    // a double flip with tiny margins can outrank a single with a big
+    // one: the probe SET is score-ranked, not depth-staged; at
+    // nprobe=9 the h1 and h2 variants may legitimately differ, but
+    // both stay within their Hamming balls and both are deterministic
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = SignLSH.multiprobeTopK(emb, q, "vec_id", "embedding",
+        k = 10, nprobe = 9, planes, maxFlips = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run() shouldBe run()
+  }
 }
