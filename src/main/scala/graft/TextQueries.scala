@@ -875,8 +875,10 @@ object TextQueries {
            |  min(hx) AS first_key, max(hx) AS last_key
            |FROM a GROUP BY shard ORDER BY shard""".stripMargin
       }) { (s, dir) =>
-      graft.operators.ShardExport.manifest(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      // manifest served from the STORED shard layout (ShardStore —
+      // per-doc assignment is deterministic, so stored ≡ inline and
+      // the oracle recomputes inline; increments advance O(new))
+      graft.operators.ShardStore.manifest(s, dir, "documents",
         numShards = 8, seed = "42")
     },
 
