@@ -919,6 +919,47 @@ object TextQueries {
           coalesce(col("lang"), col("source"), lit("*")).as("key"),
           col("n_docs"), col("n_tokens"), col("n_bytes"))
         .orderBy("dim", "key")
+    },
+
+    // Quality-curriculum mixture: STORED quality scores bucket the
+    // corpus into tiers, t20's temperature mixture (α=0.5) flattens
+    // over-represented tiers — the data-mixing pass that keeps scarce
+    // high-quality strata from being drowned by the mediocre bulk.
+    // Rates from one |tiers|-row broadcast aggregate; the corpus never
+    // shuffles; membership is the deterministic md5 bucket.
+    GraftQuery(
+      "p4_quality_curriculum",
+      s"""WITH $qualityCte,
+         |tiers AS (
+         |  SELECT doc_id, least(floor(quality * 5), 4)::INT AS tier
+         |  FROM qual),
+         |c AS (SELECT tier, count(*) AS n_total FROM tiers GROUP BY tier),
+         |t AS (SELECT sum(n_total)::DOUBLE AS nn,
+         |        sum(pow(n_total::DOUBLE, 0.5)) AS z FROM c),
+         |r AS (SELECT tier, n_total,
+         |        floor(least(1.0, 0.3 * nn * pow(n_total::DOUBLE, 0.5) / z
+         |            / n_total::DOUBLE) * 4096 + 0.5)::INT AS thr
+         |      FROM c, t),
+         |k AS (SELECT d.tier FROM tiers d
+         |      JOIN r ON d.tier = r.tier
+         |      WHERE ('0x' || substr(md5(d.doc_id::varchar), 1, 3))::INT < r.thr)
+         |SELECT r.tier, r.n_total, coalesce(kk.n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN (
+         |  SELECT tier, count(*) AS n_kept FROM k GROUP BY tier) kk
+         |  ON r.tier = kk.tier
+         |ORDER BY r.tier""".stripMargin) { (s, dir) =>
+      val tiers = graft.functions.QualityStore.scores(s, dir, "documents")
+        .select(col("doc_id"),
+          least(floor(col("quality") * 5), lit(4)).cast("int").as("tier"))
+      val kept = Sampling.mixture(tiers, "doc_id", "tier", 0.5, 0.3)
+        .groupBy("tier").agg(count(lit(1)).as("n_kept"))
+      Sampling.mixtureThresholds(tiers, "tier", 0.5, 0.3)
+        .select(col("tier"), col("n_total"))
+        .join(kept.withColumnRenamed("tier", "_kt"),
+          col("tier") <=> col("_kt"), "left")
+        .select(col("tier"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("tier")
     }
   )
 
