@@ -222,6 +222,56 @@ object MultimodalQueries {
         Media.extractFeatures(media, dim = 16).toDF())
       Media.phashNearDups(hashed, maxDist = 1)
         .orderBy("id_a", "id_b")
+    },
+
+    // The ≥10^6-item form of m6 — SimHash's §9.6 width law applies to
+    // media hashes identically: 62 feature bits, 2×31-bit pigeonhole
+    // blocks keep 2^blockBits ahead of corpus size so bucket sharing
+    // neither explodes the pair space nor drops true pairs. The
+    // payload set replicates ids ≥ 400 from id % 400 (a re-uploaded
+    // image fixture — the testdata has no byte-identical payloads),
+    // so every replica pair surfaces at Hamming 0 and NOTHING else
+    // collides at 62 bits.
+    GraftQuery(
+      "m7_phash_wide", {
+        val hx = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"
+        val v = (1 to 6).map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ") / 16777216.0")
+        s"""WITH pay AS (
+           |  SELECT a.doc_id AS media_id, b.text
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 400),
+           |f AS (
+           |  SELECT media_id, t.j, md5(text || ':' || t.j) AS h
+           |  FROM pay CROSS JOIN range(0, 62) t(j)),
+           |fv AS (SELECT media_id, j, $v AS v FROM f),
+           |m AS (SELECT media_id, sum(v) / 62.0 AS mu FROM fv GROUP BY media_id),
+           |sig AS (
+           |  SELECT fv.media_id,
+           |    sum(CASE WHEN fv.v > m.mu THEN (1::BIGINT << fv.j) ELSE 0 END)::BIGINT AS sig
+           |  FROM fv JOIN m ON m.media_id = fv.media_id
+           |  GROUP BY fv.media_id)
+           |SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+           |FROM sig a JOIN sig b ON a.media_id < b.media_id
+           | AND (a.sig % 2147483648 = b.sig % 2147483648
+           |   OR a.sig // 2147483648 = b.sig // 2147483648)
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val media = d.select(col("doc_id").as("media_id"),
+          (col("doc_id") % 400).as("_src"))
+        .join(d.select(col("doc_id").as("_src"), col("text")), "_src")
+        .select(col("media_id"), lit("image").as("modality"),
+          col("text").cast("binary").as("bytes"), lit("png").as("format"),
+          lit(64).as("width"), lit(64).as("height"),
+          lit(0).as("sample_rate"), lit(0L).as("duration_ms"))
+        .as[Media.MediaRow]
+      val hashed = Media.perceptualHash(
+        Media.extractFeatures(media, dim = 62).toDF(), dim = 62)
+      Media.phashNearDups(hashed, maxDist = 1, blockBits = 31)
+        .orderBy("id_a", "id_b")
     }
   )
 }

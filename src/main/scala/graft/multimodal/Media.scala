@@ -129,14 +129,21 @@ object Media {
     * expansion is bucket-local (PairGen — one shuffle on the block
     * key), the exact bit_count refine runs on candidates only.
     */
-  def phashNearDups(hashed: DataFrame, maxDist: Int = 1): DataFrame = {
+  def phashNearDups(hashed: DataFrame, maxDist: Int = 1,
+      blockBits: Int = 8): DataFrame = {
     require(maxDist <= 1, "2-block pigeonhole guarantees recall only to Hamming 1")
+    // Block WIDTH is the scale knob, exactly SimHash's §9.6 width law:
+    // blocks must keep 2^blockBits ≥ corpus size or bucket sharing
+    // turns the pair space quadratic AND loses true pairs to bucket
+    // caps — 8-bit blocks (16-bit hash) are the ≤10^5 form, 31-bit
+    // blocks (62-bit hash, dim = 62 features) the ≥10^6 one.
+    val lo = lit(1L << blockBits)
     val payload = struct(col("media_id"), col("phash"))
     val halves = hashed
       .select(col("media_id"), col("phash"),
-        pmod(col("phash"), lit(256L)).as("blk"), lit(0).as("half"))
+        pmod(col("phash"), lo).as("blk"), lit(0).as("half"))
       .unionAll(hashed.select(col("media_id"), col("phash"),
-        floor(col("phash") / 256).cast("long").as("blk"), lit(1).as("half")))
+        floor(col("phash") / lo).cast("long").as("blk"), lit(1).as("half")))
     graft.dedup.PairGen.pairsWithin(halves, Seq("half", "blk"), payload)
       .select(col("a.media_id").as("id_a"), col("a.phash").as("pa"),
         col("b.media_id").as("id_b"), col("b.phash").as("pb"))

@@ -110,3 +110,27 @@ class PerceptualHashSpec extends SparkSpec {
     assert(bits > 0 && bits < 16, s"degenerate hash: $bits bits set")
   }
 }
+
+class PerceptualHashWideSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(id: Long, payload: String) =
+    Media.MediaRow(id, "image", payload.getBytes("UTF-8"), "png", 64, 64, 0, 0L)
+
+  test("62-bit wide form: blocked pairs equal brute-force Hamming<=1, hash stays non-negative") {
+    val rows = (1L to 30L).map(i => row(i, s"payload $i")) ++
+      Seq(row(100L, "payload 7"), row(101L, "payload 21"))
+    val h = Media.perceptualHash(
+      Media.extractFeatures(rows.toDS(), dim = 62).toDF(), dim = 62)
+    val sig = h.collect().map(r => r.getLong(0) -> r.getLong(1))
+    all(sig.map(_._2)) should be >= 0L
+    val got = Media.phashNearDups(h, maxDist = 1, blockBits = 31)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    got shouldBe want
+    got.map(t => (t._1, t._2)) should contain allOf ((7L, 100L), (21L, 101L))
+  }
+}
