@@ -1276,6 +1276,38 @@ object RelationalQueries {
       est.join(exact, "q")
         .select(col("q"), col("exact_p"), col("hist_est"))
         .orderBy("q")
+    },
+
+    // Sliding-window DISTINCT users (7-day active): the scalable
+    // day-grain form — dedupe (day, user) FIRST (cardinality
+    // days×users, never raw events), explode each pair into the ≤7
+    // windows it serves (map-side), dedupe (window, user), count.
+    // Exact sliding distinct without ever holding a window's raw
+    // events; the approximate path at extreme cardinality is c4's
+    // mergeable HLL per day folded over the same frame.
+    GraftQuery(
+      "q37_sliding_distinct",
+      """WITH a AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM a),
+        |w AS (
+        |  SELECT d.day AS wd, a.user_id
+        |  FROM days d JOIN a ON a.day BETWEEN d.day - 6 AND d.day)
+        |SELECT wd, count(DISTINCT user_id) AS n_active
+        |FROM w GROUP BY wd ORDER BY wd""".stripMargin) { (s, dir) =>
+      val active = Tables.loadEvents(s, dir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"))
+        .distinct()
+      val days = active.select("day").distinct()
+        .withColumnRenamed("day", "wd")
+      active
+        .withColumn("wd", explode(sequence(col("day"), col("day") + 6)))
+        .join(broadcast(days), Seq("wd"), "left_semi")
+        .select("wd", "user_id").distinct()
+        .groupBy("wd").agg(count(lit(1)).as("n_active"))
+        .orderBy("wd")
     }
   )
 }
