@@ -124,6 +124,56 @@ object SyncQueries {
         .orderBy("c_custkey")
     },
 
+    // Incremental view maintenance, end to end: the change feed
+    // bootstraps on v1 and ticks over the v1→v2 diff, DeltaRollup
+    // applying signed contributions — the maintained per-segment
+    // aggregate MUST equal a direct aggregate of v2 (the oracle
+    // computes exactly that; cents as exact integers so incremental
+    // and direct summation orders can't drift). v2 is never rescanned
+    // by the maintenance path: tick cost ∝ churn + |groups|.
+    GraftQuery(
+      "s7_incremental_view",
+      """WITH newv AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    round(round(c_acctbal, 2) * 100)::BIGINT
+        |      + CASE WHEN c_custkey % 10 = 5 THEN 10000 ELSE 0 END AS cents
+        |  FROM customer WHERE c_custkey % 10 <> 0)
+        |SELECT c_mktsegment, count(*) AS n, sum(cents)::BIGINT AS sum_cents
+        |FROM newv GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(round(col("c_acctbal"), 2) * 100, 0).cast("long").as("cents"))
+      val oldV = cust.filter(col("c_custkey") % 10 < 9)
+      val newV = cust.filter(col("c_custkey") % 10 =!= 0)
+        .withColumn("cents",
+          col("cents") + when(col("c_custkey") % 10 === 5, 10000L).otherwise(0L))
+      val io = graft.sources.ArtifactStore.io(s"$dir/customer.parquet", "ivm")
+      if (!io.exists) io.overwrite(oldV)
+      // fresh cursor per run: bootstrap on the CURRENT version, then
+      // publish v2 and tick over the diff
+      val ckpt = java.nio.file.Files.createTempDirectory("ivm_cursor").toString
+      val feed = new graft.sources.SnapshotChangeFeed(io.path, ckpt,
+        Seq("c_custkey", "c_mktsegment"))
+      var state: org.apache.spark.sql.DataFrame = null
+      feed.bootstrap(s) { ch =>
+        state = graft.operators.DeltaRollup.init(
+          ch.withColumn("new_v", col("new_cents").cast("double"))
+            .withColumn("old_v", col("old_cents").cast("double")),
+          Seq("c_mktsegment"), "v")
+      }
+      if (io.currentVersion == feed.cursor.get) io.overwrite(newV)
+      feed.tick(s) { ch =>
+        state = graft.operators.DeltaRollup(state,
+          ch.withColumn("new_v", col("new_cents").cast("double"))
+            .withColumn("old_v", col("old_cents").cast("double")),
+          Seq("c_mktsegment"), "v")
+      }
+      state.select(col("c_mktsegment"), col("n"),
+          col("sum_v").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // A1 (window form): LWW latest state per key — the engine's reason
     // to exist (reference README.md:17, pyCassElastic.py:337-343).
     GraftQuery(
