@@ -1308,6 +1308,67 @@ object RelationalQueries {
         .select("wd", "user_id").distinct()
         .groupBy("wd").agg(count(lit(1)).as("n_active"))
         .orderBy("wd")
+    },
+
+    // q37's extreme-cardinality twin: sliding distinct from MERGED
+    // per-day HLL registers — the sketch is the stored state (≤64
+    // rows/day regardless of users), a window's registers fold by
+    // per-register max (the HLL merge law), yesterday's events are
+    // never rescanned. Exact count rides along to show the error.
+    GraftQuery(
+      "q38_sliding_hll",
+      """WITH a AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |  FROM events),
+        |h AS (SELECT day,
+        |        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS v
+        |      FROM a),
+        |hr AS (SELECT day, v % 64 AS register,
+        |         CASE WHEN v // 64 = 0 THEN 55
+        |              ELSE 54 - floor(log2(v // 64))::BIGINT END AS rho
+        |       FROM h),
+        |sk AS (SELECT day, register, max(rho) AS r
+        |       FROM hr GROUP BY day, register),
+        |days AS (SELECT DISTINCT day FROM sk),
+        |wsk AS (SELECT d.day AS wd, s.register, max(s.r) AS r
+        |        FROM days d JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+        |        GROUP BY d.day, s.register),
+        |agg AS (SELECT wd, sum(power(2.0, -r)) AS z, count(*) AS np
+        |        FROM wsk GROUP BY wd),
+        |est AS (SELECT wd, 0.709 * 64 * 64 / (z + (64 - np)) AS e,
+        |          64 - np AS vz FROM agg),
+        |fin AS (SELECT wd, CASE WHEN e <= 160.0 AND vz > 0
+        |               THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+        |        FROM est),
+        |ex AS (SELECT d.day AS wd, count(DISTINCT a.user_id) AS n_exact
+        |       FROM days d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+        |       GROUP BY d.day)
+        |SELECT wd, n_exact, round(est, 2) AS hll_estimate
+        |FROM fin JOIN ex USING (wd)
+        |ORDER BY wd""".stripMargin) { (s, dir) =>
+      import graft.sketch.HyperLogLog
+      val active = Tables.loadEvents(s, dir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"))
+        .distinct()
+      val daily = HyperLogLog.build(
+        active.select(col("day"), col("user_id").cast("string").as("item")),
+        col("item"), keys = Seq("day"))
+      val days = daily.select("day").distinct().withColumnRenamed("day", "wd")
+      val windowed = daily
+        .withColumn("wd", explode(sequence(col("day"), col("day") + 6)))
+        .join(broadcast(days), Seq("wd"), "left_semi")
+        .groupBy("wd", "register").agg(max("r").as("r"))
+      val exact = active
+        .withColumn("wd", explode(sequence(col("day"), col("day") + 6)))
+        .join(broadcast(days), Seq("wd"), "left_semi")
+        .select("wd", "user_id").distinct()
+        .groupBy("wd").agg(count(lit(1)).as("n_exact"))
+      HyperLogLog.estimate(windowed, keys = Seq("wd"))
+        .join(exact, "wd")
+        .select(col("wd"), col("n_exact"),
+          round(col("hll_estimate"), 2).as("hll_estimate"))
+        .orderBy("wd")
     }
   )
 }
