@@ -129,8 +129,10 @@ object SyncQueries {
     // applying signed contributions — the maintained per-segment
     // aggregate MUST equal a direct aggregate of v2 (the oracle
     // computes exactly that; cents as exact integers so incremental
-    // and direct summation orders can't drift). v2 is never rescanned
-    // by the maintenance path: tick cost ∝ churn + |groups|.
+    // and direct summation orders can't drift). The maintenance
+    // aggregation costs O(churn + groups); the poll-and-diff feed
+    // itself scans both versions to derive the diff (no row-level
+    // log in the store) — see DeltaRollup's cost note.
     GraftQuery(
       "s7_incremental_view",
       """WITH newv AS (

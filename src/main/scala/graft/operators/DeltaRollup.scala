@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * an insert adds its new value, a delete subtracts its old one, an
   * update does both — instead of rescanning the snapshot.
   *
-  * Cost per tick: one aggregation of the CHANGE SET (∝ churn) plus a
-  * key-partitioned outer merge against the |groups|-row state — the
-  * snapshot's data files are never read. Where a full recompute is
-  * O(snapshot) per tick, this is O(churn + groups): at 100 TB with a
-  * daily 0.1% churn that is a 1000× standing discount, the textbook
-  * incremental-view-maintenance (delta-propagation) argument.
+  * Cost of [[apply]]: one aggregation of the CHANGE SET (∝ churn)
+  * plus a key-partitioned outer merge against the |groups|-row state.
+  * What the whole tick costs depends on where the change set comes
+  * from: a producer that KNOWS its delta (an ingest batch, the
+  * streaming pipeline, a writer emitting its own change log) makes
+  * the full path O(churn + groups); the poll-and-diff feed
+  * ([[graft.sources.SnapshotChangeFeed]]) must SCAN both snapshot
+  * versions to derive the diff (the store keeps no row-level log),
+  * so its tick is O(snapshot) read + O(churn) maintenance — it
+  * eliminates the re-AGGREGATION and any downstream recompute, not
+  * the read. The delta-propagation discount grows with how much work
+  * sits downstream of the aggregate.
   *
   * Only ADDITIVE aggregates ride this path (count/sum; avg at read
   * time as sum/n) — min/max are not retractable without keeping per-
