@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.multimodal.Media
+import graft.multimodal.{Media, MediaScreen}
 
 /** Multimodal-plumbing queries. The driver testdata has no real media
   * files, so a deterministic media catalog is DERIVED from
@@ -272,6 +272,66 @@ object MultimodalQueries {
         Media.extractFeatures(media, dim = 62).toDF(), dim = 62)
       Media.phashNearDups(hashed, maxDist = 1, blockBits = 31)
         .orderBy("id_a", "id_b")
+    },
+
+    // Media ingest screen against STORED perceptual-hash state — the
+    // multimodal twin of d21: batch ids ≥ 250 (ids ≥ 300 re-upload
+    // id % 300's payload), stored corpus = ids < 250; re-uploads
+    // surface as exact_dup with their one stored witness, 250-299
+    // (own payloads, not in the corpus) come back fresh.
+    GraftQuery(
+      "m8_media_ingest_screen", {
+        val hx = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"
+        val v = (1 to 6).map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ") / 16777216.0")
+        def sigChain(src: String, p: String) =
+          s"""${p}f AS (
+             |  SELECT media_id, t.j, md5(text || ':' || t.j) AS h
+             |  FROM $src CROSS JOIN range(0, 62) t(j)),
+             |${p}fv AS (SELECT media_id, j, $v AS v FROM ${p}f),
+             |${p}m AS (SELECT media_id, sum(v) / 62.0 AS mu
+             |          FROM ${p}fv GROUP BY media_id),
+             |${p}sig AS (
+             |  SELECT fv.media_id,
+             |    sum(CASE WHEN fv.v > m.mu THEN (1::BIGINT << fv.j) ELSE 0 END)::BIGINT AS sig
+             |  FROM ${p}fv fv JOIN ${p}m m ON m.media_id = fv.media_id
+             |  GROUP BY fv.media_id)""".stripMargin
+        s"""WITH stored AS (
+           |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 250),
+           |batch AS (
+           |  SELECT a.doc_id AS media_id, b.text
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 300
+           |  WHERE a.doc_id >= 250),
+           |${sigChain("stored", "s")},
+           |${sigChain("batch", "b")},
+           |sfp AS (SELECT DISTINCT md5(text) AS fp FROM stored),
+           |bfp AS (SELECT media_id, md5(text) AS fp FROM batch),
+           |ex AS (SELECT DISTINCT bfp.media_id FROM bfp JOIN sfp USING (fp)),
+           |near AS (
+           |  SELECT b.media_id, count(DISTINCT s.media_id) AS w
+           |  FROM bsig b JOIN ssig s
+           |    ON (b.sig % 2147483648 = s.sig % 2147483648
+           |     OR b.sig // 2147483648 = s.sig // 2147483648)
+           |   AND bit_count(xor(b.sig, s.sig)) <= 1
+           |  GROUP BY b.media_id)
+           |SELECT bb.media_id,
+           |  CASE WHEN ex.media_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN near.w IS NOT NULL THEN 'near_dup'
+           |       ELSE 'fresh' END AS status,
+           |  coalesce(near.w, 0) AS n_near_witnesses
+           |FROM batch bb
+           |LEFT JOIN ex ON ex.media_id = bb.media_id
+           |LEFT JOIN near ON near.media_id = bb.media_id
+           |ORDER BY bb.media_id""".stripMargin
+      }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val batch = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id").as("media_id"), (col("doc_id") % 300).as("_src"))
+        .join(d.select(col("doc_id").as("_src"), col("text")), "_src")
+        .select(col("media_id"), col("text").cast("binary").as("bytes"))
+      MediaScreen.screen(s, dir, "documents", batch,
+          corpusFilter = col("media_id") < 250)
+        .orderBy("media_id")
     }
   )
 }

@@ -134,3 +134,46 @@ class PerceptualHashWideSpec extends SparkSpec {
     got.map(t => (t._1, t._2)) should contain allOf ((7L, 100L), (21L, 101L))
   }
 }
+
+class MediaScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-way split; a committed fresh item re-screens as exact_dup after the store advances") {
+    val sf = java.nio.file.Files.createTempDirectory("mscreen").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "stored image payload one"), (2L, "stored image payload two"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+
+    def batchDf(rows: (Long, String)*) =
+      rows.toSeq.toDF("media_id", "_t")
+        .select(col("media_id"), col("_t").cast("binary").as("bytes"))
+
+    val got = MediaScreen.screen(spark, sf, "documents",
+        batchDf(10L -> "stored image payload one", 11L -> "brand new payload"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    got(10L) shouldBe ("exact_dup", 1L) // byte-identical re-upload, 1 witness
+    got(11L)._1 shouldBe "fresh"
+
+    // commit the fresh item into the corpus: the store advances O(new)
+    Seq((11L, "brand new payload")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val again = MediaScreen.screen(spark, sf, "documents",
+        batchDf(20L -> "brand new payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    again(20L) shouldBe "exact_dup"
+  }
+
+  test("stored hashes equal inline hashing (per-item determinism)") {
+    val sf = java.nio.file.Files.createTempDirectory("mscreen2").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    val stored = MediaScreen.stored(spark, sf, "documents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val inline = MediaScreen.hashed(
+        spark.read.parquet(corpus).select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    stored shouldBe inline
+  }
+}
