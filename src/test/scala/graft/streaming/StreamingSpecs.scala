@@ -773,3 +773,36 @@ class StreamingDecontamSpec extends SparkSpec {
     rep(13L) shouldBe ((false, 0L)) // short doc: zero grams, still reported
   }
 }
+
+class StreamingMediaScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches screen against stored pHash state; statuses correct across batches") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("smscreen")
+    val sf = base.resolve("corpus").toString
+    Seq((1L, "an already ingested image payload"),
+        (2L, "another stored media payload"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$sf/documents.parquet")
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingMediaScreen.start(
+      mem.toDF().toDF("media_id", "_t")
+        .select(col("media_id"), col("_t").cast("binary").as("bytes")),
+      sf, "documents", outDir,
+      base.resolve("ckpt").toString, Trigger.ProcessingTime("50 milliseconds"))
+
+    mem.addData((10L, "an already ingested image payload"),
+      (11L, "a brand new clip"))
+    q.processAllAvailable()
+    mem.addData((12L, "another stored media payload"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = StreamingMediaScreen.report(spark, outDir)
+      .select("media_id", "status").as[(Long, String)].collect().toMap
+    rep shouldBe Map(10L -> "exact_dup", 11L -> "fresh", 12L -> "exact_dup")
+  }
+}
