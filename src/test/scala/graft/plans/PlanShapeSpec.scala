@@ -261,4 +261,32 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("multi-probe LSH: probe set broadcasts, top-k is a group-limit heap") {
+    for (q <- Seq("v18_multiprobe_lsh", "v19_multiprobe_h2")) {
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("BroadcastHashJoin") // corpus joins the broadcast probes
+        p should not include "SortMergeJoin"
+        p should include("WindowGroupLimit") // rank<=k never globally sorts
+      }
+    }
+  }
+
+  test("shard manifest aggregates with a map-side partial phase") {
+    val p = plan("t22_shard_manifest")
+    p should include("partial_count")
+    p should include("partial_sum")
+  }
+
+  test("sliding distinct: observed-day grid broadcasts, dedupes have partial phases") {
+    val p = plan("q37_sliding_distinct")
+    p should include("BroadcastHashJoin") // left-semi against the day grid
+    p should include("partial_count")
+  }
+
+  test("sliding HLL: register merge is a partial max before its exchange") {
+    val p = plan("q38_sliding_hll")
+    p should include("partial_max") // per-register fold combines map-side
+  }
 }
