@@ -960,8 +960,106 @@ object TextQueries {
         .select(col("tier"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("tier")
+    },
+
+    // BPE vocabulary training: k merges learned over the word-type
+    // histogram (one corpus scan; every iteration runs over the
+    // capped type table — O(k * cap), corpus-size-independent). The
+    // oracle unrolls the identical chain: pair stats, (count DESC,
+    // pair ASC) argmax, space-doubling replace application.
+    GraftQuery(
+      "t23_bpe_train",
+      bpeChainSql(bpeK, bpeCap) +
+        s"""
+           |SELECT rank, s1, s2, merged, pair_count FROM (
+           |  ${(1 to bpeK).map(r => s"SELECT * FROM b$r").mkString("\n  UNION ALL ")}
+           |) mm ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.functions.TokenizerStore
+        .mergesDf(s, dir, "documents", "text", bpeK, bpeCap)
+        .orderBy("rank")
+    },
+
+    // Tokenizer application under the STORED merge table: the k
+    // learned merges become a literal nested-replace chain inside a
+    // per-document transform — pure whole-stage codegen, zero
+    // shuffle, no vocabulary join. The oracle re-derives the merges
+    // (same chain as t23) and applies them over the distinct word
+    // types, then joins back to the token stream.
+    GraftQuery(
+      "t24_bpe_encode",
+      bpeChainSql(bpeK, bpeCap) + bpeEncodeSql(bpeK)) { (s, dir) =>
+      val merges = graft.functions.TokenizerStore
+        .merges(s, dir, "documents", "text", bpeK, bpeCap)
+      graft.functions.Bpe
+        .encodeStats(Tables.load(s, dir, "documents"), "doc_id",
+          col("text"), merges)
+        .orderBy("doc_id")
     }
   )
+
+  // final + literal: compile-time constants, safe to reference from
+  // `all` above regardless of declaration order
+  private final val bpeK = 8
+  private final val bpeCap = 4096
+
+  /** DuckDB unroll of Bpe.train's merge chain: word-type histogram
+    * (top-cap by count DESC, word ASC), then per rank r the pair
+    * stats over seg r-1, the deterministic argmax b_r, and the merged
+    * segmentation s_r via the space-doubling replace — the same three
+    * steps, same tiebreaks, same string semantics as the Spark side.
+    */
+  private def bpeChainSql(k: Int, cap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""$normCte,
+       |tkw AS (SELECT unnest(string_split(norm, ' ')) AS word FROM n),
+       |wt AS (SELECT word, count(*)::BIGINT AS cnt FROM tkw GROUP BY word
+       |       ORDER BY cnt DESC, word LIMIT $cap),
+       |s0 AS (SELECT word, cnt,
+       |  ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seg
+       |  FROM wt)""".stripMargin
+    for (r <- 1 to k) sb ++= s""",
+       |p$r AS (SELECT pr AS pair, sum(cnt)::BIGINT AS c FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+       |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+       |    FROM (SELECT cnt, string_split(trim(seg), ' ') AS sy FROM s${r - 1}) q$r
+       |  ) u$r GROUP BY pr),
+       |b$r AS (SELECT $r::INT AS rank, string_split(pair, ' ')[1] AS s1,
+       |    string_split(pair, ' ')[2] AS s2, replace(pair, ' ', '') AS merged,
+       |    c AS pair_count
+       |  FROM p$r ORDER BY c DESC, pair LIMIT 1),
+       |s$r AS (SELECT word, cnt, replace(replace(replace(seg, ' ', '  '),
+       |    ' ' || b.s1 || '  ' || b.s2 || ' ', ' ' || b.merged || ' '),
+       |    '  ', ' ') AS seg
+       |  FROM s${r - 1}, b$r b)""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB apply-side of t24: fold every learned merge over the
+    * distinct word types of the token stream (NOT just the capped
+    * training types — merges apply to any word), count pieces, join
+    * back, aggregate per document.
+    */
+  private def bpeEncodeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+       |e0 AS (SELECT word,
+       |  ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seg
+       |  FROM (SELECT DISTINCT word FROM tokd) dw)""".stripMargin
+    for (r <- 1 to k) sb ++= s""",
+       |e$r AS (SELECT word, replace(replace(replace(seg, ' ', '  '),
+       |    ' ' || b.s1 || '  ' || b.s2 || ' ', ' ' || b.merged || ' '),
+       |    '  ', ' ') AS seg
+       |  FROM e${r - 1}, b$r b)""".stripMargin
+    sb ++= s""",
+       |pc AS (SELECT word, len(string_split(trim(seg), ' '))::BIGINT AS np
+       |       FROM e$k)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_words, sum(pc.np)::BIGINT AS n_pieces,
+       |  round(sum(pc.np)::DOUBLE / count(*), 4) AS pieces_per_word
+       |FROM tokd t JOIN pc USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    sb.toString
+  }
 
   /** Probe terms for c3 — common corpus tokens plus one absent term
     * (whose estimate is pure collision mass). Lazy: referenced from
