@@ -994,8 +994,64 @@ object TextQueries {
         .encodeStats(Tables.load(s, dir, "documents"), "doc_id",
           col("text"), merges)
         .orderBy("doc_id")
+    },
+
+    // Trained quality classifier: full-batch-GD logistic regression
+    // (label: lang = 'en') over t2's bounded feature ratios. One
+    // corpus scan per iteration (partial aggregation, 4 doubles to
+    // the driver), weights re-enter as literals — the textbook
+    // distributed-GD shape. The oracle unrolls the same 5 steps with
+    // 8-decimal gradient rounding absorbing summation-order noise.
+    GraftQuery("t25_lr_quality", lrOracleSql(lrIters)) { (s, dir) =>
+      import graft.functions.QualityClassifier
+      val feat = QualityClassifier.features(
+        Tables.load(s, dir, "documents"), "doc_id", col("text"),
+        col("lang"), "en")
+      val m = QualityClassifier.train(feat, lrIters, lr = 1.0)
+      QualityClassifier.score(feat, m)
+        .select(col("doc_id"), col("label"), col("score"))
+        .orderBy("doc_id")
     }
   )
+
+  private final val lrIters = 5
+
+  /** DuckDB unroll of QualityClassifier.train + score: the feature
+    * CTE mirrors t2's rounded sub-ratios, then per iteration r one
+    * gradient aggregate (rounded to 8 decimals — the grid that
+    * absorbs double-summation order differences) and one weight
+    * update, every dot product written with the same left-to-right
+    * associativity as the Spark side.
+    */
+  private def lrOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    round(least(len(string_split(norm, ' ')) * 1.0 / 50.0, 1.0), 4) AS f1,
+       |    round(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+       |          / greatest(length(text), 1), 4) AS f2,
+       |    round(least(round(${stopCountSql("en")} * 1.0
+       |          / greatest(len(string_split(norm, ' ')), 1), 4) * 4.0, 1.0), 4) AS f3
+       |  FROM (SELECT doc_id, text, lang, $norm AS norm FROM documents) nn),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    for (r <- 1 to iters) sb ++= s""",
+       |g$r AS (SELECT round(avg(p - y), 8) AS gb,
+       |    round(avg((p - y) * f1), 8) AS gw1,
+       |    round(avg((p - y) * f2), 8) AS gw2,
+       |    round(avg((p - y) * f3), 8) AS gw3
+       |  FROM (SELECT y, f1, f2, f3, 1.0 / (1.0 + exp(-(w.b + w.w1 * f1
+       |      + w.w2 * f2 + w.w3 * f3))) AS p
+       |    FROM f, w${r - 1} w) s$r),
+       |w$r AS (SELECT w.b - 1.0 * g.gb AS b, w.w1 - 1.0 * g.gw1 AS w1,
+       |    w.w2 - 1.0 * g.gw2 AS w2, w.w3 - 1.0 * g.gw3 AS w3
+       |  FROM w${r - 1} w, g$r g)""".stripMargin
+    sb ++= s"""
+       |SELECT doc_id, y::INT AS label,
+       |  round(1.0 / (1.0 + exp(-(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 4)
+       |    AS score
+       |FROM f, w$iters w ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
 
   // final + literal: compile-time constants, safe to reference from
   // `all` above regardless of declaration order
