@@ -1168,6 +1168,57 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // MMR diversified re-rank: the distributed pass is the pool
+    // retrieval (v1's brute-force top-k); the greedy selection runs
+    // over the constant-size pool — selectK argmax jobs, each one
+    // cross join against <= selectK picked rows. The oracle unrolls
+    // the same greedy chain; cosines are the bit-exact fold, so every
+    // argmax resolves identically.
+    GraftQuery("v20_mmr_rerank", mmrOracleSql(poolK = 20, selectK = 5)) {
+      (s, dir) =>
+        val e = Tables.load(s, dir, "embeddings")
+        graft.similarity.MmrRerank.rerank(
+          e, e.filter(col("vec_id") === 0), "vec_id", "embedding",
+          poolK = 20, selectK = 5, lambda = 0.7, mu = 0.3)
+          .orderBy("rank")
     }
   )
+
+  /** DuckDB unroll of MmrRerank's greedy chain: candidate pool by
+    * relevance, then per step r the remaining-candidate scores
+    * `0.7 * rel - 0.3 * max(cos to picked)` and the (score DESC, id)
+    * argmax — same literals, same associativity, same tiebreaks as
+    * the Spark side.
+    */
+  private def mmrOracleSql(poolK: Int, selectK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT v.vec_id, v.embedding,
+       |    ${cosineSql("v.embedding", "q.embedding")} AS rel
+       |  FROM embeddings v, q WHERE v.vec_id <> 0
+       |  ORDER BY rel DESC, v.vec_id LIMIT $poolK),
+       |m1 AS (SELECT 1 AS rank, vec_id, embedding,
+       |    0.7 * rel - 0.3 * 0.0 AS score
+       |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, embedding FROM m1)""".stripMargin
+    for (r <- 2 to selectK) sb ++= s""",
+       |m$r AS (SELECT $r AS rank, c.vec_id, c.embedding,
+       |    0.7 * c.rel - 0.3 * max(${cosineSql("c.embedding", "s.embedding")})
+       |      AS score
+       |  FROM cand c CROSS JOIN sel${r - 1} s
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+       |  GROUP BY c.vec_id, c.embedding, c.rel
+       |  ORDER BY score DESC, c.vec_id LIMIT 1),
+       |sel$r AS (SELECT vec_id, embedding FROM sel${r - 1}
+       |  UNION ALL SELECT vec_id, embedding FROM m$r)""".stripMargin
+    sb ++= s"""
+       |SELECT rank, vec_id, round(score, 4) AS score FROM (
+       |  ${(1 to selectK).map(r => s"SELECT rank, vec_id, score FROM m$r")
+           .mkString("\n  UNION ALL ")}) mm
+       |ORDER BY rank""".stripMargin
+    sb.toString
+  }
 }
