@@ -1002,15 +1002,48 @@ object TextQueries {
     // the driver), weights re-enter as literals — the textbook
     // distributed-GD shape. The oracle unrolls the same 5 steps with
     // 8-decimal gradient rounding absorbing summation-order noise.
-    GraftQuery("t25_lr_quality", lrOracleSql(lrIters)) { (s, dir) =>
-      import graft.functions.QualityClassifier
-      val feat = QualityClassifier.features(
-        Tables.load(s, dir, "documents"), "doc_id", col("text"),
-        col("lang"), "en")
-      val m = QualityClassifier.train(feat, lrIters, lr = 1.0)
+    GraftQuery("t25_lr_quality",
+      lrOracleSql(lrIters) +
+        "\nSELECT doc_id, y::INT AS label, score FROM sc ORDER BY doc_id") {
+      (s, dir) =>
+      import graft.functions.{ClassifierFeatureStore, QualityClassifier}
+      // features served from the incremental store (stored ≡ inline
+      // bit-for-bit: per-doc fixed-point functions) — §9.14 measured
+      // the feature scan as 30x the cost of all five GD iterations
+      val feat = ClassifierFeatureStore.features(s, dir, "documents")
+      val m = ClassifierFeatureStore.trainedModel(s, dir, "documents",
+        lrIters, lr = 1.0)
       QualityClassifier.score(feat, m)
         .select(col("doc_id"), col("label"), col("score"))
         .orderBy("doc_id")
+    },
+
+    // Calibration table for the trained classifier: fixed-width
+    // 0.005-score bins with document counts, empirical label rate,
+    // and mean score — the reliability diagram an ML-ops pipeline
+    // publishes next to any learned filter. Fixed-width binning on
+    // purpose: it is ONE hash aggregate (quantile binning needs
+    // percentile boundaries whose interpolation arithmetic is not
+    // bit-portable across engines, and an ntile is a global window),
+    // and `floor(score * 200)` on bit-identical doubles can never
+    // disagree between engine and oracle.
+    GraftQuery(
+      "t26_score_calibration",
+      lrOracleSql(lrIters) + s"""
+         |SELECT floor(score * 200)::INT AS bin,
+         |  count(*) AS n_docs, round(avg(y), 4) AS label_rate,
+         |  round(avg(score), 4) AS mean_score
+         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      import graft.functions.{ClassifierFeatureStore, QualityClassifier}
+      val feat = ClassifierFeatureStore.features(s, dir, "documents")
+      val m = ClassifierFeatureStore.trainedModel(s, dir, "documents",
+        lrIters, lr = 1.0)
+      QualityClassifier.score(feat, m)
+        .groupBy(floor(col("score") * 200).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("label").cast("double")), 4).as("label_rate"),
+          round(avg(col("score")), 4).as("mean_score"))
+        .orderBy("bin")
     }
   )
 
@@ -1045,11 +1078,11 @@ object TextQueries {
        |w$r AS (SELECT w.b - 1.0 * g.gb AS b, w.w1 - 1.0 * g.gw1 AS w1,
        |    w.w2 - 1.0 * g.gw2 AS w2, w.w3 - 1.0 * g.gw3 AS w3
        |  FROM w${r - 1} w, g$r g)""".stripMargin
-    sb ++= s"""
-       |SELECT doc_id, y::INT AS label,
+    sb ++= s""",
+       |sc AS (SELECT doc_id, y,
        |  round(1.0 / (1.0 + exp(-(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3))), 4)
        |    AS score
-       |FROM f, w$iters w ORDER BY doc_id""".stripMargin
+       |FROM f, w$iters w)""".stripMargin
     sb.toString
   }
 

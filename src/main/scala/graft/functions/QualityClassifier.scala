@@ -65,7 +65,12 @@ object QualityClassifier {
     */
   def train(feat: DataFrame, iters: Int, lr: Double): LrModel = {
     var m = LrModel(0.0, 0.0, 0.0, 0.0)
-    val f = feat.cache()
+    // respect a caller-managed cache: never unpersist what we didn't
+    // persist (a probe caching `feat` for later scoring must not lose
+    // it to our cleanup)
+    val callerCached =
+      feat.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val f = if (callerCached) feat else feat.cache()
     try {
       (1 to iters).foreach { _ =>
         val p = sigmoid(z(m))
@@ -79,7 +84,7 @@ object QualityClassifier {
           m.w2 - lr * g.getDouble(2), m.w3 - lr * g.getDouble(3))
       }
       m
-    } finally { f.unpersist(); () }
+    } finally { if (!callerCached) f.unpersist(); () }
   }
 
   /** Score a feature table under a trained model: (.., label, score)
@@ -101,4 +106,52 @@ object QualityClassifier {
         (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))), 6))
       .head().getDouble(0)
   }
+}
+
+/** Persisted classifier features, incrementally maintained — §9.14
+  * measured the feature derivation (regex + stopword HOF scan) as
+  * 63.9 s of the 1 M-doc training cost vs 0.44 s per GD iteration:
+  * the same build-once / iterate-many split QualityStore closed for
+  * t2 scores. Features are pure per-document fixed-point functions,
+  * so the additive-piece contract holds and stored rows are
+  * bit-identical to an inline scan; a corpus file append derives
+  * features for only the new files (O(new)).
+  */
+object ClassifierFeatureStore {
+  import graft.sources.IncrementalDocArtifact
+  import graft.sources.IncrementalDocArtifact.Piece
+
+  private def handle(corpusPath: String) =
+    IncrementalDocArtifact(corpusPath, "lrfeat_en", Seq(
+      Piece("features", (docs, _) => QualityClassifier.features(
+        docs, "doc_id", col("text"), col("lang"), "en"))))
+
+  /** Stored (doc_id, y, f1, f2, f3) over `table` at `sfDir`; built on
+    * first use, advanced incrementally when the corpus grows.
+    */
+  def features(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      table: String): DataFrame =
+    handle(s"$sfDir/$table.parquet").serve(spark, "features")
+
+  /** Per-process memo of trained models, keyed by (corpus content
+    * fingerprint, iters, lr) — training is deterministic given the
+    * stored features, so a query fleet (t25 scores + t26 calibration)
+    * trains once per corpus version instead of once per query; a
+    * regrown corpus keys to a different entry.
+    */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, QualityClassifier.LrModel]()
+
+  def trainedModel(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      table: String, iters: Int, lr: Double): QualityClassifier.LrModel = {
+    val key = graft.sources.ArtifactStore.fingerprint(
+      s"$sfDir/$table.parquet") + s"_i${iters}_lr$lr"
+    modelMemo.computeIfAbsent(key, _ =>
+      QualityClassifier.train(features(spark, sfDir, table), iters, lr))
+  }
+
+  /** Offline compaction hook. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String): Unit =
+    handle(corpusPath).compact(spark)
 }

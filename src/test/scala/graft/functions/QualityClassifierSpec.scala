@@ -48,6 +48,31 @@ class QualityClassifierSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("stored features equal the inline scan and advance O(new) on append") {
+    import java.nio.file.Files
+    val sf = Files.createTempDirectory("lrfeat-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "the cat is on the mat for a while", "en"),
+      (2L, "el gato y los perros en un por", "es"))
+      .toDF("doc_id", "text", "lang").coalesce(1).write.parquet(corpus)
+    def inline() = features(spark.read.parquet(corpus), "doc_id",
+      col("text"), col("lang"), "en")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def stored() = ClassifierFeatureStore.features(spark, sf, "documents")
+      .select("doc_id", "y", "f1", "f2", "f3")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    stored() shouldBe inline()
+    Seq((3L, "the dog is in the park for the day", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    stored() shouldBe inline()
+    stored().keySet shouldBe Set(1L, 2L, 3L)
+  }
+
   test("each training iteration is one aggregate scan, no shuffle of the corpus") {
     val f = toyFeat
     // the gradient job's plan: partial + final HashAggregate over a

@@ -806,3 +806,44 @@ class StreamingMediaScreenSpec extends SparkSpec {
     rep shouldBe Map(10L -> "exact_dup", 11L -> "fresh", 12L -> "exact_dup")
   }
 }
+
+class StreamingQualityGateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.QualityClassifier
+
+  test("batches score under the frozen model; keep/drop splits on the threshold across batches") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sqgate")
+    // frozen hand-set model: bias -2, all weight on the stopword
+    // feature — keeps stopword-dense docs, drops gibberish
+    val m = QualityClassifier.LrModel(-2.0, 0.0, 0.0, 8.0)
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingQualityGate.start(
+      mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", m,
+      threshold = 0.5, "lang", "en", outDir,
+      base.resolve("ckpt").toString, Trigger.ProcessingTime("50 milliseconds"))
+
+    mem.addData(
+      (1L, "the cat is on the mat and it is the best of the lot", "en"),
+      (2L, "zzz qqq xxx vvv", "und"))
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "the dog is in the house for the day and it is fine", "en"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(outDir)
+      .select("doc_id", "label", "keep")
+      .as[(Long, Int, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    rep.keySet shouldBe Set(1L, 2L, 3L)
+    rep(1L) shouldBe ((1, true))   // stopword-dense english: kept
+    rep(2L) shouldBe ((0, false))  // gibberish: sigmoid(-2) < 0.5
+    rep(3L) shouldBe ((1, true))   // second batch, same frozen model
+    // scores are the deterministic 4-decimal sigmoid
+    val s1 = spark.read.parquet(outDir).filter(col("doc_id") === 1L)
+      .select("score").as[Double].head()
+    s1 shouldBe (1.0 / (1.0 + math.exp(-6.0)) +- 1e-4)
+  }
+}
