@@ -28,6 +28,9 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (args: Seq[Expression]) => NearestCentroid(args(0), args(1), args(2))),
+    (new FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVecProduct].getName, "graft_matvec"),
+      (args: Seq[Expression]) => MatVecProduct(args(0), args(1))),
     // Spark's own runtime-filter expressions, surfaced for BloomDedup:
     // internal-only in the builtin registry (InjectRuntimeFilter plants
     // them directly), but public classes — registering them here gives

@@ -178,3 +178,92 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** matvec(vec, flatMat) — all `rows = len(flatMat)/len(vec)` dot
+  * products of a row-major flattened matrix against one vector, in a
+  * single codegen'd nested primitive loop returning `array<double>`.
+  *
+  * Why an expression and not `array(dot, dot, ...)`: a random
+  * projection at rd planes × d dims inlined as rd separate literal
+  * arrays explodes generated code size (rd × d literal doubles per
+  * PROJECTION NODE; §9.15 measured an rd=64, d=512 projection falling
+  * off the codegen cliff ~50× slower), while one flattened literal is
+  * a single constant reference and one loop. Arithmetic is
+  * bit-identical to the per-plane sequential fold: row r accumulates
+  * flat[r·n + j] · vec[j] left-to-right.
+  *
+  * Null semantics: null inputs → null; empty vec or a flat length
+  * not divisible by len(vec) → null; any null element → null.
+  */
+case class MatVecProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val mat = b.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val m = mat.numElements()
+    if (n == 0 || m % n != 0) return null
+    val rows = m / n
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        if (vec.isNullAt(j) || mat.isNullAt(r * n + j)) return null
+        acc += elemAt(mat, r * n + j, rightIsFloat) * elemAt(vec, j, leftIsFloat)
+        j += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val rows = ctx.freshName("rows")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val done = ctx.freshName("done")
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $y.numElements();
+         |if ($n == 0 || $m % $n != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $rows = $m / $n;
+         |  double[] $out = new double[$rows];
+         |  boolean $done = false;
+         |  for (int $r = 0; $r < $rows && !$done; $r++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      if ($x.isNullAt($j) || $y.isNullAt($r * $n + $j)) {
+         |        ${ev.isNull} = true; $done = true; break;
+         |      }
+         |      $acc += ${elemCode(y, s"($r * $n + $j)", rightIsFloat)}
+         |        * ${elemCode(x, j, leftIsFloat)};
+         |    }
+         |    $out[$r] = $acc;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -43,6 +43,14 @@ object VectorOps {
   def dotNative(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** All rows of a row-major flattened constant matrix dotted against
+    * one vector column, as a single codegen'd nested loop — the
+    * projection hot path (see plans.MatVecProduct for why this beats
+    * an `array(dot, dot, ...)` of per-plane literals).
+    */
+  def matVecNative(vec: Column, flatMat: Seq[Double]): Column =
+    call_function("graft_matvec", vec, typedlit(flatMat))
+
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 }
