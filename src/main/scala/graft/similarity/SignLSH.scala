@@ -33,11 +33,18 @@ object SignLSH {
     Seq.fill(tables, bits)(Seq.fill(dim)(rnd.nextInt(2) * 2 - 1.0))
   }
 
-  /** Integer bucket id of an embedding under one table's planes. */
-  def bucketOf(emb: Column, tablePlanes: Seq[Seq[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (plane, b) =>
-      when(VectorOps.dotConst(plane, emb) >= 0, lit(1 << b)).otherwise(lit(0))
+  /** Integer bucket id of an embedding under one table's planes. All
+    * `bits` hyperplane dots come from ONE native mat-vec loop
+    * (`graft_matvec`, bit-identical folds — §9.15 measured the HOF
+    * per-plane form paying bits × d interpreted lambda frames per
+    * row); the sign/weight combine runs over the tiny rd-array.
+    */
+  def bucketOf(emb: Column, tablePlanes: Seq[Seq[Double]]): Column = {
+    val dots = VectorOps.matVecNative(emb, tablePlanes.flatten)
+    tablePlanes.indices.map { b =>
+      when(element_at(dots, b + 1) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** (id, table, bucket) index over all tables. */
   def index(df: DataFrame, idCol: String, embCol: String,
@@ -96,7 +103,8 @@ object SignLSH {
   def multiprobeBuckets(emb: Column, tablePlanes: Seq[Seq[Double]],
       nprobe: Int, maxFlips: Int = 1): Column = {
     require(maxFlips == 1 || maxFlips == 2, "maxFlips must be 1 or 2")
-    val dots = tablePlanes.map(p => VectorOps.dotConst(p, emb))
+    val dotsArr = VectorOps.matVecNative(emb, tablePlanes.flatten)
+    val dots = tablePlanes.indices.map(b => element_at(dotsArr, b + 1))
     val bucket = dots.zipWithIndex.map { case (d, b) =>
       when(d >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -48,8 +48,14 @@ object VectorOps {
     * projection hot path (see plans.MatVecProduct for why this beats
     * an `array(dot, dot, ...)` of per-plane literals).
     */
-  def matVecNative(vec: Column, flatMat: Seq[Double]): Column =
-    call_function("graft_matvec", vec, typedlit(flatMat))
+  def matVecNative(vec: Column, flatMat: Seq[Double]): Column = {
+    import org.apache.spark.sql.graft.GraftBridge
+    // built directly (not via call_function) so Column builders like
+    // SignLSH.bucketOf work on sessions that never registered graft's
+    // functions; graft_matvec is ALSO registered for SQL use
+    GraftBridge.column(graft.plans.MatVecProduct(
+      GraftBridge.expression(vec), GraftBridge.expression(typedlit(flatMat))))
+  }
 
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)

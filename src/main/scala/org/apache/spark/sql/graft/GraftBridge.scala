@@ -11,4 +11,21 @@ import org.apache.spark.sql.{classic, DataFrame, SparkSession}
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column from a catalyst Expression (`private[sql]`
+    * ExpressionUtils) — lets hot-path Column builders use graft's
+    * native expressions WITHOUT the session-level function
+    * registration `call_function` needs (a Column builder has no
+    * session to register on).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The reverse direction, for feeding Column children into directly
+    * constructed expressions.
+    */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
