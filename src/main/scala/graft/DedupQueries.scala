@@ -641,6 +641,34 @@ object DedupQueries {
       graft.dedup.SpanDedup.cutText(
           Tables.load(s, dir, "documents"), "doc_id", col("text"), n = 8)
         .orderBy("doc_id")
+    },
+
+    // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin
+    // family): every word-Jaccard >= 0.9 pair, guaranteed — the exact
+    // rung above d3/d4's probabilistic LSH. The ORACLE is deliberately
+    // the naive all-pairs form: if the prefix filter ever lost a true
+    // pair, this hash compare would catch it. Thresholds compare in
+    // exact integer arithmetic (inter*10 >= 9*union) in both engines,
+    // so no floating-point boundary pair can flip.
+    GraftQuery(
+      "d23_prefix_join",
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0 /
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 4)
+         |    AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10 >=
+         |  (len(a.toks) + len(b.toks)
+         |    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.dedup.PrefixJoin.similarPairs(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"),
+          tauNum = 9, tauDen = 10)
+        .orderBy("id_a", "id_b")
     }
   )
 }

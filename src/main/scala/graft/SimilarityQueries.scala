@@ -1227,6 +1227,52 @@ object SimilarityQueries {
           e, e.filter(col("vec_id") === 0), "vec_id", "embedding",
           poolK = 20, selectK = 5, lambda = 0.7, mu = 0.3)
           .orderBy("rank")
+    },
+
+    // Text-native retrieval over the t27 hashed TF-IDF features:
+    // cosine top-k served by a postings (bucket) join — the sparse
+    // inverted-index plan, corpus never shuffled (query side
+    // broadcast). Query fleet = every doc_id % 25 == 0.
+    GraftQuery(
+      "v22_tfidf_knn",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+         |    round(sum((CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT < 8
+         |               THEN 1.0 ELSE -1.0 END)
+         |          * tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 4) AS w
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM f GROUP BY doc_id),
+         |qf AS (SELECT doc_id AS query_id, bucket, w AS qw FROM f
+         |       WHERE doc_id % 25 = 0),
+         |qn AS (SELECT doc_id AS query_id, nrm AS qnrm FROM nrm
+         |       WHERE doc_id % 25 = 0),
+         |dots AS (SELECT query_id, doc_id, sum(w * qw) AS dot
+         |  FROM f JOIN qf USING (bucket)
+         |  WHERE query_id <> doc_id GROUP BY 1, 2),
+         |sc AS (SELECT query_id, doc_id,
+         |    round(dot / (nrm * qnrm), 4) AS cosine
+         |  FROM dots JOIN nrm USING (doc_id) JOIN qn USING (query_id))
+         |SELECT query_id, doc_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, doc_id) AS rank
+         |FROM sc QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import graft.functions.HashedTfIdf
+      val d = Tables.load(s, dir, "documents")
+      val f = HashedTfIdf.sparseFeatures(d, "doc_id", col("text"), dim = 1024)
+      val qf = f.where(col("doc_id") % 25 === 0)
+        .withColumnRenamed("doc_id", "query_id")
+      HashedTfIdf.topKCosine(f, qf, k = 5)
+        .select("query_id", "doc_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
     }
   )
 

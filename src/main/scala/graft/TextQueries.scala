@@ -1044,6 +1044,31 @@ object TextQueries {
           round(avg(col("label").cast("double")), 4).as("label_rate"),
           round(avg(col("score")), 4).as("mean_score"))
         .orderBy("bin")
+    },
+
+    // Feature-hashed TF-IDF sparse embeddings (the hashing trick) —
+    // raw text to a retrieval-ready signed-hash vector with no
+    // vocabulary dictionary; sparse (doc_id, bucket, w) rows ARE the
+    // inverted index v22 retrieves over. md5-derived bucket + sign
+    // make the construction bit-reproducible in both engines.
+    GraftQuery(
+      "t27_hashed_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT count(*) * 1.0 AS n_docs FROM documents)
+         |SELECT doc_id,
+         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+         |  round(sum((CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT < 8
+         |             THEN 1.0 ELSE -1.0 END)
+         |        * tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 4) AS w
+         |FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
+      graft.functions.HashedTfIdf.sparseFeatures(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"), dim = 1024)
+        .orderBy("doc_id", "bucket")
     }
   )
 

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HashedTfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple banana apple"), // dup of 1 → identical features
+    (4L, "unique words only here")).toDF("doc_id", "text")
+
+  test("identical texts get identical sparse features") {
+    val f = HashedTfIdf.sparseFeatures(docs, "doc_id", col("text"), dim = 64)
+    val f1 = f.where(col("doc_id") === 1).select("bucket", "w")
+    val f3 = f.where(col("doc_id") === 3).select("bucket", "w")
+    assertSameRows(f1, f3)
+  }
+
+  test("tf and idf both shape the weight") {
+    val f = HashedTfIdf.sparseFeatures(docs, "doc_id", col("text"), dim = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 'apple' appears 2x in doc 1 → |w| for apple's bucket is twice a
+    // single occurrence of a token with the same df (df=2: banana)
+    val n = 4.0
+    def idf(df: Int) = math.log((n + 1) / (df + 1)) + 1
+    val apples = f.filter { case (id, _, w) =>
+      id == 1 && math.abs(math.abs(w) - 2 * idf(2)) < 1e-3 }
+    apples.length shouldBe 1
+    // rarer tokens weigh more: df=1 idf > df=3 idf
+    assert(idf(1) > idf(3))
+  }
+
+  test("retrieval ranks the duplicate first, excludes self, k bounds rows") {
+    val f = HashedTfIdf.sparseFeatures(docs, "doc_id", col("text"), dim = 64)
+    val qf = f.where(col("doc_id") === 1).withColumnRenamed("doc_id", "query_id")
+    val top = HashedTfIdf.topKCosine(f, qf, k = 2)
+      .orderBy("rank").collect()
+    assert(top.length <= 2)
+    top.head.getAs[Long]("doc_id") shouldBe 3L // the exact duplicate
+    top.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+    assert(!top.map(_.getAs[Long]("doc_id")).contains(1L)) // no self
+  }
+
+  test("minIdf drops ubiquitous tokens from the postings") {
+    val every = Seq(
+      (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"))
+      .toDF("doc_id", "text")
+    // 'common' has df=3=N → idf = ln(4/4)+1 = 1; rare tokens idf = ln(2)+1
+    val f = HashedTfIdf.sparseFeatures(every, "doc_id", col("text"),
+      dim = 4096, minIdf = 1.5)
+    f.count() shouldBe 3 // one rare token per doc survives
+  }
+}
