@@ -1232,7 +1232,10 @@ object SimilarityQueries {
     // Text-native retrieval over the t27 hashed TF-IDF features:
     // cosine top-k served by a postings (bucket) join — the sparse
     // inverted-index plan, corpus never shuffled (query side
-    // broadcast). Query fleet = every doc_id % 25 == 0.
+    // broadcast). Query fleet = every doc_id % 50 == 0 (100 queries
+    // at sf0.1). The feature table is localCheckpoint-pinned: four
+    // consumers (corpus side, query side, both norm aggregates)
+    // would otherwise each re-derive the tf/df chain.
     GraftQuery(
       "v22_tfidf_knn",
       s"""WITH toks AS (
@@ -1251,9 +1254,9 @@ object SimilarityQueries {
          |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd GROUP BY 1, 2),
          |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM f GROUP BY doc_id),
          |qf AS (SELECT doc_id AS query_id, bucket, w AS qw FROM f
-         |       WHERE doc_id % 25 = 0),
+         |       WHERE doc_id % 50 = 0),
          |qn AS (SELECT doc_id AS query_id, nrm AS qnrm FROM nrm
-         |       WHERE doc_id % 25 = 0),
+         |       WHERE doc_id % 50 = 0),
          |dots AS (SELECT query_id, doc_id, sum(w * qw) AS dot
          |  FROM f JOIN qf USING (bucket)
          |  WHERE query_id <> doc_id GROUP BY 1, 2),
@@ -1268,7 +1271,8 @@ object SimilarityQueries {
       import graft.functions.HashedTfIdf
       val d = Tables.load(s, dir, "documents")
       val f = HashedTfIdf.sparseFeatures(d, "doc_id", col("text"), dim = 1024)
-      val qf = f.where(col("doc_id") % 25 === 0)
+        .localCheckpoint()
+      val qf = f.where(col("doc_id") % 50 === 0)
         .withColumnRenamed("doc_id", "query_id")
       HashedTfIdf.topKCosine(f, qf, k = 5)
         .select("query_id", "doc_id", "cosine", "rank")

@@ -289,4 +289,23 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q38_sliding_hll")
     p should include("partial_max") // per-register fold combines map-side
   }
+
+  test("prefix join: equi-joins only, pinned inputs — no cartesian, no nested loop") {
+    val p = plan("d23_prefix_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // contraction + prefix tables are localCheckpoint-pinned, so the
+    // expansion/verify joins read materialized RDDs, not re-derived
+    // lineage (the df/tf chains would otherwise run once per consumer)
+    p should include("ExistingRDD")
+  }
+
+  test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
+    val p = plan("v22_tfidf_knn")
+    // both query-side joins (features on bucket, norms on query_id)
+    // broadcast — the corpus features are never shuffled for the join
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+    p should include("partial_sum") // per-(query,doc) dot partials
+    p should include("WindowGroupLimit") // top-k is a bounded heap
+  }
 }
