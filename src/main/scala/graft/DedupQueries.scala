@@ -669,6 +669,34 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), "doc_id", col("text"),
           tauNum = 9, tauDen = 10)
         .orderBy("id_a", "id_b")
+    },
+
+    // EXACT ingest screening against the STORED prefix index: every
+    // corpus doc with word-Jaccard >= 0.9 of a batch doc, guaranteed
+    // (PrefixStore freezes the token order at build — any FIXED total
+    // order preserves the prefix theorem, so staleness costs only
+    // efficiency, never a pair). Oracle is the naive batch x corpus
+    // join: a lost pair hash-mismatches.
+    GraftQuery(
+      "d24_prefix_screen",
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents)
+         |SELECT b.doc_id AS new_id, a.doc_id AS dup_id,
+         |  round(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0 /
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 4)
+         |    AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < 250 AND b.doc_id >= 250
+         |WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10 >=
+         |  (len(a.toks) + len(b.toks)
+         |    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9
+         |ORDER BY new_id, dup_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.dedup.PrefixStore.screen(s, dir, "documents",
+          batch = d.filter(col("doc_id") >= 250), "doc_id",
+          tauNum = 9, tauDen = 10, corpusFilter = col("doc_id") < 250)
+        .orderBy("new_id", "dup_id")
     }
   )
 }

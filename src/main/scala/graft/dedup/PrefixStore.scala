@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.IncrementalDocArtifact
+import graft.sources.IncrementalDocArtifact.Piece
+
+/** Persisted prefix index for EXACT-Jaccard batch ingest screening —
+  * the guaranteed-no-false-negative counterpart of [[BandStore]]
+  * (probabilistic near) and [[DigestStore]] (exact full-text): an
+  * incoming batch is screened against the stored corpus and every
+  * corpus document with word-set Jaccard >= tau is reported, exactly.
+  *
+  * The subtlety an incremental prefix index must solve: the prefix
+  * theorem needs ONE total token order shared by index and probe,
+  * but the rarest-first order drifts as the corpus grows. The store's
+  * answer is the engine's pinned-piece contract: the (token, df)
+  * table is FROZEN at full build ("order", pinned) and both the
+  * stored prefix entries and every probe derive their sort keys from
+  * it — tokens unseen at build time get df 0 (sort first, maximally
+  * conservative prefixes). Any FIXED total order preserves the
+  * theorem, so exactness never depends on freshness; staleness costs
+  * only candidate-volume efficiency, and a rebuild (any non-append
+  * corpus change, or offline compaction cadence) re-freezes the
+  * order at current frequencies.
+  *
+  * Pieces: `order` (pinned), `sets` (additive — interned 64-bit
+  * token hashes + set size per doc, the verify side), `prefix`
+  * (additive — (doc_id, sz, pos, k) entries derived from the pinned
+  * order, clustered by key so the probe join reads presorted runs).
+  * A corpus file append advances `sets`/`prefix` over only the new
+  * files: O(new) per increment.
+  */
+object PrefixStore {
+
+  private def toks(text: Column): Column =
+    array_distinct(split(TextFunctions.normalize(text), " "))
+
+  /** Sort key under a frozen (df asc, token asc) order; unseen
+    * tokens coalesce to df 0.
+    */
+  private[dedup] def prefixEntries(docs: DataFrame, idCol: String,
+      text: Column, order: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val id = col(idCol)
+    val exploded = docs.select(id, toks(text).as("toks"))
+      .select(id, explode(col("toks")).as("tok"))
+    val keyed = exploded.join(order, Seq("tok"), "left")
+      .select(id, concat(lpad(coalesce(col("df"), lit(0L)).cast("string"),
+        10, "0"), lit("|"), col("tok")).as("k"))
+    val ordered = keyed.groupBy(idCol)
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(id, col("ks"), size(col("ks")).as("sz"))
+    val prefLen = (col("sz") - floor((col("sz") * tauNum + (tauDen - 1))
+      / tauDen) + 1).cast("int")
+    ordered
+      .select(id, col("sz"),
+        posexplode(slice(col("ks"), lit(1), prefLen)).as(Seq("p0", "k")))
+      .select(id, col("sz"), (col("p0") + 1).as("pos"), col("k"))
+  }
+
+  private def interned(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), transform(toks(col("text")),
+        t => xxhash64(t)).as("ht"))
+      .select(col("doc_id"), col("ht"), size(col("ht")).as("n"))
+
+  private def byKey(df: DataFrame): DataFrame =
+    df.repartition(col("k")).sortWithinPartitions("k")
+
+  private def handle(corpusPath: String, tauNum: Int, tauDen: Int) =
+    IncrementalDocArtifact(corpusPath, s"prefix${tauNum}_$tauDen", Seq(
+      Piece("order",
+        (docs, _) => docs.select(explode(toks(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df")),
+        pinned = true),
+      Piece("sets", (docs, _) => interned(docs)),
+      Piece("prefix",
+        (docs, ctx) => byKey(prefixEntries(docs, "doc_id", col("text"),
+          ctx.stored("order"), tauNum, tauDen)),
+        fold = Some(byKey))))
+
+  /** All (new_id, dup_id, jaccard) pairs between `batch` docs and
+    * stored corpus docs with word-set Jaccard >= tauNum/tauDen —
+    * exact, no false negatives. The batch derives its prefixes under
+    * the STORED frozen order; candidates are a batch-prefix ⋈
+    * stored-prefix equi-join (+ length and positional filters in
+    * exact integers); verify intersects the stored interned sets.
+    * `corpusFilter` restricts the stored side (test harness hook).
+    */
+  def screen(spark: SparkSession, sfDir: String, table: String,
+      batch: DataFrame, idCol: String, tauNum: Int, tauDen: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    val h = handle(s"$sfDir/$table.parquet", tauNum, tauDen)
+    val order = h.serve(spark, "order")
+    val storedPref = h.serve(spark, "prefix").filter(corpusFilter)
+      .select(col("doc_id").as("dup_id"), col("sz").as("sz_d"),
+        col("pos").as("pos_d"), col("k"))
+    val storedSets = h.serve(spark, "sets").filter(corpusFilter)
+      .select(col("doc_id").as("dup_id"), col("ht").as("hd"), col("n").as("nd"))
+    val bp = prefixEntries(batch, idCol, col("text"), order, tauNum, tauDen)
+      .select(col(idCol).as("new_id"), col("sz").as("sz_n"),
+        col("pos").as("pos_n"), col("k"))
+    val cand = bp.join(storedPref, "k")
+      .where(least(col("sz_n"), col("sz_d")) * tauDen >=
+        greatest(col("sz_n"), col("sz_d")) * tauNum)
+      .where((lit(1) + least(col("sz_n") - col("pos_n"),
+        col("sz_d") - col("pos_d"))) * (tauNum + tauDen) >=
+        (col("sz_n") + col("sz_d")) * tauNum)
+      .select(col("new_id"), col("dup_id")).distinct()
+    val batchSets = batch.select(col(idCol).as("new_id"),
+      transform(toks(col("text")), t => xxhash64(t)).as("hn"))
+      .select(col("new_id"), col("hn"), size(col("hn")).as("nn"))
+    val inter = size(array_intersect(col("hn"), col("hd")))
+    val union = col("nn") + col("nd") - inter
+    cand
+      .join(batchSets, "new_id")
+      .join(storedSets, "dup_id")
+      .where(inter * tauDen >= union * tauNum)
+      .select(col("new_id"), col("dup_id"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+  }
+
+  /** Offline compaction hook (also re-freezes nothing — the order is
+    * pinned until the next full rebuild).
+    */
+  def compact(spark: SparkSession, corpusPath: String,
+      tauNum: Int, tauDen: Int): Unit =
+    handle(corpusPath, tauNum, tauDen).compact(spark)
+}

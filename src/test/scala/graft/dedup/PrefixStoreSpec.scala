@@ -1,0 +1,107 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The stored prefix index screens batches EXACTLY (every J >= tau
+  * corpus partner found, none invented), advances O(new) on corpus
+  * appends, and — the index's defining subtlety — stays exact under
+  * the FROZEN token order even when post-append frequencies would
+  * sort tokens differently and the batch carries tokens the frozen
+  * order has never seen.
+  */
+class PrefixStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, tauNum: Int, tauDen: Int) = {
+    val sz = org.apache.spark.sql.functions.size _
+    def sets(df: org.apache.spark.sql.DataFrame, idAs: String, tAs: String) =
+      df.select(col("doc_id").as(idAs), array_distinct(split(
+        graft.functions.TextFunctions.normalize(col("text")), " ")).as(tAs))
+    val inter = sz(array_intersect(col("ta"), col("tb")))
+    val union = sz(col("ta")) + sz(col("tb")) - inter
+    sets(corpus, "dup_id", "ta").crossJoin(sets(batch, "new_id", "tb"))
+      .where(inter * tauDen >= union * tauNum)
+      .select(col("new_id"), col("dup_id"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+  }
+
+  test("screen finds exactly the brute-force partners; unseen tokens handled") {
+    val sf = Files.createTempDirectory("pstore").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "completely different content here now"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    // batch doc 10 is a near-dup of 1 (one token changed); doc 11
+    // carries only NEVER-SEEN tokens (frozen order assigns df 0)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon theta"),
+      (11L, "totally novel vocabulary outside corpus")).toDF("doc_id", "text")
+    val got = PrefixStore.screen(spark, sf, "documents", batch, "doc_id", 7, 10)
+    assertSameRows(got, brute(spark.read.parquet(corpus), batch, 7, 10))
+    got.select("new_id").as[Long].collect().toSet shouldBe Set(10L)
+  }
+
+  test("append advances O(new) under the frozen order; exactness survives drift") {
+    val sf = Files.createTempDirectory("pstore-inc").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq(
+      (1L, "red green blue yellow purple orange"),
+      (2L, "red green blue yellow purple pink"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    PrefixStore.screen(spark, sf, "documents",
+      Seq((90L, "x y z")).toDF("doc_id", "text"), "doc_id", 9, 10).count()
+
+    // record base snapshot files, then append docs whose tokens would
+    // REORDER the df table if it were rebuilt (many repeats of 'red')
+    val root = java.nio.file.Paths.get(
+      graft.sources.ArtifactStore.root,
+      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix9_10")
+    def baseFiles = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.contains("/base/") &&
+          p.toString.endsWith(".parquet"))
+        .toArray.toSeq.map(_.toString).sorted
+      finally s.close()
+    }
+    val before = baseFiles
+    Seq(
+      (3L, "red red1 red2 red3 red4 red5"),
+      (4L, "red red1 red2 red3 red4 red6"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+
+    val batch = Seq(
+      (10L, "red green blue yellow purple maroon"), // near-dup of 1 and 2
+      (11L, "red red1 red2 red3 red4 red7")) // near-dup of 3 and 4 (appended)
+      .toDF("doc_id", "text")
+    val got = PrefixStore.screen(spark, sf, "documents", batch, "doc_id", 7, 10)
+    assertSameRows(got, brute(spark.read.parquet(corpus), batch, 7, 10))
+    got.select("new_id", "dup_id").as[(Long, Long)].collect().toSet shouldBe
+      Set((10L, 1L), (10L, 2L), (11L, 3L), (11L, 4L))
+    // the advance appended deltas; base files of the additive pieces
+    // are untouched (O(new) contract)
+    baseFiles shouldBe before
+  }
+
+  test("non-append corpus change triggers a full rebuild (fresh frozen order)") {
+    val sf = Files.createTempDirectory("pstore-rb").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    PrefixStore.screen(spark, sf, "documents",
+      Seq((90L, "x y z")).toDF("doc_id", "text"), "doc_id", 9, 10).count()
+    // overwrite = regrow in place
+    Seq((5L, "six seven eight nine ten eleven"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(corpus)
+    val batch = Seq((10L, "six seven eight nine ten twelve")).toDF("doc_id", "text")
+    val got = PrefixStore.screen(spark, sf, "documents", batch, "doc_id", 7, 10)
+    got.select("new_id", "dup_id").as[(Long, Long)].collect().toSet shouldBe
+      Set((10L, 5L))
+  }
+}
