@@ -1369,6 +1369,37 @@ object RelationalQueries {
         .select(col("wd"), col("n_exact"),
           round(col("hll_estimate"), 2).as("hll_estimate"))
         .orderBy("wd")
+    },
+
+    // Bucketed co-located join: both tables written bucketBy(16, key)
+    // into the catalog, so the fact-fact join's required distribution
+    // is satisfied AT THE SCAN — no Exchange on either side (the spec
+    // pins the exchange-free plan with broadcast disabled). The write
+    // is the point: a one-time layout decision replaces re-shuffling
+    // both inputs on every query of a repeated join key.
+    GraftQuery(
+      "q39_bucketed_join",
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"),
+            col("l_extendedprice"), col("l_discount")),
+        "graft_bkt_lineitem", "okey", buckets = 16)
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+        "graft_bkt_orders", "okey", buckets = 16)
+      Bucketing.colocatedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders", "okey")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
     }
   )
 }
