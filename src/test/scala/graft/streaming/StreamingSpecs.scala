@@ -847,3 +847,41 @@ class StreamingQualityGateSpec extends SparkSpec {
     s1 shouldBe (1.0 / (1.0 + math.exp(-6.0)) +- 1e-4)
   }
 }
+
+class StreamingPrefixScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches screen EXACTLY against the stored prefix index across batches") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("spscreen")
+    val sf = base.resolve("corpus").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$sf/documents.parquet")
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPrefixScreen.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id",
+      sf, "documents", tauNum = 7, tauDen = 10,
+      outDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    // batch 0: one near-dup of corpus doc 1, one novel-vocab doc
+    mem.addData((10L, "alpha beta gamma delta epsilon theta"),
+      (11L, "totally novel vocabulary outside everything"))
+    q.processAllAvailable()
+    // batch 1: a near-dup of corpus doc 2
+    mem.addData((12L, "one two three four five seven"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(outDir)
+      .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+    rep shouldBe Set((10L, 1L), (12L, 2L))
+    // per-batch partitions are immutable units
+    spark.read.parquet(outDir).select("_batch").distinct()
+      .as[Int].collect().toSet shouldBe Set(0, 1)
+  }
+}
