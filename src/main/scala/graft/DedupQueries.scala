@@ -697,6 +697,40 @@ object DedupQueries {
           batch = d.filter(col("doc_id") >= 250), "doc_id",
           tauNum = 9, tauDen = 10, corpusFilter = col("doc_id") < 250)
         .orderBy("new_id", "dup_id")
+    },
+
+    // EXACT near-dup clusters: connected components over the d23
+    // similarity graph — the deterministic keep-group resolution the
+    // probabilistic d9/d13 clusters approximate. The CC iteration
+    // runs on the CONTRACTED rep graph (28,865 edges stand in for
+    // 964,854 at sf0.1); members inherit the rep label, which is the
+    // cluster min because reps are group minima. Oracle: recursive
+    // label propagation over the naive exact-pair edge list.
+    GraftQuery(
+      "d25_exact_clusters",
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10 >=
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |cc AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, cc.lbl
+         |  FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.dedup.PrefixJoin.clusters(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"),
+          tauNum = 9, tauDen = 10)
+        .orderBy("doc_id")
     }
   )
 }

@@ -58,12 +58,12 @@ import graft.functions.TextFunctions
   */
 object PrefixJoin {
 
-  /** All pairs (id_a < id_b) with word-set Jaccard >= tauNum/tauDen,
-    * plus the exact similarity rounded to 4 decimals. Exact: no
-    * false negatives, verified against a brute-force oracle.
+  /** (members, reps, verified rep pairs) — the contracted core both
+    * public forms expand from.
     */
-  def similarPairs(docs: DataFrame, idCol: String, text: Column,
-      tauNum: Int, tauDen: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+  private def core(docs: DataFrame, idCol: String, text: Column,
+      tauNum: Int, tauDen: Int, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     val id = col(idCol)
     val sets = docs.select(id,
@@ -147,8 +147,19 @@ object PrefixJoin {
       .join(repsH.select(col("rid").as("rid_b"), col("fp").as("fp_b"),
         col("ht").as("hb"), col("n").as("nb")), "rid_b")
       .where(inter * tauDen >= union * tauNum)
-      .select(col("fp_a"), col("fp_b"),
+      .select(col("rid_a"), col("rid_b"), col("fp_a"), col("fp_b"),
         round(inter.cast("double") / union, 4).as("jaccard"))
+    (members, reps, repPairs)
+  }
+
+  /** All pairs (id_a < id_b) with word-set Jaccard >= tauNum/tauDen,
+    * plus the exact similarity rounded to 4 decimals. Exact: no
+    * false negatives, verified against a brute-force oracle.
+    */
+  def similarPairs(docs: DataFrame, idCol: String, text: Column,
+      tauNum: Int, tauDen: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (members, _, repPairs) =
+      core(docs, idCol, text, tauNum, tauDen, maxBucket)
     // --- expansion: cross-group pairs carry the rep similarity...
     val cross = repPairs
       .join(members.select(col("fp").as("fp_a"), col("mid").as("ma")), "fp_a")
@@ -160,5 +171,27 @@ object PrefixJoin {
       .select(col("a").as("id_a"), col("b").as("id_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** EXACT near-dup clusters: connected components over the
+    * tau-similarity graph, every document labelled with the smallest
+    * doc id reachable through any chain of J >= tau pairs. The CC
+    * iteration runs on the CONTRACTED rep graph (|distinct sets|
+    * nodes, verified rep pairs as edges — on the duplicate-heavy
+    * sf0.1 corpus that is 28,865 edges standing in for 964,854);
+    * members inherit their group rep's label, which IS the cluster
+    * min because each rep is already its group's min id.
+    */
+  def clusters(docs: DataFrame, idCol: String, text: Column,
+      tauNum: Int, tauDen: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (members, reps, repPairs) =
+      core(docs, idCol, text, tauNum, tauDen, maxBucket)
+    val labels = DupClusters.components(
+      reps.select(col("rid")), "rid",
+      repPairs.select(col("rid_a"), col("rid_b")), "rid_a", "rid_b")
+    members
+      .join(reps.select(col("fp"), col("rid")), "fp")
+      .join(labels, "rid")
+      .select(col("mid").as(idCol), col("cluster_id"))
   }
 }

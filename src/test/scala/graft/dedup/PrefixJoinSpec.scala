@@ -54,6 +54,25 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("clusters: transitive closure of the exact pair graph, min-id labels") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // ~1
+      (3L, "a b c d e f g h k l"), // ~2, not ~1 (chain joins all three)
+      (4L, "totally different things here now then"),
+      (5L, "a b c d e f g h i j"), // exact dup of 1
+      (6L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val got = PrefixJoin.clusters(docs, "doc_id", col("text"), 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got(1L) shouldBe 1L
+    got(2L) shouldBe 1L
+    got(3L) shouldBe 1L // reached through 2 even though J(1,3) < 0.7
+    got(5L) shouldBe 1L
+    got(4L) shouldBe 4L
+    got(6L) shouldBe 6L
+    got.size shouldBe 6
+  }
+
   test("integer threshold arithmetic: boundary pair neither lost nor invented") {
     // |a|=9, |b|=10, inter=9 => J = 9/10 exactly: must be IN at tau=9/10
     val docs = Seq(
