@@ -731,6 +731,30 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), "doc_id", col("text"),
           tauNum = 9, tauDen = 10)
         .orderBy("doc_id")
+    },
+
+    // CONTAINMENT screen: |batch ∩ stored| / |batch| >= 0.9 — the
+    // asymmetric dedup dimension (a new doc mostly contained in a
+    // stored one) that symmetric Jaccard misses when the stored doc
+    // is much larger. Exact via probe-side frozen-order prefixes
+    // against stored full postings; naive oracle again.
+    GraftQuery(
+      "d26_containment_screen",
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents)
+         |SELECT b.doc_id AS new_id, a.doc_id AS dup_id,
+         |  round(len(list_filter(b.toks, x -> list_contains(a.toks, x))) * 1.0
+         |    / len(b.toks), 4) AS containment
+         |FROM docs a JOIN docs b ON a.doc_id < 250 AND b.doc_id >= 250
+         |WHERE len(list_filter(b.toks, x -> list_contains(a.toks, x))) * 10 >=
+         |  len(b.toks) * 9
+         |ORDER BY new_id, dup_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.dedup.PrefixStore.screenContainment(s, dir, "documents",
+          batch = d.filter(col("doc_id") >= 250), "doc_id",
+          tauNum = 9, tauDen = 10, corpusFilter = col("doc_id") < 250)
+        .orderBy("new_id", "dup_id")
     }
   )
 }

@@ -127,4 +127,69 @@ object PrefixStore {
   def compact(spark: SparkSession, corpusPath: String,
       tauNum: Int, tauDen: Int): Unit =
     handle(corpusPath, tauNum, tauDen).compact(spark)
+
+  // ---------------------------------------------------------------
+  // Containment screening: |batch ∩ stored| / |batch| >= tau — the
+  // asymmetric form that catches a new document mostly CONTAINED in
+  // a stored one (boilerplate-wrapped copies, quote-heavy rewrites)
+  // which symmetric Jaccard misses when the stored doc is much
+  // larger. The prefix theorem needs no order on the INDEX side
+  // here: if |a∩b| >= ceil(tau·|a|), then a's prefix (|a| −
+  // ceil(tau·|a|) + 1 rarest tokens) cannot avoid b — tokens of a
+  // outside b number at most |a| − ceil(tau·|a|). So the store keeps
+  // a FULL postings piece (the honest index cost of containment) and
+  // only the probe derives frozen-order prefixes.
+  // ---------------------------------------------------------------
+
+  private def containHandle(corpusPath: String, tauNum: Int, tauDen: Int) =
+    IncrementalDocArtifact(corpusPath, s"contain${tauNum}_$tauDen", Seq(
+      Piece("order",
+        (docs, _) => docs.select(explode(toks(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df")),
+        pinned = true),
+      Piece("sets", (docs, _) => interned(docs)),
+      Piece("postings",
+        (docs, _) => docs.select(col("doc_id"), toks(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("sz"),
+            explode(col("toks")).as("tok"))
+          .repartition(col("tok")).sortWithinPartitions("tok"),
+        fold = Some(df => df.repartition(col("tok"))
+          .sortWithinPartitions("tok")))))
+
+  /** All (new_id, dup_id, containment) with
+    * |batch-set ∩ stored-set| / |batch-set| >= tauNum/tauDen — exact,
+    * no false negatives. Candidates: the probe's frozen-order prefix
+    * tokens against the stored FULL postings (|b| >= ceil(tau·|a|)
+    * length filter in exact integers); verify on interned sets.
+    */
+  def screenContainment(spark: SparkSession, sfDir: String, table: String,
+      batch: DataFrame, idCol: String, tauNum: Int, tauDen: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    val h = containHandle(s"$sfDir/$table.parquet", tauNum, tauDen)
+    val order = h.serve(spark, "order")
+    val postings = h.serve(spark, "postings").filter(corpusFilter)
+      .select(col("doc_id").as("dup_id"), col("sz").as("sz_d"), col("tok"))
+    val storedSets = h.serve(spark, "sets").filter(corpusFilter)
+      .select(col("doc_id").as("dup_id"), col("ht").as("hd"))
+    // probe prefixes under the frozen order; raw token rides along as
+    // the postings join key
+    // k = lpad(df,10)|token → the raw token starts at char 12 (tokens
+    // may themselves contain '|', so no delimiter split)
+    val bp = prefixEntries(batch, idCol, col("text"), order, tauNum, tauDen)
+      .select(col(idCol).as("new_id"), col("sz").as("sz_n"),
+        col("k").substr(lit(12), length(col("k"))).as("tok"))
+    val cand = bp.join(postings, "tok")
+      .where(col("sz_d") * tauDen >= col("sz_n") * tauNum)
+      .select(col("new_id"), col("dup_id")).distinct()
+    val batchSets = batch.select(col(idCol).as("new_id"),
+      transform(toks(col("text")), t => xxhash64(t)).as("hn"))
+      .select(col("new_id"), col("hn"), size(col("hn")).as("nn"))
+    val inter = size(array_intersect(col("hn"), col("hd")))
+    cand
+      .join(batchSets, "new_id")
+      .join(storedSets, "dup_id")
+      .where(inter * tauDen >= col("nn") * tauNum)
+      .select(col("new_id"), col("dup_id"),
+        round(inter.cast("double") / col("nn"), 4).as("containment"))
+  }
 }

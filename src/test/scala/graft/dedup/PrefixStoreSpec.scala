@@ -89,6 +89,40 @@ class PrefixStoreSpec extends SparkSpec {
     baseFiles shouldBe before
   }
 
+  test("containment screen catches subset docs symmetric Jaccard misses") {
+    val sf = Files.createTempDirectory("pstore-cont").toString
+    val corpus = s"$sf/documents.parquet"
+    // corpus doc 1 is LARGE; batch doc 10 is a strict subset of it
+    Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "unrelated words in this other corpus doc"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    val batch = Seq(
+      (10L, "a b c d e"), // contained in 1; J = 5/20 = 0.25
+      (11L, "a b z9 z8 z7")).toDF("doc_id", "text") // only 2/5 contained
+    val got = PrefixStore.screenContainment(
+        spark, sf, "documents", batch, "doc_id", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.toSeq shouldBe Seq((10L, 1L, 1.0))
+    // the symmetric screen at the same tau finds nothing
+    PrefixStore.screen(spark, sf, "documents", batch, "doc_id", 9, 10)
+      .count() shouldBe 0L
+    // brute-force equality at a lower tau (multiple partial containments)
+    val sz = org.apache.spark.sql.functions.size _
+    def sets(df: org.apache.spark.sql.DataFrame, idAs: String, tAs: String) =
+      df.select(col("doc_id").as(idAs), array_distinct(split(
+        graft.functions.TextFunctions.normalize(col("text")), " ")).as(tAs))
+    val inter = sz(array_intersect(col("tb"), col("ta")))
+    val brute = sets(spark.read.parquet(corpus), "dup_id", "ta")
+      .crossJoin(sets(batch, "new_id", "tb"))
+      .where(inter * 10 >= sz(col("tb")) * 4)
+      .select(col("new_id"), col("dup_id"),
+        round(inter.cast("double") / sz(col("tb")), 4).as("containment"))
+    assertSameRows(
+      PrefixStore.screenContainment(spark, sf, "documents", batch, "doc_id", 4, 10),
+      brute)
+  }
+
   test("non-append corpus change triggers a full rebuild (fresh frozen order)") {
     val sf = Files.createTempDirectory("pstore-rb").toString
     val corpus = s"$sf/documents.parquet"
