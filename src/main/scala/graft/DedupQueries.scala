@@ -755,6 +755,66 @@ object DedupQueries {
           batch = d.filter(col("doc_id") >= 250), "doc_id",
           tauNum = 9, tauDen = 10, corpusFilter = col("doc_id") < 250)
         .orderBy("new_id", "dup_id")
+    },
+
+    // SPLIT-LEAKAGE audit: cross-split near-dup pairs under the t6
+    // deterministic split — the train/test contamination check every
+    // training pipeline needs (a test doc with a train near-twin
+    // inflates eval). EXACT pair graph (d23), so a reported zero
+    // means zero. Output: per split-pair counts + distinct affected
+    // docs on each side.
+    GraftQuery(
+      "p5_split_leakage",
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          strpos('0123456789abcdef',
+         |            substr(md5(doc_id::varchar), 1, 1)) - 1 AS b
+         |        FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10 >=
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9),
+         |x AS (
+         |  SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b,
+         |    CASE WHEN sa.split <= sb.split THEN id_a ELSE id_b END AS da,
+         |    CASE WHEN sa.split <= sb.split THEN id_b ELSE id_a END AS db
+         |  FROM pairs
+         |  JOIN sp sa ON id_a = sa.doc_id JOIN sp sb ON id_b = sb.doc_id
+         |  WHERE sa.split <> sb.split)
+         |SELECT split_a, split_b, count(*) AS n_pairs,
+         |  count(DISTINCT da) AS n_docs_a, count(DISTINCT db) AS n_docs_b
+         |FROM x GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val split = d.select(col("doc_id"), expr(
+          "instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 1, 1)) - 1")
+          .as("b"))
+        .select(col("doc_id"),
+          when(col("b") < 12, "train").when(col("b") < 14, "val")
+            .otherwise("test").as("split"))
+      val pairs = graft.dedup.PrefixJoin.similarPairs(
+        d, "doc_id", col("text"), tauNum = 9, tauDen = 10)
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .where(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"),
+          when(col("sa") <= col("sb"), col("id_a")).otherwise(col("id_b")).as("da"),
+          when(col("sa") <= col("sb"), col("id_b")).otherwise(col("id_a")).as("db"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("da")).as("n_docs_a"),
+          countDistinct(col("db")).as("n_docs_b"))
+        .orderBy("split_a", "split_b")
     }
   )
 }
