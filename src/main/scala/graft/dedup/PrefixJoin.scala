@@ -186,7 +186,9 @@ object PrefixJoin {
       tauNum: Int, tauDen: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     val (members, reps, repPairs) =
       core(docs, idCol, text, tauNum, tauDen, maxBucket)
-    val labels = DupClusters.components(
+    // large-star/small-star (O(log n) rounds) — near-dup chains can
+    // be long, and each propagation round is a fixed-overhead job
+    val labels = DupClusters.componentsAlternating(
       reps.select(col("rid")), "rid",
       repPairs.select(col("rid_a"), col("rid_b")), "rid_a", "rid_b")
     members
