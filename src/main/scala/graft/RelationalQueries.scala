@@ -1400,6 +1400,30 @@ object RelationalQueries {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
+    },
+
+    // Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from file
+    // footer statistics — zero data pages read (the plan shows
+    // PushedAggregation and the scan's ReadSchema is the aggregated
+    // values, not the columns). Runs in an isolated newSession():
+    // the DSv2 parquet path + pushdown flags stay scoped to this
+    // query, the shared session keeps its v1 plans.
+    GraftQuery(
+      "q40_agg_pushdown",
+      """SELECT count(*) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_linenumber) AS min_line, max(l_linenumber) AS max_line
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // numeric columns only: a timestamp MIN/MAX in the list blocks
+      // parquet stats pushdown wholesale (measured — the plan guard
+      // pins the pushed form)
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_linenumber").as("min_line"), max("l_linenumber").as("max_line"))
     }
   )
 }

@@ -300,6 +300,12 @@ class PlanShapeSpec extends SparkSpec {
     p should include("ExistingRDD")
   }
 
+  test("agg pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val p = plan("q40_agg_pushdown")
+    p should include("PushedAggregation: [COUNT(*)")
+    p should include regex "PushedAggregation: \\[[^\\]]*MIN\\(l_quantity\\)"
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
