@@ -1069,6 +1069,36 @@ object TextQueries {
       graft.functions.HashedTfIdf.sparseFeatures(
           Tables.load(s, dir, "documents"), "doc_id", col("text"), dim = 1024)
         .orderBy("doc_id", "bucket")
+    },
+
+    // Interpolated Kneser-Ney bigram LM scoring (the CCNet-style
+    // quality filter with a proper LM): per-doc mean log-probability
+    // over bigram instances; the continuation distribution replaces
+    // raw frequency in the backoff. Formula written identically in
+    // both engines — bit-identical doubles before the final round.
+    GraftQuery(
+      "t28_bigram_kn",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS a FROM documents),
+         |bg AS (
+         |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([{'w1': a[i], 'w2': a[i+1]}
+         |                  for i in generate_series(1, len(a) - 1)]) AS u
+         |        FROM tk WHERE len(a) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(c) AS ctx, count(*) AS n1f FROM bc GROUP BY w1),
+         |pc AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY w2),
+         |t AS (SELECT count(*) * 1.0 AS t_types FROM bc)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(greatest(c - 0.75, 0.0) / ctx
+         |    + ((0.75 * n1f) / ctx) * (n1p / t_types))), 4) AS mean_logprob
+         |FROM bg JOIN bc USING (w1, w2) JOIN cw1 USING (w1)
+         |  JOIN pc USING (w2) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.BigramLm.scoreDocs(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")
     }
   )
 
