@@ -1424,6 +1424,40 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"),
           min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
           min("l_linenumber").as("min_line"), max("l_linenumber").as("max_line"))
+    },
+
+    // Cohort retention: users bucketed by first-seen week, then the
+    // classic (cohort, offset) activity matrix. Two hash aggregates
+    // (per-user first week; distinct user-weeks) and one join keyed
+    // on user_id — no window over the full event stream, so the
+    // event table is touched twice and exchanged on user_id only.
+    GraftQuery(
+      "q41_cohort_retention",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY cohort)
+        |SELECT c.cohort, uw.week - c.cohort AS wk_offset,
+        |  count(DISTINCT uw.user_id) AS n_active,
+        |  any_value(sz.n_cohort) AS n_cohort,
+        |  round(count(DISTINCT uw.user_id) * 1.0 / any_value(sz.n_cohort), 4)
+        |    AS retention
+        |FROM uw JOIN c USING (user_id) JOIN sz USING (cohort)
+        |GROUP BY c.cohort, wk_offset
+        |ORDER BY cohort, wk_offset""".stripMargin) { (s, dir) =>
+      val uw = Tables.loadEvents(s, dir)
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))
+        .distinct()
+      val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort"))
+      val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohorts, "user_id").join(sizes, "cohort")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("wk_offset"))
+        .agg(countDistinct("user_id").as("n_active"),
+          first("n_cohort").as("n_cohort"),
+          round(countDistinct("user_id") * lit(1.0) / first("n_cohort"), 4)
+            .as("retention"))
+        .orderBy("cohort", "wk_offset")
     }
   )
 }
