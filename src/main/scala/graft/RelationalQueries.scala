@@ -1458,6 +1458,28 @@ object RelationalQueries {
           round(countDistinct("user_id") * lit(1.0) / first("n_cohort"), 4)
             .as("retention"))
         .orderBy("cohort", "wk_offset")
+    },
+
+    // Statistical aggregates: correlation / covariance / dispersion
+    // per group in ONE hash-aggregate pass (all are algebraic —
+    // partial moments combine map-side; no per-group sorting, no
+    // second scan).
+    GraftQuery(
+      "q42_stats_agg",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+            round(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_covar"),
+            round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+            round(var_samp(col("l_quantity")), 4).as("qty_var"))
+          .orderBy("l_returnflag")
     }
   )
 }
