@@ -1099,6 +1099,71 @@ object TextQueries {
       graft.functions.BigramLm.scoreDocs(
           Tables.load(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")
+    },
+
+    // Corpus DRIFT card: distributional comparison of two corpus
+    // slices (stand-in for two snapshot versions) — smoothed unigram
+    // KL and Jensen-Shannon divergence over the union vocabulary,
+    // plus vocab overlap. One count aggregate per side, one
+    // vocab-keyed full-outer join, one scalar aggregate: the
+    // monitoring query a daily-ingest pipeline runs to catch
+    // distribution shift before training does.
+    GraftQuery(
+      "c8_corpus_drift",
+      s"""WITH ta AS (
+         |  SELECT unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 250),
+         |tb AS (
+         |  SELECT unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents WHERE doc_id >= 250),
+         |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+         |cb AS (SELECT tok, count(*) AS c FROM tb GROUP BY tok),
+         |j AS (
+         |  SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+         |  FROM ca FULL OUTER JOIN cb USING (tok)),
+         |t AS (SELECT sum(a) * 1.0 AS na, sum(b) * 1.0 AS nb,
+         |        count(*) * 1.0 AS v,
+         |        sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+         |          AS n_shared
+         |      FROM j)
+         |SELECT v::BIGINT AS vocab_union, n_shared::BIGINT AS vocab_shared,
+         |  round(sum(((a + 1) / (na + v)) *
+         |    ln(((a + 1) / (na + v)) / ((b + 1) / (nb + v)))), 4) AS kl_ab,
+         |  round(sum(
+         |    0.5 * ((a + 1) / (na + v)) *
+         |      ln(((a + 1) / (na + v)) /
+         |        (0.5 * ((a + 1) / (na + v)) + 0.5 * ((b + 1) / (nb + v))))
+         |    + 0.5 * ((b + 1) / (nb + v)) *
+         |      ln(((b + 1) / (nb + v)) /
+         |        (0.5 * ((a + 1) / (na + v)) + 0.5 * ((b + 1) / (nb + v))))
+         |  ), 4) AS js_div
+         |FROM j CROSS JOIN t
+         |GROUP BY v, n_shared""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      def counts(cond: org.apache.spark.sql.Column) = d.where(cond)
+        .select(explode(TextFunctions.tokens(
+          TextFunctions.normalize(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val j = counts(col("doc_id") < 250).withColumnRenamed("c", "ca")
+        .join(counts(col("doc_id") >= 250).withColumnRenamed("c", "cb"),
+          Seq("tok"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("a"),
+          coalesce(col("cb"), lit(0L)).as("b"))
+        .localCheckpoint()
+      val t = j.agg((sum("a") * 1.0).as("na"), (sum("b") * 1.0).as("nb"),
+        (count(lit(1)) * 1.0).as("v"),
+        sum(when(col("a") > 0 && col("b") > 0, 1).otherwise(0)).as("n_shared"))
+      val pa = (col("a") + 1) / (col("na") + col("v"))
+      val pb = (col("b") + 1) / (col("nb") + col("v"))
+      val m = lit(0.5) * pa + lit(0.5) * pb
+      j.crossJoin(broadcast(t))
+        .groupBy(col("v"), col("n_shared"))
+        .agg(round(sum(pa * log(pa / pb)), 4).as("kl_ab"),
+          round(sum(lit(0.5) * pa * log(pa / m)
+            + lit(0.5) * pb * log(pb / m)), 4).as("js_div"))
+        .select(col("v").cast("long").as("vocab_union"),
+          col("n_shared").cast("long").as("vocab_shared"),
+          col("kl_ab"), col("js_div"))
     }
   )
 
