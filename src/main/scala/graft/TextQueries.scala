@@ -1164,6 +1164,50 @@ object TextQueries {
         .select(col("v").cast("long").as("vocab_union"),
           col("n_shared").cast("long").as("vocab_shared"),
           col("kl_ab"), col("js_div"))
+    },
+
+    // The STORED-LM ingest gate: incoming docs (>= 250) scored under
+    // the KN bigram model of the stored corpus slice (< 250) — the
+    // perplexity filter every curation pipeline runs, with model
+    // counts maintained O(new) by the artifact engine and defined
+    // OOV semantics (add-one continuation backoff; every P > 0).
+    GraftQuery(
+      "t29_stored_lm_score",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS a FROM documents),
+         |mb AS (
+         |  SELECT u.w1 AS w1, u.w2 AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([{'w1': a[i], 'w2': a[i+1]}
+         |                  for i in generate_series(1, len(a) - 1)]) AS u
+         |        FROM tk WHERE len(a) >= 2 AND doc_id < 250)),
+         |bc AS (SELECT w1, w2, count(*) AS c FROM mb GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(c) AS ctx, count(*) AS n1f FROM bc GROUP BY w1),
+         |pc AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY w2),
+         |tt AS (SELECT count(*) * 1.0 AS t_types FROM bc),
+         |vv AS (SELECT count(DISTINCT t) * 1.0 AS v_vocab
+         |       FROM (SELECT w1 AS t FROM bc UNION ALL SELECT w2 FROM bc)),
+         |bg AS (
+         |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([{'w1': a[i], 'w2': a[i+1]}
+         |                  for i in generate_series(1, len(a) - 1)]) AS u
+         |        FROM tk WHERE len(a) >= 2 AND doc_id >= 250))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(CASE WHEN ctx IS NULL
+         |    THEN (coalesce(n1p, 0) + 1) / (t_types + v_vocab)
+         |    ELSE greatest(coalesce(c, 0) - 0.75, 0.0) / ctx
+         |      + ((0.75 * n1f) / ctx)
+         |        * ((coalesce(n1p, 0) + 1) / (t_types + v_vocab)) END)), 4)
+         |    AS mean_logprob
+         |FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN cw1 USING (w1)
+         |  LEFT JOIN pc USING (w2) CROSS JOIN tt CROSS JOIN vv
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.functions.BigramLmStore.scoreBatch(s, dir, "documents",
+          batch = d.filter(col("doc_id") >= 250), "doc_id",
+          corpusFilter = col("doc_id") < 250)
+        .orderBy("doc_id")
     }
   )
 
