@@ -885,3 +885,38 @@ class StreamingPrefixScreenSpec extends SparkSpec {
       .as[Int].collect().toSet shouldBe Set(0, 1)
   }
 }
+
+class StreamingLmGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batches score under the stored LM; keep/drop splits; OOV finite") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("slmgate")
+    val sf = base.resolve("corpus").toString
+    Seq((1L, "the cat sat on the mat and the cat sat again"),
+        (2L, "the dog sat on the mat and the dog ran home"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$sf/documents.parquet")
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingLmGate.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id",
+      sf, "documents", threshold = -2.5,
+      outDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    mem.addData((10L, "the cat sat on the mat"))
+    q.processAllAvailable()
+    mem.addData((11L, "zz qq ww ee rr tt"))
+    q.processAllAvailable()
+    q.stop()
+
+    val byId = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Boolean]("keep"), r.getAs[Double]("mean_logprob")))).toMap
+    byId(10L)._1 shouldBe true // fluent in-model text passes
+    byId(11L)._1 shouldBe false // OOV gibberish fails
+    assert(!byId(11L)._2.isNaN && !byId(11L)._2.isInfinite)
+  }
+}
