@@ -665,8 +665,9 @@ object DedupQueries {
          |  (len(a.toks) + len(b.toks)
          |    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      graft.dedup.PrefixJoin.similarPairs(
-          Tables.load(s, dir, "documents"), "doc_id", col("text"),
+      // STORE-SERVED (tokenization/df/sorting amortized into the
+      // artifact; candidates + verify from stored pieces)
+      graft.dedup.PrefixStore.similarPairs(s, dir, "documents",
           tauNum = 9, tauDen = 10)
         .orderBy("id_a", "id_b")
     },
@@ -727,8 +728,8 @@ object DedupQueries {
          |  FROM cc JOIN edges e ON cc.id = e.src)
          |SELECT id AS doc_id, min(lbl) AS cluster_id
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.dedup.PrefixJoin.clusters(
-          Tables.load(s, dir, "documents"), "doc_id", col("text"),
+      // STORE-SERVED: rep graph + CC from the stored pieces
+      graft.dedup.PrefixStore.clusters(s, dir, "documents",
           tauNum = 9, tauDen = 10)
         .orderBy("doc_id")
     },

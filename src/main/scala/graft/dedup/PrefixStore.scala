@@ -129,6 +129,89 @@ object PrefixStore {
     handle(corpusPath, tauNum, tauDen).compact(spark)
 
   // ---------------------------------------------------------------
+  // STORE-SERVED whole-corpus forms of d23/d25: contraction derives
+  // at serve time from the stored pieces — reps are one tiny
+  // group-by over the interned `sets` piece (identical ht arrays =
+  // identical token sets, the same md5-fp contraction PrefixJoin
+  // does inline), and rep-level prefix entries are just the stored
+  // entries of the rep ids (identical sets produce identical
+  // frozen-order entries). Tokenization, df aggregation, and
+  // per-doc sorting never re-run once the artifact exists.
+  // ---------------------------------------------------------------
+
+  private def repTables(spark: SparkSession, sfDir: String, table: String,
+      tauNum: Int, tauDen: Int): (DataFrame, DataFrame, DataFrame) = {
+    val h = handle(s"$sfDir/$table.parquet", tauNum, tauDen)
+    val sets = h.serve(spark, "sets").localCheckpoint()
+    val prefix = h.serve(spark, "prefix")
+    val reps = sets.groupBy("ht", "n").agg(min("doc_id").as("rid"))
+      .localCheckpoint()
+    val members = sets.select(col("doc_id").as("mid"), col("ht"))
+    val repPref = prefix.join(
+      reps.select(col("rid").as("doc_id")), "doc_id").localCheckpoint()
+    (reps, members, repPref)
+  }
+
+  private def repPairs(reps: DataFrame, repPref: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val a = repPref.select(col("doc_id").as("rid_a"), col("sz").as("sz_a"),
+      col("pos").as("pos_a"), col("k"))
+    val b = repPref.select(col("doc_id").as("rid_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"), col("k"))
+    val cand = a.join(b, "k")
+      .where(col("rid_a") < col("rid_b"))
+      .where(least(col("sz_a"), col("sz_b")) * tauDen >=
+        greatest(col("sz_a"), col("sz_b")) * tauNum)
+      .where((lit(1) + least(col("sz_a") - col("pos_a"),
+        col("sz_b") - col("pos_b"))) * (tauNum + tauDen) >=
+        (col("sz_a") + col("sz_b")) * tauNum)
+      .select(col("rid_a"), col("rid_b")).distinct()
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    val union = col("na") + col("nb") - inter
+    cand
+      .join(reps.select(col("rid").as("rid_a"), col("ht").as("ha"),
+        col("n").as("na")), "rid_a")
+      .join(reps.select(col("rid").as("rid_b"), col("ht").as("hb"),
+        col("n").as("nb")), "rid_b")
+      .where(inter * tauDen >= union * tauNum)
+      .select(col("rid_a"), col("rid_b"), col("ha"), col("hb"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+  }
+
+  /** d23's output served from the store: all (id_a < id_b) pairs
+    * with word-set Jaccard >= tau over the WHOLE stored corpus.
+    */
+  def similarPairs(spark: SparkSession, sfDir: String, table: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val (reps, members, repPref) = repTables(spark, sfDir, table, tauNum, tauDen)
+    val rp = repPairs(reps, repPref, tauNum, tauDen)
+    val cross = rp
+      .join(members.select(col("ht").as("ha"), col("mid").as("ma")), "ha")
+      .join(members.select(col("ht").as("hb"), col("mid").as("mb")), "hb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val within = PairGen.pairsWithin(members, Seq("ht"), col("mid"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** d25's output served from the store: exact near-dup clusters
+    * (min-reachable-id labels), CC on the contracted rep graph.
+    */
+  def clusters(spark: SparkSession, sfDir: String, table: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val (reps, members, repPref) = repTables(spark, sfDir, table, tauNum, tauDen)
+    val rp = repPairs(reps, repPref, tauNum, tauDen)
+    val labels = DupClusters.componentsAlternating(
+      reps.select(col("rid")), "rid",
+      rp.select(col("rid_a"), col("rid_b")), "rid_a", "rid_b")
+    members
+      .join(reps.select(col("ht"), col("rid")), "ht")
+      .join(labels, "rid")
+      .select(col("mid").as("doc_id"), col("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------
   // Containment screening: |batch ∩ stored| / |batch| >= tau — the
   // asymmetric form that catches a new document mostly CONTAINED in
   // a stored one (boilerplate-wrapped copies, quote-heavy rewrites)

@@ -89,6 +89,24 @@ class PrefixStoreSpec extends SparkSpec {
     baseFiles shouldBe before
   }
 
+  test("store-served pairs and clusters equal the inline forms") {
+    val sf = Files.createTempDirectory("pstore-whole").toString
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "a b c d e f g h k l"),
+      (4L, "totally different things here now then"),
+      (5L, "a b c d e f g h i j"),
+      (6L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$sf/documents.parquet")
+    assertSameRows(
+      PrefixStore.similarPairs(spark, sf, "documents", 7, 10),
+      PrefixJoin.similarPairs(docs, "doc_id", col("text"), 7, 10))
+    assertSameRows(
+      PrefixStore.clusters(spark, sf, "documents", 7, 10),
+      PrefixJoin.clusters(docs, "doc_id", col("text"), 7, 10))
+  }
+
   test("containment screen catches subset docs symmetric Jaccard misses") {
     val sf = Files.createTempDirectory("pstore-cont").toString
     val corpus = s"$sf/documents.parquet"
