@@ -1460,6 +1460,22 @@ object RelationalQueries {
         .orderBy("cohort", "wk_offset")
     },
 
+    // PageRank over the customer -> supplier purchase graph: the
+    // iterative-join workload beyond connected components. Five
+    // damped iterations with dangling-mass redistribution (the
+    // supplier side has no out-edges); the oracle unrolls the same
+    // chain as CTE stages with identical literals — note
+    // (1.0 - 0.85), never 0.15: they are different doubles.
+    GraftQuery("q43_pagerank", pageRankOracleSql(5)) { (s, dir) =>
+      val e = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.PageRank.ranks(s, e, iters = 5, d = 0.85)
+        .orderBy("node")
+    },
+
     // Statistical aggregates: correlation / covariance / dispersion
     // per group in ONE hash-aggregate pass (all are algebraic —
     // partial moments combine map-side; no per-group sorting, no
@@ -1482,4 +1498,31 @@ object RelationalQueries {
           .orderBy("l_returnflag")
     }
   )
+
+  /** DuckDB unroll of PageRank.ranks: per iteration one dangling-mass
+    * scalar, one contribution aggregate, one rank update — identical
+    * literals and parenthesization to the Spark loop.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) * 1.0 AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+    for (r <- 1 to iters) sb ++= s""",
+      |dm$r AS (SELECT coalesce(sum(pr), 0.0) AS dm
+      |  FROM pr${r - 1} LEFT JOIN deg ON node = src WHERE deg IS NULL),
+      |c$r AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS c
+      |  FROM e JOIN pr${r - 1} p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |pr$r AS (SELECT nodes.node,
+      |    (1.0 - 0.85) / n + 0.85 * (coalesce(c, 0.0) + dm / n) AS pr
+      |  FROM nodes LEFT JOIN c$r USING (node) CROSS JOIN dm$r CROSS JOIN nn)""".stripMargin
+    sb ++= s"""
+      |SELECT node, round(pr, 6) AS pr FROM pr$iters ORDER BY node""".stripMargin
+    sb.toString
+  }
 }
