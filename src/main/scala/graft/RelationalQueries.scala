@@ -1476,6 +1476,47 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Market-basket co-occurrence: supplier pairs co-supplying the
+    // same order, with support and lift. Pair generation is
+    // bucket-local per order (PairGen: baskets are tiny, so pair
+    // volume is Σ C(basket, 2) — linear in orders, never |s|²);
+    // lift's numerator/denominator stay integer until the final
+    // rounded division.
+    GraftQuery(
+      "q44_market_basket",
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) * 1.0 AS n_orders FROM os),
+        |supp AS (SELECT s, count(*) AS c FROM os GROUP BY s),
+        |pairs AS (
+        |  SELECT a.s AS s1, b.s AS s2, count(*) AS support
+        |  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, support,
+        |  round(support * n_orders / (ca.c * cb.c), 4) AS lift
+        |FROM pairs JOIN supp ca ON s1 = ca.s JOIN supp cb ON s2 = cb.s
+        |  CROSS JOIN n
+        |WHERE support >= 20
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val os = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+      val nOrders = os.select(col("o")).distinct()
+        .agg(count(lit(1)).cast("double").as("n_orders"))
+      val supp = os.groupBy("s").agg(count(lit(1)).as("c"))
+      val pairs = graft.dedup.PairGen.pairsWithin(os, Seq("o"), col("s"))
+        .groupBy(col("a").as("s1"), col("b").as("s2"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 20)
+      pairs
+        .join(supp.select(col("s").as("s1"), col("c").as("ca")), "s1")
+        .join(supp.select(col("s").as("s2"), col("c").as("cb")), "s2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("s1"), col("s2"), col("support"),
+          round(col("support") * col("n_orders") / (col("ca") * col("cb")), 4)
+            .as("lift"))
+        .orderBy("s1", "s2")
+    },
+
     // Statistical aggregates: correlation / covariance / dispersion
     // per group in ONE hash-aggregate pass (all are algebraic —
     // partial moments combine map-side; no per-group sorting, no
