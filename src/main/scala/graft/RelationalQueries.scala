@@ -1517,6 +1517,39 @@ object RelationalQueries {
         .orderBy("s1", "s2")
     },
 
+    // k-anonymity audit (data governance): quasi-identifier
+    // equivalence-class sizes for (nation, segment, acctbal decile)
+    // — classes below k re-identify their members. One hash
+    // aggregate for classes, one tiny rollup for the risk summary;
+    // the decile comes from exact integer bucketing (no
+    // percentile pass) so both engines bucket identically.
+    GraftQuery(
+      "q45_k_anonymity",
+      """WITH q AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |    floor(c_acctbal / 1000.0)::BIGINT AS bal_bucket
+        |  FROM customer),
+        |cls AS (SELECT nation, segment, bal_bucket, count(*) AS class_size
+        |        FROM q GROUP BY 1, 2, 3)
+        |SELECT class_size < 5 AS at_risk, count(*) AS n_classes,
+        |  sum(class_size)::BIGINT AS n_rows,
+        |  round(min(class_size) * 1.0, 1) AS min_class,
+        |  round(max(class_size) * 1.0, 1) AS max_class
+        |FROM cls GROUP BY 1 ORDER BY at_risk""".stripMargin) { (s, dir) =>
+      val cls = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+        .groupBy("nation", "segment", "bal_bucket")
+        .agg(count(lit(1)).as("class_size"))
+      cls.groupBy((col("class_size") < 5).as("at_risk"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_rows"),
+          round(min("class_size") * lit(1.0), 1).as("min_class"),
+          round(max("class_size") * lit(1.0), 1).as("max_class"))
+        .orderBy("at_risk")
+    },
+
     // Statistical aggregates: correlation / covariance / dispersion
     // per group in ONE hash-aggregate pass (all are algebraic —
     // partial moments combine map-side; no per-group sorting, no
