@@ -1208,6 +1208,38 @@ object TextQueries {
           batch = d.filter(col("doc_id") >= 250), "doc_id",
           corpusFilter = col("doc_id") < 250)
         .orderBy("doc_id")
+    },
+
+    // Readability scoring (Flesch reading ease, Flesch 1948) with a
+    // deterministic syllable proxy (vowel-group runs) — the classic
+    // audience-level quality signal next to t2/t21/t28. Pure regex
+    // counts + fixed-point arithmetic, identical in both engines;
+    // sentence count floors at 1 so fragments never divide by zero.
+    GraftQuery(
+      "t30_readability",
+      s"""SELECT doc_id,
+         |  length(string_split($norm, ' ')) AS n_words,
+         |  greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         |  length(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         |  round(206.835
+         |    - 1.015 * (length(string_split($norm, ' ')) * 1.0
+         |        / greatest(length(regexp_extract_all(text, '[.!?]+')), 1))
+         |    - 84.6 * (length(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0
+         |        / greatest(length(string_split($norm, ' ')), 1)), 2)
+         |    AS flesch
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nWords = TextFunctions.tokenCount(TextFunctions.normalize(col("text")))
+      val nSent = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      val nSyl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      d.select(col("doc_id"),
+          nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (nWords * lit(1.0) / nSent)
+            - lit(84.6) * (nSyl * lit(1.0) / greatest(nWords, lit(1))), 2)
+            .as("flesch"))
+        .orderBy("doc_id")
     }
   )
 
