@@ -1517,6 +1517,37 @@ object RelationalQueries {
         .orderBy("s1", "s2")
     },
 
+    // Concentration (Gini) of supplier revenue — the inequality
+    // metric a data-mix or marketplace report leads with. Exact
+    // discrete Gini over the sorted revenue vector:
+    // G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n. One aggregate for
+    // revenues, one deterministic rank window (revenue, then key for
+    // exact ties), one scalar aggregate — n is |suppliers|, so the
+    // window partition is a dimension table, never a fact stream.
+    GraftQuery(
+      "q46_revenue_gini",
+      """WITH r AS (
+        |  SELECT l_suppkey AS s, sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT s, rev, row_number() OVER (ORDER BY rev, s) AS i
+        |       FROM r)
+        |SELECT count(*) AS n_suppliers,
+        |  round(sum(rev), 2) AS total_rev,
+        |  round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+        |    - (count(*) + 1.0) / count(*), 4) AS gini
+        |FROM rk""".stripMargin) { (s, dir) =>
+      val r = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("s"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("rev", "s")
+      r.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("rev"), 2).as("total_rev"),
+          round(lit(2.0) * sum(col("i") * col("rev"))
+            / (count(lit(1)) * sum(col("rev")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+    },
+
     // k-anonymity audit (data governance): quasi-identifier
     // equivalence-class sizes for (nation, segment, acctbal decile)
     // — classes below k re-identify their members. One hash
