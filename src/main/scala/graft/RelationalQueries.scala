@@ -1524,6 +1524,14 @@ object RelationalQueries {
     // revenues, one deterministic rank window (revenue, then key for
     // exact ties), one scalar aggregate — n is |suppliers|, so the
     // window partition is a dimension table, never a fact stream.
+    //
+    // SCALE CONTRACT (deliberate, like ShardExport's bin-pack
+    // refusal): the rank window is UNPARTITIONED because exact
+    // discrete Gini inherently needs one total order; its input must
+    // stay the pre-aggregated per-ENTITY vector (~1 M rows at TPC-H
+    // sf100 through one task — acceptable for a dimension). If the
+    // grouping key were ever fact-cardinality, use a binned Gini over
+    // the log-histogram sketch (c5) instead of widening this window.
     GraftQuery(
       "q46_revenue_gini",
       """WITH r AS (

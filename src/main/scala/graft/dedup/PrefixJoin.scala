@@ -75,8 +75,14 @@ object PrefixJoin {
     val withFp = sets.select(id, col("toks"),
       md5(concat_ws(" ", sort_array(col("toks")))).as("fp"))
     val members = withFp.select(id.as("mid"), col("fp")).localCheckpoint()
+    // the representative token array is SORTED: group members share a
+    // token SET but not an order, and everything downstream (df
+    // counts, prefix keys, interned intersects) is set-semantics —
+    // sort_array makes that invariant structural, so a future
+    // consumer reading token order off `reps` can't silently depend
+    // on which member happened to come first
     val reps = withFp.groupBy("fp")
-      .agg(min(id).as("rid"), first(col("toks")).as("toks"))
+      .agg(min(id).as("rid"), sort_array(first(col("toks"))).as("toks"))
       .localCheckpoint()
     val exploded = reps.select(col("rid"), explode(col("toks")).as("tok"))
     val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -134,9 +140,16 @@ object PrefixJoin {
     // 64-bit hashes for the intersect: the filter + output recompute
     // array_intersect 2-3x per row (projection collapse), and doing
     // that over STRING arrays measured 15 s where long arrays take
-    // ~1 s — same cardinalities (within-set tokens are distinct; a
-    // cross-token 64-bit collision is the same negligible-odds bet
-    // the md5 contraction fingerprint already makes).
+    // ~1 s — same cardinalities. The interning bet is ONE-SIDED:
+    // within-set tokens are distinct, so a cross-token xxhash64
+    // collision can only INFLATE an intersection — i.e. admit an
+    // occasional false-positive pair near the boundary; it can never
+    // shrink one, so the no-false-negative guarantee is unconditional
+    // on the hash. At multi-billion-token-vocabulary scale, where the
+    // birthday bound makes a collision plausible, re-verify the
+    // boundary-tight pairs (inter within 1 of the threshold) on raw
+    // strings — output-sized work. (The md5 contraction fingerprint
+    // makes the same negligible-odds bet.)
     val repsH = reps.select(col("rid"), col("fp"),
       transform(col("toks"), t => xxhash64(t)).as("ht"), size(col("toks")).as("n"))
     val inter = size(array_intersect(col("ha"), col("hb")))

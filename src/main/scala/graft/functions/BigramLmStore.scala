@@ -27,7 +27,12 @@ import graft.sources.IncrementalDocArtifact.Piece
   *   unseen context:   P = pc'          (pure continuation backoff)
   *
   * — every P is strictly positive, so no batch can produce −inf/NaN
-  * (spec-asserted on all-OOV input).
+  * (spec-asserted on all-OOV input). The EMPTY model (fresh corpus
+  * with no ≥2-token docs, or a corpusFilter matching nothing) is the
+  * degenerate case of the same rule: T = V = 0 would divide pc' by
+  * zero, so the denominator floors at 1 and every P collapses to the
+  * defined ceiling 1 (mean_logprob = 0 — a model with no evidence
+  * drops nothing; spec-asserted).
   */
 object BigramLmStore {
 
@@ -81,8 +86,13 @@ object BigramLmStore {
         .union(bc.select(col("w2").as("t")))
         .agg(countDistinct("t").cast("double").as("v_vocab")))
     val bg = bigramsOf(batch, idCol, col("text"))
+    // greatest(..., 1): the empty-model floor — with T = V = 0 (no
+    // stored bigrams) pc' would be 1/0; flooring the denominator makes
+    // every P exactly 1, so mean_logprob is 0.0 rather than null and
+    // downstream keep-flags stay well-defined. Non-empty models have
+    // T >= 1, where the floor is a no-op.
     val pcPrime = (coalesce(col("n1p"), lit(0L)) + 1) /
-      (col("t_types") + col("v_vocab"))
+      greatest(col("t_types") + col("v_vocab"), lit(1.0))
     val p = when(col("ctx").isNull, pcPrime)
       .otherwise(greatest(coalesce(col("c"), lit(0L)) - discount, lit(0.0))
         / col("ctx") +

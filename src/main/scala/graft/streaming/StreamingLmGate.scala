@@ -15,6 +15,14 @@ import graft.functions.BigramLmStore
   * partition overwrite ⇒ replay-safe. OOV-heavy batches score low
   * but FINITELY (BigramLmStore's add-one continuation backoff), so
   * the gate never NaN-poisons a threshold comparison.
+  *
+  * EVERY batch doc lands exactly once — including docs with fewer
+  * than 2 tokens, which produce no bigrams and so cannot be scored
+  * by a bigram LM. Scores left-join back to the batch ids: an
+  * unscorable doc is emitted with `n_bigrams = 0`,
+  * `mean_logprob = null`, `keep = null` — an explicit "no evidence"
+  * verdict the consumer routes by policy (`keep IS NULL`), never a
+  * silently missing row.
   */
 object StreamingLmGate {
 
@@ -26,9 +34,14 @@ object StreamingLmGate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          BigramLmStore.scoreBatch(batch.sparkSession, sfDir, table,
-              batch, idCol)
-            .withColumn("keep", col("mean_logprob") >= threshold)
+          val scored = BigramLmStore.scoreBatch(batch.sparkSession, sfDir,
+            table, batch, idCol)
+          batch.select(col(idCol))
+            .join(scored, Seq(idCol), "left")
+            .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+            .withColumn("keep",
+              when(col("mean_logprob").isNotNull,
+                col("mean_logprob") >= threshold))
             .withColumn("_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -62,6 +62,21 @@ class BigramLmStoreSpec extends SparkSpec {
     assert(byId(10L) > byId(12L))
   }
 
+  test("empty model: scores are the defined ceiling (0.0), never null/inf") {
+    val sf = Files.createTempDirectory("lmstore-empty").toString
+    // no document has >= 2 tokens: the stored model has zero bigrams
+    Seq((1L, "solo"), (2L, ""))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$sf/documents.parquet")
+    val out = BigramLmStore.scoreBatch(spark, sf, "documents",
+        Seq((10L, "any text here")).toDF("doc_id", "text"), "doc_id")
+      .collect()
+    out.length shouldBe 1
+    val lp = out.head.getDouble(2)
+    // T = V = 0 floors the backoff denominator: every P = 1, mean 0.0
+    assert(!out.head.isNullAt(2) && !lp.isNaN && !lp.isInfinite)
+    lp shouldBe 0.0
+  }
+
   test("slice-scoped model: corpusFilter restricts the stored counts") {
     val sf = Files.createTempDirectory("lmstore-slice").toString
     Seq((1L, "aa bb cc"), (300L, "xx yy zz"))

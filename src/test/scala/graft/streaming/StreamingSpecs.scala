@@ -908,15 +908,20 @@ class StreamingLmGateSpec extends SparkSpec {
 
     mem.addData((10L, "the cat sat on the mat"))
     q.processAllAvailable()
-    mem.addData((11L, "zz qq ww ee rr tt"))
+    mem.addData((11L, "zz qq ww ee rr tt"), (12L, "hello"))
     q.processAllAvailable()
     q.stop()
 
-    val byId = spark.read.parquet(outDir).collect()
-      .map(r => (r.getAs[Long]("doc_id"),
-        (r.getAs[Boolean]("keep"), r.getAs[Double]("mean_logprob")))).toMap
-    byId(10L)._1 shouldBe true // fluent in-model text passes
-    byId(11L)._1 shouldBe false // OOV gibberish fails
-    assert(!byId(11L)._2.isNaN && !byId(11L)._2.isInfinite)
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(10L).getAs[Boolean]("keep") shouldBe true // fluent in-model text
+    rows(11L).getAs[Boolean]("keep") shouldBe false // OOV gibberish fails
+    val lp11 = rows(11L).getAs[Double]("mean_logprob")
+    assert(!lp11.isNaN && !lp11.isInfinite)
+    // a 1-token doc has no bigrams: emitted explicitly, verdict null —
+    // never a silently missing row
+    rows(12L).getAs[Long]("n_bigrams") shouldBe 0L
+    assert(rows(12L).isNullAt(rows(12L).fieldIndex("keep")))
+    assert(rows(12L).isNullAt(rows(12L).fieldIndex("mean_logprob")))
   }
 }
