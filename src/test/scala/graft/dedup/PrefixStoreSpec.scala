@@ -62,7 +62,7 @@ class PrefixStoreSpec extends SparkSpec {
     // REORDER the df table if it were rebuilt (many repeats of 'red')
     val root = java.nio.file.Paths.get(
       graft.sources.ArtifactStore.root,
-      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix9_10")
+      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix2_9_10")
     def baseFiles = {
       val s = java.nio.file.Files.walk(root)
       try s.filter(p => p.toString.contains("/base/") &&
@@ -105,6 +105,84 @@ class PrefixStoreSpec extends SparkSpec {
     assertSameRows(
       PrefixStore.clusters(spark, sf, "documents", 7, 10),
       PrefixJoin.clusters(docs, "doc_id", col("text"), 7, 10))
+  }
+
+  test("pairs+labels advance O(affected): a new doc MERGES two old clusters") {
+    val sf = Files.createTempDirectory("pstore-merge").toString
+    val corpus = s"$sf/documents.parquet"
+    // two 2-doc clusters + a singleton at tau = 1/3
+    Seq(
+      (1L, "a b c d"), (2L, "a b c e"), // J = 0.6
+      (4L, "p q r s"), (5L, "p q r t"), // J = 0.6
+      (6L, "m n o u"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    // first serve = full build
+    PrefixStore.clusters(spark, sf, "documents", 1, 3).count()
+
+    val root = java.nio.file.Paths.get(
+      graft.sources.ArtifactStore.root,
+      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix2_1_3")
+    def baseFiles = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.contains("/base/") &&
+          p.toString.endsWith(".parquet"))
+        .toArray.toSeq.map(_.toString).sorted
+      finally s.close()
+    }
+    val before = baseFiles
+
+    // 7 bridges the two clusters at the EXACT boundary (J = 2/6 = 1/3
+    // with each of 1,2,4,5 — integer arithmetic must keep it);
+    // 8 is fresh novel content (fast-path shape for its subgraph);
+    // 9 is doc 6's token set in a DIFFERENT order (canonical fp must
+    // contract them; J = 1 pair)
+    Seq((7L, "a b p q"), (8L, "zz yy xx ww"), (9L, "u o n m"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+
+    val all = spark.read.parquet(corpus)
+    assertSameRows(
+      PrefixStore.similarPairs(spark, sf, "documents", 1, 3),
+      PrefixJoin.similarPairs(all, "doc_id", col("text"), 1, 3))
+    assertSameRows(
+      PrefixStore.clusters(spark, sf, "documents", 1, 3),
+      PrefixJoin.clusters(all, "doc_id", col("text"), 1, 3))
+    // the merged labelling: one cluster {1,2,4,5,7}, {6,9}, {8}
+    PrefixStore.clusters(spark, sf, "documents", 1, 3)
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 1L,
+        6L -> 6L, 9L -> 6L, 8L -> 8L)
+    // advance wrote deltas only — every base snapshot untouched
+    baseFiles shouldBe before
+
+    // compaction folds to a plain base; results unchanged
+    PrefixStore.compact(spark, corpus, 1, 3)
+    assertSameRows(
+      PrefixStore.clusters(spark, sf, "documents", 1, 3),
+      PrefixJoin.clusters(all, "doc_id", col("text"), 1, 3))
+    assertSameRows(
+      PrefixStore.similarPairs(spark, sf, "documents", 1, 3),
+      PrefixJoin.similarPairs(all, "doc_id", col("text"), 1, 3))
+  }
+
+  test("fresh-content increment takes the fast path: no old row rewritten") {
+    val sf = Files.createTempDirectory("pstore-fresh").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    PrefixStore.clusters(spark, sf, "documents", 7, 10).count()
+    Seq((3L, "entirely novel words appear here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpus)
+    val got = PrefixStore.clusters(spark, sf, "documents", 7, 10)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    // the labels delta of the fresh increment carries ONLY the new doc
+    val root = java.nio.file.Paths.get(
+      graft.sources.ArtifactStore.root,
+      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix2_7_10")
+    val deltaRows = spark.read
+      .parquet(root.resolve("labels").resolve("delta").toString)
+      .select("doc_id").as[Long].collect().toSeq
+    deltaRows shouldBe Seq(3L)
   }
 
   test("containment screen catches subset docs symmetric Jaccard misses") {
