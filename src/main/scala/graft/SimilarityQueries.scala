@@ -1274,7 +1274,10 @@ object SimilarityQueries {
         .localCheckpoint()
       val qf = f.where(col("doc_id") % 50 === 0)
         .withColumnRenamed("doc_id", "query_id")
-      HashedTfIdf.topKCosine(f, qf, k = 5)
+      // MAX-SCORE pruned retrieval — the oracle is the naive
+      // score-everything form, so oracle equality IS the losslessness
+      // proof (the bound math must never drop a top-k doc)
+      HashedTfIdf.topKCosinePruned(f, qf, k = 5)
         .select("query_id", "doc_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }

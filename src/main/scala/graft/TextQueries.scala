@@ -446,6 +446,51 @@ object TextQueries {
         .orderBy("query_id", "doc_id")
     },
 
+    // Top-k batch BM25 with MAX-SCORE pruning over the persisted
+    // index + STORED per-term ceilings (df / max_tf / min_dl fold
+    // additively, so increments keep them valid): a query's
+    // low-ceiling (frequent, hot-postings) terms never reach the
+    // scoring join once the k-th best score is bounded. The oracle
+    // is the naive score-everything top-k — oracle equality IS the
+    // losslessness proof for the bound math.
+    GraftQuery(
+      "t31_bm25_topk",
+      s"""$bm25IndexCte,
+         |qt AS (SELECT doc_id AS query_id,
+         |         unnest(list_distinct([a[1], a[3], a[5]])) AS term
+         |       FROM (SELECT doc_id, string_split(norm, ' ') AS a FROM n)
+         |       WHERE doc_id < 5),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df FROM post
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+         |sc AS (SELECT q.query_id, p.doc_id, count(*) AS n_terms,
+         |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (p.tf * (1.2 + 1.0)
+         |         / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / avgdl)))), 4) AS score
+         |  FROM post p JOIN qt q USING (term) JOIN dft USING (term)
+         |  CROSS JOIN stats
+         |  GROUP BY q.query_id, p.doc_id)
+         |SELECT query_id, doc_id, n_terms, score,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rank
+         |FROM sc QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val norm = TextFunctions.normalize(col("text"))
+      val toks = TextFunctions.tokens(norm)
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(array(
+            element_at(toks, 1), element_at(toks, 3), element_at(toks, 5))))
+            .as("term"))
+      TextSearch.bm25TopKBatchPruned(
+          TextIndexStore.postings(s, dir), "doc_id", queries, k = 10,
+          bounds = TextIndexStore.termBounds(s, dir),
+          stats = TextIndexStore.stats(s, dir))
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // Exact-phrase search (ES match_phrase) over a POSITIONAL inverted
     // index: per-term position arrays equi-join on the doc and
     // adjacency folds with array_intersect(prev+1, next) — work

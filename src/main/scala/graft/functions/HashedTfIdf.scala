@@ -89,4 +89,146 @@ object HashedTfIdf {
       .where(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "cosine")
   }
+
+  /** [[topKCosine]] with MAX-SCORE pruning (Turtle & Flood 1995, the
+    * term-upper-bound family WAND refines) — bit-identical output,
+    * fewer scored postings. The baseline scores EVERY matched
+    * posting (~1 s/query at 1 M docs, §9.16); production IR engines
+    * prune 10-100× with per-term score ceilings. Relational
+    * formulation, corpus NEVER shuffled:
+    *
+    *  1. ceiling per bucket u(t) = max_d |w_td|/‖d‖ — one linear
+    *     aggregate over the features (same cost class as the norm
+    *     aggregate that already runs). Per (query, bucket):
+    *     ub = u(t)·|qw_t|/‖q‖, so cos(q,d) ≤ Σ_{t∈q∩d} ub(t).
+    *  2. rank each query's buckets by ub desc; S_r = suffix sum. A
+    *     doc whose BEST matched bucket has rank r scores ≤ S_r.
+    *  3. phase 1: exactly score a BOUNDED candidate set — from each
+    *     query's rank-1 bucket (the highest-impact, typically
+    *     rarest list), the 4k docs with the largest single-posting
+    *     contribution w·qw. θ_q = the k-th best raw score — a valid
+    *     lower bound on the final k-th score because it is the k-th
+    *     of a subset; the cap keeps phase 1 O(k) per query even on
+    *     degenerate corpora where the rank-1 postings list is the
+    *     whole corpus (picking by contribution keeps θ tight).
+    *  4. essential buckets: S_r ≥ θ_q − 2·10⁻⁴. Docs matching ONLY
+    *     inessential buckets score < θ_q − 2·10⁻⁴, which keeps them
+    *     out of the top k even after the 4-decimal output rounding
+    *     (rounded strictly below the rounded k-th value, so no
+    *     tiebreak can resurrect them) — the slack is what makes the
+    *     pruning lossless under the rounded comparator.
+    *  5. full scores ONLY for docs matching ≥1 essential bucket
+    *     (rank-1 is always essential, so phase 1 is subsumed):
+    *     features are first FILTERED by a broadcast of the candidate
+    *     doc set (a semi-join on the scan — no corpus shuffle), then
+    *     expanded per candidate (query, doc) pair and aggregated.
+    *
+    * Scored-posting volume drops from Σ_t |postings(t)| to
+    * Σ_{candidate (q,d)} |q∩d| — on real vocabularies the frequent
+    * (hot-postings) buckets are precisely the low-ceiling ones that
+    * go inessential once θ is set by the rare terms.
+    *
+    * ADAPTIVE fallback: after θ lands, the plan compares the posting
+    * volume behind the surviving essential buckets against the full
+    * matched volume (two numbers off the fleet-sized ceiling table).
+    * If pruning keeps ≥ half, the ceilings can't pay for the
+    * candidate-expansion scaffolding — the degenerate tiny-vocabulary
+    * regime (§9.16, every doc shares every bucket) — and the naive
+    * single-join plan runs instead; the answer is identical either
+    * way, this picks only the cheaper physical plan.
+    */
+  def topKCosinePruned(features: DataFrame, queryFeatures: DataFrame,
+      k: Int, fallbackFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = features.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .localCheckpoint()
+    val qnorms = queryFeatures.groupBy("query_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("qnrm"))
+    // 1. per-bucket normalized impact ceiling (+ postings count for
+    // the adaptive volume estimate), then per-query ceilings
+    val ub = features.join(norms, "doc_id")
+      .groupBy("bucket").agg(max(abs(col("w")) / col("nrm")).as("u"),
+        count(lit(1)).as("cnt"))
+    val qub = queryFeatures
+      .join(ub, "bucket").join(qnorms, "query_id")
+      .select(col("query_id"), col("bucket"), col("cnt"),
+        (col("u") * abs(col("w")) / col("qnrm")).as("ub"))
+    // 2. rank + suffix sums — query-fleet-sized, one tiny window
+    val byImpact = Window.partitionBy("query_id")
+      .orderBy(col("ub").desc, col("bucket"))
+    val ranked = qub
+      .withColumn("r", row_number().over(byImpact))
+      .withColumn("s_r", sum("ub").over(
+        byImpact.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .localCheckpoint()
+    // 3. θ from a bounded phase-1 candidate set's exact scores
+    val top1 = queryFeatures.select(col("query_id"), col("bucket"),
+        col("w").as("qw"))
+      .join(broadcast(ranked.filter(col("r") === 1)
+        .select("query_id", "bucket")), Seq("query_id", "bucket"))
+    val byContrib = Window.partitionBy("query_id")
+      .orderBy((col("w") * col("qw")).desc, col("doc_id"))
+    val cand1 = features.join(broadcast(top1), "bucket")
+      .where(col("query_id") =!= col("doc_id"))
+      .withColumn("c_rk", row_number().over(byContrib))
+      .where(col("c_rk") <= 4 * k)
+      .select("query_id", "doc_id")
+    val kth = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("doc_id"))
+    val theta = scorePairs(features, queryFeatures, cand1, norms, qnorms)
+      .withColumn("rk", row_number().over(kth))
+      .where(col("rk") === k)
+      .select(col("query_id"), col("cos_raw").as("theta"))
+    // 4. essential buckets; missing θ (query matched < k docs in
+    // phase 1) keeps everything for that query
+    val isEssential =
+      col("s_r") >= coalesce(col("theta"), lit(-2.0)) - lit(2e-4)
+    val withTheta = ranked
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .localCheckpoint()
+    // adaptive: posting volume kept vs full matched volume — two
+    // numbers off the fleet-sized ceiling table, ONE tiny job
+    val volRow = withTheta
+      .agg(sum(when(isEssential, col("cnt"))), sum(col("cnt"))).head
+    def volAt(i: Int): Long =
+      Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
+    if (volAt(0) >= volAt(1) * fallbackFrac)
+      return topKCosine(features, queryFeatures, k)
+    val essential = withTheta.where(isEssential)
+      .select("query_id", "bucket")
+    // 5. candidate docs → full exact scores
+    val cand = features.join(broadcast(essential), "bucket")
+      .where(col("query_id") =!= col("doc_id"))
+      .select("query_id", "doc_id").distinct()
+    val scored = scorePairs(features, queryFeatures, cand, norms, qnorms)
+      .select(col("query_id"), col("doc_id"),
+        round(col("cos_raw"), 4).as("cosine"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "cosine")
+  }
+
+  /** Exact raw cosine for the given candidate (query_id, doc_id)
+    * pairs: features filtered to candidate docs by a BROADCAST
+    * semi-join on the scan (no corpus shuffle), expanded per
+    * candidate pair, dotted against the query weights.
+    */
+  private def scorePairs(features: DataFrame, queryFeatures: DataFrame,
+      pairs: DataFrame, norms: DataFrame, qnorms: DataFrame): DataFrame = {
+    val candDocs = pairs.select("doc_id").distinct()
+    val candF = features.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val dots = candF
+      .join(broadcast(pairs), "doc_id")
+      .join(broadcast(queryFeatures.select(col("query_id"), col("bucket"),
+        col("w").as("qw"))), Seq("query_id", "bucket"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    dots
+      .join(norms, "doc_id").join(broadcast(qnorms), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("dot") / (col("nrm") * col("qnrm"))).as("cos_raw"))
+  }
 }

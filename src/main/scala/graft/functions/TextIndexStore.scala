@@ -51,8 +51,12 @@ object TextIndexStore {
   private def byTerm(df: DataFrame): DataFrame =
     df.repartition(col("term")).sortWithinPartitions("term")
 
+  private def foldBounds(m: DataFrame): DataFrame =
+    m.groupBy("term").agg(sum("df").as("df"),
+      max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+
   private def handle(corpusPath: String) =
-    IncrementalDocArtifact(corpusPath, "inc", Seq(
+    IncrementalDocArtifact(corpusPath, "inc2", Seq(
       Piece("postings",
         (docs, _) => byTerm(TextSearch.postings(docs, "doc_id", normCol)),
         fold = Some(byTerm)),
@@ -64,7 +68,14 @@ object TextIndexStore {
           .groupBy(col("doc_id")).agg(first("dl").as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
         fold = Some(m =>
-          m.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))))),
+          m.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))),
+      // per-term score ceilings (df exact, max_tf/min_dl bounds) —
+      // sum/max/min partials fold additively, so increments keep the
+      // ceilings valid O(new); see TextSearch.termBounds
+      Piece("termbounds",
+        (docs, _) => TextSearch.termBounds(
+          TextSearch.postings(docs, "doc_id", normCol)),
+        fold = Some(foldBounds))),
       compactEvery)
 
   private def serve(spark: SparkSession, sfDir: String, piece: String): DataFrame =
@@ -90,6 +101,13 @@ object TextIndexStore {
       .agg(sum("n_docs").as("nd"), sum("sum_dl").as("sd"))
       .select(col("nd").cast("double").as("n_docs"),
         (col("sd").cast("double") / col("nd").cast("double")).as("avgdl"))
+
+  /** Stored per-term score ceilings (term, df, max_tf, min_dl),
+    * folded from the per-generation partials — the MAX-SCORE pruning
+    * table for [[TextSearch.bm25TopKBatchPruned]].
+    */
+  def termBounds(spark: SparkSession, sfDir: String): DataFrame =
+    foldBounds(serve(spark, sfDir, "termbounds"))
 
   /** Offline compaction hook (also runs automatically on the
     * `compactEvery` cadence).

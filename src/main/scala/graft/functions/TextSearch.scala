@@ -119,6 +119,157 @@ object TextSearch {
       .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
   }
 
+  /** Per-term score-ceiling statistics: (term, df, max_tf, min_dl).
+    * df is the exact document frequency; (max_tf, min_dl) bound the
+    * BM25 tf-norm from above for EVERY posting of the term (tf-norm
+    * is increasing in tf, decreasing in dl), so
+    * ub(t) = idf(df)·tfnorm(max_tf, min_dl) is a valid per-term
+    * score ceiling under any corpus constants. All three fold
+    * additively (sum/max/min), so a persisted index maintains them
+    * O(new) per increment and the ceilings never go stale-INVALID —
+    * staleness can only loosen them.
+    */
+  def termBounds(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df"),
+      max("tf").as("max_tf"), min("dl").as("min_dl"))
+
+  /** Top-k batch retrieval: [[bm25Batch]] + per-query rank, ordered
+    * by the ROUNDED (4-decimal) score with doc-id tiebreak — the
+    * deterministic comparator the oracles use.
+    */
+  def bm25TopKBatch(
+      post: DataFrame,
+      idCol: String,
+      queryTerms: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    bm25Batch(post, idCol, queryTerms, k1, b, stats)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        round(col("score"), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** [[bm25TopKBatch]] with MAX-SCORE pruning over a persisted index
+    * — bit-identical output, fewer scored postings. The same
+    * two-phase bound discipline as
+    * [[HashedTfIdf.topKCosinePruned]] (see there for the θ /
+    * essential-term / rounding-slack arguments), with the ceilings
+    * coming from the STORED `bounds` table
+    * ([[TextIndexStore.termBounds]]) instead of a per-run aggregate:
+    * a query never touches the postings of a term whose ceiling
+    * suffix-sum cannot reach the k-th best score — exactly the
+    * frequent (hot-postings) terms, since BM25 idf makes them the
+    * low-ceiling ones. Adaptive fallback to the naive single-join
+    * plan when the surviving posting volume is ≥ `fallbackFrac` of
+    * the full matched volume (degenerate vocabularies).
+    */
+  def bm25TopKBatchPruned(
+      post: DataFrame,
+      idCol: String,
+      queryTerms: DataFrame,
+      k: Int,
+      bounds: DataFrame,
+      stats: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      fallbackFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queryTerms.distinct()
+    // per-(query, term) ceilings off the stored bounds — exact df
+    // (same value the naive path aggregates), bounding tf-norm
+    val idfB = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val ubTf = col("max_tf") * (k1 + 1.0) / (col("max_tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("min_dl") / col("avgdl")))
+    val qub = qt.join(bounds, "term").crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"), col("df"),
+        (idfB * ubTf).as("ub"))
+    val byImpact = Window.partitionBy("query_id")
+      .orderBy(col("ub").desc, col("term"))
+    val ranked = qub
+      .withColumn("r", row_number().over(byImpact))
+      .withColumn("s_r", sum("ub").over(
+        byImpact.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .localCheckpoint()
+    val dfs = ranked.select(col("term"), col("df").cast("double").as("df"))
+      .distinct()
+    // phase 1: bounded candidates from each query's top-ceiling term,
+    // picked by exact per-posting score (stats is one broadcast row)
+    val top1 = ranked.filter(col("r") === 1).select("query_id", "term", "df")
+    val w1 = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+      / (col("df") + 0.5)) * (col("tf") * (k1 + 1.0) / (col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val byContrib = Window.partitionBy("query_id")
+      .orderBy(col("w1").desc, col(idCol))
+    val cand1 = post.join(broadcast(top1), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w1", w1)
+      .withColumn("c_rk", row_number().over(byContrib))
+      .where(col("c_rk") <= 4 * k)
+      .select(col("query_id"), col(idCol))
+    val kth = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    val theta = scoreCandidates(post, idCol, qt, cand1, dfs, stats, k1, b)
+      .withColumn("rk", row_number().over(kth))
+      .where(col("rk") === k)
+      .select(col("query_id"), col("score").as("theta"))
+    // essential terms under the rounding slack; missing θ keeps all
+    val isEssential =
+      col("s_r") >= coalesce(col("theta"), lit(0.0)) - lit(2e-4)
+    val withTheta = ranked
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .localCheckpoint()
+    val volRow = withTheta
+      .agg(sum(when(isEssential, col("df"))), sum(col("df"))).head
+    def volAt(i: Int): Long =
+      Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
+    if (volAt(0) >= volAt(1) * fallbackFrac)
+      return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
+    val essential = withTheta.where(isEssential)
+      .select("query_id", "term")
+    val cand = post.join(broadcast(essential), "term")
+      .select(col("query_id"), col(idCol)).distinct()
+    val scored = scoreCandidates(post, idCol, qt, cand, dfs, stats, k1, b)
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score"), col("rank"))
+  }
+
+  /** Exact BM25 for the given candidate (query_id, doc) pairs:
+    * postings filtered to candidate docs by a broadcast semi-join on
+    * the scan (no corpus shuffle), expanded per candidate pair,
+    * aggregated with the same idf/tf-norm terms as the naive path —
+    * score is ROUNDED to the oracle's 4 decimals.
+    */
+  private def scoreCandidates(post: DataFrame, idCol: String,
+      qt: DataFrame, pairs: DataFrame, dfs: DataFrame,
+      stats: DataFrame, k1: Double, b: Double): DataFrame = {
+    val candDocs = pairs.select(idCol).distinct()
+    val candPost = post.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1.0) / (col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    candPost
+      .join(broadcast(qt), "term")
+      .join(broadcast(pairs), Seq("query_id", idCol), "left_semi")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(idf * tfNorm), 4).as("score"))
+  }
+
   /** Positional postings: (id, term, positions) with 0-based,
     * ascending token positions — the index shape phrase and proximity
     * queries need (ES match_phrase). Build cost is the same doc×term

@@ -45,6 +45,48 @@ class HashedTfIdfSpec extends SparkSpec {
     assert(!top.map(_.getAs[Long]("doc_id")).contains(1L)) // no self
   }
 
+  test("max-score pruned retrieval is bit-identical to the naive path") {
+    // randomized Zipf-ish corpora: frequent shared tokens (the
+    // postings the pruning should skip) + rare discriminative ones;
+    // seeds logged so a failure replays
+    val common = Array("the", "of", "and", "data", "table", "scan")
+    val rare = Array.tabulate(40)(i => s"rare$i")
+    for (seed <- Seq(11L, 42L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 60L).map { i =>
+        val nc = 3 + rnd.nextInt(4)
+        val nr = 1 + rnd.nextInt(3)
+        val words = Seq.fill(nc)(common(rnd.nextInt(common.length))) ++
+          Seq.fill(nr)(rare(rnd.nextInt(rare.length)))
+        (i, rnd.shuffle(words).mkString(" "))
+      }.toDF("doc_id", "text")
+      val f = HashedTfIdf.sparseFeatures(corpus, "doc_id", col("text"),
+        dim = 512).localCheckpoint()
+      val qf = f.where(col("doc_id") % 7 === 0)
+        .withColumnRenamed("doc_id", "query_id")
+      withClue(s"seed=$seed: ") {
+        // fallbackFrac = 1.1 pins the PRUNED branch (never fall back)
+        // so the bound math itself is what equality certifies; the
+        // default adaptive form must agree too
+        assertSameRows(
+          HashedTfIdf.topKCosinePruned(f, qf, k = 4, fallbackFrac = 1.1),
+          HashedTfIdf.topKCosine(f, qf, k = 4))
+        assertSameRows(
+          HashedTfIdf.topKCosinePruned(f, qf, k = 4),
+          HashedTfIdf.topKCosine(f, qf, k = 4))
+      }
+    }
+  }
+
+  test("pruned retrieval: fewer candidates than k, and tiny corpora, survive") {
+    val f = HashedTfIdf.sparseFeatures(docs, "doc_id", col("text"), dim = 64)
+    val qf = f.where(col("doc_id") === 1).withColumnRenamed("doc_id", "query_id")
+    // k larger than the matchable corpus → θ never materializes
+    assertSameRows(
+      HashedTfIdf.topKCosinePruned(f, qf, k = 10, fallbackFrac = 1.1),
+      HashedTfIdf.topKCosine(f, qf, k = 10))
+  }
+
   test("minIdf drops ubiquitous tokens from the postings") {
     val every = Seq(
       (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"))

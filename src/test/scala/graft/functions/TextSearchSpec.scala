@@ -145,4 +145,52 @@ class TextSearchSpec extends SparkSpec {
     all.count() shouldBe s.length
     s.foreach(_ should be > 0.0)
   }
+
+  test("max-score pruned top-k is bit-identical to the naive path") {
+    val common = Array("the", "of", "and", "data", "scan", "run")
+    val rare = Array.tabulate(30)(i => s"uniq$i")
+    for (seed <- Seq(5L, 23L, 64L)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 50L).map { i =>
+        val words = Seq.fill(4 + rnd.nextInt(5))(
+          common(rnd.nextInt(common.length))) ++
+          Seq.fill(1 + rnd.nextInt(2))(rare(rnd.nextInt(rare.length)))
+        (i, rnd.shuffle(words).mkString(" "))
+      }.toDF("doc_id", "text")
+      val post = TextSearch.postings(
+        corpus, "doc_id", TextFunctions.normalize(col("text")))
+        .localCheckpoint()
+      val stats = TextSearch.corpusStats(post, "doc_id").localCheckpoint()
+      val bounds = TextSearch.termBounds(post).localCheckpoint()
+      // queries mix a frequent term (prunable postings) + rare ones
+      val queries = (0 until 5).map { q =>
+        Seq((q.toLong, common(rnd.nextInt(common.length))),
+          (q.toLong, rare(rnd.nextInt(rare.length))),
+          (q.toLong, rare(rnd.nextInt(rare.length))))
+      }.flatten.toDF("query_id", "term")
+      withClue(s"seed=$seed: ") {
+        // pinned pruned branch AND the default adaptive form
+        assertSameRows(
+          TextSearch.bm25TopKBatchPruned(post, "doc_id", queries, k = 3,
+            bounds, stats, fallbackFrac = 1.1),
+          TextSearch.bm25TopKBatch(post, "doc_id", queries, k = 3,
+            stats = Some(stats)))
+        assertSameRows(
+          TextSearch.bm25TopKBatchPruned(post, "doc_id", queries, k = 3,
+            bounds, stats),
+          TextSearch.bm25TopKBatch(post, "doc_id", queries, k = 3,
+            stats = Some(stats)))
+      }
+    }
+  }
+
+  test("termBounds: per-term df exact, tf/dl extremes bound every posting") {
+    val post = TextSearch.postings(docs, "doc_id", norm)
+    val b = TextSearch.termBounds(post).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    b("spark") shouldBe ((3L, 3L, 2))
+    b("engine") shouldBe ((3L, 4L, 2))
+    b("rare") shouldBe ((1L, 1L, 2))
+  }
 }
