@@ -758,6 +758,40 @@ object DedupQueries {
         .orderBy("new_id", "dup_id")
     },
 
+    // EXACT edit-distance (Levenshtein <= 2) self-join — the
+    // short-string dedup rung (names, titles, URLs) set-Jaccard is
+    // blind to. PassJoin-style pigeonhole segment blocking +
+    // contraction + codegen'd levenshtein verify (EditJoin). The
+    // corpus derives from part names plus DETERMINISTIC planted
+    // typos (5th char deleted), computed identically in both
+    // dialects; the oracle is the naive all-pairs join, so a pair
+    // lost by the blocking hash-mismatches.
+    GraftQuery(
+      "d27_edit_join",
+      """WITH base AS (
+        |  SELECT p_partkey AS sid, lower(p_name) AS s FROM part
+        |  WHERE p_partkey % 4 = 0),
+        |typos AS (SELECT sid + 1000000 AS sid,
+        |            substr(s, 1, 4) || substr(s, 6) AS s
+        |          FROM base WHERE sid % 5 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+        |SELECT a.sid AS id_a, b.sid AS id_b,
+        |  levenshtein(a.s, b.s)::BIGINT AS dist
+        |FROM c a JOIN c b ON a.sid < b.sid
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("sid"), lower(col("p_name")).as("s"))
+      val typos = base.filter(col("sid") % 5 === 0)
+        .select((col("sid") + 1000000).as("sid"),
+          concat(substring(col("s"), 1, 4),
+            col("s").substr(lit(6), length(col("s")))).as("s"))
+      graft.dedup.EditJoin.similarPairs(
+          base.unionByName(typos), "sid", col("s"), k = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // SPLIT-LEAKAGE audit: cross-split near-dup pairs under the t6
     // deterministic split — the train/test contamination check every
     // training pipeline needs (a test doc with a train near-twin
