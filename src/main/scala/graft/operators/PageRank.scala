@@ -29,40 +29,107 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Ranks after `iters` iterations with damping `d` over directed
-    * `edges(src, dst)`; nodes = every id appearing on either side.
-    * Output: (node, pr) with pr rounded to 6 decimals.
-    */
-  def ranks(spark: SparkSession, edges: DataFrame,
-      iters: Int = 5, d: Double = 0.85): DataFrame = {
+  /** (distinct edges, nodes, out-degrees, 1-row node count). */
+  private def graphTables(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    (e, nodes, outDeg, nRow)
+  }
+
+  /** One damped iteration (see class doc for the plan shape). */
+  private def step(pr: DataFrame, e: DataFrame, nodes: DataFrame,
+      outDeg: DataFrame, nRow: DataFrame, d: Double): DataFrame = {
+    val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left")
+    // dangling mass: ranks of nodes with no out-edges
+    val dm = withDeg.where(col("deg").isNull)
+      .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+    val contrib = e
+      .join(pr.withColumnRenamed("node", "src"), "src")
+      .join(outDeg, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("pr") / col("deg")).as("c"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dm))
+      .crossJoin(broadcast(nRow))
+      .select(col("node"),
+        ((lit(1.0) - d) / col("n") +
+          lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
+          .as("pr"))
+      .localCheckpoint()
+  }
+
+  /** Ranks after `iters` iterations with damping `d` over directed
+    * `edges(src, dst)`; nodes = every id appearing on either side.
+    * Output: (node, pr) with pr rounded to 6 decimals. The uniform
+    * start is built directly as 1/n per node (NOT through the
+    * warm-start normalizer — q43's oracle unrolls this exact chain
+    * bit-for-bit, and normalizing a uniform vector by its double-sum
+    * would perturb the start by one ulp).
+    */
+  def ranks(spark: SparkSession, edges: DataFrame,
+      iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val (e, nodes, outDeg, nRow) = graphTables(edges)
     var pr = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left")
-      // dangling mass: ranks of nodes with no out-edges
-      val dm = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val contrib = e
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("deg")).as("c"))
-      pr = nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dm))
-        .crossJoin(broadcast(nRow))
-        .select(col("node"),
-          ((lit(1.0) - d) / col("n") +
-            lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
-            .as("pr"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d)
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** Iterate to CONVERGENCE (L1 delta ≤ `tol`), optionally
+    * WARM-STARTED from a previous rank vector — the graph-append
+    * production path: on a grown graph the previous ranks are close
+    * to the new fixpoint, so far fewer iterations reach the same
+    * tolerance than the uniform cold start (spec-measured). `init`
+    * rows are matched to the CURRENT node set: new nodes start at
+    * 1/n, then the vector renormalizes to unit mass (PageRank's
+    * invariant — the fixpoint is unique, so any normalized start
+    * converges to the SAME ranks; warm starting changes the path,
+    * never the destination). Returns (unrounded ranks, iterations
+    * run). Fails loudly if `maxIters` rounds don't reach `tol` — an
+    * unconverged vector served as "the ranks" would be silently
+    * wrong, the DupClusters discipline.
+    */
+  def converged(spark: SparkSession, edges: DataFrame,
+      init: Option[DataFrame] = None, tol: Double = 1e-9,
+      maxIters: Int = 60, d: Double = 0.85): (DataFrame, Int) = {
+    val (e, nodes, outDeg, nRow) = graphTables(edges)
+    var pr = init match {
+      case None =>
+        nodes.crossJoin(broadcast(nRow))
+          .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+          .localCheckpoint()
+      case Some(prev) =>
+        val joined = nodes
+          .join(prev.select(col("node"), col("pr").as("_prev")), Seq("node"),
+            "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr"))
+          .localCheckpoint()
+        val mass = joined.agg(sum("pr").as("m"))
+        joined.crossJoin(broadcast(mass))
+          .select(col("node"), (col("pr") / col("m")).as("pr"))
+          .localCheckpoint()
+    }
+    var iters = 0
+    var delta = Double.MaxValue
+    while (delta > tol) {
+      if (iters >= maxIters) throw new IllegalStateException(
+        s"PageRank did not reach tol=$tol in $maxIters iterations " +
+          s"(last L1 delta $delta) — raise maxIters or loosen tol")
+      val next = step(pr, e, nodes, outDeg, nRow, d)
+      delta = next.join(pr.withColumnRenamed("pr", "_old"), "node")
+        .agg(coalesce(sum(abs(col("pr") - col("_old"))), lit(0.0)))
+        .head.getDouble(0)
+      pr = next
+      iters += 1
+    }
+    (pr, iters)
   }
 }
