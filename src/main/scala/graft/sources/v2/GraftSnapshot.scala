@@ -56,6 +56,21 @@ import graft.sources.ParquetTableIO
   * infer a schema — create it with `ParquetTableIO.overwrite` (or
   * point the reader at a plain parquet dir, which the store adopts as
   * version 0).
+  *
+  * SCHEMA EVOLUTION: the schema is PER-VERSION, not per-store — an
+  * overwrite with a wider (add-column) schema simply publishes the
+  * next version with that schema (`supportsExternalMetadata` lets the
+  * write carry the incoming frame's schema; the staging ParquetTable
+  * is built from `info.schema()`). Old versions stay readable through
+  * the time-travel option with their own schema, or under the evolved
+  * schema via `.schema(evolved)` where the absent column null-pads at
+  * the parquet layer — no old version is ever rewritten. The sync
+  * tick composes with this end-to-end (`SyncRunnerSpec` "schema
+  * evolution composes with the connector tick"): one side gains a
+  * column upstream, `SchemaTools.alignBoth` carries it across, and
+  * both stores' next snapshots expose it — the reference's
+  * `sync_schemas` ALTER-ADD side effect (pyCassElastic.py:412-446)
+  * expressed as versioned snapshots.
   */
 final class GraftSnapshotDataSource extends TableProvider
     with DataSourceRegister {

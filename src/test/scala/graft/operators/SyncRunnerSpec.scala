@@ -184,6 +184,54 @@ class SyncRunnerSpec extends SparkSpec {
     r.read(spark).select("id", "text").as[(String, String)].collect().toSet shouldBe want
   }
 
+  test("schema evolution composes with the connector tick (sync_schemas parity)") {
+    val (l, r) = connectorStores()
+    l.bootstrap(df(("a", inWin, "t", "L")))
+    r.bootstrap(df(("b", inWin, "u", "R")))
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+
+    // upstream ADD COLUMN on the left: the evolved snapshot publishes
+    // THROUGH the connector as a new version — the store's schema is
+    // per-version, so a wider write is just the next snapshot
+    val evolved = Seq(("a", inWin + 10, "t2", "L", "xval"))
+      .toDF("id", "version", "text", "source", "new_col")
+    val aligned = SchemaTools.align(
+      l.read(spark), SchemaTools.evolve(l.read(spark).schema, evolved.schema))
+    evolved.unionByName(aligned.filter($"id" =!= "a"))
+      .write.format("graft-snapshot")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(l.path)
+
+    // tick: the runner's alignBoth carries the column right; both
+    // stores now expose it, synced value included
+    SyncRunner.runOnce(spark, spec, SyncRunner.Sides(l, r), span)
+    val ro = r.read(spark)
+    ro.columns should contain("new_col")
+    ro.filter($"id" === "a").select("new_col").as[String].collect() shouldBe
+      Array("xval")
+    // the pre-evolution row null-pads, reference insert-side semantics
+    ro.filter($"id" === "b").select("new_col").collect()
+      .head.isNullAt(0) shouldBe true
+    l.read(spark).columns should contain("new_col")
+
+    // time travel: the PRE-EVOLUTION right version is still readable
+    // with its own (old) schema...
+    val io = new ParquetTableIO(r.path)
+    val prevVersion = io.currentVersion - 1
+    val old = spark.read.format("graft-snapshot")
+      .option("version", prevVersion).load(r.path)
+    old.columns should not contain "new_col"
+    // the pre-evolution snapshot is tick 1's state: a already synced
+    old.select("id").as[String].collect().sorted shouldBe Array("a", "b")
+    // ...and under the EVOLVED schema, where the absent column
+    // null-pads at the parquet layer (no rewrite of old versions)
+    val oldEvolved = spark.read.format("graft-snapshot")
+      .schema(ro.schema)
+      .option("version", prevVersion).load(r.path)
+    oldEvolved.columns should contain("new_col")
+    oldEvolved.select("new_col").collect()
+      .foreach(_.isNullAt(0) shouldBe true)
+  }
+
   test("connector read pushes the window predicate to the parquet scan") {
     val (l, _) = connectorStores()
     l.bootstrap(df(("a", inWin, "t", "L"), ("b", outWin, "old", "L")))
