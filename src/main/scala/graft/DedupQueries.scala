@@ -792,6 +792,36 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // STORED edit-distance ingest screen — the short-string rung of
+    // the stored-screen family (digest/band/prefix/containment). The
+    // artifact keeps segments AND probe substrings (both orientations
+    // in length), all additive, O(new) per corpus append; the batch
+    // joins the clustered dictionary and verifies with codegen
+    // levenshtein. Naive batch x corpus oracle: a lost pair
+    // hash-mismatches.
+    GraftQuery(
+      "d28_edit_screen",
+      """WITH c AS (
+        |  SELECT p_partkey AS sid, lower(p_name) AS s FROM part
+        |  WHERE p_partkey % 4 = 0),
+        |b AS (SELECT p_partkey + 1000000 AS sid,
+        |        substr(lower(p_name), 1, 4) || substr(lower(p_name), 6) AS s
+        |      FROM part WHERE p_partkey % 20 = 0)
+        |SELECT b.sid AS new_id, c.sid AS dup_id,
+        |  levenshtein(b.s, c.s)::BIGINT AS dist
+        |FROM c JOIN b ON levenshtein(b.s, c.s) <= 2
+        |ORDER BY new_id, dup_id""".stripMargin) { (s, dir) =>
+      val pn = lower(col("p_name"))
+      val batch = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0)
+        .select((col("p_partkey") + 1000000).as("sid"),
+          concat(substring(pn, 1, 4), pn.substr(lit(6), length(pn))).as("s"))
+      graft.dedup.EditStore.screen(s, s"$dir/part.parquet", "pname",
+          "p_partkey", pn, batch, "sid", col("s"), k = 2,
+          corpusFilter = col("sid") % 4 === 0)
+        .orderBy("new_id", "dup_id")
+    },
+
     // SPLIT-LEAKAGE audit: cross-split near-dup pairs under the t6
     // deterministic split — the train/test contamination check every
     // training pipeline needs (a test doc with a train near-twin

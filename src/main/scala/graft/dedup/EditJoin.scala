@@ -74,38 +74,23 @@ object EditJoin {
     lit(i) * base + least(lit(i), rem) + 1
   }
 
-  /** All pairs (id_a < id_b, dist) with levenshtein ≤ k. Exact —
-    * verified against brute force in `EditJoinSpec`; the d27 oracle
-    * is the naive all-pairs join.
+  /** Index side: the k+1 positioned segments of every string of a
+    * `(sid, s, l)` frame → (sid, l_a, i, seg).
     */
-  def similarPairs(strs: DataFrame, idCol: String, strCol: Column,
-      k: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k >= 0, "need k >= 0")
-    val id = col(idCol)
-    // --- contraction: one representative per distinct string
-    val withS = strs.select(id, strCol.as("s"))
-    val members = withS.select(id.as("mid"), col("s")).localCheckpoint()
-    val reps = withS.groupBy("s").agg(min(id).as("rid"))
-      .select(col("rid"), col("s"), length(col("s")).cast("int").as("l"))
-      .localCheckpoint()
-    // --- index side: the k+1 positioned segments of every rep
-    val segs = (0 to k).map { i =>
-      reps.select(col("rid").as("rid_a"), col("l").as("l_a"), lit(i).as("i"),
+  private[dedup] def segmentsOf(strs: DataFrame, k: Int): DataFrame =
+    (0 to k).map { i =>
+      strs.select(col("sid"), col("l").as("l_a"), lit(i).as("i"),
         col("s").substr(segStart(col("l"), i, k), segLen(col("l"), i, k))
           .as("seg"))
     }.reduce(_.unionByName(_))
-    val segsCapped =
-      if (maxBucket == Int.MaxValue) segs
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_a", "i", "seg").orderBy("rid_a")
-        segs.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= maxBucket).drop("_rn")
-      }
-    // --- probe side: candidate substrings for every indexable
-    // length lr in [l-k, l], segment index, and ±k start window.
-    // Fan-out is a constant <= (k+1)^2 (2k+1) per string.
-    val probes = (0 to k).flatMap { dl => // lr = l - dl
+
+  /** Probe side: candidate substrings of every string of a
+    * `(sid, s, l)` frame for every indexable length lr in [l-k, l],
+    * segment index, and ±k start window → (sid, l_b, l_a, i, seg).
+    * Fan-out is a constant <= (k+1)^2 (2k+1) per string.
+    */
+  private[dedup] def probesOf(strs: DataFrame, k: Int): DataFrame =
+    (0 to k).flatMap { dl => // lr = l - dl
       (0 to k).map { i =>
         val lr = col("l") - dl
         val ln = segLen(lr, i, k)
@@ -118,14 +103,42 @@ object EditJoin {
         val stHi = least(st0 + k, col("l") - ln + 1)
         val stArr = when(stHi >= stLo, sequence(stLo, stHi))
           .otherwise(array().cast("array<int>"))
-        reps.where(col("l") - dl >= 0)
-          .select(col("rid").as("rid_b"), col("l").as("l_b"),
+        strs.where(col("l") - dl >= 0)
+          .select(col("sid"), col("l").as("l_b"),
             lr.as("l_a"), lit(i).as("i"), ln.as("_ln"),
             explode(stArr).as("_st"), col("s"))
-          .select(col("rid_b"), col("l_b"), col("l_a"), col("i"),
+          .select(col("sid"), col("l_b"), col("l_a"), col("i"),
             col("s").substr(col("_st"), col("_ln")).as("seg"))
       }
     }.reduce(_.unionByName(_))
+
+  /** All pairs (id_a < id_b, dist) with levenshtein ≤ k. Exact —
+    * verified against brute force in `EditJoinSpec`; the d27 oracle
+    * is the naive all-pairs join.
+    */
+  def similarPairs(strs: DataFrame, idCol: String, strCol: Column,
+      k: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k >= 0, "need k >= 0")
+    val id = col(idCol)
+    // --- contraction: one representative per distinct string
+    val withS = strs.select(id, strCol.as("s"))
+    val members = withS.select(id.as("mid"), col("s")).localCheckpoint()
+    val reps = withS.groupBy("s").agg(min(id).as("rid"))
+      .select(col("rid").as("sid"), col("s"),
+        length(col("s")).cast("int").as("l"))
+      .localCheckpoint()
+    // --- index side, optionally capped per segment bucket
+    val segs = segmentsOf(reps, k)
+      .withColumnRenamed("sid", "rid_a")
+    val segsCapped =
+      if (maxBucket == Int.MaxValue) segs
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_a", "i", "seg").orderBy("rid_a")
+        segs.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxBucket).drop("_rn")
+      }
+    val probes = probesOf(reps, k).withColumnRenamed("sid", "rid_b")
     // --- candidates: segment-dictionary join; the probe only looks
     // DOWN in length, so cross-length pairs appear once; equal-length
     // pairs canonicalize via least/greatest before the distinct
@@ -136,8 +149,8 @@ object EditJoin {
       .distinct()
     // --- verify on representatives (codegen'd levenshtein)
     val repPairs = cand
-      .join(reps.select(col("rid").as("rid_a"), col("s").as("s_a")), "rid_a")
-      .join(reps.select(col("rid").as("rid_b"), col("s").as("s_b")), "rid_b")
+      .join(reps.select(col("sid").as("rid_a"), col("s").as("s_a")), "rid_a")
+      .join(reps.select(col("sid").as("rid_b"), col("s").as("s_b")), "rid_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .where(col("dist") <= k)
       .select(col("rid_a"), col("rid_b"), col("s_a"), col("s_b"), col("dist"))
