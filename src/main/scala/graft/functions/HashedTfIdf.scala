@@ -128,14 +128,19 @@ object HashedTfIdf {
     * (hot-postings) buckets are precisely the low-ceiling ones that
     * go inessential once θ is set by the rare terms.
     *
-    * ADAPTIVE fallback: after θ lands, the plan compares the posting
-    * volume behind the surviving essential buckets against the full
-    * matched volume (two numbers off the fleet-sized ceiling table).
-    * If pruning keeps ≥ half, the ceilings can't pay for the
-    * candidate-expansion scaffolding — the degenerate tiny-vocabulary
-    * regime (§9.16, every doc shares every bucket) — and the naive
-    * single-join plan runs instead; the answer is identical either
-    * way, this picks only the cheaper physical plan.
+    * ADAPTIVE fallback — completion-cost-aware (§9.18 measured the
+    * naive form of this check mispredicting): the pruned plan's real
+    * cost is CANDIDATE COMPLETION — every candidate doc re-joins all
+    * its postings (avg-postings-per-doc of them), not just the kept
+    * ones — so the estimate compares `kept-volume × avg-postings/doc`
+    * against the naive matched volume. Pruning engages only when
+    * candidates are genuinely few: high-θ regimes — retrieval
+    * against duplicate-heavy corpora (the dedup workload), where the
+    * k-th best score is set by near-copies and everything but the
+    * rare discriminative buckets goes inessential. On spread corpora
+    * the k-th score is a weak match, most ceilings clear it, and the
+    * naive single-join plan runs instead; the answer is identical
+    * either way, this picks only the cheaper physical plan.
     */
   def topKCosinePruned(features: DataFrame, queryFeatures: DataFrame,
       k: Int, fallbackFrac: Double = 0.5): DataFrame = {
@@ -187,13 +192,17 @@ object HashedTfIdf {
     val withTheta = ranked
       .join(broadcast(theta), Seq("query_id"), "left")
       .localCheckpoint()
-    // adaptive: posting volume kept vs full matched volume — two
-    // numbers off the fleet-sized ceiling table, ONE tiny job
+    // adaptive: completion cost ≈ kept volume × avg postings/doc vs
+    // the naive matched volume — two tiny jobs (the fleet-sized
+    // ceiling table + the bucket-sized totals)
     val volRow = withTheta
       .agg(sum(when(isEssential, col("cnt"))), sum(col("cnt"))).head
     def volAt(i: Int): Long =
       Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
-    if (volAt(0) >= volAt(1) * fallbackFrac)
+    val tot = ub.agg(sum("cnt"), count(lit(1))).head
+    val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
+      math.max(1L, norms.count()).toDouble
+    if (volAt(0) * math.max(avgPerDoc, 1.0) >= volAt(1) * fallbackFrac)
       return topKCosine(features, queryFeatures, k)
     val essential = withTheta.where(isEssential)
       .select("query_id", "bucket")

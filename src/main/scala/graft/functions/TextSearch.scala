@@ -166,8 +166,11 @@ object TextSearch {
     * suffix-sum cannot reach the k-th best score — exactly the
     * frequent (hot-postings) terms, since BM25 idf makes them the
     * low-ceiling ones. Adaptive fallback to the naive single-join
-    * plan when the surviving posting volume is ≥ `fallbackFrac` of
-    * the full matched volume (degenerate vocabularies).
+    * plan when the COMPLETION estimate (kept volume × avg
+    * postings/doc — candidate docs re-join all their postings) is ≥
+    * `fallbackFrac` of the full matched volume; pruning engages in
+    * high-θ regimes (duplicate-heavy corpora) where candidates are
+    * genuinely few.
     */
   def bm25TopKBatchPruned(
       post: DataFrame,
@@ -229,7 +232,23 @@ object TextSearch {
       .agg(sum(when(isEssential, col("df"))), sum(col("df"))).head
     def volAt(i: Int): Long =
       Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
-    if (volAt(0) >= volAt(1) * fallbackFrac)
+    // two conditions gate the pruned plan (both estimable from stats
+    // + the fleet-sized ceiling table, no extra corpus pass):
+    //  1. completion cost ≈ kept volume × avg postings/doc (avgdl
+    //     bounds distinct-terms-per-doc from above) must undercut the
+    //     naive matched volume by fallbackFrac;
+    //  2. the naive matched volume must exceed the INDEX SIZE — the
+    //     pruned plan's floor is a handful of postings scans, so when
+    //     naive is scan-bound (matched ≈ index, the small-fleet case)
+    //     no saved scoring can pay for them (§9.18 measured 26.8 s vs
+    //     9.6 s ignoring this).
+    val statsRow = stats.select(col("avgdl"), col("n_docs")).head
+    val avgPerDoc = statsRow.getDouble(0)
+    val indexRows = statsRow.getDouble(1) * avgPerDoc
+    // (both gates scale with fallbackFrac, so a > 1 value pins the
+    // pruned branch for differential testing)
+    if (volAt(0) * math.max(avgPerDoc, 1.0) >= volAt(1) * fallbackFrac ||
+        volAt(1) * fallbackFrac < indexRows)
       return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
     val essential = withTheta.where(isEssential)
       .select("query_id", "term")

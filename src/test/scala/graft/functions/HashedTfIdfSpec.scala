@@ -65,11 +65,11 @@ class HashedTfIdfSpec extends SparkSpec {
       val qf = f.where(col("doc_id") % 7 === 0)
         .withColumnRenamed("doc_id", "query_id")
       withClue(s"seed=$seed: ") {
-        // fallbackFrac = 1.1 pins the PRUNED branch (never fall back)
+        // fallbackFrac = Double.MaxValue pins the PRUNED branch (never fall back)
         // so the bound math itself is what equality certifies; the
         // default adaptive form must agree too
         assertSameRows(
-          HashedTfIdf.topKCosinePruned(f, qf, k = 4, fallbackFrac = 1.1),
+          HashedTfIdf.topKCosinePruned(f, qf, k = 4, fallbackFrac = Double.MaxValue),
           HashedTfIdf.topKCosine(f, qf, k = 4))
         assertSameRows(
           HashedTfIdf.topKCosinePruned(f, qf, k = 4),
@@ -83,7 +83,7 @@ class HashedTfIdfSpec extends SparkSpec {
     val qf = f.where(col("doc_id") === 1).withColumnRenamed("doc_id", "query_id")
     // k larger than the matchable corpus → θ never materializes
     assertSameRows(
-      HashedTfIdf.topKCosinePruned(f, qf, k = 10, fallbackFrac = 1.1),
+      HashedTfIdf.topKCosinePruned(f, qf, k = 10, fallbackFrac = Double.MaxValue),
       HashedTfIdf.topKCosine(f, qf, k = 10))
   }
 

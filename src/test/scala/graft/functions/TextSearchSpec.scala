@@ -172,7 +172,7 @@ class TextSearchSpec extends SparkSpec {
         // pinned pruned branch AND the default adaptive form
         assertSameRows(
           TextSearch.bm25TopKBatchPruned(post, "doc_id", queries, k = 3,
-            bounds, stats, fallbackFrac = 1.1),
+            bounds, stats, fallbackFrac = Double.MaxValue),
           TextSearch.bm25TopKBatch(post, "doc_id", queries, k = 3,
             stats = Some(stats)))
         assertSameRows(

@@ -886,6 +886,40 @@ class StreamingPrefixScreenSpec extends SparkSpec {
   }
 }
 
+class StreamingEditScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches screen against the stored edit dictionaries") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sescreen")
+    val corpus = base.resolve("names.parquet").toString
+    Seq((1L, "walter"), (2L, "margaret"), (3L, "xylophone"))
+      .toDF("sid", "name").coalesce(1).write.parquet(corpus)
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingEditScreen.start(
+      mem.toDF().toDF("sid", "name"), "sid", col("name"),
+      corpus, "name", "sid", col("name"), k = 2,
+      outDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    // batch 0: dist-1 typo of walter + something unrelated;
+    // batch 1: a SHORTER string whose corpus partner is longer
+    mem.addData((10L, "waltert"), (11L, "zzzzzzz"))
+    q.processAllAvailable()
+    mem.addData((12L, "margret"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(outDir)
+      .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+    rep shouldBe Set((10L, 1L), (12L, 2L))
+    spark.read.parquet(outDir).select("_batch").distinct()
+      .as[Int].collect().toSet shouldBe Set(0, 1)
+  }
+}
+
 class StreamingLmGateSpec extends SparkSpec {
   import spark.implicits._
 
