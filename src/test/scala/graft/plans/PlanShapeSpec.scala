@@ -290,14 +290,16 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_max") // per-register fold combines map-side
   }
 
-  test("prefix join: equi-joins only, pinned inputs — no cartesian, no nested loop") {
+  test("prefix join: store-served — a pairs-piece scan, no joins at serve time") {
     val p = plan("d23_prefix_join")
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
-    // contraction + prefix tables are localCheckpoint-pinned, so the
-    // expansion/verify joins read materialized RDDs, not re-derived
-    // lineage (the df/tf chains would otherwise run once per consumer)
-    p should include("ExistingRDD")
+    // d23 serves the persisted `pairs` merge piece: candidate
+    // generation and verify ran at build/advance time, so the serve
+    // plan is a parquet scan of the artifact (plus LWW resolution
+    // only while unfolded delta generations exist)
+    p should include("graft_index")
+    p should not include "SortMergeJoin"
   }
 
   test("agg pushdown: COUNT/MIN/MAX answered from parquet footers") {
