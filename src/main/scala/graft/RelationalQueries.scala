@@ -1556,6 +1556,46 @@ object RelationalQueries {
             - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
     },
 
+    // BINNED Gini over the raw fact stream — the scale path q46's
+    // class doc promises: exact discrete Gini needs a total order
+    // (one-task window), so at fact cardinality the distribution
+    // buckets into integer-exact bins first (mergeable grouped
+    // state: (bin, count, sum) — the same additivity as c5's
+    // log-histogram) and the grouped-data Gini
+    //   G = 1 - sum_i p_i * (2*CumS_i - s_i)
+    // runs its window over ~100 BIN rows, never the stream. Both
+    // engines bin with the same integer floor, so bucketing is
+    // bit-identical; the spec measures the binning error against the
+    // exact q46-style Gini (sub-1% at width 1000).
+    GraftQuery(
+      "q47_binned_gini",
+      """WITH v AS (
+        |  SELECT floor(l_extendedprice * (1 - l_discount) / 1000.0)::BIGINT AS b,
+        |    l_extendedprice * (1 - l_discount) AS r
+        |  FROM lineitem),
+        |g AS (SELECT b, count(*) AS n, sum(r) AS s FROM v GROUP BY b),
+        |w AS (SELECT b, n, s, sum(s) OVER (ORDER BY b) AS cs FROM g),
+        |t AS (SELECT sum(n)::DOUBLE AS tn, sum(s) AS ts FROM g)
+        |SELECT count(*) AS n_bins, sum(n)::BIGINT AS n_rows,
+        |  round(1.0 - sum((n / tn) * (2.0 * cs - s) / ts), 4) AS gini_binned
+        |FROM w CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val r = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val g = Tables.load(s, dir, "lineitem")
+        .select(floor(r / 1000.0).cast("long").as("b"), r.as("r"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum("r").as("s"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy("b") // ~100 bin rows — never the fact stream
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val t = g.agg(sum("n").cast("double").as("tn"), sum("s").as("ts"))
+      g.withColumn("cs", sum("s").over(wCum))
+        .crossJoin(broadcast(t))
+        .agg(count(lit(1)).as("n_bins"), sum("n").cast("long").as("n_rows"),
+          round(lit(1.0) - sum((col("n") / col("tn"))
+            * (lit(2.0) * col("cs") - col("s")) / col("ts")), 4)
+            .as("gini_binned"))
+    },
+
     // k-anonymity audit (data governance): quasi-identifier
     // equivalence-class sizes for (nation, segment, acctbal decile)
     // — classes below k re-identify their members. One hash

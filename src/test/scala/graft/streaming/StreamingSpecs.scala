@@ -886,6 +886,54 @@ class StreamingPrefixScreenSpec extends SparkSpec {
   }
 }
 
+class StreamingSnapshotEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batches enrich under the LIVE snapshot; a pointer flip is seen next batch") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("senrich")
+    val store = base.resolve("dim").toString
+    val io = new graft.sources.ParquetTableIO(store)
+    io.overwrite(Seq(("k1", "alpha"), ("k2", "beta")).toDF("k", "name"))
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingSnapshotEnrich.start(
+      mem.toDF().toDF("event_id", "k"), Seq("k"), store,
+      outDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    mem.addData((1L, "k1"), (2L, "k9")) // k9 has no dimension row
+    q.processAllAvailable()
+    // dimension update: the pointer flips to version 2
+    io.overwrite(Seq(("k1", "ALPHA2"), ("k2", "beta")).toDF("k", "name"))
+    mem.addData((3L, "k1"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("name"))).toMap
+    rows(1L) shouldBe Some("alpha") // batch 0 saw version 1
+    rows(2L) shouldBe None // left join: missing dim row nulls, not drops
+    rows(3L) shouldBe Some("ALPHA2") // batch 1 saw the flipped pointer
+
+    // pinned mode: every batch reads the SAME version (bit-exact replay)
+    val out2 = base.resolve("out2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val v1 = io.currentVersion - 1
+    val q2 = StreamingSnapshotEnrich.start(
+      mem2.toDF().toDF("event_id", "k"), Seq("k"), store,
+      out2, base.resolve("ckpt2").toString,
+      Trigger.ProcessingTime("50 milliseconds"), version = Some(v1))
+    mem2.addData((9L, "k1"))
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.parquet(out2).select("name").as[String].collect() shouldBe
+      Array("alpha")
+  }
+}
+
 class StreamingEditScreenSpec extends SparkSpec {
   import spark.implicits._
 
