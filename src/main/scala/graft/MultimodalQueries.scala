@@ -332,6 +332,55 @@ object MultimodalQueries {
       MediaScreen.screen(s, dir, "documents", batch,
           corpusFilter = col("media_id") < 250)
         .orderBy("media_id")
+    },
+
+    // Media near-dup CLUSTERS: CC over the m6 pHash pair graph —
+    // the deterministic keep-group resolution for re-uploaded media
+    // (what d25 is for text), every item labelled with the smallest
+    // reachable media_id. Pairs are exact under the 2-block
+    // pigeonhole (maxDist 1 < 2 blocks); the oracle closes the same
+    // graph with a recursive CTE.
+    GraftQuery(
+      "m9_phash_clusters", {
+        val hx = "strpos('0123456789abcdef', substr(h, %d, 1)) - 1"
+        val v = (1 to 6).map(i => s"(${hx.format(i)}) * ${1L << (4 * (6 - i))}")
+          .mkString("(", " + ", ") / 16777216.0")
+        s"""WITH RECURSIVE f AS (
+           |  SELECT doc_id AS media_id, t.j, md5(text || ':' || t.j) AS h
+           |  FROM documents CROSS JOIN range(0, 16) t(j)),
+           |fv AS (SELECT media_id, j, $v AS v FROM f),
+           |m AS (SELECT media_id, sum(v) / 16.0 AS mu FROM fv GROUP BY media_id),
+           |sig AS (
+           |  SELECT fv.media_id,
+           |    sum(CASE WHEN fv.v > m.mu THEN (1::BIGINT << fv.j) ELSE 0 END)::BIGINT AS sig
+           |  FROM fv JOIN m ON m.media_id = fv.media_id
+           |  GROUP BY fv.media_id),
+           |pairs AS (
+           |  SELECT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM sig a JOIN sig b ON a.media_id < b.media_id
+           |   AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
+           |  WHERE bit_count(xor(a.sig, b.sig)) <= 1),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |cc AS (
+           |  SELECT media_id AS id, media_id AS lbl FROM sig
+           |  UNION
+           |  SELECT e.dst AS id, cc.lbl
+           |  FROM cc JOIN edges e ON cc.id = e.src)
+           |SELECT id AS media_id, min(lbl) AS cluster_id
+           |FROM cc GROUP BY id ORDER BY media_id""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val media = mediaCatalog(s, dir).as[Media.MediaRow]
+      val hashed = Media.perceptualHash(
+        Media.extractFeatures(media, dim = 16).toDF())
+        .localCheckpoint()
+      val pairs = Media.phashNearDups(hashed, maxDist = 1)
+      graft.dedup.DupClusters.componentsAlternating(
+          hashed.select(col("media_id")), "media_id",
+          pairs.select("id_a", "id_b"), "id_a", "id_b")
+        .orderBy("media_id")
     }
   )
 }
