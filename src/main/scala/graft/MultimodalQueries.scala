@@ -375,11 +375,14 @@ object MultimodalQueries {
       val media = mediaCatalog(s, dir).as[Media.MediaRow]
       val hashed = Media.perceptualHash(
         Media.extractFeatures(media, dim = 16).toDF())
-        .localCheckpoint()
-      val pairs = Media.phashNearDups(hashed, maxDist = 1)
-      graft.dedup.DupClusters.componentsAlternating(
+      // signature contraction (the d19 discipline): identical-hash
+      // groups collapse before pair gen AND the CC rounds — most
+      // re-upload pairs are Hamming 0, so the contracted graph is a
+      // fraction of the member graph
+      graft.dedup.DupClusters.componentsContracted(
           hashed.select(col("media_id")), "media_id",
-          pairs.select("id_a", "id_b"), "id_a", "id_b")
+          hashed.select(col("media_id"), col("phash")), "phash",
+          reps => Media.phashNearDups(reps, maxDist = 1))
         .orderBy("media_id")
     }
   )
