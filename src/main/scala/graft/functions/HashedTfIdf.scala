@@ -167,6 +167,21 @@ object HashedTfIdf {
       .withColumn("s_r", sum("ub").over(
         byImpact.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .localCheckpoint()
+    // EARLY gate — needs no θ: cosine ≤ 1, so a bucket with
+    // S_r ≥ 1 can never be pruned by ANY θ. If the unprunable volume
+    // alone fails the completion estimate (degenerate hot-token
+    // corpora, where one repeated-token doc drives u(t) → 1), skip
+    // the whole phase-1 detour and run the naive plan directly.
+    def volOf(cond: Column): Long =
+      Option(ranked.where(cond).agg(sum("cnt")).head.get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+    val volAllV = volOf(lit(true))
+    val tot = ub.agg(sum("cnt"), count(lit(1))).head
+    val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
+      math.max(1L, norms.count()).toDouble
+    if (volOf(col("s_r") >= 1.0) * math.max(avgPerDoc, 1.0) >=
+        volAllV * fallbackFrac)
+      return topKCosine(features, queryFeatures, k)
     // 3. θ from a bounded phase-1 candidate set's exact scores
     val top1 = queryFeatures.select(col("query_id"), col("bucket"),
         col("w").as("qw"))
@@ -193,16 +208,12 @@ object HashedTfIdf {
       .join(broadcast(theta), Seq("query_id"), "left")
       .localCheckpoint()
     // adaptive: completion cost ≈ kept volume × avg postings/doc vs
-    // the naive matched volume — two tiny jobs (the fleet-sized
-    // ceiling table + the bucket-sized totals)
-    val volRow = withTheta
-      .agg(sum(when(isEssential, col("cnt"))), sum(col("cnt"))).head
-    def volAt(i: Int): Long =
-      Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
-    val tot = ub.agg(sum("cnt"), count(lit(1))).head
-    val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
-      math.max(1L, norms.count()).toDouble
-    if (volAt(0) * math.max(avgPerDoc, 1.0) >= volAt(1) * fallbackFrac)
+    // the naive matched volume — one tiny job over the fleet-sized
+    // ceiling table (avgPerDoc/volAll computed at the early gate)
+    val keptVol = Option(withTheta
+      .agg(sum(when(isEssential, col("cnt")))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    if (keptVol * math.max(avgPerDoc, 1.0) >= volAllV * fallbackFrac)
       return topKCosine(features, queryFeatures, k)
     val essential = withTheta.where(isEssential)
       .select("query_id", "bucket")

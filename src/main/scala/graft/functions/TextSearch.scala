@@ -202,6 +202,18 @@ object TextSearch {
       .localCheckpoint()
     val dfs = ranked.select(col("term"), col("df").cast("double").as("df"))
       .distinct()
+    // EARLY scan-floor gate — needs no θ: vol_all and the index size
+    // come from the ceiling table + the stats row, so a scan-bound
+    // fleet (matched ≈ index) skips the whole phase-1 detour
+    val statsRow = stats.select(col("avgdl"), col("n_docs")).head
+    val avgPerDoc = statsRow.getDouble(0)
+    val indexRows = statsRow.getDouble(1) * avgPerDoc
+    def volAll(): Long =
+      Option(ranked.agg(sum("df")).head.get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+    val volAllV = volAll()
+    if (volAllV * fallbackFrac < indexRows)
+      return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
     // phase 1: bounded candidates from each query's top-ceiling term,
     // picked by exact per-posting score (stats is one broadcast row)
     val top1 = ranked.filter(col("r") === 1).select("query_id", "term", "df")
@@ -228,27 +240,16 @@ object TextSearch {
     val withTheta = ranked
       .join(broadcast(theta), Seq("query_id"), "left")
       .localCheckpoint()
-    val volRow = withTheta
-      .agg(sum(when(isEssential, col("df"))), sum(col("df"))).head
-    def volAt(i: Int): Long =
-      Option(volRow.get(i)).fold(0L)(_.asInstanceOf[Long])
-    // two conditions gate the pruned plan (both estimable from stats
-    // + the fleet-sized ceiling table, no extra corpus pass):
-    //  1. completion cost ≈ kept volume × avg postings/doc (avgdl
-    //     bounds distinct-terms-per-doc from above) must undercut the
-    //     naive matched volume by fallbackFrac;
-    //  2. the naive matched volume must exceed the INDEX SIZE — the
-    //     pruned plan's floor is a handful of postings scans, so when
-    //     naive is scan-bound (matched ≈ index, the small-fleet case)
-    //     no saved scoring can pay for them (§9.18 measured 26.8 s vs
-    //     9.6 s ignoring this).
-    val statsRow = stats.select(col("avgdl"), col("n_docs")).head
-    val avgPerDoc = statsRow.getDouble(0)
-    val indexRows = statsRow.getDouble(1) * avgPerDoc
-    // (both gates scale with fallbackFrac, so a > 1 value pins the
-    // pruned branch for differential testing)
-    if (volAt(0) * math.max(avgPerDoc, 1.0) >= volAt(1) * fallbackFrac ||
-        volAt(1) * fallbackFrac < indexRows)
+    // completion gate: kept volume × avg postings/doc (candidate
+    // docs re-join ALL their postings — §9.18 measured the naive
+    // kept-fraction gate mispredicting without this) must undercut
+    // the naive matched volume. (Both this and the early scan-floor
+    // gate scale with fallbackFrac, so a > 1 value pins the pruned
+    // branch for differential testing.)
+    val keptVol = Option(withTheta
+      .agg(sum(when(isEssential, col("df")))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    if (keptVol * math.max(avgPerDoc, 1.0) >= volAllV * fallbackFrac)
       return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
     val essential = withTheta.where(isEssential)
       .select("query_id", "term")
