@@ -185,6 +185,41 @@ class PrefixStoreSpec extends SparkSpec {
     deltaRows shouldBe Seq(3L)
   }
 
+  test("crash replay: a half-committed advance re-runs into the same generation") {
+    val sf = Files.createTempDirectory("pstore-crash").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "a b c d"), (2L, "a b c e"), (4L, "p q r s"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    PrefixStore.clusters(spark, sf, "documents", 1, 3).count()
+
+    val statePath = java.nio.file.Paths.get(
+      graft.sources.ArtifactStore.root,
+      graft.sources.ArtifactStore.pathKey(corpus) + "_prefix2_1_3", "state")
+    val preAppendState = java.nio.file.Files.readString(statePath)
+
+    Seq((7L, "a b p q")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(corpus)
+    PrefixStore.clusters(spark, sf, "documents", 1, 3).count()
+
+    // simulate the crash window: gen deltas landed but the ledger
+    // commit (the LAST step) did not — restore the pre-append ledger
+    java.nio.file.Files.writeString(statePath, preAppendState)
+
+    // the replayed reconcile reads views that EXCLUDE the half-written
+    // generation, recomputes identical content into the SAME
+    // deterministic gen partition, and commits the ledger — results
+    // equal a clean run, nothing double-counted
+    val all = spark.read.parquet(corpus)
+    assertSameRows(
+      PrefixStore.clusters(spark, sf, "documents", 1, 3),
+      PrefixJoin.clusters(all, "doc_id", col("text"), 1, 3))
+    assertSameRows(
+      PrefixStore.similarPairs(spark, sf, "documents", 1, 3),
+      PrefixJoin.similarPairs(all, "doc_id", col("text"), 1, 3))
+    // each key exactly once after LWW resolution
+    PrefixStore.clusters(spark, sf, "documents", 1, 3).count() shouldBe 4
+  }
+
   test("containment screen catches subset docs symmetric Jaccard misses") {
     val sf = Files.createTempDirectory("pstore-cont").toString
     val corpus = s"$sf/documents.parquet"
