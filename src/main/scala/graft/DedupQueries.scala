@@ -865,8 +865,10 @@ object DedupQueries {
         .select(col("doc_id"),
           when(col("b") < 12, "train").when(col("b") < 14, "val")
             .otherwise("test").as("split"))
-      val pairs = graft.dedup.PrefixJoin.similarPairs(
-        d, "doc_id", col("text"), tauNum = 9, tauDen = 10)
+      // STORE-SERVED pair graph (the d23 pairs piece): the audit
+      // reads persisted exact pairs instead of re-running the PPJoin
+      val pairs = graft.dedup.PrefixStore.similarPairs(
+        s, dir, "documents", tauNum = 9, tauDen = 10)
       pairs
         .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
         .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
