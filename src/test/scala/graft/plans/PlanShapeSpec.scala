@@ -290,6 +290,27 @@ class PlanShapeSpec extends SparkSpec {
     p should include("partial_max") // per-register fold combines map-side
   }
 
+  test("edit join: segment-dictionary equi-joins — no cartesian, no nested loop") {
+    val p = plan("d27_edit_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("edit screen: stored dictionaries join by key — no cartesian") {
+    val p = plan("d28_edit_screen")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("graft_index") // both dictionary sides are stored pieces
+  }
+
+  test("binned Gini: the rank window runs over bins, never the fact stream") {
+    val p = plan("q47_binned_gini")
+    // the only window sits above the (bin, count, sum) aggregate —
+    // a hash aggregate precedes it in the plan
+    p should include("Window")
+    p should include("partial_sum") // fact stream folds map-side first
+  }
+
   test("prefix join: store-served — a pairs-piece scan, no joins at serve time") {
     val p = plan("d23_prefix_join")
     p should not include "CartesianProduct"
