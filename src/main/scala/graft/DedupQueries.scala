@@ -822,6 +822,35 @@ object DedupQueries {
         .orderBy("new_id", "dup_id")
     },
 
+    // STORED exact edit-distance clusters over the whole corpus —
+    // the short-string d25: labels persist as a keyed-upsert piece
+    // (EditStore mirrors PrefixStore's pairs/labels machinery; an
+    // append relabels only touched clusters) and the serve is a
+    // scan. Oracle: recursive closure over the naive levenshtein
+    // pair graph.
+    GraftQuery(
+      "d29_edit_clusters",
+      """WITH RECURSIVE c AS (
+        |  SELECT p_partkey AS sid, lower(p_name) AS s FROM part),
+        |pairs AS (
+        |  SELECT a.sid AS id_a, b.sid AS id_b
+        |  FROM c a JOIN c b ON a.sid < b.sid
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |cc AS (
+        |  SELECT sid AS id, sid AS lbl FROM c
+        |  UNION
+        |  SELECT e.dst AS id, cc.lbl
+        |  FROM cc JOIN edges e ON cc.id = e.src)
+        |SELECT id AS sid, min(lbl) AS cluster_id
+        |FROM cc GROUP BY id ORDER BY sid""".stripMargin) { (s, dir) =>
+      graft.dedup.EditStore.clusters(s, s"$dir/part.parquet", "pname",
+          "p_partkey", lower(col("p_name")), k = 2)
+        .orderBy("sid")
+    },
+
     // SPLIT-LEAKAGE audit: cross-split near-dup pairs under the t6
     // deterministic split — the train/test contamination check every
     // training pipeline needs (a test doc with a train near-twin

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.IncrementalDocArtifact
-import graft.sources.IncrementalDocArtifact.Piece
+import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
 
 /** Persisted edit-distance ingest screen — the short-string rung of
   * the stored-screen family ([[DigestStore]] exact full-text,
@@ -34,6 +34,20 @@ import graft.sources.IncrementalDocArtifact.Piece
   *
   * Per-screen work is O(batch × fan-out) join probes against
   * seg-clustered stored pieces — never O(corpus).
+  *
+  * GLOBAL results persist as keyed-upsert [[MergePiece]]s, exactly
+  * [[PrefixStore]]'s pairs/labels discipline applied to the edit
+  * graph: `reps` (min sid per distinct string — the string IS its own
+  * canonical fingerprint, so no order-sensitivity subtlety at all),
+  * `pairs` (every member pair within distance k; an increment writes
+  * (new × stored-reps, screened through both stored dictionaries) +
+  * (new × new), disjoint from earlier generations because a pair's
+  * later member is in exactly one increment), `labels` (exact CC,
+  * increments relabel only new strings ∪ members of touched old
+  * clusters — a dist ≤ k pair between two different old clusters
+  * cannot exist). The per-increment screen is computed once per
+  * reconcile and shared by the three advances via an
+  * AdvanceCtx-keyed memo.
   */
 object EditStore {
 
@@ -44,22 +58,209 @@ object EditStore {
   private def bySeg(df: DataFrame): DataFrame =
     df.repartition(col("seg")).sortWithinPartitions("seg")
 
+  // ---------------------------------------------------------------
+  // Per-increment screen, computed once per reconcile (AdvanceCtx-
+  // keyed memo of eagerly-checkpointed frames, the PrefixStore
+  // pattern) — shared by the reps/pairs/labels advances.
+  // ---------------------------------------------------------------
+
+  private final case class IncCore(
+      newStrs: DataFrame, // (sid, s, l) of the increment
+      newReps: DataFrame, // (sid, s, l) one per new distinct string
+      crossRep: DataFrame, // (rid_n, rid_o, dist) new-rep × old-rep
+      withinRep: DataFrame) // (id_a, id_b, dist) among new reps
+
+  private val incMemo = new java.util.WeakHashMap[AnyRef, IncCore]()
+
+  private def incCore(ctx: AdvanceCtx, idCol: String, strCol: Column,
+      k: Int): IncCore = incMemo.synchronized {
+    val hit = incMemo.get(ctx)
+    if (hit != null) hit
+    else {
+      val v = computeIncCore(ctx, idCol, strCol, k)
+      incMemo.put(ctx, v)
+      v
+    }
+  }
+
+  private def computeIncCore(ctx: AdvanceCtx, idCol: String,
+      strCol: Column, k: Int): IncCore = {
+    val newStrs = withLen(ctx.newDocs, idCol, strCol).localCheckpoint(true)
+    val newReps = newStrs.groupBy("s").agg(min("sid").as("sid"),
+        first("l").as("l"))
+      .select("sid", "s", "l").localCheckpoint(true)
+    // stored side restricted to representatives
+    val storedReps = ctx.stored("reps")
+    val repIds = storedReps.select(col("rid").as("sid"))
+    val oldSegs = ctx.stored("segs").join(repIds, "sid")
+      .select(col("sid").as("dup_id"), col("l_a"), col("i"), col("seg"))
+    val oldProbes = ctx.stored("probes").join(repIds, "sid")
+      .select(col("sid").as("dup_id"), col("l_a"), col("i"), col("seg"))
+    val oldStrs = ctx.stored("strs").join(repIds, "sid")
+      .select(col("sid").as("dup_id"), col("s").as("s_d"))
+    // both orientations, exactly the screen's shape
+    val nProbes = EditJoin.probesOf(newReps, k)
+      .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
+    val nSegs = EditJoin.segmentsOf(newReps, k)
+      .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
+    val cand = nProbes.join(oldSegs, Seq("l_a", "i", "seg"))
+      .select(col("new_id"), col("dup_id"))
+      .unionByName(nSegs.join(oldProbes, Seq("l_a", "i", "seg"))
+        .select(col("new_id"), col("dup_id")))
+      .distinct()
+    val crossRep = cand
+      .join(newReps.select(col("sid").as("new_id"), col("s").as("s_n")),
+        "new_id")
+      .join(oldStrs, "dup_id")
+      .withColumn("dist", levenshtein(col("s_n"), col("s_d")).cast("long"))
+      .where(col("dist") <= k)
+      .select(col("new_id").as("rid_n"), col("dup_id").as("rid_o"),
+        col("dist"))
+      .localCheckpoint(true)
+    val withinRep = EditJoin.similarPairs(newReps, "sid", col("s"), k)
+      .localCheckpoint(true)
+    IncCore(newStrs, newReps, crossRep, withinRep)
+  }
+
+  // ---------------------------------------------------------------
+  // Merge-piece builders (see PrefixStore for the soundness notes;
+  // the string itself is the contraction fingerprint here)
+  // ---------------------------------------------------------------
+
+  private def advanceReps(ctx: AdvanceCtx, idCol: String, strCol: Column,
+      k: Int): DataFrame = {
+    val c = incCore(ctx, idCol, strCol, k)
+    c.newStrs.groupBy("s").agg(min("sid").as("_new"))
+      .join(ctx.stored("reps").withColumnRenamed("rid", "_old"),
+        Seq("s"), "left")
+      .select(col("s"),
+        least(col("_new"), coalesce(col("_old"), col("_new"))).as("rid"))
+  }
+
+  private def buildFullPairs(ctx: AdvanceCtx, k: Int): DataFrame =
+    EditJoin.similarPairs(
+      ctx.stored("strs").select("sid", "s"), "sid", col("s"), k)
+
+  private def advancePairs(ctx: AdvanceCtx, idCol: String, strCol: Column,
+      k: Int): DataFrame = {
+    val c = incCore(ctx, idCol, strCol, k)
+    val oldMembers = ctx.stored("strs").select(col("sid").as("mo"),
+      col("s").as("s_o"))
+    val newMembers = c.newStrs.select(col("sid").as("mn"), col("s").as("s_n"))
+    val oldRidS = ctx.stored("reps")
+      .select(col("rid").as("rid_o"), col("s").as("s_o"))
+    val newRidS = c.newReps.select(col("sid").as("rid_n"), col("s").as("s_n"))
+    val cross = c.crossRep
+      .join(newRidS, "rid_n").join(oldRidS, "rid_o")
+      .join(newMembers, "s_n").join(oldMembers, "s_o")
+      .select(least(col("mn"), col("mo")).as("id_a"),
+        greatest(col("mn"), col("mo")).as("id_b"), col("dist"))
+    val withinX = c.withinRep
+      .join(newRidS.select(col("rid_n").as("id_a"), col("s_n").as("s_a")),
+        "id_a")
+      .join(newRidS.select(col("rid_n").as("id_b"), col("s_n").as("s_b")),
+        "id_b")
+      .join(newMembers.select(col("s_n").as("s_a"), col("mn").as("ma")), "s_a")
+      .join(newMembers.select(col("s_n").as("s_b"), col("mn").as("mb")), "s_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("dist"))
+    val withinS = PairGen.pairsWithin(
+      newMembers.select(col("mn").as("mid"), col("s_n").as("s")),
+      Seq("s"), col("mid"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), lit(0L).as("dist"))
+    cross.unionByName(withinX).unionByName(withinS)
+  }
+
+  private def buildFullLabels(ctx: AdvanceCtx): DataFrame = {
+    val strs = ctx.stored("strs")
+    val reps = ctx.stored("reps").localCheckpoint()
+    val m = strs.select(col("sid"), col("s"))
+    val repEdges = ctx.stored("pairs")
+      .join(m.select(col("sid").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(m.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
+      .join(reps.select(col("s").as("s_a"), col("rid").as("rid_a")), "s_a")
+      .join(reps.select(col("s").as("s_b"), col("rid").as("rid_b")), "s_b")
+      .select(col("rid_a"), col("rid_b")).distinct()
+    val labels = DupClusters.componentsAlternating(
+      reps.select(col("rid")), "rid", repEdges, "rid_a", "rid_b")
+    m.join(reps.select(col("s"), col("rid")), "s")
+      .join(labels, "rid")
+      .select(col("sid"), col("cluster_id"))
+  }
+
+  private def advanceLabels(ctx: AdvanceCtx, idCol: String, strCol: Column,
+      k: Int): DataFrame = {
+    val c = incCore(ctx, idCol, strCol, k)
+    val docRep = c.newStrs
+      .join(c.newReps.select(col("s"), col("sid").as("_rep")), "s")
+      .select(col("sid").as("id_a"), col("_rep").as("id_b"))
+    val cross = c.crossRep.select(col("rid_n").as("id_a"),
+      col("rid_o").as("id_b"))
+    val within = c.withinRep.select(col("id_a"), col("id_b"))
+    // fast path: no edge at all (an increment string equal to a
+    // stored one is dist 0 = a cross edge, so "no edges" really
+    // means no old cluster is touched)
+    if (c.crossRep.isEmpty && c.withinRep.isEmpty)
+      return docRep.select(col("id_a").as("sid"), col("id_b").as("cluster_id"))
+    val oldLabels = ctx.stored("labels")
+    val touched = cross.select(col("id_b").as("sid")).distinct()
+      .join(oldLabels, "sid").select("cluster_id").distinct()
+    val affected = oldLabels.join(touched, "cluster_id")
+      .select(col("sid"), col("cluster_id"))
+      .localCheckpoint(true)
+    val nodes = c.newStrs.select(col("sid"))
+      .union(affected.select("sid"))
+    val edges = cross.union(within).union(docRep)
+      .union(affected.select(col("sid").as("id_a"),
+        col("cluster_id").as("id_b")))
+    DupClusters.componentsAlternating(nodes, "sid", edges, "id_a", "id_b")
+  }
+
   /** `variant` keys the artifact: the same corpus table can carry
     * several screened string columns (one artifact each).
     */
   private def handle(corpusPath: String, variant: String, idCol: String,
       strCol: Column, k: Int) =
-    IncrementalDocArtifact(corpusPath, s"edit${k}_$variant", Seq(
-      Piece("strs", (docs, _) => withLen(docs, idCol, strCol)),
-      Piece("segs",
-        (docs, _) => bySeg(EditJoin.segmentsOf(
-          withLen(docs, idCol, strCol), k)),
-        fold = Some(bySeg)),
-      Piece("probes",
-        (docs, _) => bySeg(EditJoin.probesOf(
-            withLen(docs, idCol, strCol), k)
-          .select(col("sid"), col("l_a"), col("i"), col("seg"))),
-        fold = Some(bySeg))))
+    IncrementalDocArtifact(corpusPath, s"edit${k}b_$variant",
+      pieces = Seq(
+        Piece("strs", (docs, _) => withLen(docs, idCol, strCol)),
+        Piece("segs",
+          (docs, _) => bySeg(EditJoin.segmentsOf(
+            withLen(docs, idCol, strCol), k)),
+          fold = Some(bySeg)),
+        Piece("probes",
+          (docs, _) => bySeg(EditJoin.probesOf(
+              withLen(docs, idCol, strCol), k)
+            .select(col("sid"), col("l_a"), col("i"), col("seg"))),
+          fold = Some(bySeg))),
+      merges = Seq(
+        MergePiece("reps", Seq("s"),
+          buildFull = (_, ctx) => ctx.stored("strs")
+            .groupBy("s").agg(min("sid").as("rid")),
+          advance = ctx => advanceReps(ctx, idCol, strCol, k)),
+        MergePiece("pairs", Seq("id_a", "id_b"),
+          buildFull = (_, ctx) => buildFullPairs(ctx, k),
+          advance = ctx => advancePairs(ctx, idCol, strCol, k)),
+        MergePiece("labels", Seq("sid"),
+          buildFull = (_, ctx) => buildFullLabels(ctx),
+          advance = ctx => advanceLabels(ctx, idCol, strCol, k))),
+      compactEvery = 8)
+
+  /** Stored (id_a, id_b, dist) pairs over the whole corpus — a scan
+    * of the persisted `pairs` merge piece.
+    */
+  def similarPairs(spark: SparkSession, corpusPath: String, variant: String,
+      idCol: String, corpusStrCol: Column, k: Int): DataFrame =
+    handle(corpusPath, variant, idCol, corpusStrCol, k)
+      .serve(spark, "pairs")
+
+  /** Stored exact clusters (sid, cluster_id = min reachable id) — a
+    * scan of the persisted `labels` merge piece.
+    */
+  def clusters(spark: SparkSession, corpusPath: String, variant: String,
+      idCol: String, corpusStrCol: Column, k: Int): DataFrame =
+    handle(corpusPath, variant, idCol, corpusStrCol, k)
+      .serve(spark, "labels")
 
   /** All (new_id, dup_id, dist) pairs between `batch` strings and
     * stored corpus strings with levenshtein <= k — exact, no false

@@ -41,7 +41,7 @@ class EditStoreSpec extends SparkSpec {
     // O(new): append a doc; base snapshots untouched, new partner found
     val root = java.nio.file.Paths.get(
       graft.sources.ArtifactStore.root,
-      graft.sources.ArtifactStore.pathKey(corpus) + "_edit2_name")
+      graft.sources.ArtifactStore.pathKey(corpus) + "_edit2b_name")
     def baseFiles = {
       val s = java.nio.file.Files.walk(root)
       try s.filter(p => p.toString.contains("/base/") &&
@@ -63,5 +63,44 @@ class EditStoreSpec extends SparkSpec {
     EditStore.screen(spark, corpus, "name", "sid", col("name"),
       batch, "sid", col("name"), k = 2, corpusFilter = col("sid") <= 2)
       .select("dup_id").distinct().as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
+
+  test("stored pairs+labels advance: a new string MERGES two old clusters") {
+    val base = Files.createTempDirectory("editstore-merge")
+    val corpus = base.resolve("names.parquet").toString
+    Seq((1L, "abcd"), (2L, "abce"), // dist 1
+        (4L, "wxyz"), (5L, "wxyv"), // dist 1
+        (6L, "mnop"))
+      .toDF("sid", "name").coalesce(1).write.parquet(corpus)
+    EditStore.clusters(spark, corpus, "name", "sid", col("name"), 2).count()
+
+    // 7 bridges both clusters at dist 2; 8 is fresh; 9 duplicates 6
+    Seq((7L, "abyz"), (8L, "qqqq"), (9L, "mnop"))
+      .toDF("sid", "name").coalesce(1).write.mode("append").parquet(corpus)
+
+    val all = spark.read.parquet(corpus)
+      .select(col("sid"), col("name"))
+    // pairs equal the inline exact join over the grown corpus
+    assertSameRows(
+      EditStore.similarPairs(spark, corpus, "name", "sid", col("name"), 2),
+      EditJoin.similarPairs(all, "sid", col("name"), 2))
+    // labels equal CC over that exact pair graph
+    val expected = DupClusters.componentsAlternating(
+      all.select(col("sid")), "sid",
+      EditJoin.similarPairs(all, "sid", col("name"), 2)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    assertSameRows(
+      EditStore.clusters(spark, corpus, "name", "sid", col("name"), 2),
+      expected)
+    EditStore.clusters(spark, corpus, "name", "sid", col("name"), 2)
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 1L,
+        6L -> 6L, 9L -> 6L, 8L -> 8L)
+
+    // compaction folds; results unchanged
+    EditStore.compact(spark, corpus, "name", "sid", col("name"), 2)
+    assertSameRows(
+      EditStore.clusters(spark, corpus, "name", "sid", col("name"), 2),
+      expected)
   }
 }
