@@ -20,6 +20,33 @@ class PlanShapeSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  test("SWEEP: no registered query ever plans a CartesianProduct") {
+    // the global watchdog: a future edit that regresses any of the
+    // engine's joins to a cartesian (a dropped join key, an
+    // inequality-only condition) passes every value test and then
+    // falls over at scale — catch it at plan time, across the WHOLE
+    // registry. The three deliberately quadratic oracle baselines
+    // run their cross products through broadcast nested-loop (tiny
+    // fixed sides), so CartesianProduct specifically must never
+    // appear. Queries whose driver-side preparation needs real data
+    // (stored-artifact builds run eagerly) still just build plans
+    // here — sf0.001 keeps the sweep inside test budget.
+    val skip = Set.empty[String]
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val p =
+          try plan(name)
+          catch { case e: Throwable => s"PLAN_FAILED: $e" }
+        if (p.contains("CartesianProduct") || p.startsWith("PLAN_FAILED"))
+          Some(name -> p.linesIterator.take(3).mkString(" | "))
+        else None
+      }
+    withClue(offenders.map { case (n, p) => s"\n  $n: $p" }.mkString) {
+      offenders shouldBe empty
+    }
+  }
+
   test("q1 pricing summary: map-side partial aggregation before the shuffle") {
     val p = plan("q1_pricing_summary")
     p should include("partial_sum")
