@@ -771,7 +771,7 @@ object DedupQueries {
       """WITH base AS (
         |  SELECT p_partkey AS sid, lower(p_name) AS s FROM part
         |  WHERE p_partkey % 4 = 0),
-        |typos AS (SELECT sid + 1000000 AS sid,
+        |typos AS (SELECT -(sid + 1) AS sid,
         |            substr(s, 1, 4) || substr(s, 6) AS s
         |          FROM base WHERE sid % 5 = 0),
         |c AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
@@ -783,8 +783,10 @@ object DedupQueries {
       val base = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 4 === 0)
         .select(col("p_partkey").as("sid"), lower(col("p_name")).as("s"))
+      // typo ids NEGATE (-(sid+1)): disjoint from p_partkey at EVERY
+      // scale factor — an additive offset collides once keys outgrow it
       val typos = base.filter(col("sid") % 5 === 0)
-        .select((col("sid") + 1000000).as("sid"),
+        .select((-(col("sid") + 1)).as("sid"),
           concat(substring(col("s"), 1, 4),
             col("s").substr(lit(6), length(col("s")))).as("s"))
       graft.dedup.EditJoin.similarPairs(
@@ -804,7 +806,7 @@ object DedupQueries {
       """WITH c AS (
         |  SELECT p_partkey AS sid, lower(p_name) AS s FROM part
         |  WHERE p_partkey % 4 = 0),
-        |b AS (SELECT p_partkey + 1000000 AS sid,
+        |b AS (SELECT -(p_partkey + 1) AS sid,
         |        substr(lower(p_name), 1, 4) || substr(lower(p_name), 6) AS s
         |      FROM part WHERE p_partkey % 20 = 0)
         |SELECT b.sid AS new_id, c.sid AS dup_id,
@@ -812,9 +814,10 @@ object DedupQueries {
         |FROM c JOIN b ON levenshtein(b.s, c.s) <= 2
         |ORDER BY new_id, dup_id""".stripMargin) { (s, dir) =>
       val pn = lower(col("p_name"))
+      // batch ids negate (see d27): disjoint from p_partkey at any SF
       val batch = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 20 === 0)
-        .select((col("p_partkey") + 1000000).as("sid"),
+        .select((-(col("p_partkey") + 1)).as("sid"),
           concat(substring(pn, 1, 4), pn.substr(lit(6), length(pn))).as("s"))
       graft.dedup.EditStore.screen(s, s"$dir/part.parquet", "pname",
           "p_partkey", pn, batch, "sid", col("s"), k = 2,

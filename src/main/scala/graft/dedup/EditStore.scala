@@ -73,13 +73,16 @@ object EditStore {
   private val incMemo = new java.util.WeakHashMap[AnyRef, IncCore]()
 
   private def incCore(ctx: AdvanceCtx, idCol: String, strCol: Column,
-      k: Int): IncCore = incMemo.synchronized {
-    val hit = incMemo.get(ctx)
+      k: Int): IncCore = {
+    val hit = incMemo.synchronized(incMemo.get(ctx))
     if (hit != null) hit
     else {
+      // computed OUTSIDE the monitor — see PrefixStore.incCore
       val v = computeIncCore(ctx, idCol, strCol, k)
-      incMemo.put(ctx, v)
-      v
+      incMemo.synchronized {
+        val prior = incMemo.get(ctx)
+        if (prior != null) prior else { incMemo.put(ctx, v); v }
+      }
     }
   }
 

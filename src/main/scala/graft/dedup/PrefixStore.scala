@@ -168,16 +168,21 @@ object PrefixStore {
   private val incMemo =
     new java.util.WeakHashMap[AnyRef, IncCore]()
 
-  private def incCore(ctx: AdvanceCtx, tauNum: Int, tauDen: Int): IncCore =
-    incMemo.synchronized {
-      val hit = incMemo.get(ctx)
-      if (hit != null) hit
-      else {
-        val v = computeIncCore(ctx, tauNum, tauDen)
-        incMemo.put(ctx, v)
-        v
+  private def incCore(ctx: AdvanceCtx, tauNum: Int, tauDen: Int): IncCore = {
+    val hit = incMemo.synchronized(incMemo.get(ctx))
+    if (hit != null) hit
+    else {
+      // computed OUTSIDE the monitor (it runs real Spark jobs): a
+      // concurrent advance of an unrelated artifact must not
+      // serialize behind it; a racing duplicate compute is
+      // deterministic and benign
+      val v = computeIncCore(ctx, tauNum, tauDen)
+      incMemo.synchronized {
+        val prior = incMemo.get(ctx)
+        if (prior != null) prior else { incMemo.put(ctx, v); v }
       }
     }
+  }
 
   private def computeIncCore(ctx: AdvanceCtx,
       tauNum: Int, tauDen: Int): IncCore = {

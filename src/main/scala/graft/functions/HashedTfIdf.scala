@@ -176,7 +176,7 @@ object HashedTfIdf {
       Option(ranked.where(cond).agg(sum("cnt")).head.get(0))
         .fold(0L)(_.asInstanceOf[Long])
     val volAllV = volOf(lit(true))
-    val tot = ub.agg(sum("cnt"), count(lit(1))).head
+    val tot = ub.agg(sum("cnt")).head
     val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
       math.max(1L, norms.count()).toDouble
     if (volOf(col("s_r") >= 1.0) * math.max(avgPerDoc, 1.0) >=

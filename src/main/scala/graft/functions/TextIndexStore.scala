@@ -55,16 +55,38 @@ object TextIndexStore {
     m.groupBy("term").agg(sum("df").as("df"),
       max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
 
+  // three pieces (postings, statsparts, termbounds) derive from the
+  // SAME (doc, term) aggregation over the build's docs — memoize ONE
+  // checkpointed copy per build invocation (keyed on the docs frame
+  // the engine hands every builder) so the tokenize + doc×term
+  // shuffle runs once per increment, not three times
+  private val postMemo =
+    new java.util.WeakHashMap[AnyRef, DataFrame]()
+
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val hit = postMemo.synchronized(postMemo.get(docs))
+    if (hit != null) hit
+    else {
+      // computed OUTSIDE the monitor: a concurrent build of another
+      // artifact must not serialize behind this one's Spark jobs
+      val v = TextSearch.postings(docs, "doc_id", normCol).localCheckpoint()
+      postMemo.synchronized {
+        val prior = postMemo.get(docs)
+        if (prior != null) prior else { postMemo.put(docs, v); v }
+      }
+    }
+  }
+
   private def handle(corpusPath: String) =
     IncrementalDocArtifact(corpusPath, "inc2", Seq(
       Piece("postings",
-        (docs, _) => byTerm(TextSearch.postings(docs, "doc_id", normCol)),
+        (docs, _) => byTerm(postingsOf(docs)),
         fold = Some(byTerm)),
       Piece("positional",
         (docs, _) => byTerm(TextSearch.positionalPostings(docs, "doc_id", normCol)),
         fold = Some(byTerm)),
       Piece("statsparts",
-        (docs, _) => TextSearch.postings(docs, "doc_id", normCol)
+        (docs, _) => postingsOf(docs)
           .groupBy(col("doc_id")).agg(first("dl").as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
         fold = Some(m =>
@@ -73,8 +95,7 @@ object TextIndexStore {
       // sum/max/min partials fold additively, so increments keep the
       // ceilings valid O(new); see TextSearch.termBounds
       Piece("termbounds",
-        (docs, _) => TextSearch.termBounds(
-          TextSearch.postings(docs, "doc_id", normCol)),
+        (docs, _) => TextSearch.termBounds(postingsOf(docs)),
         fold = Some(foldBounds))),
       compactEvery)
 

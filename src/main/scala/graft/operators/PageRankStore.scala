@@ -30,8 +30,13 @@ import graft.sources.IncrementalDocArtifact.{MergePiece, Piece}
   */
 object PageRankStore {
 
-  private def key(tol: Double, d: Double): String =
-    s"pagerank_d${math.round(d * 1000)}_t${math.round(-math.log10(tol))}"
+  // the EXACT parameters key the artifact — a rounded key would let
+  // two different tolerances collide onto one stored vector and
+  // serve a stricter caller an under-converged result
+  private def key(tol: Double, d: Double): String = {
+    def enc(x: Double) = x.toString.replace('.', 'p').replace('-', 'm')
+    s"pagerank_d${enc(d)}_t${enc(tol)}"
+  }
 
   private def handle(edgesPath: String, tol: Double, d: Double) =
     IncrementalDocArtifact(edgesPath, key(tol, d),

@@ -22,7 +22,7 @@ def timed[A](label: String)(f: => A): A = {
 val U = 200000.0
 val edgesPath = "/root/repo/target/probe_pr/edges.parquet"
 rm("/root/repo/target/probe_pr")
-rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(edgesPath) + "_pagerank_d850_t8")
+rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(edgesPath) + "_pagerank_d0p85_t1p0Em8")
 def edgeDf(nEdges: Long, seed: Long) = spark.range(nEdges).select(
   concat(lit("u"), floor(pow(lit(U), rand(seed))).cast("long").cast("string")).as("src"),
   concat(lit("u"), floor(pow(lit(U), rand(seed + 1))).cast("long").cast("string")).as("dst"))
