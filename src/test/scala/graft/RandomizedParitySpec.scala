@@ -262,6 +262,59 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("lww-merge family: union+window merge vs naive latest-wins") {
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      // overlapping key spaces, colliding versions (the tie case:
+      // the INCUMBENT must win a version tie)
+      def side(n: Int, tag: String) = (0 until n).map(i =>
+        (s"k${rnd.nextInt(12)}", rnd.nextInt(5).toLong, s"$tag$i"))
+      val dest = side(25, "d").groupBy(_._1).map(_._2.head).toSeq
+        .toDF("id", "version", "payload").localCheckpoint()
+      val inc = side(25, "i").groupBy(_._1).map(_._2.head).toSeq
+        .toDF("id", "version", "payload").localCheckpoint()
+      val brute = dest.withColumn("_pri", lit(1))
+        .unionByName(inc.withColumn("_pri", lit(0)))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("version").desc, col("_pri").desc)))
+        .where(col("_rn") === 1).drop("_rn", "_pri")
+      withClue(s"seed=$seed: ") {
+        assertSameRows(
+          graft.operators.LwwMerge.merge(dest, inc, Seq("id"), "version"),
+          brute)
+      }
+    }
+  }
+
+  test("topk-aggregator family: bounded heap vs sort-limit per group") {
+    import org.apache.spark.sql.functions.udaf
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      // distinct scores per group so the (score desc, id asc) order
+      // is unambiguous for both forms
+      val rows = (0 until 200).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(100000) / 7.0))
+        .groupBy(t => (t._1, t._3)).map(_._2.head).toSeq
+        .toDF("g", "id", "score").localCheckpoint()
+      val k = 5
+      val topk = udaf(new graft.plans.TopKAggregator(k),
+        org.apache.spark.sql.Encoders.product[graft.plans.Scored])
+      val viaHeap = rows
+        .groupBy("g").agg(topk(col("id"), col("score")).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("p0", "s")))
+        .select(col("g"), (col("p0") + 1).as("rank"),
+          col("s.id").as("id"), col("s.score").as("score"))
+      val viaWindow = rows
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("score").desc, col("id"))))
+        .where(col("rank") <= k)
+        .select("g", "rank", "id", "score")
+      withClue(s"seed=$seed: ") { assertSameRows(viaHeap, viaWindow) }
+    }
+  }
+
   test("pair-generation family: bucketized within-key pairs vs brute") {
     for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)

@@ -20,7 +20,7 @@ def rm(p: String): Unit = {
   }
 }
 rm(corpusRoot)
-rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(corpus) + "_inc")
+rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(corpus) + "_inc2")
 
 val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 val n0 = base.count()
