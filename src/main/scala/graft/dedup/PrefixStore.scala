@@ -61,6 +61,17 @@ import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
   * prefixes + new-new rep self-join) is computed ONCE per reconcile
   * and shared by the `pairs` and `labels` advances via an
   * AdvanceCtx-keyed memo of eagerly-checkpointed frames.
+  *
+  * DELIBERATE AMORTIZATION: one artifact fronts all four surfaces
+  * (batch screen d24, pair list d23, clusters d25, and the split
+  * audit p5), so the FULL build pays the PPJoin + CC once even for a
+  * caller that only screens — the d21-style ingest pipeline uses the
+  * surfaces together (screen a batch, then ask which clusters it
+  * joined), and per-increment cost is shared-screen-sized either
+  * way. A deployment that truly only ever screens and must avoid
+  * the one-time pairs/labels build would split the merges into a
+  * sibling artifact reading these pieces; measured build costs are
+  * in §9.18 (737 s at 500 k docs, all pieces).
   */
 object PrefixStore {
 
