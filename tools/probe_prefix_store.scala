@@ -18,7 +18,7 @@ def rm(p: String): Unit = {
 }
 val sfRoot = "/root/repo/target/probe_pstore"
 rm(sfRoot)
-rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(sfRoot + "/documents.parquet") + "_prefix9_10")
+rm("/root/repo/target/graft_index/" + graft.sources.ArtifactStore.pathKey(sfRoot + "/documents.parquet") + "_prefix2_9_10")
 
 val V = 100000.0; val L = 40; val n = 1000000L
 val baseText = concat_ws(" ",
