@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   * `maxBucket` optionally caps a segment bucket (deterministic
   * smallest-id-kept, [[PairGen]] semantics) for degenerate corpora
   * where exactness is traded for a bound — default unbounded: exact.
+  * The trade is NOT silent: a capped run pairs with
+  * [[truncationAudit]], which names every truncated bucket/group and
+  * how many entries the cap dropped.
   *
   * 100 TB: corpus-sized work is the segment/probe explode (constant
   * fan-out per string) and the distinct over candidates; per-string
@@ -90,9 +93,27 @@ object EditJoin {
     * Fan-out is a constant <= (k+1)^2 (2k+1) per string.
     */
   private[dedup] def probesOf(strs: DataFrame, k: Int): DataFrame =
-    (0 to k).flatMap { dl => // lr = l - dl
+    probesFor(strs, k, -k to 0)
+
+  /** BOTH-direction probe side: candidate substrings for every target
+    * length lr in [l-k, l+k] → a probe-only screen against a stored
+    * SEGMENT dictionary covers partners longer than the probe too
+    * (soundness is symmetric: if ed(n, c) ≤ k with |n| < |c|, some
+    * segment of c survives inside n, shifted by at most the edits
+    * before it — so the substrings of n of c's segment lengths within
+    * the ±k start window cannot miss it; lengths where a segment
+    * cannot fit produce an empty start window). Fan-out ≤
+    * (k+1)(2k+1)² per string — still a constant; this is what lets
+    * [[EditStore]] persist only the (k+1)-per-string segment piece
+    * instead of both dictionary orientations.
+    */
+  private[dedup] def probesAround(strs: DataFrame, k: Int): DataFrame =
+    probesFor(strs, k, -k to k)
+
+  private def probesFor(strs: DataFrame, k: Int, deltas: Range): DataFrame =
+    deltas.flatMap { d => // lr = l + d
       (0 to k).map { i =>
-        val lr = col("l") - dl
+        val lr = col("l") + d
         val ln = segLen(lr, i, k)
         val st0 = segStart(lr, i, k)
         // valid starts: [st0-k, st0+k] ∩ [1, l-ln+1] — always
@@ -103,7 +124,7 @@ object EditJoin {
         val stHi = least(st0 + k, col("l") - ln + 1)
         val stArr = when(stHi >= stLo, sequence(stLo, stHi))
           .otherwise(array().cast("array<int>"))
-        strs.where(col("l") - dl >= 0)
+        strs.where(lr >= 0)
           .select(col("sid"), col("l").as("l_b"),
             lr.as("l_a"), lit(i).as("i"), ln.as("_ln"),
             explode(stArr).as("_st"), col("s"))
@@ -165,5 +186,36 @@ object EditJoin {
     val within = PairGen.pairsWithin(members, Seq("s"), col("mid"), maxBucket)
       .select(col("a").as("id_a"), col("b").as("id_b"), lit(0L).as("dist"))
     cross.unionByName(within)
+  }
+
+  /** Recall-loss audit for a capped [[similarPairs]] run — the
+    * "no silent caps" discipline: `maxBucket` silently drops index
+    * entries past the cap, so a capped deployment runs this alongside
+    * the join to see WHERE exactness was traded. One row per
+    * truncated blocking unit: `kind` = "segment" (an (l_a, i, seg)
+    * index bucket larger than the cap — pairs against its dropped
+    * members may be lost) or "group" (an identical-string group whose
+    * within-pairs were capped), with the unit's size and the dropped
+    * count. Empty ⇒ the capped run was exact after all.
+    */
+  def truncationAudit(strs: DataFrame, idCol: String, strCol: Column,
+      k: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket != Int.MaxValue, "audit is for capped runs")
+    val id = col(idCol)
+    val withS = strs.select(id, strCol.as("s"))
+    val reps = withS.groupBy("s").agg(min(id).as("rid"))
+      .select(col("rid").as("sid"), col("s"),
+        length(col("s")).cast("int").as("l"))
+    val segBuckets = segmentsOf(reps, k)
+      .groupBy("l_a", "i", "seg").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .select(lit("segment").as("kind"),
+        concat_ws("|", col("l_a"), col("i"), col("seg")).as("unit"),
+        col("n").as("size"), (col("n") - maxBucket).as("dropped"))
+    val groups = withS.groupBy("s").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .select(lit("group").as("kind"), col("s").as("unit"),
+        col("n").as("size"), (col("n") - maxBucket).as("dropped"))
+    segBuckets.unionByName(groups)
   }
 }

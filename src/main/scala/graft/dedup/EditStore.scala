@@ -20,20 +20,21 @@ import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
   * and a corpus file append advances O(new) with no staleness
   * subtlety at all.
   *
-  * The pigeonhole probe looks DOWN in length (a probe string
-  * enumerates indexable lengths [l−k, l]), so one orientation alone
-  * would miss corpus partners LONGER than the batch string. The
-  * store therefore keeps BOTH sides of the dictionary:
+  * The stored dictionary is ONE-orientation: `segs` (sid, l_a, i,
+  * seg) — just the k+1 positioned segments per corpus string — plus
+  * `strs` (sid, s, l), the verify side. Coverage of corpus partners
+  * LONGER than the batch string comes from the PROBE side instead:
+  * [[EditJoin.probesAround]] enumerates the batch string's candidate
+  * substrings for target lengths [l−k, l+k] (soundness is symmetric —
+  * see there), so the screen never needs the corpus's own probe
+  * substrings persisted. That keeps the stored index at (k+1) rows
+  * per string instead of the ≤ (k+1)²(2k+1) probe fan-out the store
+  * used to persist both ways — the fan-out is paid at screen time,
+  * on the BATCH side only (round-9 verdict: the stored probe piece
+  * was a ~45× index-size multiplier at short-string corpora).
   *
-  *  - `segs` (sid, l_a, i, seg) — the corpus's positioned segments;
-  *    batch PROBES join against it (finds partners ≤ batch length);
-  *  - `probes` (sid, l_a, i, seg) — the corpus's probe substrings
-  *    (≤ (k+1)²(2k+1) per string, a constant); batch SEGMENTS join
-  *    against it (finds partners ≥ batch length);
-  *  - `strs` (sid, s, l) — the verify side.
-  *
-  * Per-screen work is O(batch × fan-out) join probes against
-  * seg-clustered stored pieces — never O(corpus).
+  * Per-screen work is O(batch × fan-out) join probes against the
+  * seg-clustered stored piece — never O(corpus).
   *
   * GLOBAL results persist as keyed-upsert [[MergePiece]]s, exactly
   * [[PrefixStore]]'s pairs/labels discipline applied to the edit
@@ -71,6 +72,12 @@ object EditStore {
       withinRep: DataFrame) // (id_a, id_b, dist) among new reps
 
   private val incMemo = new java.util.WeakHashMap[AnyRef, IncCore]()
+  // checkpointed scratch frames, freed when the engine signals the
+  // advance is done (onAdvanceDone) — without this, blocks of past
+  // increments pin executor storage until the ctx key is GC'd
+  private val scratch = new graft.sources.CheckpointUtil.Scratch
+  private def track(ctx: AdvanceCtx, df: DataFrame): DataFrame =
+    scratch.track(ctx, df)
 
   private def incCore(ctx: AdvanceCtx, idCol: String, strCol: Column,
       k: Int): IncCore = {
@@ -88,28 +95,24 @@ object EditStore {
 
   private def computeIncCore(ctx: AdvanceCtx, idCol: String,
       strCol: Column, k: Int): IncCore = {
-    val newStrs = withLen(ctx.newDocs, idCol, strCol).localCheckpoint(true)
-    val newReps = newStrs.groupBy("s").agg(min("sid").as("sid"),
+    val newStrs = track(ctx,
+      withLen(ctx.newDocs, idCol, strCol).localCheckpoint(true))
+    val newReps = track(ctx, newStrs.groupBy("s").agg(min("sid").as("sid"),
         first("l").as("l"))
-      .select("sid", "s", "l").localCheckpoint(true)
+      .select("sid", "s", "l").localCheckpoint(true))
     // stored side restricted to representatives
     val storedReps = ctx.stored("reps")
     val repIds = storedReps.select(col("rid").as("sid"))
     val oldSegs = ctx.stored("segs").join(repIds, "sid")
       .select(col("sid").as("dup_id"), col("l_a"), col("i"), col("seg"))
-    val oldProbes = ctx.stored("probes").join(repIds, "sid")
-      .select(col("sid").as("dup_id"), col("l_a"), col("i"), col("seg"))
     val oldStrs = ctx.stored("strs").join(repIds, "sid")
       .select(col("sid").as("dup_id"), col("s").as("s_d"))
-    // both orientations, exactly the screen's shape
-    val nProbes = EditJoin.probesOf(newReps, k)
-      .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
-    val nSegs = EditJoin.segmentsOf(newReps, k)
+    // both-direction probes against the stored segment dictionary —
+    // one orientation covers shorter AND longer stored partners
+    val nProbes = EditJoin.probesAround(newReps, k)
       .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
     val cand = nProbes.join(oldSegs, Seq("l_a", "i", "seg"))
       .select(col("new_id"), col("dup_id"))
-      .unionByName(nSegs.join(oldProbes, Seq("l_a", "i", "seg"))
-        .select(col("new_id"), col("dup_id")))
       .distinct()
     val crossRep = cand
       .join(newReps.select(col("sid").as("new_id"), col("s").as("s_n")),
@@ -119,10 +122,10 @@ object EditStore {
       .where(col("dist") <= k)
       .select(col("new_id").as("rid_n"), col("dup_id").as("rid_o"),
         col("dist"))
-      .localCheckpoint(true)
-    val withinRep = EditJoin.similarPairs(newReps, "sid", col("s"), k)
-      .localCheckpoint(true)
-    IncCore(newStrs, newReps, crossRep, withinRep)
+    val crossCk = track(ctx, crossRep.localCheckpoint(true))
+    val withinRep = track(ctx,
+      EditJoin.similarPairs(newReps, "sid", col("s"), k).localCheckpoint(true))
+    IncCore(newStrs, newReps, crossCk, withinRep)
   }
 
   // ---------------------------------------------------------------
@@ -176,7 +179,7 @@ object EditStore {
 
   private def buildFullLabels(ctx: AdvanceCtx): DataFrame = {
     val strs = ctx.stored("strs")
-    val reps = ctx.stored("reps").localCheckpoint()
+    val reps = track(ctx, ctx.stored("reps").localCheckpoint())
     val m = strs.select(col("sid"), col("s"))
     val repEdges = ctx.stored("pairs")
       .join(m.select(col("sid").as("id_a"), col("s").as("s_a")), "id_a")
@@ -208,9 +211,9 @@ object EditStore {
     val oldLabels = ctx.stored("labels")
     val touched = cross.select(col("id_b").as("sid")).distinct()
       .join(oldLabels, "sid").select("cluster_id").distinct()
-    val affected = oldLabels.join(touched, "cluster_id")
+    val affected = track(ctx, oldLabels.join(touched, "cluster_id")
       .select(col("sid"), col("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val nodes = c.newStrs.select(col("sid"))
       .union(affected.select("sid"))
     val edges = cross.union(within).union(docRep)
@@ -224,17 +227,12 @@ object EditStore {
     */
   private def handle(corpusPath: String, variant: String, idCol: String,
       strCol: Column, k: Int) =
-    IncrementalDocArtifact(corpusPath, s"edit${k}b_$variant",
+    IncrementalDocArtifact(corpusPath, s"edit${k}c_$variant",
       pieces = Seq(
         Piece("strs", (docs, _) => withLen(docs, idCol, strCol)),
         Piece("segs",
           (docs, _) => bySeg(EditJoin.segmentsOf(
             withLen(docs, idCol, strCol), k)),
-          fold = Some(bySeg)),
-        Piece("probes",
-          (docs, _) => bySeg(EditJoin.probesOf(
-              withLen(docs, idCol, strCol), k)
-            .select(col("sid"), col("l_a"), col("i"), col("seg"))),
           fold = Some(bySeg))),
       merges = Seq(
         MergePiece("reps", Seq("s"),
@@ -247,7 +245,16 @@ object EditStore {
         MergePiece("labels", Seq("sid"),
           buildFull = (_, ctx) => buildFullLabels(ctx),
           advance = ctx => advanceLabels(ctx, idCol, strCol, k))),
-      compactEvery = 8)
+      compactEvery = 8,
+      // a screen-only ingest front door appends O(new-additive); the
+      // pairs/labels surfaces catch up on first read (the engine's
+      // lazy-merge contract — sound because the advances are
+      // generation-chunking invariant)
+      lazyMerges = true,
+      onAdvanceDone = ctx => {
+        incMemo.synchronized(incMemo.remove(ctx))
+        scratch.freeAll(ctx)
+      })
 
   /** Stored (id_a, id_b, dist) pairs over the whole corpus — a scan
     * of the persisted `pairs` merge piece.
@@ -284,19 +291,14 @@ object EditStore {
     val strs = h.serve(spark, "strs").filter(corpusFilter)
       .select(col("sid").as("dup_id"), col("s").as("s_d"))
     val b = withLen(batch, batchIdCol, batchStrCol)
-    val probes = EditJoin.probesOf(b, k)
+    // both-direction probes (target lengths [l-k, l+k]) against the
+    // stored segment dictionary — one orientation covers stored
+    // partners shorter AND longer than the batch string
+    val probes = EditJoin.probesAround(b, k)
       .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
     val cand = probes.join(segs, Seq("l_a", "i", "seg"))
       .select(col("new_id"), col("dup_id")).distinct()
-    // symmetric orientation for corpus partners LONGER than the
-    // batch string: batch segments against the STORED probe piece
-    val bSegs = EditJoin.segmentsOf(b, k)
-      .select(col("sid").as("new_id"), col("l_a"), col("i"), col("seg"))
-    val storedProbes = h.serve(spark, "probes").filter(corpusFilter)
-      .select(col("sid").as("dup_id"), col("l_a"), col("i"), col("seg"))
-    val cand2 = bSegs.join(storedProbes, Seq("l_a", "i", "seg"))
-      .select(col("new_id"), col("dup_id")).distinct()
-    cand.unionByName(cand2).distinct()
+    cand
       .join(b.select(col("sid").as("new_id"), col("s").as("s_n")), "new_id")
       .join(strs, "dup_id")
       .withColumn("dist", levenshtein(col("s_n"), col("s_d")).cast("long"))

@@ -62,16 +62,19 @@ import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
   * and shared by the `pairs` and `labels` advances via an
   * AdvanceCtx-keyed memo of eagerly-checkpointed frames.
   *
-  * DELIBERATE AMORTIZATION: one artifact fronts all four surfaces
-  * (batch screen d24, pair list d23, clusters d25, and the split
-  * audit p5), so the FULL build pays the PPJoin + CC once even for a
-  * caller that only screens — the d21-style ingest pipeline uses the
-  * surfaces together (screen a batch, then ask which clusters it
-  * joined), and per-increment cost is shared-screen-sized either
-  * way. A deployment that truly only ever screens and must avoid
-  * the one-time pairs/labels build would split the merges into a
-  * sibling artifact reading these pieces; measured build costs are
-  * in §9.18 (737 s at 500 k docs, all pieces).
+  * SURFACE-SCOPED INCREMENTS (round-9 verdict #2): the artifact runs
+  * the engine's LAZY-MERGE mode — a corpus append advances only the
+  * screen surfaces (`order`/`sets`/`prefix`, the d21/d24 front door,
+  * O(new-additive)); the global result surfaces (`reps`/`pairs`/
+  * `labels`) catch up ON FIRST READ after the append, as one combined
+  * increment over everything appended since their last read (sound by
+  * the generation-chunking invariance the advances already guarantee
+  * — `IncrementalChunkingParitySpec`). A screen-only deployment never
+  * pays for result surfaces it never reads; a d23/d25 reader pays the
+  * deferred advance exactly once, then serves base scans again. The
+  * FULL build still pays the PPJoin + CC once for every surface
+  * (deliberate — the d21-style ingest pipeline uses the surfaces
+  * together; measured build costs are in §9.18, 737 s at 500 k docs).
   */
 object PrefixStore {
 
@@ -178,6 +181,11 @@ object PrefixStore {
 
   private val incMemo =
     new java.util.WeakHashMap[AnyRef, IncCore]()
+  // checkpointed scratch frames, freed when the engine signals the
+  // advance is done — past increments must not pin executor storage
+  private val scratch = new graft.sources.CheckpointUtil.Scratch
+  private def track(ctx: AdvanceCtx, df: DataFrame): DataFrame =
+    scratch.track(ctx, df)
 
   private def incCore(ctx: AdvanceCtx, tauNum: Int, tauDen: Int): IncCore = {
     val hit = incMemo.synchronized(incMemo.get(ctx))
@@ -197,35 +205,36 @@ object PrefixStore {
 
   private def computeIncCore(ctx: AdvanceCtx,
       tauNum: Int, tauDen: Int): IncCore = {
-    val newSets = interned(ctx.newDocs).localCheckpoint(true)
-    val newReps = newSets.groupBy("fp").agg(min("doc_id").as("rid"))
-      .join(newSets.select(col("doc_id").as("rid"), col("ht"), col("n")),
-        "rid")
-      .localCheckpoint(true)
+    val newSets = track(ctx, interned(ctx.newDocs).localCheckpoint(true))
+    val newReps = track(ctx,
+      newSets.groupBy("fp").agg(min("doc_id").as("rid"))
+        .join(newSets.select(col("doc_id").as("rid"), col("ht"), col("n")),
+          "rid")
+        .localCheckpoint(true))
     // probe prefixes for the new reps under the STORED frozen order
     val order = ctx.stored("order")
     val repDocs = ctx.newDocs
       .join(newReps.select(col("rid").as("doc_id")), "doc_id")
-    val probePref = prefixEntries(repDocs, "doc_id", col("text"),
-      order, tauNum, tauDen).localCheckpoint(true)
+    val probePref = track(ctx, prefixEntries(repDocs, "doc_id", col("text"),
+      order, tauNum, tauDen).localCheckpoint(true))
     // stored side restricted to representatives — contraction on both
     // sides keeps candidate volume following distinct-set structure
     val storedReps = ctx.stored("reps")
-    val oldRepSets = ctx.stored("sets")
+    val oldRepSets = track(ctx, ctx.stored("sets")
       .join(storedReps.select(col("rid").as("doc_id")), "doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val oldRepPref = ctx.stored("prefix")
       .join(storedReps.select(col("rid").as("doc_id")), "doc_id")
-    val crossRep = verifyPairs(
+    val crossRep = track(ctx, verifyPairs(
       candPairs(probePref, oldRepPref, tauNum, tauDen, ordered = false),
       newSets, oldRepSets, tauNum, tauDen)
       .select(col("rid_a").as("rid_n"), col("rid_b").as("rid_o"),
         col("jaccard"))
-      .localCheckpoint(true)
-    val withinRep = verifyPairs(
+      .localCheckpoint(true))
+    val withinRep = track(ctx, verifyPairs(
       candPairs(probePref, probePref, tauNum, tauDen, ordered = true),
       newSets, newSets, tauNum, tauDen)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     IncCore(newSets, newReps, crossRep, withinRep)
   }
 
@@ -253,14 +262,14 @@ object PrefixStore {
     */
   private def buildFullPairs(ctx: AdvanceCtx,
       tauNum: Int, tauDen: Int): DataFrame = {
-    val sets = ctx.stored("sets").localCheckpoint()
-    val reps = ctx.stored("reps").localCheckpoint()
+    val sets = track(ctx, ctx.stored("sets").localCheckpoint())
+    val reps = track(ctx, ctx.stored("reps").localCheckpoint())
     val repSets = sets
       .join(reps.select(col("rid").as("doc_id"), col("fp").as("_f")), "doc_id")
       .drop("_f")
-    val repPref = ctx.stored("prefix")
+    val repPref = track(ctx, ctx.stored("prefix")
       .join(reps.select(col("rid").as("doc_id")), "doc_id")
-      .localCheckpoint()
+      .localCheckpoint())
     val rp = verifyPairs(
       candPairs(repPref, repPref, tauNum, tauDen, ordered = true),
       repSets, repSets, tauNum, tauDen)
@@ -323,7 +332,7 @@ object PrefixStore {
     */
   private def buildFullLabels(ctx: AdvanceCtx): DataFrame = {
     val sets = ctx.stored("sets")
-    val reps = ctx.stored("reps").localCheckpoint()
+    val reps = track(ctx, ctx.stored("reps").localCheckpoint())
     val m = sets.select(col("doc_id"), col("fp"))
     val repEdges = ctx.stored("pairs")
       .join(m.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), "id_a")
@@ -364,9 +373,9 @@ object PrefixStore {
     val oldLabels = ctx.stored("labels")
     val touched = cross.select(col("id_b").as("doc_id")).distinct()
       .join(oldLabels, "doc_id").select("cluster_id").distinct()
-    val affected = oldLabels.join(touched, "cluster_id")
+    val affected = track(ctx, oldLabels.join(touched, "cluster_id")
       .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val nodes = ctx.newDocs.select(col("doc_id"))
       .union(affected.select("doc_id"))
     val edges = cross
@@ -399,7 +408,14 @@ object PrefixStore {
         MergePiece("labels", Seq("doc_id"),
           buildFull = (_, ctx) => buildFullLabels(ctx),
           advance = ctx => advanceLabels(ctx, tauNum, tauDen))),
-      compactEvery = 8)
+      compactEvery = 8,
+      // surface scoping: appends advance only the screen pieces; the
+      // reps/pairs/labels result surfaces catch up on first read
+      lazyMerges = true,
+      onAdvanceDone = ctx => {
+        incMemo.synchronized(incMemo.remove(ctx))
+        scratch.freeAll(ctx)
+      })
 
   /** All (new_id, dup_id, jaccard) pairs between `batch` docs and
     * stored corpus docs with word-set Jaccard >= tauNum/tauDen —

@@ -187,10 +187,22 @@ object HashedTfIdf {
         col("w").as("qw"))
       .join(broadcast(ranked.filter(col("r") === 1)
         .select("query_id", "bucket")), Seq("query_id", "bucket"))
+    // two-level top-(4k): a hot rank-1 bucket would otherwise make
+    // the per-query window a corpus-sized single-task sort — the
+    // salted pre-pass bounds every sort partition to ~postings/64,
+    // and the exact pass sorts ≤ 64·4k rows per query. Lossless: the
+    // global top-(4k) by (contribution, doc_id) is a subset of the
+    // union of per-salt top-(4k)s under the same total order.
+    val contrib = col("w") * col("qw")
+    val bySalt = Window.partitionBy("query_id", "_salt")
+      .orderBy(contrib.desc, col("doc_id"))
     val byContrib = Window.partitionBy("query_id")
-      .orderBy((col("w") * col("qw")).desc, col("doc_id"))
+      .orderBy(contrib.desc, col("doc_id"))
     val cand1 = features.join(broadcast(top1), "bucket")
       .where(col("query_id") =!= col("doc_id"))
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(64)))
+      .withColumn("c_rs", row_number().over(bySalt))
+      .where(col("c_rs") <= 4 * k)
       .withColumn("c_rk", row_number().over(byContrib))
       .where(col("c_rk") <= 4 * k)
       .select("query_id", "doc_id")

@@ -78,26 +78,41 @@ object TextIndexStore {
   }
 
   private def handle(corpusPath: String) =
-    IncrementalDocArtifact(corpusPath, "inc2", Seq(
+    IncrementalDocArtifact(corpusPath, "inc3", Seq(
       Piece("postings",
         (docs, _) => byTerm(postingsOf(docs)),
         fold = Some(byTerm)),
       Piece("positional",
         (docs, _) => byTerm(TextSearch.positionalPostings(docs, "doc_id", normCol)),
         fold = Some(byTerm)),
+      // post_rows is the TRUE postings row count (distinct terms per
+      // doc summed): the pruning gates' index-size estimate — avgdl
+      // counts token OCCURRENCES, which overestimates postings rows
+      // on high-tf corpora and biased the scan-floor gate toward the
+      // naive fallback
       Piece("statsparts",
-        (docs, _) => postingsOf(docs)
-          .groupBy(col("doc_id")).agg(first("dl").as("dl"))
-          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
+        (docs, _) => {
+          val p = postingsOf(docs)
+          p.groupBy(col("doc_id")).agg(first("dl").as("dl"))
+            .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+            .crossJoin(p.agg(count(lit(1)).as("post_rows")))
+        },
         fold = Some(m =>
-          m.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))),
+          m.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+            sum("post_rows").as("post_rows")))),
       // per-term score ceilings (df exact, max_tf/min_dl bounds) —
       // sum/max/min partials fold additively, so increments keep the
       // ceilings valid O(new); see TextSearch.termBounds
       Piece("termbounds",
         (docs, _) => TextSearch.termBounds(postingsOf(docs)),
         fold = Some(foldBounds))),
-      compactEvery)
+      merges = Nil,
+      compactEvery = compactEvery,
+      lazyMerges = false,
+      onAdvanceDone = ctx => {
+        val f = postMemo.synchronized(postMemo.remove(ctx.newDocs))
+        if (f != null) graft.sources.CheckpointUtil.free(f)
+      })
 
   private def serve(spark: SparkSession, sfDir: String, piece: String): DataFrame =
     handle(s"$sfDir/documents.parquet").serve(spark, piece)
@@ -113,15 +128,19 @@ object TextIndexStore {
   def positional(spark: SparkSession, sfDir: String): DataFrame =
     serve(spark, sfDir, "positional")
 
-  /** Stored one-row corpus constants (n_docs, avgdl), folded from the
-    * per-generation additive partials — exact (integer sums under
-    * 2^53), so identical to a whole-corpus aggregate.
+  /** Stored one-row corpus constants (n_docs, avgdl, post_rows),
+    * folded from the per-generation additive partials — exact
+    * (integer sums under 2^53), so identical to a whole-corpus
+    * aggregate. `post_rows` is the exact postings row count the
+    * pruning gates size the index with.
     */
   def stats(spark: SparkSession, sfDir: String): DataFrame =
     serve(spark, sfDir, "statsparts")
-      .agg(sum("n_docs").as("nd"), sum("sum_dl").as("sd"))
+      .agg(sum("n_docs").as("nd"), sum("sum_dl").as("sd"),
+        sum("post_rows").as("pr"))
       .select(col("nd").cast("double").as("n_docs"),
-        (col("sd").cast("double") / col("nd").cast("double")).as("avgdl"))
+        (col("sd").cast("double") / col("nd").cast("double")).as("avgdl"),
+        col("pr").cast("double").as("post_rows"))
 
   /** Stored per-term score ceilings (term, df, max_tf, min_dl),
     * folded from the per-generation partials — the MAX-SCORE pruning

@@ -204,10 +204,21 @@ object TextSearch {
       .distinct()
     // EARLY scan-floor gate — needs no θ: vol_all and the index size
     // come from the ceiling table + the stats row, so a scan-bound
-    // fleet (matched ≈ index) skips the whole phase-1 detour
-    val statsRow = stats.select(col("avgdl"), col("n_docs")).head
-    val avgPerDoc = statsRow.getDouble(0)
-    val indexRows = statsRow.getDouble(1) * avgPerDoc
+    // fleet (matched ≈ index) skips the whole phase-1 detour. The
+    // index size is the TRUE postings row count when the stats row
+    // carries it (TextIndexStore.stats does); the n_docs·avgdl proxy
+    // counts token occurrences, not distinct (doc, term) rows, and
+    // overestimates on high-tf corpora — biasing the gate toward the
+    // naive fallback (cost-model skew only; either plan is exact)
+    val hasRows = stats.columns.contains("post_rows")
+    val cols = Seq(col("avgdl"), col("n_docs")) ++
+      (if (hasRows) Seq(col("post_rows")) else Nil)
+    val statsRow = stats.select(cols: _*).head
+    val indexRows =
+      if (hasRows) statsRow.getDouble(2)
+      else statsRow.getDouble(1) * statsRow.getDouble(0)
+    // avg postings rows per doc — the candidate-completion multiplier
+    val avgPerDoc = indexRows / math.max(statsRow.getDouble(1), 1.0)
     def volAll(): Long =
       Option(ranked.agg(sum("df")).head.get(0))
         .fold(0L)(_.asInstanceOf[Long])
@@ -220,11 +231,19 @@ object TextSearch {
     val w1 = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
       / (col("df") + 0.5)) * (col("tf") * (k1 + 1.0) / (col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // two-level top-(4k), bounding the window sort when the rank-1
+    // term's postings list is hot (see HashedTfIdf.topKCosinePruned:
+    // per-salt pre-pass then an exact pass over ≤ 64·4k rows/query)
+    val bySalt = Window.partitionBy("query_id", "_salt")
+      .orderBy(col("w1").desc, col(idCol))
     val byContrib = Window.partitionBy("query_id")
       .orderBy(col("w1").desc, col(idCol))
     val cand1 = post.join(broadcast(top1), "term")
       .crossJoin(broadcast(stats))
       .withColumn("w1", w1)
+      .withColumn("_salt", pmod(hash(col(idCol)), lit(64)))
+      .withColumn("c_rs", row_number().over(bySalt))
+      .where(col("c_rs") <= 4 * k)
       .withColumn("c_rk", row_number().over(byContrib))
       .where(col("c_rk") <= 4 * k)
       .select(col("query_id"), col(idCol))

@@ -38,23 +38,48 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * Builders receive an [[AdvanceCtx]] and may read OTHER pieces
   * through it: at full rebuild, pieces build in declaration order
   * (additive/pinned first, then merges) and see the pieces rebuilt
-  * before them; at an increment, every view excludes the generation
-  * being written (crash replay reads identical inputs). That is how a
-  * codes piece encodes with the pinned books, and how cluster labels
+  * before them; at an increment, every view excludes the generations
+  * being caught up (crash replay reads identical inputs). That is how
+  * a codes piece encodes with the pinned books, and how cluster labels
   * probe the stored signature table.
+  *
+  * LAZY MERGE MODE (`lazyMerges = true`): a corpus append advances
+  * only the additive pieces — the screen-only front door stays
+  * O(new-additive) — and the merge pieces (pairs, labels, any global
+  * result) catch up ON FIRST READ after the append, as ONE combined
+  * increment over every entry they have not yet reflected. Soundness
+  * rests on two engine invariants: (a) merge advances are
+  * generation-chunking invariant (one advance over k appended file
+  * sets ≡ k chained advances — the documented [[MergePiece]] contract,
+  * asserted for every registered store in
+  * `IncrementalChunkingParitySpec`), and (b) the catch-up's
+  * pre-increment views exclude exactly the committed generations the
+  * piece has not covered (tracked per piece in a `covered` ledger; the
+  * per-generation entry lists live in `_gens/`). Compaction first
+  * catches merges up, then folds — so gen-level exclusion never meets
+  * a folded-away generation.
   *
   * Layout, per (corpus path, artifact key):
   *
-  *   root/<pathKey>_<key>/state          sorted `file|size|mtime` lines
-  *                                       of covered corpus DATA files
+  *   root/<pathKey>_<key>/state          corpus DATA-file ledger +
+  *                                       `#v2` footer: committed gen
+  *                                       ids and per-piece base
+  *                                       snapshot versions
+  *   root/<pathKey>_<key>/_gens/<g>      entry list of generation <g>
   *   root/<pathKey>_<key>/<piece>/base   versioned-pointer snapshot
   *   root/<pathKey>_<key>/<piece>/delta/_gen=<g>/  one immutable
   *                                       partition per corpus increment
   *                                       (merge pieces also carry a
   *                                       monotone `_seq` column; base
   *                                       rows rank as seq −1)
+  *   root/<piece>/covered                merge-piece coverage ledger
+  *                                       (lazy mode)
   *
-  * Reconciliation per read: ledger == listing → serve; pure file
+  * Reconciliation per read: ledger == listing and base versions match
+  * the footer → serve (after dropping UNCOMMITTED delta generations —
+  * a crashed advance whose corpus files were then reverted must not
+  * serve its orphan rows, and a crashed rebuild whose corpus was
+  * reverted keys a rebuild via the base-version mismatch); pure file
   * append → advance each piece into a deterministic `_gen` partition
   * (replay overwrites itself — every advance reads views that EXCLUDE
   * the generation being written, so a crashed half-write can never
@@ -105,7 +130,10 @@ object IncrementalDocArtifact {
     *                  corpus change)
     * @param advance   increment step: returns ONLY the new/changed
     *                  keyed rows (each key at most once), computed from
-    *                  [[AdvanceCtx]]'s pre-increment views
+    *                  [[AdvanceCtx]]'s pre-increment views. MUST be
+    *                  generation-chunking invariant (one advance over a
+    *                  union of appends ≡ chained per-append advances) —
+    *                  lazy catch-up relies on it.
     */
   final case class MergePiece(name: String,
       keyCols: Seq[String],
@@ -115,8 +143,9 @@ object IncrementalDocArtifact {
   /** What a builder may read: the documents it must process (`newDocs`
     * is the increment's new files, or the whole corpus at full
     * rebuild) and a view of the stored pieces — pre-increment during
-    * an advance (the generation being written is excluded, so a crash
-    * replay reads identical inputs), rebuilt-so-far during a rebuild.
+    * an advance (the generations being written/caught-up are excluded,
+    * so a crash replay reads identical inputs), rebuilt-so-far during
+    * a rebuild.
     */
   final class AdvanceCtx private[IncrementalDocArtifact] (
       val spark: SparkSession,
@@ -126,11 +155,15 @@ object IncrementalDocArtifact {
   }
 
   final class Handle(corpusPath: String, key: String, pieces: Seq[Piece],
-      merges: Seq[MergePiece], compactEvery: Int) {
+      merges: Seq[MergePiece], compactEvery: Int,
+      lazyMerges: Boolean = false,
+      onAdvanceDone: AdvanceCtx => Unit = _ => ()) {
 
     private val allNames: Seq[String] = pieces.map(_.name) ++ merges.map(_.name)
     require(allNames.nonEmpty, "artifact needs at least one piece")
     require(allNames.distinct == allNames, "piece names must be unique")
+    require(!lazyMerges || merges.nonEmpty,
+      "lazyMerges without merge pieces is meaningless")
 
     private def root: Path =
       Paths.get(ArtifactStore.root, ArtifactStore.pathKey(corpusPath) + "_" + key)
@@ -140,6 +173,18 @@ object IncrementalDocArtifact {
     private def deltaDir(piece: String): Path =
       root.resolve(piece).resolve("delta")
 
+    // -----------------------------------------------------------------
+    // State ledger (v2): corpus DATA-file entries + `#v2` marker +
+    // `#gen:<id>` committed generations + `#base:<piece>:<version>`
+    // base snapshot versions. Legacy (pre-footer) states have no
+    // footer: committed gens are unknowable, so every live gen is
+    // treated as committed and the base check is skipped — the first
+    // write under the new code converts the ledger.
+    // -----------------------------------------------------------------
+
+    private final case class LedgerState(entries: Seq[String],
+        gens: Set[String], baseVersions: Map[String, String], v2: Boolean)
+
     /** Ledger entries track DATA files only: writers rewrite `_SUCCESS`
       * / `.crc` markers on every append, which would make a pure file
       * append look like a rewrite. Readers ignore those files.
@@ -148,6 +193,82 @@ object IncrementalDocArtifact {
       val rel = e.substring(0, e.indexOf('|'))
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       !(name.startsWith("_") || name.startsWith("."))
+    }
+
+    private def readLedger(): LedgerState =
+      if (!Files.exists(statePath)) LedgerState(Nil, Set.empty, Map.empty, v2 = true)
+      else {
+        val lines = Files.readAllLines(statePath).toArray.toSeq.map(_.toString)
+          .filter(_.nonEmpty)
+        val (meta, entries) = lines.partition(_.startsWith("#"))
+        val gens = meta.filter(_.startsWith("#gen:"))
+          .map(_.stripPrefix("#gen:")).toSet
+        val bases = meta.filter(_.startsWith("#base:")).map { l =>
+          val body = l.stripPrefix("#base:")
+          val i = body.indexOf(':')
+          body.substring(0, i) -> body.substring(i + 1)
+        }.toMap
+        LedgerState(entries, gens, bases, v2 = meta.contains("#v2"))
+      }
+
+    /** Current base snapshot version marker per piece ("-" when the
+      * piece has no published base).
+      */
+    private def baseMarkers(): Map[String, String] =
+      allNames.map { n =>
+        n -> baseIO(n).currentDir
+          .map(d => Paths.get(d).getFileName.toString).getOrElse("-")
+      }.toMap
+
+    /** Atomic-rename ledger commit — THE commit point of every
+      * mutation. Base versions are read from the live pointers at
+      * write time.
+      */
+    private def writeLedger(entries: Seq[String], gens: Set[String]): Unit = {
+      val footer = Seq("#v2") ++
+        gens.toSeq.sorted.map("#gen:" + _) ++
+        baseMarkers().toSeq.sortBy(_._1).map { case (p, v) => s"#base:$p:$v" }
+      val tmp = statePath.resolveSibling("state.tmp")
+      Files.writeString(tmp, (entries ++ footer).mkString("\n"))
+      Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // per-generation entry lists (root/_gens/<id>) — written before the
+    // ledger commit; an orphan file from a crashed advance is harmless
+    private def genEntriesPath(g: String): Path = root.resolve("_gens").resolve(g)
+
+    private def writeGenEntries(g: String, entries: Seq[String]): Unit = {
+      Files.createDirectories(root.resolve("_gens"))
+      Files.writeString(genEntriesPath(g), entries.mkString("\n"))
+    }
+
+    private def genEntries(g: String): Option[Seq[String]] = {
+      val p = genEntriesPath(g)
+      if (!Files.exists(p)) None
+      else Some(Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .filter(_.nonEmpty))
+    }
+
+    // merge-piece coverage ledger (lazy mode): the corpus entries the
+    // piece's stored result reflects. Missing file = "covered through
+    // the state ledger" (eager/legacy artifacts).
+    private def coveredPath(piece: String): Path =
+      root.resolve(piece).resolve("covered")
+
+    private def coveredEntries(piece: String): Option[Seq[String]] = {
+      val p = coveredPath(piece)
+      if (!Files.exists(p)) None
+      else Some(Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .filter(_.nonEmpty))
+    }
+
+    private def writeCovered(piece: String, entries: Seq[String]): Unit = {
+      Files.createDirectories(root.resolve(piece))
+      val tmp = coveredPath(piece).resolveSibling("covered.tmp")
+      Files.writeString(tmp, entries.mkString("\n"))
+      Files.move(tmp, coveredPath(piece), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
 
     private def genId(newEntries: Seq[String]): String = {
@@ -189,13 +310,44 @@ object IncrementalDocArtifact {
     private[sources] def deltaGens(): Seq[String] =
       allNames.flatMap(gensOf).distinct
 
+    /** Drop live delta generations the ledger never committed — the
+      * debris of an advance that crashed before its ledger rename. If
+      * the corpus then reverted to the pre-append listing, reconcile
+      * short-circuits, and without this sweep the orphan generation's
+      * rows (for additive pieces extra rows; for merge pieces WRONG
+      * last-writer-wins overwrites referencing docs no longer in the
+      * corpus) would serve as live. v2 ledgers only — a legacy ledger
+      * cannot name its committed gens.
+      *
+      * Dropping a merge piece's generation also rolls the piece's
+      * `covered` ledger back by that generation's entry list —
+      * otherwise coverage would claim entries whose rows just died and
+      * the lazy catch-up would never re-advance them (every live delta
+      * has its `_gens` entry list: it is written before the first delta
+      * row and deleted only after fold/rebuild).
+      */
+    private def dropUncommittedGens(st: LedgerState): Unit =
+      if (st.v2) allNames.foreach { n =>
+        val isMerge = merges.exists(_.name == n)
+        gensOf(n).map(_.stripPrefix("_gen="))
+          .filterNot(st.gens)
+          .foreach { g =>
+            deleteTree(deltaDir(n).resolve("_gen=" + g))
+            if (isMerge) (coveredEntries(n), genEntries(g)) match {
+              case (Some(cov), Some(dead)) =>
+                writeCovered(n, cov.filterNot(dead.toSet))
+              case _ => ()
+            }
+          }
+      }
+
     /** Live delta rows of `piece` (folded and excluded gens skipped at
       * the PATH level — absorbed directories are never even listed in
       * the scan).
       */
     private def liveDelta(spark: SparkSession, piece: String,
-        excludeGen: Option[String]): Option[DataFrame] = {
-      val gens = gensOf(piece).filterNot(excludeGen.map("_gen=" + _).contains)
+        exclude: Set[String]): Option[DataFrame] = {
+      val gens = gensOf(piece).filterNot(g => exclude.contains(g.stripPrefix("_gen=")))
       if (gens.isEmpty) None
       else Some(spark.read
         .option("basePath", deltaDir(piece).toString)
@@ -203,13 +355,13 @@ object IncrementalDocArtifact {
         .drop("_gen"))
     }
 
-    /** Additive piece view: base ∪ deltas (minus `excludeGen`). */
+    /** Additive piece view: base ∪ deltas (minus `exclude`). */
     private def readPiece(spark: SparkSession, piece: String,
-        excludeGen: Option[String]): DataFrame = {
+        exclude: Set[String]): DataFrame = {
       val base = baseIO(piece)
       val parts = Seq(
         if (base.exists) Some(base.read(spark)) else None,
-        liveDelta(spark, piece, excludeGen)).flatten
+        liveDelta(spark, piece, exclude)).flatten
       parts.reduceOption(_.unionByName(_)).getOrElse(
         throw new IllegalStateException(s"no $piece artifact for $corpusPath"))
     }
@@ -220,9 +372,9 @@ object IncrementalDocArtifact {
       * while unfolded generations do.
       */
     private def readMergeResolved(spark: SparkSession, mp: MergePiece,
-        excludeGen: Option[String]): DataFrame = {
+        exclude: Set[String]): DataFrame = {
       val base = baseIO(mp.name)
-      liveDelta(spark, mp.name, excludeGen) match {
+      liveDelta(spark, mp.name, exclude) match {
         case None =>
           if (!base.exists) throw new IllegalStateException(
             s"no ${mp.name} artifact for $corpusPath")
@@ -239,11 +391,11 @@ object IncrementalDocArtifact {
       }
     }
 
-    private def view(spark: SparkSession, excludeGen: Option[String])(
+    private def view(spark: SparkSession, exclude: Set[String])(
         name: String): DataFrame =
       merges.find(_.name == name) match {
-        case Some(mp) => readMergeResolved(spark, mp, excludeGen)
-        case None => readPiece(spark, name, excludeGen)
+        case Some(mp) => readMergeResolved(spark, mp, exclude)
+        case None => readPiece(spark, name, exclude)
       }
 
     private def writeDelta(df: DataFrame, piece: String, gen: String): Unit =
@@ -255,18 +407,30 @@ object IncrementalDocArtifact {
 
     private def reconcile(spark: SparkSession): Unit = synchronized {
       val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
-      val indexed: Seq[String] =
-        if (Files.exists(statePath))
-          Files.readAllLines(statePath).toArray.toSeq.map(_.toString)
-        else Nil
-      if (indexed == current) return
+      val st = readLedger()
+      dropUncommittedGens(st)
+      if (st.entries == current) {
+        // base-version check: a rebuild that crashed before its ledger
+        // rename (then the corpus reverted) left poisoned bases behind
+        // a matching ledger — the recorded versions disagree, rebuild
+        if (!st.v2 || st.baseVersions == baseMarkers()) return
+      }
       Files.createDirectories(root)
       val currentSet = current.toSet
-      val newEntries = current.filterNot(indexed.toSet)
-      val appendOnly = indexed.nonEmpty && indexed.forall(currentSet) &&
+      val newEntries = current.filterNot(st.entries.toSet)
+      val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
         newEntries.nonEmpty
+      // committed gens carried into the next ledger write; a legacy
+      // ledger commits every live gen (they were all committed by the
+      // old code's contract)
+      val carriedGens =
+        if (st.v2) st.gens
+        else deltaGens().map(_.stripPrefix("_gen=")).toSet
 
-      if (appendOnly) {
+      if (st.entries == current) {
+        // only the base-version check failed → heal by full rebuild
+        rebuildAll(spark, current)
+      } else if (appendOnly) {
         val corpusRoot = Paths.get(corpusPath)
         val newFiles = newEntries.map(e =>
           corpusRoot.resolve(e.split('|').head).toString)
@@ -274,26 +438,98 @@ object IncrementalDocArtifact {
         val gen = genId(newEntries)
         // seq = covered-file count before this increment: strictly
         // increasing across appends, deterministic under replay
-        val seq = indexed.size.toLong
-        val ctx = new AdvanceCtx(spark, newDocs, view(spark, Some(gen)))
-        merges.foreach(mp => writeDelta(
-          mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
+        val seq = st.entries.size.toLong
+        val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
+        writeGenEntries(gen, newEntries)
+        if (lazyMerges)
+          // merge pieces stay behind; pin their coverage at the
+          // pre-append ledger if this is their first lazy skip
+          merges.foreach(mp => if (coveredEntries(mp.name).isEmpty)
+            writeCovered(mp.name, st.entries))
+        else
+          merges.foreach(mp => writeDelta(
+            mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
         pieces.filterNot(_.pinned)
           .foreach(p => writeDelta(p.build(newDocs, ctx), p.name, gen))
+        onAdvanceDone(ctx)
+        // ledger advance is the commit point — atomic rename, last
+        writeLedger(current, carriedGens + gen)
+        if (!lazyMerges)
+          merges.foreach(mp => writeCovered(mp.name, current))
       } else {
-        // stale deltas go FIRST so rebuild-order reads (a later piece
-        // reading an earlier one through ctx) see only rebuilt bases
-        allNames.foreach(n => deleteTree(deltaDir(n)))
-        val docs = spark.read.parquet(corpusPath)
-        val ctx = new AdvanceCtx(spark, docs, view(spark, None))
-        pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs, ctx)))
-        merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs, ctx)))
+        rebuildAll(spark, current)
       }
-      // ledger advance is the commit point — atomic rename, written last
-      val tmp = statePath.resolveSibling("state.tmp")
-      Files.writeString(tmp, current.mkString("\n"))
-      Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      if (compactEvery > 0 && deltaGens().size >= compactEvery) compact(spark)
+    }
+
+    private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = {
+      // stale deltas go FIRST so rebuild-order reads (a later piece
+      // reading an earlier one through ctx) see only rebuilt bases
+      allNames.foreach(n => deleteTree(deltaDir(n)))
+      deleteTree(root.resolve("_gens"))
+      val docs = spark.read.parquet(corpusPath)
+      val ctx = new AdvanceCtx(spark, docs, view(spark, Set.empty))
+      pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs, ctx)))
+      merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs, ctx)))
+      onAdvanceDone(ctx)
+      // coverage BEFORE the ledger commit: a crash in between leaves a
+      // ledger that still mismatches (entries or base versions), so
+      // the next reconcile rebuilds again — never a silently-ahead
+      // coverage behind a committed ledger
+      merges.foreach(mp => writeCovered(mp.name, current))
+      writeLedger(current, Set.empty)
+    }
+
+    /** Advance every lazy merge piece through the committed entries it
+      * has not yet reflected, as ONE combined increment (sound by the
+      * generation-chunking invariance of [[MergePiece.advance]]).
+      * Pre-increment views exclude the committed generations the piece
+      * has not covered plus the catch-up generation being written —
+      * one uniform exclusion set: pending additive gens exist only in
+      * additive pieces, the catch-up gen only in merge pieces.
+      * Deterministic under replay (gen id and seq derive from the
+      * pending entry list alone); commit order delta → ledger →
+      * coverage makes every crash window either a droppable orphan or
+      * an idempotent re-advance.
+      */
+    private def catchUpMerges(spark: SparkSession): Unit = synchronized {
+      if (merges.isEmpty) return
+      val st = readLedger()
+      if (st.entries.isEmpty) return
+      val entrySet = st.entries.toSet
+      // group pieces by their pending entries (normally all equal)
+      val groups = merges.groupBy { mp =>
+        val covered = coveredEntries(mp.name).getOrElse(st.entries).toSet
+        st.entries.filterNot(covered)
+      }.filter(_._1.nonEmpty)
+      if (groups.isEmpty) return
+      var gens = st.gens
+      groups.foreach { case (pending, mps) =>
+        val gen = genId(pending)
+        val pendingSet = pending.toSet
+        val coveredSet = entrySet -- pendingSet
+        // exclude: committed gens not fully covered by this group
+        // (additive gens of the pending appends, and — in crash-skew
+        // replays — an already-committed catch-up gen of a piece that
+        // got ahead) + the gen being written
+        val exclude = gens.filter(g => genEntries(g) match {
+          case Some(es) => !es.forall(coveredSet)
+          case None => false // legacy gen: predates lazy mode, covered
+        }) + gen
+        val corpusRoot = Paths.get(corpusPath)
+        val newFiles = pending.map(e =>
+          corpusRoot.resolve(e.split('|').head).toString)
+        val newDocs = spark.read.parquet(newFiles: _*)
+        val seq = coveredSet.size.toLong
+        val ctx = new AdvanceCtx(spark, newDocs, view(spark, exclude))
+        writeGenEntries(gen, pending)
+        mps.foreach(mp => writeDelta(
+          mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
+        onAdvanceDone(ctx)
+        gens = gens + gen
+        writeLedger(st.entries, gens)
+        mps.foreach(mp => writeCovered(mp.name, st.entries))
+      }
       if (compactEvery > 0 && deltaGens().size >= compactEvery) compact(spark)
     }
 
@@ -305,9 +541,12 @@ object IncrementalDocArtifact {
       * (pointer flipped, absorbed gens dead by marker even if their
       * directories survive). Physical deletion of absorbed gens is
       * garbage collection, re-attempted at the start of every
-      * compaction.
+      * compaction. Lazy merges catch up FIRST: folding an additive
+      * generation a merge piece has not reflected would break the
+      * gen-level exclusion its catch-up views need.
       */
     def compact(spark: SparkSession): Unit = synchronized {
+      if (lazyMerges) catchUpMerges(spark)
       // GC: directories a previous compaction absorbed but failed to
       // delete (they are dead by marker; remove before the marker is
       // superseded, or they would resurface as live gens)
@@ -324,25 +563,37 @@ object IncrementalDocArtifact {
       }
       pieces.foreach { p =>
         val gens = gensOf(p.name)
-        val merged = readPiece(spark, p.name, None)
+        val merged = readPiece(spark, p.name, Set.empty)
         foldInto(baseIO(p.name), p.fold.map(_(merged)).getOrElse(merged), gens)
       }
       merges.foreach { mp =>
-        foldInto(baseIO(mp.name), readMergeResolved(spark, mp, None),
+        foldInto(baseIO(mp.name), readMergeResolved(spark, mp, Set.empty),
           gensOf(mp.name))
       }
       // tidy path; a crash here is covered by the marker + next GC
       allNames.foreach { n =>
         foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
       }
+      // base versions changed under the committed ledger — re-commit
+      // the footer, pruning gens no longer live anywhere (their data
+      // is folded; their directories are dead by marker and the next
+      // sweep GCs them). A crash before this rename heals by full
+      // rebuild on the next reconcile.
+      val st = readLedger()
+      if (st.entries.nonEmpty) {
+        val live = deltaGens().map(_.stripPrefix("_gen=")).toSet
+        writeLedger(st.entries, st.gens.intersect(live))
+        st.gens.diff(live).foreach(g => Files.deleteIfExists(genEntriesPath(g)))
+      }
     }
 
     /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:
-      * the LWW-resolved view).
+      * the LWW-resolved view, caught up first in lazy mode).
       */
     def serve(spark: SparkSession, piece: String): DataFrame = {
       reconcile(spark)
-      view(spark, None)(piece)
+      if (lazyMerges && merges.exists(_.name == piece)) catchUpMerges(spark)
+      view(spark, Set.empty)(piece)
     }
 
     private def deleteTree(dir: Path): Unit =
@@ -360,4 +611,10 @@ object IncrementalDocArtifact {
   def apply(corpusPath: String, key: String, pieces: Seq[Piece],
       merges: Seq[MergePiece], compactEvery: Int): Handle =
     new Handle(corpusPath, key, pieces, merges, compactEvery)
+
+  def apply(corpusPath: String, key: String, pieces: Seq[Piece],
+      merges: Seq[MergePiece], compactEvery: Int, lazyMerges: Boolean,
+      onAdvanceDone: AdvanceCtx => Unit): Handle =
+    new Handle(corpusPath, key, pieces, merges, compactEvery, lazyMerges,
+      onAdvanceDone)
 }

@@ -41,7 +41,7 @@ class EditStoreSpec extends SparkSpec {
     // O(new): append a doc; base snapshots untouched, new partner found
     val root = java.nio.file.Paths.get(
       graft.sources.ArtifactStore.root,
-      graft.sources.ArtifactStore.pathKey(corpus) + "_edit2b_name")
+      graft.sources.ArtifactStore.pathKey(corpus) + "_edit2c_name")
     def baseFiles = {
       val s = java.nio.file.Files.walk(root)
       try s.filter(p => p.toString.contains("/base/") &&

@@ -34,7 +34,7 @@ class TextIndexIncrementalSpec extends SparkSpec {
 
   private def baseFiles(corpus: String): Map[String, (Long, Long)] = {
     val base = Paths.get(ArtifactStore.root,
-      ArtifactStore.pathKey(corpus) + "_inc2", "postings", "base")
+      ArtifactStore.pathKey(corpus) + "_inc3", "postings", "base")
     val s = Files.walk(base)
     try s.filter(f => Files.isRegularFile(f)).toArray.toSeq
       .map(_.asInstanceOf[Path])
@@ -46,7 +46,7 @@ class TextIndexIncrementalSpec extends SparkSpec {
 
   private def deltaGenDirs(corpus: String): Seq[String] = {
     val d = Paths.get(ArtifactStore.root,
-      ArtifactStore.pathKey(corpus) + "_inc2", "postings", "delta")
+      ArtifactStore.pathKey(corpus) + "_inc3", "postings", "delta")
     if (!Files.exists(d)) Nil
     else {
       val s = Files.list(d)
