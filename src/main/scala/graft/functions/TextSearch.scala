@@ -183,25 +183,11 @@ object TextSearch {
       b: Double = 0.75,
       fallbackFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = post.sparkSession
     val qt = queryTerms.distinct()
-    // per-(query, term) ceilings off the stored bounds — exact df
-    // (same value the naive path aggregates), bounding tf-norm
-    val idfB = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-      / (col("df") + 0.5))
-    val ubTf = col("max_tf") * (k1 + 1.0) / (col("max_tf") +
-      lit(k1) * (lit(1.0 - b) + lit(b) * col("min_dl") / col("avgdl")))
-    val qub = qt.join(bounds, "term").crossJoin(broadcast(stats))
-      .select(col("query_id"), col("term"), col("df"),
-        (idfB * ubTf).as("ub"))
-    val byImpact = Window.partitionBy("query_id")
-      .orderBy(col("ub").desc, col("term"))
-    val ranked = qub
-      .withColumn("r", row_number().over(byImpact))
-      .withColumn("s_r", sum("ub").over(
-        byImpact.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .localCheckpoint()
-    val dfs = ranked.select(col("term"), col("df").cast("double").as("df"))
-      .distinct()
     // EARLY scan-floor gate — needs no θ: vol_all and the index size
     // come from the ceiling table + the stats row, so a scan-bound
     // fleet (matched ≈ index) skips the whole phase-1 detour. The
@@ -214,20 +200,59 @@ object TextSearch {
     val cols = Seq(col("avgdl"), col("n_docs")) ++
       (if (hasRows) Seq(col("post_rows")) else Nil)
     val statsRow = stats.select(cols: _*).head
+    val avgdl = statsRow.getDouble(0)
+    val nDocs = statsRow.getDouble(1)
     val indexRows =
       if (hasRows) statsRow.getDouble(2)
-      else statsRow.getDouble(1) * statsRow.getDouble(0)
+      else nDocs * avgdl
     // avg postings rows per doc — the candidate-completion multiplier
-    val avgPerDoc = indexRows / math.max(statsRow.getDouble(1), 1.0)
-    def volAll(): Long =
-      Option(ranked.agg(sum("df")).head.get(0))
-        .fold(0L)(_.asInstanceOf[Long])
-    val volAllV = volAll()
+    val avgPerDoc = indexRows / math.max(nDocs, 1.0)
+    // The query fleet is DRIVER-SIZED BY CONTRACT (it is broadcast
+    // into every retrieval join): the per-(query, term) ceiling
+    // ranking, suffix sums, volumes, and essential-term selection run
+    // driver-side off ONE fleet-bounded collect of the matched stored
+    // bounds — the former window/checkpoint/head-job scaffolding cost
+    // more per run than the pruning saved on fallback corpora (the
+    // same shape as HashedTfIdf's r9 v22 bench regression).
+    val qtbRows = qt.join(bounds, "term")
+      .select(col("query_id"), col("term"), col("df"),
+        col("max_tf"), col("min_dl")).collect()
+    final case class QT(term: String, df: Long, ubV: Double,
+        var sR: Double = 0d)
+    val byQuery: Map[Any, Array[QT]] =
+      qtbRows.groupBy(_.get(0)).map { case (qid, rows) =>
+        val items = rows.map { r =>
+          val df = r.getAs[Number]("df").doubleValue()
+          val maxTf = r.getAs[Number]("max_tf").doubleValue()
+          val minDl = r.getAs[Number]("min_dl").doubleValue()
+          val idfB = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+          val ubTf = maxTf * (k1 + 1.0) /
+            (maxTf + k1 * ((1.0 - b) + b * minDl / avgdl))
+          QT(r.getAs[String]("term"), df.toLong, idfB * ubTf)
+        }.sortBy(q => (-q.ubV, q.term))
+        var acc = 0d
+        items.reverseIterator.foreach { q => acc += q.ubV; q.sR = acc }
+        qid -> items
+      }
+    val volAllV = byQuery.valuesIterator.flatten.map(_.df).sum
     if (volAllV * fallbackFrac < indexRows)
       return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
+    val qidField = qt.schema("query_id")
+    val termField = qt.schema("term")
+    val dfs = spark.createDataFrame(
+      byQuery.valuesIterator.flatten
+        .map(q => q.term -> q.df.toDouble).toSeq.distinct
+        .map { case (t, d) => Row(t, d) }.asJava,
+      StructType(Seq(termField.copy(name = "term"),
+        StructField("df", DoubleType))))
     // phase 1: bounded candidates from each query's top-ceiling term,
     // picked by exact per-posting score (stats is one broadcast row)
-    val top1 = ranked.filter(col("r") === 1).select("query_id", "term", "df")
+    val top1 = spark.createDataFrame(
+      byQuery.toSeq.collect { case (qid, items) if items.nonEmpty =>
+        Row(qid, items.head.term, items.head.df)
+      }.asJava,
+      StructType(Seq(qidField, termField.copy(name = "term"),
+        StructField("df", org.apache.spark.sql.types.LongType))))
     val w1 = log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
       / (col("df") + 0.5)) * (col("tf") * (k1 + 1.0) / (col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
@@ -249,29 +274,31 @@ object TextSearch {
       .select(col("query_id"), col(idCol))
     val kth = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol))
-    val theta = scoreCandidates(post, idCol, qt, cand1, dfs, stats, k1, b)
-      .withColumn("rk", row_number().over(kth))
-      .where(col("rk") === k)
-      .select(col("query_id"), col("score").as("theta"))
-    // essential terms under the rounding slack; missing θ keeps all
-    val isEssential =
-      col("s_r") >= coalesce(col("theta"), lit(0.0)) - lit(2e-4)
-    val withTheta = ranked
-      .join(broadcast(theta), Seq("query_id"), "left")
-      .localCheckpoint()
+    val thetaMap: Map[Any, Double] =
+      scoreCandidates(post, idCol, qt, cand1, dfs, stats, k1, b)
+        .withColumn("rk", row_number().over(kth))
+        .where(col("rk") === k)
+        .select(col("query_id"), col("score"))
+        .collect().map(r => r.get(0) ->
+          r.getAs[Number](1).doubleValue()).toMap
+    // essential terms under the rounding slack (driver-side);
+    // missing θ (query matched < k docs in phase 1) keeps all
+    val essentialRows = byQuery.toSeq.flatMap { case (qid, items) =>
+      val floor = thetaMap.getOrElse(qid, 0.0) - 2e-4
+      items.filter(_.sR >= floor).map(q => (qid, q))
+    }
     // completion gate: kept volume × avg postings/doc (candidate
     // docs re-join ALL their postings — §9.18 measured the naive
     // kept-fraction gate mispredicting without this) must undercut
     // the naive matched volume. (Both this and the early scan-floor
     // gate scale with fallbackFrac, so a > 1 value pins the pruned
     // branch for differential testing.)
-    val keptVol = Option(withTheta
-      .agg(sum(when(isEssential, col("df")))).head.get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    val keptVol = essentialRows.map(_._2.df).sum
     if (keptVol * math.max(avgPerDoc, 1.0) >= volAllV * fallbackFrac)
       return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
-    val essential = withTheta.where(isEssential)
-      .select("query_id", "term")
+    val essential = spark.createDataFrame(
+      essentialRows.map { case (qid, q) => Row(qid, q.term) }.asJava,
+      StructType(Seq(qidField, termField.copy(name = "term"))))
     val cand = post.join(broadcast(essential), "term")
       .select(col("query_id"), col(idCol)).distinct()
     val scored = scoreCandidates(post, idCol, qt, cand, dfs, stats, k1, b)
