@@ -1649,6 +1649,88 @@ object RelationalQueries {
             round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
             round(var_samp(col("l_quantity")), 4).as("qty_var"))
           .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q21 shape — stacked EXISTS + NOT EXISTS on the SAME fact
+    // table (the decorrelation + join-reorder stress the §2.3 join
+    // family lacked): suppliers whose line shipped late (> 60 days
+    // past the order date) on a finished multi-supplier order where
+    // NO other supplier shipped late. Spark-first: both correlated
+    // subqueries become fact-keyed LEFT SEMI / LEFT ANTI self-joins —
+    // the three lineitem legs shuffle on the same l_orderkey, so the
+    // exchange plan co-partitions them (no cartesian, no rewrite into
+    // per-row subquery execution); supplier is a broadcast dim.
+    GraftQuery(
+      "q48_waiting_supplier",
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val l1 = li
+        .join(Tables.load(s, dir, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("k3"),
+        col("l_suppkey").as("s3"), col("l_shipdate").as("d3"))
+      l1.join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3") &&
+          col("d3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
+    // TPC-H Q18 shape — group-limit-IN: large-volume orders found by
+    // a HAVING aggregate over the fact, then rejoined to the
+    // dimensions. Spark-first: the HAVING set is a fact-keyed
+    // aggregate (map-side partial sums), small by construction, so
+    // AQE broadcasts it into the orders join — the fact shuffles once
+    // on l_orderkey and nothing re-scans it per candidate.
+    GraftQuery(
+      "q49_big_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, o_orderkey, o_totalprice,
+        |  round(sum_qty, 1) AS sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .where(col("sum_qty") > 300)
+        big
+          .join(Tables.load(s, dir, "orders"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.load(s, dir, "customer"),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+            round(col("sum_qty"), 1).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
   )
 

@@ -356,6 +356,27 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "PushedAggregation: \\[[^\\]]*MIN\\(l_quantity\\)"
   }
 
+  test("Q21 shape: stacked EXISTS/NOT EXISTS plan as semi + anti self-joins") {
+    val p = plan("q48_waiting_supplier")
+    p should include regex "(?i)leftsemi"
+    p should include regex "(?i)leftanti"
+    p should include("BroadcastHashJoin") // supplier dim broadcasts
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // three fact legs scan lineitem separately BY DESIGN: each leg is
+    // column-pruned to ≤3 columns (orderkey/suppkey[/shipdate]), so
+    // re-scan beats materializing the unpruned fact; all three legs
+    // shuffle on the same l_orderkey and co-partition
+    "FileScan".r.findAllIn(p).length should be <= 5
+  }
+
+  test("Q18 shape: HAVING set aggregates with a partial phase, then joins — no re-scan per candidate") {
+    val p = plan("q49_big_orders")
+    p should include("partial_sum") // fact folds map-side
+    p should include("TakeOrderedAndProject") // order+limit never global-sorts
+    p should not include "CartesianProduct"
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
