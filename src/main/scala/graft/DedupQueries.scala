@@ -854,6 +854,107 @@ object DedupQueries {
         .orderBy("sid")
     },
 
+    // The FULL stored-screen stack in ONE ingest call (FullScreen):
+    // d21 exact/near triage + d24 Jaccard partners + d26 containment
+    // partners + t29 stored-LM gate + d12-style 5-gram decontam, all
+    // over ONE normalized batch checkpoint and stored corpus
+    // artifacts only (the serve plan reads no corpus text —
+    // plan-asserted). The oracle re-derives every column from
+    // scratch: each stage's standalone CTE chain, composed.
+    GraftQuery(
+      "d30_full_screen",
+      s"""$bandCte,
+         |f AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         |ex AS (SELECT DISTINCT n.doc_id FROM f n JOIN f s2
+         |        ON n.fp = s2.fp AND n.doc_id >= 250 AND s2.doc_id < 250),
+         |nw AS (SELECT c.doc_id, count(DISTINCT a.doc_id) AS n_near
+         |       FROM bands a JOIN bands c
+         |         ON a.b = c.b AND a.bucket = c.bucket
+         |        AND a.doc_id < 250 AND c.doc_id >= 250
+         |       GROUP BY c.doc_id),
+         |docs AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS toks
+         |         FROM documents),
+         |jd AS (SELECT b.doc_id, count(*) AS n_jacc
+         |       FROM docs a JOIN docs b ON a.doc_id < 250 AND b.doc_id >= 250
+         |       WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 10 >=
+         |         (len(a.toks) + len(b.toks)
+         |           - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) * 9
+         |       GROUP BY b.doc_id),
+         |cd AS (SELECT b.doc_id, count(*) AS n_contain
+         |       FROM docs a JOIN docs b ON a.doc_id < 250 AND b.doc_id >= 250
+         |       WHERE len(list_filter(b.toks, x -> list_contains(a.toks, x))) * 10 >=
+         |         len(b.toks) * 9
+         |       GROUP BY b.doc_id),
+         |tk AS (SELECT doc_id, string_split($norm, ' ') AS a FROM documents),
+         |mb AS (
+         |  SELECT u.w1 AS w1, u.w2 AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([{'w1': a[i], 'w2': a[i+1]}
+         |                  for i in generate_series(1, len(a) - 1)]) AS u
+         |        FROM tk WHERE len(a) >= 2 AND doc_id < 250)),
+         |bc AS (SELECT w1, w2, count(*) AS c FROM mb GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(c) AS ctx, count(*) AS n1f FROM bc GROUP BY w1),
+         |pc AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY w2),
+         |tt AS (SELECT count(*) * 1.0 AS t_types FROM bc),
+         |vv AS (SELECT count(DISTINCT t) * 1.0 AS v_vocab
+         |       FROM (SELECT w1 AS t FROM bc UNION ALL SELECT w2 FROM bc)),
+         |bg AS (
+         |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([{'w1': a[i], 'w2': a[i+1]}
+         |                  for i in generate_series(1, len(a) - 1)]) AS u
+         |        FROM tk WHERE len(a) >= 2 AND doc_id >= 250)),
+         |lm AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(avg(ln(CASE WHEN ctx IS NULL
+         |      THEN (coalesce(n1p, 0) + 1) / (t_types + v_vocab)
+         |      ELSE greatest(coalesce(c, 0) - 0.75, 0.0) / ctx
+         |        + ((0.75 * n1f) / ctx)
+         |          * ((coalesce(n1p, 0) + 1) / (t_types + v_vocab)) END)), 4)
+         |      AS mean_logprob
+         |  FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN cw1 USING (w1)
+         |    LEFT JOIN pc USING (w2) CROSS JOIN tt CROSS JOIN vv
+         |  GROUP BY doc_id),
+         |t5 AS (SELECT doc_id, list_distinct(
+         |         [array_to_string(a[i : i + 4], ' ')
+         |          for i in generate_series(1, len(a) - 4)]) AS grams
+         |       FROM tk),
+         |g5 AS (SELECT doc_id, unnest(grams) AS gram FROM t5),
+         |cg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 250),
+         |hit AS (SELECT b.doc_id, count(*) AS n_hit
+         |        FROM g5 b JOIN cg USING (gram)
+         |        WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+         |tot AS (SELECT doc_id, len(grams) AS n_grams FROM t5 WHERE doc_id >= 250)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nw.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'fresh' END AS status,
+         |  coalesce(nw.n_near, 0)::BIGINT AS n_near_witnesses,
+         |  coalesce(jd.n_jacc, 0)::BIGINT AS n_jaccard_dups,
+         |  coalesce(cd.n_contain, 0)::BIGINT AS n_containment_dups,
+         |  coalesce(lm.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(lm.mean_logprob, 0.0) AS mean_logprob,
+         |  tot.n_grams::BIGINT AS n_grams,
+         |  coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+         |  round(coalesce(hit.n_hit, 0) / greatest(tot.n_grams, 1), 4)
+         |    AS contam_ratio,
+         |  coalesce(hit.n_hit, 0) > 0 AS is_contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN ex USING (doc_id)
+         |LEFT JOIN nw USING (doc_id)
+         |LEFT JOIN jd USING (doc_id)
+         |LEFT JOIN cd USING (doc_id)
+         |LEFT JOIN lm USING (doc_id)
+         |LEFT JOIN tot USING (doc_id)
+         |LEFT JOIN hit USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.dedup.FullScreen.screen(s, dir, "documents",
+          batch = d.filter(col("doc_id") >= 250), "doc_id",
+          corpusFilter = col("doc_id") < 250)
+        .orderBy("doc_id")
+    },
+
     // SPLIT-LEAKAGE audit: cross-split near-dup pairs under the t6
     // deterministic split — the train/test contamination check every
     // training pipeline needs (a test doc with a train near-twin
