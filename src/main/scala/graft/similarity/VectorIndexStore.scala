@@ -85,6 +85,42 @@ object VectorIndexStore {
         books.map(b => col(s"pq_${b.subspace}")): _*)
   }
 
+  /** Mean angular quantization error of `docs` under the PINNED books
+    * — per-subspace 1 − cos(subvector, chosen centroid), averaged over
+    * subspaces, summed as an additive (n_vecs, sum_err) partial. This
+    * is the drift signal of the fixed-codebook contract: vectors from
+    * the training distribution score the train-time error; a shifted
+    * append lands far from every centroid and its error rises.
+    */
+  private def quantError(docs: DataFrame, ctx: AdvanceCtx, idCol: String,
+      embCol: String, r: Recipe): DataFrame = {
+    val books = parseBooks(ctx.stored("books"))
+    val coarse = ctx.stored("coarse")
+    val assigned = IvfKnn.assignCells(docs, embCol,
+      IvfKnn.collectCodebook(coarse, "cell"), "_cell")
+    val (toEncode, srcCol) =
+      if (r.residual)
+        (ProductQuantizer.withResidual(assigned, embCol, "_cell", coarse, "_res"),
+          "_res")
+      else (assigned, embCol)
+    val enc = ProductQuantizer.encoded(toEncode, srcCol, r.subDim, books)
+    // cell ids may be non-contiguous after empty-cell drops — look the
+    // chosen centroid up through a map literal, not by position
+    val err = books.map { b =>
+      val sorted = b.codebook.sortBy(_._1)
+      val cents = map_from_arrays(
+        typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2)))
+      lit(1.0) - VectorOps.cosineNative(
+        slice(col(srcCol), b.subspace * r.subDim + 1, r.subDim),
+        element_at(cents, col(s"pq_${b.subspace}")))
+    }.reduce(_ + _) / books.size.toDouble
+    enc.select(err.as("_err"))
+      .agg(count(lit(1)).as("n_vecs"), sum("_err").as("sum_err"))
+  }
+
+  private val foldErr: DataFrame => DataFrame =
+    _.agg(sum("n_vecs").as("n_vecs"), sum("sum_err").as("sum_err"))
+
   private def handle(corpusPath: String, idCol: String, embCol: String,
       r: Recipe) =
     IncrementalDocArtifact(corpusPath,
@@ -100,7 +136,17 @@ object VectorIndexStore {
           (docs, ctx) => trainBooks(docs, ctx, idCol, embCol, r),
           pinned = true),
         Piece("codes",
-          (docs, ctx) => encode(docs, ctx, idCol, embCol, r))),
+          (docs, ctx) => encode(docs, ctx, idCol, embCol, r)),
+        // train-time error, pinned at the rebuild that trained the
+        // books — the drift baseline
+        Piece("qerr0",
+          (docs, ctx) => quantError(docs, ctx, idCol, embCol, r),
+          pinned = true),
+        // running error partials: the rebuild generation re-measures
+        // the training set; each append adds its own partial
+        Piece("qerr",
+          (docs, ctx) => quantError(docs, ctx, idCol, embCol, r),
+          fold = Some(foldErr))),
       compactEvery = 8)
 
   /** Served (id, _cell, pq_0 …) code index over `table`'s `embCol` at
@@ -123,6 +169,54 @@ object VectorIndexStore {
       idCol: String, embCol: String, r: Recipe): Seq[ProductQuantizer.SubCodebook] =
     parseBooks(handle(s"$sfDir/$table.parquet", idCol, embCol, r)
       .serve(spark, "books"))
+
+  /** Codebook-drift report, one row:
+    * (train_mean_err, overall_mean_err, new_mean_err, drift_ratio) —
+    * mean angular quantization error at train time (the pinned qerr0
+    * baseline), over the whole current index, and over the vectors
+    * appended SINCE training (overall minus baseline, the sensitive
+    * signal a small shifted append would otherwise dilute);
+    * drift_ratio = new/train (1.0 when nothing was appended). This is
+    * the measurement the pinned-codebook contract was missing: fixed
+    * books degrade gradually on a drifting corpus, and nothing
+    * observed the degradation.
+    */
+  def driftReport(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, r: Recipe): DataFrame = {
+    val h = handle(s"$sfDir/$table.parquet", idCol, embCol, r)
+    val base = foldErr(h.serve(spark, "qerr0")).head
+    val cur = foldErr(h.serve(spark, "qerr")).head
+    val (n0, e0) = (base.getLong(0), base.getDouble(1))
+    val (n, e) = (cur.getLong(0), cur.getDouble(1))
+    val trainMean = e0 / math.max(n0, 1L)
+    val overallMean = e / math.max(n, 1L)
+    val newMean =
+      if (n > n0) (e - e0) / (n - n0) else trainMean
+    import spark.implicits._
+    Seq((trainMean, overallMean, newMean,
+      if (trainMean > 0) newMean / trainMean else 1.0))
+      .toDF("train_mean_err", "overall_mean_err", "new_mean_err",
+        "drift_ratio")
+  }
+
+  /** Retrain the index (full offline rebuild: fresh coarse + PQ books
+    * over the WHOLE current corpus, everything re-encoded) when the
+    * appended vectors' mean quantization error exceeds `threshold` ×
+    * the train-time error. The rebuild stages every piece behind
+    * versioned pointers and commits with the atomic ledger rename, so
+    * concurrent readers serve the OLD artifact until the flip.
+    * Returns whether a retrain ran.
+    */
+  def retrainIfDrifted(spark: SparkSession, sfDir: String, table: String,
+      idCol: String, embCol: String, r: Recipe,
+      threshold: Double = 1.5): Boolean = {
+    val drift = driftReport(spark, sfDir, table, idCol, embCol, r)
+      .head.getDouble(3)
+    val drifted = drift > threshold
+    if (drifted)
+      handle(s"$sfDir/$table.parquet", idCol, embCol, r).rebuild(spark)
+    drifted
+  }
 
   /** Offline compaction hook. */
   def compact(spark: SparkSession, corpusPath: String,
