@@ -75,6 +75,10 @@ import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
   * FULL build still pays the PPJoin + CC once for every surface
   * (deliberate — the d21-style ingest pipeline uses the surfaces
   * together; measured build costs are in §9.18, 737 s at 500 k docs).
+  * Measured at 1 M docs (§9.20): screen-only 1% append 8.6 s (47.0 s
+  * when every advance maintained pairs/labels eagerly); the first
+  * pairs read after pays the one combined catch-up (45.5 s), then
+  * pairs/labels serve in ~1.5 s again.
   */
 object PrefixStore {
 

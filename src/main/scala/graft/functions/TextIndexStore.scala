@@ -39,7 +39,9 @@ object TextIndexStore {
 
   /** Fold deltas into base once an increment pushes the generation
     * count past this (kept small: each generation adds a file listing
-    * and a scan branch to every query until folded).
+    * and a scan branch to every query until folded). Measured: ~30%
+    * serve amplification at 7 live generations for a scan-bound BM25
+    * query, fold cost 8.3 s at 500 k docs — SURVEY §9.20.
     */
   val compactEvery = 8
 

@@ -154,6 +154,12 @@ object IncrementalDocArtifact {
     def stored(name: String): DataFrame = view(name)
   }
 
+  /** `compactEvery = 8` is the measured default (SURVEY §9.20: serve
+    * amplification stays ≤ ~30% for a scan-bound query through 7 live
+    * generations and within noise for screen queries; the fold at the
+    * 8th returns latency below the fresh build). Raise it for
+    * append-heavy/read-light artifacts, 0 disables auto-compaction.
+    */
   final class Handle(corpusPath: String, key: String, pieces: Seq[Piece],
       merges: Seq[MergePiece], compactEvery: Int,
       lazyMerges: Boolean = false,

@@ -76,4 +76,26 @@ class EditJoinSpec extends SparkSpec {
     val again = EditJoin.similarPairs(strs, "sid", col("s"), 1, maxBucket = 2)
     assertSameRows(capped, again)
   }
+
+  test("truncationAudit names every capped blocking unit (no silent caps)") {
+    // 10 distinct strings per duplicate group of 3 → group size 3 and
+    // every shared-segment bucket well over the cap of 2
+    val strs = (0L until 30L).map(i => (i, s"aaaa${i % 10}")).toDF("sid", "s")
+    val audit = EditJoin.truncationAudit(strs, "sid", col("s"), 1, maxBucket = 2)
+      .collect()
+    val byKind = audit.groupBy(_.getString(0))
+    // duplicate groups: each of the 10 strings appears 3 times > 2
+    assert(byKind("group").length === 10)
+    byKind("group").foreach { r =>
+      assert(r.getLong(2) === 3L)
+      assert(r.getLong(3) === 1L) // size - cap
+    }
+    // segment buckets: the shared "aaaa" segments exceed the cap too
+    assert(byKind.contains("segment"))
+    byKind("segment").foreach(r => assert(r.getLong(3) === r.getLong(2) - 2))
+    // an uncapped run has nothing to audit — the API refuses
+    assertThrows[IllegalArgumentException] {
+      EditJoin.truncationAudit(strs, "sid", col("s"), 1, Int.MaxValue)
+    }
+  }
 }
