@@ -371,18 +371,11 @@ object MultimodalQueries {
            |SELECT id AS media_id, min(lbl) AS cluster_id
            |FROM cc GROUP BY id ORDER BY media_id""".stripMargin
       }) { (s, dir) =>
-      import s.implicits._
-      val media = mediaCatalog(s, dir).as[Media.MediaRow]
-      val hashed = Media.perceptualHash(
-        Media.extractFeatures(media, dim = 16).toDF())
-      // signature contraction (the d19 discipline): identical-hash
-      // groups collapse before pair gen AND the CC rounds — most
-      // re-upload pairs are Hamming 0, so the contracted graph is a
-      // fraction of the member graph
-      graft.dedup.DupClusters.componentsContracted(
-          hashed.select(col("media_id")), "media_id",
-          hashed.select(col("media_id"), col("phash")), "phash",
-          reps => Media.phashNearDups(reps, maxDist = 1))
+      // STORE-SERVED (MediaClusterStore): decode + hash + signature-
+      // contracted CC ran at build/advance time; the serve is a
+      // (media_id, cluster_id) scan — the d25 pattern for media. The
+      // oracle still re-derives the whole chain from scratch.
+      graft.multimodal.MediaClusterStore.clusters(s, dir, "documents")
         .orderBy("media_id")
     }
   )

@@ -153,6 +153,29 @@ object Media {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Cross-frame form of [[phashNearDups]]: every (index, probe) pair
+    * within Hamming ≤ `maxDist` — the incremental-advance primitive
+    * (new hashes probed against the STORED hash table without
+    * re-pairing the stored side against itself). Same 2-block
+    * pigeonhole, same recall guarantee (`maxDist` 1 < 2 blocks).
+    */
+  def phashProbePairs(index: DataFrame, probe: DataFrame,
+      maxDist: Int = 1, blockBits: Int = 8): DataFrame = {
+    require(maxDist <= 1, "2-block pigeonhole guarantees recall only to Hamming 1")
+    val lo = lit(1L << blockBits)
+    def halves(df: DataFrame, id: String, ph: String): DataFrame =
+      df.select(col("media_id").as(id), col("phash").as(ph),
+          pmod(col("phash"), lo).as("blk"), lit(0).as("half"))
+        .unionAll(df.select(col("media_id").as(id), col("phash").as(ph),
+          floor(col("phash") / lo).cast("long").as("blk"), lit(1).as("half")))
+    halves(index, "id_a", "_pa")
+      .join(halves(probe, "id_b", "_pb"), Seq("half", "blk"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_pa").bitwiseXOR(col("_pb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** "Resize" planning: target dims preserving aspect ratio against a
     * bounding box — metadata-only arithmetic, the byte work happens in
     * the codec later.
