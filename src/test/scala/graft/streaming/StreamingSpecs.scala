@@ -968,6 +968,62 @@ class StreamingEditScreenSpec extends SparkSpec {
   }
 }
 
+class StreamingFullScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches run the COMPOSED screen stack; verdicts match the batch form") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("sfullscreen")
+    val sf = base.resolve("corpus").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog every day"),
+        (2L, "spark plans catalyst optimizes tungsten executes the query"),
+        (3L, "a slow green turtle walks under the busy bridge at noon"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$sf/documents.parquet")
+
+    val outDir = base.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingFullScreen.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id",
+      sf, "documents",
+      outDir, base.resolve("ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+
+    // batch 0: an exact dup of corpus doc 1 + a fresh doc;
+    // batch 1: a doc contained in corpus doc 2
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy dog every day"),
+      (11L, "entirely novel content matching nothing stored here"))
+    q.processAllAvailable()
+    mem.addData((12L, "spark plans catalyst optimizes"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(outDir)
+      .select("doc_id", "status", "n_jaccard_dups", "n_containment_dups",
+        "is_contaminated")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    rep(10L)._1 shouldBe "exact_dup"
+    rep(10L)._2 should be >= 1L // also a Jaccard partner of doc 1
+    rep(10L)._4 shouldBe true // 5-gram contaminated
+    rep(11L)._1 shouldBe "fresh"
+    rep(11L)._4 shouldBe false
+    rep(12L)._3 should be >= 1L // contained in corpus doc 2
+    // the report equals the BATCH composition run on the same rows
+    val batchRep = graft.dedup.FullScreen.screen(spark, sf, "documents",
+        Seq((10L, "the quick brown fox jumps over the lazy dog every day"),
+          (11L, "entirely novel content matching nothing stored here"),
+          (12L, "spark plans catalyst optimizes"))
+          .toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4), r.getBoolean(10)))).toMap
+    rep shouldBe batchRep
+    spark.read.parquet(outDir).select("_batch").distinct()
+      .as[Int].collect().toSet shouldBe Set(0, 1)
+  }
+}
+
 class StreamingLmGateSpec extends SparkSpec {
   import spark.implicits._
 
