@@ -96,4 +96,48 @@ class IncrementalChunkingParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("media cluster store: labels invariant under generation chunking") {
+    import graft.multimodal.{Media, MediaClusterStore}
+    for (seed <- seeds; chunks <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // random payloads + exact re-uploads of earlier items (the
+      // dominant media-dup mode; Hamming-1 bridges are hash-dependent
+      // and arise from the md5 chain on some seeds)
+      val docs = {
+        val base = (0 until 24).map(i =>
+          (i.toLong, s"payload ${rnd.nextInt(40)} of item $i"))
+        val dups = base.filter(_._1 % 3 == 0).map { case (i, s) =>
+          (800L + i, s)
+        }
+        rnd.shuffle(base ++ dups)
+      }
+      val sf = Files.createTempDirectory(s"chunk-mc-$seed-$chunks").toString
+      val corpus = s"$sf/documents.parquet"
+      val per = (docs.size + chunks - 1) / chunks
+      docs.grouped(per).zipWithIndex.foreach { case (g, gi) =>
+        g.toDF("doc_id", "text").coalesce(1)
+          .write.mode(if (gi == 0) "overwrite" else "append").parquet(corpus)
+        MediaClusterStore.clusters(spark, sf, "documents").count()
+      }
+      val all = spark.read.parquet(corpus)
+      import spark.implicits._
+      val rows = all.select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          col("text").cast("binary").as("bytes"), lit("x").as("format"),
+          lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+          lit(0L).as("duration_ms"))
+        .as[Media.MediaRow]
+      val hashed = Media.perceptualHash(
+        Media.extractFeatures(rows, 16).toDF())
+      val expected = DupClusters.componentsContracted(
+          hashed.select(col("media_id")), "media_id",
+          hashed.select(col("media_id"), col("phash")), "phash",
+          reps => Media.phashNearDups(reps, maxDist = 1))
+        .select(col("media_id"), col("cluster_id"))
+      withClue(s"seed=$seed chunks=$chunks: ") {
+        assertSameRows(
+          MediaClusterStore.clusters(spark, sf, "documents"), expected)
+      }
+    }
+  }
 }
