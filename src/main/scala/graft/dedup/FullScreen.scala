@@ -35,6 +35,12 @@ import graft.functions.{BigramLmStore, TextFunctions}
   * standalone screen runs, so the statuses match the five standalone
   * screens row-for-row (spec-pinned) and the d30 oracle re-derives
   * every column from scratch.
+  *
+  * The edit-distance screen (d28) is deliberately NOT in this stack:
+  * Levenshtein ≤ k is the short-string-FIELD rung (names, titles,
+  * URLs — [[EditStore]]'s domain), not a whole-document predicate;
+  * compose `EditStore.screen` over the specific field when the batch
+  * carries one.
   */
 object FullScreen {
 

@@ -217,6 +217,24 @@ object TfIdfStore {
   def refresh(spark: SparkSession, corpusPath: String, dim: Int = 1024): Unit =
     handle(corpusPath, dim).rebuild(spark)
 
+  /** [[refresh]] when the measured pinned-idf drift exceeds
+    * `maxMeanAbsDw` (mean absolute weight delta vs a fresh-stats
+    * vectorization — [[driftReport]]'s second column). The
+    * `VectorIndexStore.retrainIfDrifted` cadence hook for the sparse
+    * feature store: schedule it after large appends and the pinned
+    * contract stays bounded without manual supervision. Returns
+    * whether a refresh ran. NOTE: the drift measurement itself
+    * re-vectorizes (that is what it compares against) — run it at
+    * maintenance cadence, not per query.
+    */
+  def refreshIfDrifted(spark: SparkSession, sfDir: String,
+      maxMeanAbsDw: Double, dim: Int = 1024): Boolean = {
+    val drifted =
+      driftReport(spark, sfDir, dim).head.getDouble(1) > maxMeanAbsDw
+    if (drifted) refresh(spark, s"$sfDir/documents.parquet", dim)
+    drifted
+  }
+
   /** Offline compaction hook (also runs automatically on the
     * `compactEvery` cadence). NOTE: compaction folds generations but
     * keeps their pinned weights — only [[refresh]] re-vectorizes.

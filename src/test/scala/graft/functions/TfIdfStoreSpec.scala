@@ -120,8 +120,11 @@ class TfIdfStoreSpec extends SparkSpec {
     // norms stay self-consistent with the STORED weights (retrieval
     // exactness is against the store, not against fresh idf)
     assertNormsAgree(after, TfIdfStore.norms(spark, sf))
-    // refresh = offline retrain: fresh stats, drift back to zero
-    TfIdfStore.refresh(spark, corpus)
+    // refresh = offline retrain: fresh stats, drift back to zero.
+    // The threshold hook refuses below the bar, fires above it
+    assert(!TfIdfStore.refreshIfDrifted(spark, sf, maxMeanAbsDw = 1e9))
+    assert(TfIdfStore.refreshIfDrifted(spark, sf,
+      maxMeanAbsDw = drift.getDouble(1) / 2))
     assert(TfIdfStore.features(spark, sf).collect().map(_.toSeq).toSet ===
       inline(corpus).collect().map(_.toSeq).toSet)
     assert(TfIdfStore.driftReport(spark, sf).head.getDouble(0) === 0.0)
