@@ -1736,6 +1736,79 @@ object RelationalQueries {
           .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
             round(col("sum_qty"), 1).as("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // TPC-H Q17 shape — correlated scalar-AVG subquery on the fact
+    // table: revenue lost to small-quantity orders of a part subset,
+    // where "small" is per-part (quantity below 20% of that part's
+    // average). Spark-first decorrelation: the per-part average is a
+    // WINDOW aggregate over the part-filtered fact — ONE lineitem
+    // scan, one shuffle on l_partkey, no self-join and no per-row
+    // subquery (the oracle spells the same semantics as an aggregate
+    // self-join; the window form reads each fact row once). The
+    // threshold compare is exactly deterministic: quantities are
+    // integers, so sum/count is the same double in both engines
+    // regardless of summation order.
+    GraftQuery(
+      "q50_small_qty_revenue",
+      """WITH pa AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#23' AND p_size < 15),
+        |ag AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+        |  FROM lineitem JOIN pa ON p_partkey = l_partkey
+        |  GROUP BY l_partkey)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN pa ON p_partkey = l.l_partkey
+        |JOIN ag ON ag.l_partkey = l.l_partkey
+        |WHERE l_quantity < thr""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pa = Tables.load(s, dir, "part")
+        .where(col("p_brand") === "Brand#23" && col("p_size") < 15)
+        .select("p_partkey")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .withColumn("thr", avg("l_quantity")
+          .over(Window.partitionBy("l_partkey")) * 0.2)
+        .where(col("l_quantity") < col("thr"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q22 shape — scalar subquery + NOT EXISTS across tables:
+    // high-balance customers gone DORMANT (no order since the cutoff),
+    // rolled up per nation. Spark-first: the global average is a
+    // 1-row broadcast (crossJoin of an aggregate — never a driver
+    // collect), the dormancy test a LEFT ANTI join against the
+    // date-filtered orders projection (filter + 2-column pruning reach
+    // the scan), and the rollup runs over the few surviving rows.
+    GraftQuery(
+      "q51_dormant_customers",
+      """WITH a AS (
+        |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = customer.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val avgbal = cust.where(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("ab"))
+      val recent = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgbal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
     }
   )
 

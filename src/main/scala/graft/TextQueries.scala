@@ -594,44 +594,20 @@ object TextQueries {
     // (the absent probe term shows pure collision mass). The oracle
     // re-derives every md5-based cell index bit-for-bit.
     GraftQuery(
-      "c3_countmin_sketch", {
-        val w = 512
-        val P = MinHashLSH.P
-        def cellSql(e: String, d: Int): String = {
-          val (a, b, c) = MinHashLSH.hashParams(d)
-          s"((($a * (('0x' || substr(md5($e), 1, 15))::BIGINT % $P) % $P" +
-            s" + $b * (('0x' || substr(md5($e), 16, 15))::BIGINT % $P) % $P" +
-            s" + $c) % $P) % $w)"
-        }
-        val probeList = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
-        def threeCells(src: String, withCnt: Boolean): String =
-          (0 until 3).map(d =>
-            s"SELECT term${if (withCnt) ", cnt" else ""}, $d AS d, " +
-              s"${cellSql("term", d)} AS cell FROM $src")
-            .mkString("\n  UNION ALL\n  ")
-        s"""$normCte,
-           |tok AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
-           |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
-           |cells AS (
-           |  ${threeCells("tc", withCnt = true)}),
-           |sk AS (SELECT d, cell, sum(cnt)::BIGINT AS c FROM cells GROUP BY d, cell),
-           |probes AS (SELECT unnest($probeList) AS term),
-           |pc AS (
-           |  ${threeCells("probes", withCnt = false)}),
-           |est AS (
-           |  SELECT pc.term, min(coalesce(sk.c, 0))::BIGINT AS cms_count
-           |  FROM pc LEFT JOIN sk USING (d, cell) GROUP BY pc.term)
-           |SELECT term, coalesce(cnt, 0)::BIGINT AS exact_count, cms_count
-           |FROM est LEFT JOIN tc USING (term)
-           |ORDER BY term""".stripMargin
-      }) { (s, dir) =>
+      "c3_countmin_sketch",
+      cmsEstCtes +
+        """
+          |SELECT term, coalesce(cnt, 0)::BIGINT AS exact_count, cms_count
+          |FROM est LEFT JOIN tc USING (term)
+          |ORDER BY term""".stripMargin) { (s, dir) =>
+      import graft.sketch.SketchStore.{Depth, Width}
       val toks = Tables.load(s, dir, "documents")
         .select(explode(
           TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
-      val sketch = CountMin.build(toks, col("term"), depth = 3, width = 512)
+      val sketch = CountMin.build(toks, col("term"), Depth, Width)
       val probeDf = s.createDataFrame(cmsProbes.map(Tuple1.apply)).toDF("term")
       val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_count"))
-      CountMin.estimate(sketch, probeDf, "term", depth = 3, width = 512)
+      CountMin.estimate(sketch, probeDf, "term", Depth, Width)
         .join(exact, Seq("term"), "left")
         .select(col("term"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"),
@@ -946,17 +922,18 @@ object TextQueries {
          |  sum(bts)::BIGINT AS n_bytes
          |FROM pre GROUP BY GROUPING SETS ((lang), (source), ())
          |ORDER BY dim, key""".stripMargin) { (s, dir) =>
-      val normC = TextFunctions.normalize(col("text"))
-      Tables.load(s, dir, "documents")
-        .select(col("lang"), col("source"),
-          TextFunctions.tokenCount(normC).cast("long").as("tok"),
-          octet_length(col("text")).cast("long").as("bts"))
+      // card served from the STORED moment partials (SketchStore —
+      // per-(lang, source) counts/sums are exactly additive, so the
+      // stored fold ≡ the inline corpus aggregate and the oracle
+      // recomputes inline; increments advance O(new)); grouping sets
+      // run over the tiny folded table, never the corpus
+      graft.sketch.SketchStore.card(s, dir, "documents")
         .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
           col("lang"), col("source"))
         .agg(grouping(col("lang")).as("g_lang"),
           grouping(col("source")).as("g_src"),
-          count(lit(1)).as("n_docs"),
-          sum(col("tok")).as("n_tokens"), sum(col("bts")).as("n_bytes"))
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"), sum(col("n_bytes")).as("n_bytes"))
         .select(
           when(col("g_lang") === 0, lit("lang"))
             .when(col("g_src") === 0, lit("source"))
@@ -1286,6 +1263,111 @@ object TextQueries {
             - lit(84.6) * (nSyl * lit(1.0) / greatest(nWords, lit(1))), 2)
             .as("flesch"))
         .orderBy("doc_id")
+    },
+
+    // STORED corpus profile: per-source doc/token counts (card moment
+    // partials) + HyperLogLog distinct-token estimates (register
+    // partials, folded by per-register max — the HLL merge law),
+    // everything served from the SketchStore artifact with zero
+    // corpus scans (plan-asserted in SketchStoreSpec). The oracle
+    // re-derives counts and the full register/rank/correction math
+    // from the raw corpus — sketch folds are exactly associative, so
+    // stored ≡ inline bit-for-bit however ingest chunked the corpus.
+    GraftQuery(
+      "c9_stored_profile",
+      s"""$normCte,
+         |tok AS (SELECT d.source, unnest(string_split(n.norm, ' ')) AS term
+         |        FROM n JOIN documents d USING (doc_id)),
+         |h AS (SELECT source,
+         |        ('0x' || substr(md5(term), 1, 15))::BIGINT AS v FROM tok),
+         |hr AS (SELECT source, v % 64 AS register,
+         |         CASE WHEN v // 64 = 0 THEN 55
+         |              ELSE 54 - floor(log2(v // 64))::BIGINT END AS rho
+         |       FROM h),
+         |sk AS (SELECT source, register, max(rho) AS r
+         |       FROM hr GROUP BY source, register),
+         |agg AS (SELECT source, sum(power(2.0, -r)) AS z, count(*) AS np
+         |        FROM sk GROUP BY source),
+         |e0 AS (SELECT source,
+         |          0.709 * 64 * 64 / (z + (64 - np)) AS e,
+         |          64 - np AS vz
+         |        FROM agg),
+         |fin AS (SELECT source,
+         |          CASE WHEN e <= 160.0 AND vz > 0
+         |               THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+         |        FROM e0),
+         |c AS (SELECT d.source, count(*)::BIGINT AS n_docs,
+         |        sum(len(string_split(n.norm, ' ')))::BIGINT AS n_tokens
+         |      FROM n JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT source, n_docs, n_tokens,
+         |  round(est, 2) AS hll_distinct
+         |FROM fin JOIN c USING (source)
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.sketch.{HyperLogLog, SketchStore}
+      val counts = SketchStore.card(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      HyperLogLog.estimate(SketchStore.hll(s, dir, "documents"),
+          keys = Seq("source"))
+        .join(counts, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("hll_estimate"), 2).as("hll_distinct"))
+        .orderBy("source")
+    },
+
+    // STORED token-count quantiles: c5's log-histogram read over the
+    // persisted bin partials — the length-distribution card a corpus
+    // release publishes, answered without touching the corpus. Bin
+    // boundaries are fixed arithmetic (no merge-order dependence at
+    // all), so the stored fold is bit-deterministic and the oracle's
+    // full-corpus re-derivation hash-matches.
+    GraftQuery(
+      "c10_stored_quantiles",
+      s"""WITH h AS (
+         |  SELECT (floor(log2(tok)) * 16
+         |          + floor((tok / power(2.0, floor(log2(tok))) - 1) * 16)
+         |         )::BIGINT AS bucket,
+         |         count(*) AS cnt
+         |  FROM (SELECT len(string_split($norm, ' '))::DOUBLE AS tok
+         |        FROM documents) tt WHERE tok > 0 GROUP BY 1),
+         |w AS (
+         |  SELECT bucket, cnt,
+         |    sum(cnt) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    sum(cnt) OVER ()::BIGINT AS total
+         |  FROM h),
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+         |sel AS (
+         |  SELECT q, min(bucket) AS bucket
+         |  FROM qs JOIN w ON cum >= q * total GROUP BY q)
+         |SELECT q,
+         |  round((1.0 + (bucket % 16) / 16.0) * power(2.0, bucket // 16), 4)
+         |    AS hist_est
+         |FROM sel ORDER BY q""".stripMargin) { (s, dir) =>
+      import graft.sketch.{LogHistogram, SketchStore}
+      LogHistogram.quantiles(
+          SketchStore.tokenHist(s, dir, "documents"), Seq(0.5, 0.9, 0.99))
+        .select(col("q"), round(col("est"), 4).as("hist_est"))
+        .orderBy("q")
+    },
+
+    // STORED CountMin estimates: c3's probe-term frequency lookups
+    // over the persisted cell partials (counters fold by sum — the
+    // sketch never rescans the token stream it summarized). Same
+    // probe list and cell math as c3 via the shared cmsEstCtes, so
+    // the two oracles cannot de-synchronize.
+    GraftQuery(
+      "c11_stored_cms",
+      cmsEstCtes +
+        """
+          |SELECT term, cms_count FROM est ORDER BY term""".stripMargin) {
+      (s, dir) =>
+      import graft.sketch.{CountMin, SketchStore}
+      val probeDf = s.createDataFrame(cmsProbes.map(Tuple1.apply)).toDF("term")
+      CountMin.estimate(SketchStore.cms(s, dir, "documents"), probeDf, "term",
+          SketchStore.Depth, SketchStore.Width)
+        .select(col("term"), col("cms_count"))
+        .orderBy("term")
     }
   )
 
@@ -1398,4 +1480,40 @@ object TextQueries {
     */
   private lazy val cmsProbes = Seq("table", "scan", "row", "hash", "fast",
     "merge", "window", "value", "spark", "zzzabsent")
+
+  /** Shared CMS oracle fragments — md5 cell-index math, per-depth
+    * union, and the full estimate-side CTE chain — used by BOTH c3
+    * (inline sketch demo) and c11 (store-served estimates): one
+    * definition so the two verifications can never silently
+    * de-synchronize (the bm25IndexCte discipline).
+    */
+  private def cmsCellSql(e: String, d: Int): String = {
+    val P = MinHashLSH.P
+    val (a, b, c) = MinHashLSH.hashParams(d)
+    s"((($a * (('0x' || substr(md5($e), 1, 15))::BIGINT % $P) % $P" +
+      s" + $b * (('0x' || substr(md5($e), 16, 15))::BIGINT % $P) % $P" +
+      s" + $c) % $P) % ${graft.sketch.SketchStore.Width})"
+  }
+
+  private def cmsDepthCells(src: String, withCnt: Boolean): String =
+    (0 until graft.sketch.SketchStore.Depth).map(d =>
+      s"SELECT term${if (withCnt) ", cnt" else ""}, $d AS d, " +
+        s"${cmsCellSql("term", d)} AS cell FROM $src")
+      .mkString("\n  UNION ALL\n  ")
+
+  private lazy val cmsEstCtes: String = {
+    val probeList = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""$normCte,
+       |tok AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
+       |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |cells AS (
+       |  ${cmsDepthCells("tc", withCnt = true)}),
+       |sk AS (SELECT d, cell, sum(cnt)::BIGINT AS c FROM cells GROUP BY d, cell),
+       |probes AS (SELECT unnest($probeList) AS term),
+       |pc AS (
+       |  ${cmsDepthCells("probes", withCnt = false)}),
+       |est AS (
+       |  SELECT pc.term, min(coalesce(sk.c, 0))::BIGINT AS cms_count
+       |  FROM pc LEFT JOIN sk USING (d, cell) GROUP BY pc.term)""".stripMargin
+  }
 }

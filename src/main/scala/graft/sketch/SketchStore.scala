@@ -1,0 +1,128 @@
+package graft.sketch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.IncrementalDocArtifact
+import graft.sources.IncrementalDocArtifact.Piece
+
+/** Persisted corpus-statistics sketches, INCREMENTALLY maintained —
+  * the stored-serve discipline (TextIndexStore, QualityStore,
+  * TfIdfStore) applied to the profiling family. Sketches are the
+  * canonical mergeable partials: CountMin cells sum, HyperLogLog
+  * registers max, log-histogram bins sum, and corpus-card moments
+  * (doc/token/byte counts) sum — all EXACTLY associative, so a fold
+  * over per-generation partials is bit-identical to a single build
+  * over the whole corpus however ingest chunked it
+  * (`SketchStoreSpec`), and every oracle that re-derives the sketch
+  * from the full corpus keeps hash-matching over the store-served
+  * path.
+  *
+  * Four additive pieces per corpus, each bounded REGARDLESS of corpus
+  * size (the whole point of sketch state):
+  *
+  *  - `cms`   — (d, cell, cnt) CountMin partials over the token
+  *              stream: ≤ depth×width rows per generation.
+  *  - `hll`   — (source, register, r) HyperLogLog partials of the
+  *              per-source distinct-token state: ≤ 64 rows per source
+  *              per generation; read folds per-register MAX (the HLL
+  *              merge law).
+  *  - `hist`  — (bucket, cnt) log-histogram partials of per-document
+  *              token counts: ≤ 16·log2(max/min) rows per generation.
+  *  - `card`  — (lang, source, n_docs, n_tokens, n_bytes) moment
+  *              partials: one row per (lang, source) per generation;
+  *              grouping-set rollups (the c7 dataset card) run over
+  *              this table instead of the corpus.
+  *
+  * A corpus file append advances each piece over ONLY the new files
+  * (O(new) — the corpus is scanned once per increment, ever);
+  * compaction folds the partials so the base stays at the
+  * single-sketch row bound. Serving is a fold over ≤ a few thousand
+  * stored rows — corpus-size-independent, the profile-card latency a
+  * daily-ingest monitor actually needs at 100 TB.
+  *
+  * Reference behavior being served: the profiling/monitoring side of
+  * the sync reports (`pyCassElastic.py:356-383` writes per-run
+  * counters) generalized to corpus statistics.
+  */
+object SketchStore {
+
+  /** c3's parameters — the stored sketch and the inline demo stay
+    * comparable.
+    */
+  val Depth = 3
+  val Width = 512
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(
+      TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
+
+  private def foldCms(df: DataFrame): DataFrame =
+    df.groupBy("d", "cell").agg(sum("cnt").as("cnt"))
+
+  private def foldHll(df: DataFrame): DataFrame =
+    df.groupBy("source", "register").agg(max("r").as("r"))
+
+  private def foldHist(df: DataFrame): DataFrame =
+    df.groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  private def foldCard(df: DataFrame): DataFrame =
+    df.groupBy("lang", "source").agg(
+      sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+      sum("n_bytes").as("n_bytes"))
+
+  private def handle(corpusPath: String) =
+    IncrementalDocArtifact(corpusPath, "sk1", Seq(
+      Piece("cms",
+        (docs, _) => CountMin.build(toks(docs), col("term"), Depth, Width),
+        fold = Some(foldCms)),
+      Piece("hll",
+        (docs, _) => HyperLogLog.build(toks(docs), col("term"),
+          keys = Seq("source")),
+        fold = Some(foldHll)),
+      Piece("hist",
+        (docs, _) => LogHistogram.build(
+          docs.select(TextFunctions.tokenCount(
+            TextFunctions.normalize(col("text"))).cast("double").as("tok")),
+          col("tok")),
+        fold = Some(foldHist)),
+      Piece("card",
+        (docs, _) => docs
+          .select(col("lang"), col("source"),
+            TextFunctions.tokenCount(TextFunctions.normalize(col("text")))
+              .cast("long").as("tok"),
+            octet_length(col("text")).cast("long").as("bts"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+            sum("bts").as("n_bytes")),
+        fold = Some(foldCard))))
+
+  /** Folded CountMin sketch (d, cell, cnt) of the corpus token
+    * stream; feed to [[CountMin.estimate]] with ([[Depth]], [[Width]]).
+    */
+  def cms(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    foldCms(handle(s"$sfDir/$table.parquet").serve(spark, "cms"))
+
+  /** Folded HyperLogLog registers (source, register, r); feed to
+    * [[HyperLogLog.estimate]] with keys = source.
+    */
+  def hll(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    foldHll(handle(s"$sfDir/$table.parquet").serve(spark, "hll"))
+
+  /** Folded log-histogram (bucket, cnt) of per-document token counts;
+    * feed to [[LogHistogram.quantiles]].
+    */
+  def tokenHist(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    foldHist(handle(s"$sfDir/$table.parquet").serve(spark, "hist"))
+
+  /** Folded (lang, source, n_docs, n_tokens, n_bytes) moments — the
+    * dataset-card input table.
+    */
+  def card(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    foldCard(handle(s"$sfDir/$table.parquet").serve(spark, "card"))
+
+  /** Offline compaction hook. */
+  def compact(spark: SparkSession, corpusPath: String): Unit =
+    handle(corpusPath).compact(spark)
+}

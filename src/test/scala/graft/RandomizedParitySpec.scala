@@ -334,4 +334,48 @@ class RandomizedParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("sketch-merge family: chunked partial folds vs single whole-corpus build") {
+    import graft.sketch.{CountMin, HyperLogLog, LogHistogram}
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = docCorpus(seed, 60)
+        .withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(3))))
+        .localCheckpoint()
+      val toks = corpus.select(col("source"), explode(split(
+        graft.functions.TextFunctions.normalize(col("text")), " ")).as("term"))
+        .localCheckpoint()
+      val lens = corpus.select(
+        F.size(split(col("text"), " ")).cast("double").as("v"))
+        .localCheckpoint()
+      // random disjoint chunking — the generations ingest produces
+      val nChunks = 2 + rnd.nextInt(3)
+      val cut = col("doc_id") % nChunks
+      val tokChunks = (0 until nChunks).map(i =>
+        corpus.where(cut === i).select(col("source"), explode(split(
+          graft.functions.TextFunctions.normalize(col("text")), " "))
+          .as("term")))
+      val lenChunks = (0 until nChunks).map(i =>
+        corpus.where(cut === i).select(
+          F.size(split(col("text"), " ")).cast("double").as("v")))
+      withClue(s"seed=$seed chunks=$nChunks: ") {
+        // CountMin: counters sum
+        assertSameRows(
+          CountMin.merge(tokChunks.map(c =>
+            CountMin.build(c, col("term"), depth = 3, width = 64))),
+          CountMin.build(toks, col("term"), depth = 3, width = 64))
+        // HyperLogLog: registers max
+        assertSameRows(
+          HyperLogLog.merge(tokChunks.map(c =>
+            HyperLogLog.build(c, col("term"), keys = Seq("source"))),
+            keys = Seq("source")),
+          HyperLogLog.build(toks, col("term"), keys = Seq("source")))
+        // LogHistogram: bins sum
+        assertSameRows(
+          LogHistogram.merge(lenChunks.map(c => LogHistogram.build(c, col("v")))),
+          LogHistogram.build(lens, col("v")))
+      }
+    }
+  }
 }

@@ -377,6 +377,38 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("Q17 shape: correlated scalar-avg decorrelates to ONE fact scan + window") {
+    val p = plan("q50_small_qty_revenue")
+    // the per-part threshold is a window over the part-filtered fact:
+    // exactly one lineitem scan, no aggregate self-join
+    "FileScan".r.findAllIn(p).length should be <= 2 // lineitem + part
+    p should include("Window")
+    p should include("BroadcastHashJoin") // part subset broadcasts
+    p should not include "CartesianProduct"
+  }
+
+  test("Q22 shape: scalar avg broadcasts 1 row; dormancy is a pruned anti join") {
+    val p = plan("q51_dormant_customers")
+    p should include regex "(?i)leftanti"
+    // the global average enters as a broadcast nested-loop over ONE
+    // aggregate row, never a driver collect
+    p should include("BroadcastNestedLoopJoin")
+    // the date filter reaches the orders scan
+    p should include regex "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate"
+    p should not include "CartesianProduct"
+  }
+
+  test("stored sketches: c7/c9/c10/c11 serve plans never scan the corpus") {
+    for (q <- Seq("c7_corpus_card", "c9_stored_profile",
+        "c10_stored_quantiles", "c11_stored_cms")) {
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("graft_index") // artifact root
+        p should not include "documents.parquet"
+      }
+    }
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
