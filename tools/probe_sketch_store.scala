@@ -31,7 +31,7 @@ rm(sfRoot); rm(artDir)
 val V = 50000L
 def tok(idCol: org.apache.spark.sql.Column, i: Int) =
   concat(lit("w"), (conv(substring(md5(concat(idCol.cast("string"), lit("_" + i))), 1, 6), 16, 10).cast("long") % V).cast("string"))
-def docsOf(r: org.apache.spark.sql.DataFrame) = r.select(
+def docsOf(r: org.apache.spark.sql.Dataset[java.lang.Long]) = r.select(
   col("id").as("doc_id"),
   concat_ws(" ", (0 until 40).map(i => tok(col("id"), i)): _*).as("text"),
   concat(lit("lang"), (col("id") % 3).cast("string")).as("lang"),
