@@ -1371,6 +1371,53 @@ object RelationalQueries {
         .orderBy("wd")
     },
 
+    // q38's sliding distinct served from STORED per-day registers
+    // (EventSketchStore): the window merge reads ≤ 64 stored rows per
+    // day — the events stream is never rescanned (plan-asserted), so
+    // a year-long dashboard sweep costs the same whether the stream
+    // holds a million events or a hundred terabytes. Registers
+    // max-fold exactly, so the full-corpus oracle re-derivation
+    // hash-matches the store-served path bit-for-bit.
+    GraftQuery(
+      "q52_stored_sliding_hll",
+      """WITH a AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |  FROM events),
+        |h AS (SELECT day,
+        |        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS v
+        |      FROM a),
+        |hr AS (SELECT day, v % 64 AS register,
+        |         CASE WHEN v // 64 = 0 THEN 55
+        |              ELSE 54 - floor(log2(v // 64))::BIGINT END AS rho
+        |       FROM h),
+        |sk AS (SELECT day, register, max(rho) AS r
+        |       FROM hr GROUP BY day, register),
+        |days AS (SELECT DISTINCT day FROM sk),
+        |wsk AS (SELECT d.day AS wd, s.register, max(s.r) AS r
+        |        FROM days d JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+        |        GROUP BY d.day, s.register),
+        |agg AS (SELECT wd, sum(power(2.0, -r)) AS z, count(*) AS np
+        |        FROM wsk GROUP BY wd),
+        |est AS (SELECT wd, 0.709 * 64 * 64 / (z + (64 - np)) AS e,
+        |          64 - np AS vz FROM agg),
+        |fin AS (SELECT wd, CASE WHEN e <= 160.0 AND vz > 0
+        |               THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+        |        FROM est)
+        |SELECT wd, round(est, 2) AS hll_estimate
+        |FROM fin ORDER BY wd""".stripMargin) { (s, dir) =>
+      import graft.sketch.{EventSketchStore, HyperLogLog}
+      val daily = EventSketchStore.dayRegisters(s, dir)
+      val days = daily.select("day").distinct().withColumnRenamed("day", "wd")
+      val windowed = daily
+        .withColumn("wd", explode(sequence(col("day"), col("day") + 6)))
+        .join(broadcast(days), Seq("wd"), "left_semi")
+        .groupBy("wd", "register").agg(max("r").as("r"))
+      HyperLogLog.estimate(windowed, keys = Seq("wd"))
+        .select(col("wd"),
+          round(col("hll_estimate"), 2).as("hll_estimate"))
+        .orderBy("wd")
+    },
+
     // Bucketed co-located join: both tables written bucketBy(16, key)
     // into the catalog, so the fact-fact join's required distribution
     // is satisfied AT THE SCAN — no Exchange on either side (the spec

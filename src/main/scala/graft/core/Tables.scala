@@ -31,7 +31,17 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
+    normalizeEvents(load(spark, sfDir, "events"))
+  }
+
+  /** The type-adaptive normalization of [[loadEvents]] over an
+    * already-read frame — for callers (the incremental-artifact piece
+    * builders) that receive raw event file subsets instead of reading
+    * the table themselves. Readers on a possibly-nanos file must set
+    * `spark.sql.legacy.parquet.nanosAsLong` BEFORE the read, as
+    * [[loadEvents]] does.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("version", expr("ts div 1000000"))
@@ -40,5 +50,4 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           .withColumn("version", expr("unix_millis(ts)"))
     }
-  }
 }

@@ -409,6 +409,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("stored sliding HLL: window merges stored registers, never the event stream") {
+    val p = plan("q52_stored_sliding_hll")
+    p should include("graft_index")
+    p should not include "events.parquet"
+    // register merge folds map-side before its exchange
+    p should include regex "partial_max|max#"
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
