@@ -1856,6 +1856,102 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q15 shape — the max-over-an-aggregated-view pattern: the
+    // top-revenue supplier(s) of a quarter, ties included. Spark-first
+    // decorrelation: the classic form scans the revenue view twice
+    // (once for max, once to filter); here the global max is a WINDOW
+    // over the per-supplier aggregate (~|suppliers| rows — the empty
+    // partition is safe at any corpus size because the frame is the
+    // POST-aggregate view, never the fact), so lineitem is scanned
+    // exactly ONCE (plan-pinned). Revenue folds in integer cents
+    // (floor(x*100+0.5) — IEEE-identical in both engines), so the
+    // =max row-membership test is order-independent and exact; the
+    // double division happens only at emit time.
+    GraftQuery(
+      "q53_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(cents) AS mc FROM rev)
+        |SELECT s_suppkey, s_name, round(cents / 100.0, 2) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey, m
+        |WHERE cents = mc
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("2000-04-01 00:00:00").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice")
+          * (lit(1) - col("l_discount")) * 100 + 0.5)).as("cents"))
+      rev.withColumn("mc", max("cents").over(Window.partitionBy()))
+        .where(col("cents") === col("mc"))
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("cents") / 100.0, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q7 shape — bidirectional nation-pair shipping volume by
+    // year: the fact joins BOTH its dimension chains (supplier->nation
+    // and orders->customer->nation) with an inequality across them.
+    // Spark-first: each nation-filtered dimension chain collapses to a
+    // tiny broadcast BEFORE touching a fact (nation is broadcast into
+    // supplier/customer, the two-nation subsets broadcast into the
+    // facts), so the ONLY shuffle is the lineitem-orders orderkey join
+    // — the unavoidable fact-fact exchange (plan-pinned: exactly one
+    // non-broadcast join).
+    GraftQuery(
+      "q54_nation_volume",
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN sn ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN cn ON c_custkey = o_custkey
+        |WHERE supp_nation <> cust_nation
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val nation = Tables.load(s, dir, "nation")
+        .where(col("n_name").isin("NATION_3", "NATION_7"))
+      val sn = Tables.load(s, dir, "supplier")
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = Tables.load(s, dir, "customer")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.load(s, dir, "orders")
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "cust_nation")
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }
   )
 

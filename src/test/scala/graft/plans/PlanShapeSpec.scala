@@ -417,6 +417,29 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "partial_max|max#"
   }
 
+  test("top supplier: global max is a window over the aggregate, one lineitem scan") {
+    val p = plan("q53_top_supplier")
+    // the revenue view is scanned once; no rev-vs-max self-join
+    "FileScan".r.findAllIn(p).length should be <= 2 // lineitem + supplier
+    p should include("Window")
+    p should include("BroadcastHashJoin") // supplier dim broadcasts
+    p should not include "CartesianProduct"
+  }
+
+  test("nation volume: dimension chains broadcast, one fact-fact exchange") {
+    val p = plan("q54_nation_volume")
+    p should not include "CartesianProduct"
+    // the only sort-merge/shuffled-hash join is lineitem-orders on
+    // orderkey; every dimension chain arrives broadcast
+    val nonBroadcastJoins =
+      "SortMergeJoin".r.findAllIn(p).length +
+        "ShuffledHashJoin".r.findAllIn(p).length
+    nonBroadcastJoins should be <= 1
+    p should include("BroadcastHashJoin")
+    // the shipdate range reaches the lineitem scan
+    p should include("PushedFilters")
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
