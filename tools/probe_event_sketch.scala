@@ -14,7 +14,7 @@ spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 val corpusDir = "/tmp/evsk_probe"
 val corpus = s"$corpusDir/events.parquet"
-new scala.sys.process.ProcessBuilder("rm", "-rf", corpusDir).start().waitFor()
+new java.lang.ProcessBuilder("rm", "-rf", corpusDir).start().waitFor()
 
 // 100x replication of sf0.1 events with user-space growth: distinct
 // counts grow with the corpus, as they would in production.
