@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dedup.MinHashLSH
-import graft.functions.{QualityFunnel, TextFunctions, TextIndexStore, TextOps, TextSearch}
+import graft.functions.{QualityFunnel, TextFunctions, TextIndexStore, TextOps, TextSearch, TfIdfStore}
 import graft.operators.Sampling
 import graft.sketch.CountMin
 
@@ -489,6 +489,26 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           col("score"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Vocabulary / stopword discovery from the STORED exact document
+    // frequencies (TfIdfStore's additive dfparts piece — always
+    // current, unlike the pinned feature weights): the top-k most
+    // document-frequent tokens without re-tokenizing the corpus. At
+    // 100 TB the serve cost is a |vocab|-row artifact scan + TopK;
+    // the oracle re-derives df from raw text. Ties break on the
+    // token, so row membership is deterministic.
+    GraftQuery(
+      "t32_stored_df_topk",
+      s"""$normCte,
+         |tok AS (SELECT DISTINCT doc_id,
+         |          unnest(string_split(norm, ' ')) AS tok FROM n),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok)
+         |SELECT tok, df FROM dfreq
+         |ORDER BY df DESC, tok LIMIT 25""".stripMargin) { (s, dir) =>
+      TfIdfStore.docFrequencies(s, dir)
+        .orderBy(col("df").desc, col("tok"))
+        .limit(25)
     },
 
     // Exact-phrase search (ES match_phrase) over a POSITIONAL inverted

@@ -173,6 +173,17 @@ object TfIdfStore {
   def norms(spark: SparkSession, sfDir: String, dim: Int = 1024): DataFrame =
     serve(spark, sfDir, "norms", dim)
 
+  /** Folded EXACT document frequencies (tok, df) from the stored
+    * additive `dfparts` piece — unlike the pinned-idf feature weights,
+    * these are always current (the piece sum-folds). Vocabulary and
+    * stopword discovery over a 100 TB corpus becomes a scan of the
+    * |vocab|-row artifact instead of a corpus re-tokenization.
+    */
+  def docFrequencies(spark: SparkSession, sfDir: String,
+      dim: Int = 1024): DataFrame =
+    serve(spark, sfDir, "dfparts", dim)
+      .groupBy("tok").agg(sum("df").as("df"))
+
   /** Stored per-bucket MAX-SCORE inputs (bucket, u, cnt): normalized
     * impact ceiling and postings count, folded from the generation
     * partials.

@@ -417,6 +417,13 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "partial_max|max#"
   }
 
+  test("stored df top-k: serves the vocabulary artifact, never the corpus text") {
+    val p = plan("t32_stored_df_topk")
+    p should include("graft_index")
+    p should not include "documents.parquet"
+    p should include("TakeOrderedAndProject") // TopK, not a global sort
+  }
+
   test("top supplier: global max is a window over the aggregate, one lineitem scan") {
     val p = plan("q53_top_supplier")
     // the revenue view is scanned once; no rev-vs-max self-join
