@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.PartitionedLayout
 
 /** Relational coverage over the TPC-H-ish tables: aggregation, joins
   * (broadcast + shuffle + semi/anti/outer), windows, top-k, set ops,
@@ -1952,8 +1954,79 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice")
           * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // STATIC partition pruning: lineitem laid out under
+    // ship_month=<yyyymm>/ directories (one-time write, fingerprint-
+    // keyed reuse like q39's buckets), so the three-month range reads
+    // 3 of ~83 partition directories — the excluded months cost zero
+    // I/O, decided at planning time (the scan's PartitionFilters,
+    // plan-pinned). At 100 TB the time-ranged query reads the month,
+    // not the decade.
+    GraftQuery(
+      "q55_partition_pruned",
+      """SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_month,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) * 100 + month(l_shipdate)
+        |  BETWEEN 200001 AND 200003
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin) { (s, dir) =>
+      PartitionedLayout.read(s, ensureLineitemByMonth(s, dir))
+        .where(col("ship_month").between(200001, 200003))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("ship_month")
+    },
+
+    // DYNAMIC partition pruning over the same layout: the months of
+    // interest are not literals but the output of a dimension filter
+    // (months in which a near-ceiling order was placed), broadcast
+    // into the fact join — Spark turns the broadcast values into a
+    // runtime dynamicpruningexpression on the fact scan, so only the
+    // qualifying month directories are read even though no literal
+    // month appears anywhere in the query (plan-pinned).
+    GraftQuery(
+      "q56_dpp_join",
+      """WITH hv AS (
+        |  SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS ship_month
+        |  FROM orders WHERE o_totalprice > 499800)
+        |SELECT ship_month, count(*) AS n_items
+        |FROM (SELECT year(l_shipdate) * 100 + month(l_shipdate)
+        |        AS ship_month FROM lineitem) l
+        |JOIN hv USING (ship_month)
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin) { (s, dir) =>
+      val months = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 499800)
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ship_month"))
+        .distinct()
+      PartitionedLayout.read(s, ensureLineitemByMonth(s, dir))
+        .join(broadcast(months), Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("ship_month")
     }
   )
+
+  /** One-time (fingerprint-keyed) hive-partitioned layout of lineitem
+    * by ship month, shared by q55 (static pruning) and q56 (dynamic
+    * pruning); returns the layout table name.
+    */
+  private def ensureLineitemByMonth(s: SparkSession, dir: String): String = {
+    val table = "graft_part_lineitem_month"
+    PartitionedLayout.ensurePartitioned(
+      Tables.load(s, dir, "lineitem")
+        .withColumn("ship_month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("int")),
+      table, "ship_month",
+      graft.sources.ArtifactStore.fingerprint(s"$dir/lineitem.parquet"))
+    table
+  }
 
   /** DuckDB unroll of PageRank.ranks: per iteration one dangling-mass
     * scalar, one contribution aggregate, one rank update — identical

@@ -417,6 +417,22 @@ class PlanShapeSpec extends SparkSpec {
     p should include regex "partial_max|max#"
   }
 
+  test("partition pruning: the month range prunes layout directories at plan time") {
+    val p = plan("q55_partition_pruned")
+    p should include("graft_part_lineitem_month")
+    p should not include "lineitem.parquet" // only the layout is read
+    // the range predicate lands in PartitionFilters (directory-level
+    // pruning), not in DataFilters (row-level, after the read)
+    p should include regex "PartitionFilters: \\[isnotnull\\(ship_month"
+  }
+
+  test("DPP: broadcast dim months prune fact partitions at runtime") {
+    val p = plan("q56_dpp_join")
+    p should include("dynamicpruningexpression")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("stored df top-k: serves the vocabulary artifact, never the corpus text") {
     val p = plan("t32_stored_df_topk")
     p should include("graft_index")
