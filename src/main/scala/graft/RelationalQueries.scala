@@ -2009,6 +2009,45 @@ object RelationalQueries {
         .groupBy("ship_month")
         .agg(count(lit(1)).as("n_items"))
         .orderBy("ship_month")
+    },
+
+    // Triangle counting on the supplier co-supply graph (suppliers
+    // adjacent when they co-supplied >= 5 orders) — the third graph
+    // operator next to CC and PageRank. Spark-first at scale: the
+    // naive triple self-join enumerates every wedge at every corner
+    // (3x the work, and a hub's deg^2 wedges land in one join key);
+    // here each edge is ORIENTED from its (degree, id)-smaller
+    // endpoint, so every triangle is counted exactly once at its
+    // rank-min corner and wedge generation is bounded by sum of
+    // OUT-degrees squared = O(m^1.5) instead of sum of full degrees
+    // squared (Suri & Vassilvitskii, WWW'11) — the hub that breaks
+    // the naive form generates almost no wedges oriented. The oracle
+    // is the a<b<c triple join (fine at DuckDB scale, the shape this
+    // operator exists to avoid).
+    GraftQuery(
+      "q57_triangle_count",
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |co AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, count(*) AS n
+        |       FROM os x JOIN os y
+        |         ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_suppkey < y.l_suppkey
+        |       GROUP BY a, b),
+        |e AS (SELECT a, b FROM co WHERE n >= 5)
+        |SELECT count(*) AS n_triangles FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, dir) =>
+      val os = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      // canonical undirected edges (a < b), reused four times below —
+      // checkpointed so the pair generation runs once
+      val co = os.as("x").join(os.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5).select("a", "b")
+        .localCheckpoint()
+      graft.operators.Triangles.count(co)
     }
   )
 

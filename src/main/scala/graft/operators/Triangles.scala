@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit, when}
+
+/** Exact triangle counting by degree-ordered edge orientation (Suri &
+  * Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11). The naive triple self-join enumerates every
+  * wedge at every corner — 3× the work, and a hub key receives deg²
+  * wedges in a single join partition (the "last reducer"). Orienting
+  * each edge from its (degree, id)-smaller endpoint fixes both at
+  * once: every triangle is counted exactly once, at its rank-min
+  * corner (the one node with out-edges to the other two), and wedge
+  * generation is bounded by Σ outdeg² = O(m^1.5) total — a hub has
+  * almost no OUT-edges under the orientation, so its wedges vanish
+  * instead of melting one task.
+  *
+  * Reference analogue: none (the reference has no graph operators);
+  * third member of the engine's graph family next to connected
+  * components and PageRank.
+  */
+object Triangles {
+
+  /** Count triangles of an undirected simple graph given as CANONICAL
+    * edges — one row per edge with `a < b`, no duplicates (the caller
+    * owns dedup; a multigraph input multiplies counts). Returns one
+    * row (n_triangles).
+    */
+  def count(edges: DataFrame): DataFrame = {
+    val co = edges.select("a", "b")
+    val deg = co.select(col("a").as("node"))
+      .unionAll(co.select(col("b").as("node")))
+      .groupBy("node").agg(F.count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = co
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    // wedges at the rank-min anchor; the out-neighbor pair is
+    // id-canonical (v < w), matching the input's a < b — closed by a
+    // semi join against the edge set
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    wedges.join(co, Seq("a", "b"), "left_semi")
+      .agg(F.count(lit(1)).as("n_triangles"))
+  }
+}

@@ -378,4 +378,27 @@ class RandomizedParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("triangle family: degree-oriented count vs in-memory brute enumeration") {
+    for (seed <- seeds; density <- Seq(0.08, 0.35)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24 + rnd.nextInt(16)
+      // Erdos-Renyi plus a forced hub (node 0 adjacent to everything)
+      // - the degenerate-degree case the orientation exists for
+      val pairs = for {
+        a <- 0 until n; b <- (a + 1) until n
+        if a == 0 || rnd.nextDouble() < density
+      } yield (a.toLong, b.toLong)
+      val brute = (for {
+        (a, b) <- pairs; c <- (b + 1) until n
+        if pairs.contains((a, c.toLong)) && pairs.contains((b, c.toLong))
+      } yield 1).size.toLong
+      val edges = pairs.toDF("a", "b")
+      withClue(s"seed=$seed density=$density n=$n edges=${pairs.size}: ") {
+        val got = graft.operators.Triangles.count(edges)
+          .head.getLong(0)
+        assert(got === brute)
+      }
+    }
+  }
 }
