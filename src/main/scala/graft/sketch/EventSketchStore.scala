@@ -63,6 +63,10 @@ object EventSketchStore {
   }
 
   /** Offline compaction hook. */
-  def compact(spark: SparkSession, corpusPath: String): Unit =
+  def compact(spark: SparkSession, corpusPath: String): Unit = {
+    // compaction may advance the piece (reading raw event files), so
+    // it needs the same pre-read type adaptation as dayRegisters
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     handle(corpusPath).compact(spark)
+  }
 }
