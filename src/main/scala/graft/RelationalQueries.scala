@@ -2048,6 +2048,65 @@ object RelationalQueries {
         .where(col("n") >= 5).select("a", "b")
         .localCheckpoint()
       graft.operators.Triangles.count(co)
+    },
+
+    // Sketch ALGEBRA over the stored registers: HLL is union-only
+    // (max-merge), but inclusion-exclusion turns two week unions into
+    // an INTERSECTION estimate — the week-over-week retained-audience
+    // question answered from ≤ 3×64 stored rows, the event stream
+    // never rescanned. Every arithmetic step (register max, the
+    // small-range-corrected estimate, the subtraction) is re-derived
+    // from raw events by the oracle, so the identity is hash-checked,
+    // not assumed.
+    GraftQuery(
+      "q58_audience_overlap",
+      """WITH a AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |  FROM events),
+        |h AS (SELECT day,
+        |        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS v
+        |      FROM a),
+        |hr AS (SELECT day, v % 64 AS register,
+        |         CASE WHEN v // 64 = 0 THEN 55
+        |              ELSE 54 - floor(log2(v // 64))::BIGINT END AS rho
+        |       FROM h),
+        |w1 AS (SELECT register, max(rho) AS r FROM hr
+        |       WHERE day BETWEEN 19723 AND 19729 GROUP BY register),
+        |w2 AS (SELECT register, max(rho) AS r FROM hr
+        |       WHERE day BETWEEN 19730 AND 19736 GROUP BY register),
+        |wu AS (SELECT register, max(rho) AS r FROM hr
+        |       WHERE day BETWEEN 19723 AND 19736 GROUP BY register),
+        |f1 AS (SELECT CASE WHEN e <= 160.0 AND vz > 0
+        |         THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+        |       FROM (SELECT 0.709 * 64 * 64 / (z + (64 - np)) AS e,
+        |               64 - np AS vz
+        |             FROM (SELECT sum(power(2.0, -r)) AS z,
+        |                     count(*) AS np FROM w1))),
+        |f2 AS (SELECT CASE WHEN e <= 160.0 AND vz > 0
+        |         THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+        |       FROM (SELECT 0.709 * 64 * 64 / (z + (64 - np)) AS e,
+        |               64 - np AS vz
+        |             FROM (SELECT sum(power(2.0, -r)) AS z,
+        |                     count(*) AS np FROM w2))),
+        |fu AS (SELECT CASE WHEN e <= 160.0 AND vz > 0
+        |         THEN 64.0 * ln(64.0 / vz) ELSE e END AS est
+        |       FROM (SELECT 0.709 * 64 * 64 / (z + (64 - np)) AS e,
+        |               64 - np AS vz
+        |             FROM (SELECT sum(power(2.0, -r)) AS z,
+        |                     count(*) AS np FROM wu)))
+        |SELECT round(f1.est + f2.est - fu.est, 2) AS overlap_estimate
+        |FROM f1, f2, fu""".stripMargin) { (s, dir) =>
+      import graft.sketch.{EventSketchStore, HyperLogLog}
+      val daily = EventSketchStore.dayRegisters(s, dir)
+      def winEst(lo: Int, hi: Int, name: String) =
+        HyperLogLog.estimate(daily.where(col("day").between(lo, hi))
+          .groupBy("register").agg(max("r").as("r")))
+          .select(col("hll_estimate").as(name))
+      winEst(19723, 19729, "e1")
+        .crossJoin(broadcast(winEst(19730, 19736, "e2")))
+        .crossJoin(broadcast(winEst(19723, 19736, "eu")))
+        .select(round(col("e1") + col("e2") - col("eu"), 2)
+          .as("overlap_estimate"))
     }
   )
 

@@ -463,6 +463,13 @@ class PlanShapeSpec extends SparkSpec {
     p should include("PushedFilters")
   }
 
+  test("audience overlap: three window estimates over stored registers, no event scan") {
+    val p = plan("q58_audience_overlap")
+    p should include("graft_index")
+    p should not include "events.parquet"
+    p should not include "CartesianProduct" // 1-row joins go BNLJ
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
