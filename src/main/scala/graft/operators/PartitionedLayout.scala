@@ -39,6 +39,15 @@ object PartitionedLayout {
     * inside the layout directory (underscore-prefixed, invisible to
     * the parquet reader), so a partial overwrite can never present as
     * current.
+    *
+    * Single-writer discipline (same contract as
+    * [[Bucketing.ensureBucketed]]): two sessions racing
+    * `ensurePartitioned` on the same table race mode-overwrite
+    * writes — pipelines share a layout through one writer. Readers
+    * are safe against a CRASHED writer (the marker is written last,
+    * so a torn layout re-registers as stale and rebuilds), not
+    * against a concurrent one; the staged-commit upgrade path is the
+    * `IncrementalDocArtifact` versioned-pointer pattern.
     */
   def ensurePartitioned(df: DataFrame, table: String, partCol: String,
       fingerprint: String): String = {
