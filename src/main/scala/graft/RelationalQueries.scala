@@ -2107,6 +2107,35 @@ object RelationalQueries {
         .crossJoin(broadcast(winEst(19723, 19736, "eu")))
         .select(round(col("e1") + col("e2") - col("eu"), 2)
           .as("overlap_estimate"))
+    },
+
+    // RUNTIME bloom-filter join pruning — the row-level sibling of
+    // q56's dynamic PARTITION pruning, for when the fact is not laid
+    // out on the join key: in a shuffle join whose build side is
+    // selective, Spark aggregates a bloom filter over the build keys
+    // and injects might_contain(l_orderkey) into the fact scan, so
+    // ~all non-matching fact rows die at the scan instead of riding
+    // the exchange. Broadcast disabled to surface the shuffle-join
+    // case the feature exists for; thresholds scoped to a child
+    // session (the shared session keeps stock plans), sized here for
+    // the test corpus — at 100 TB the defaults fire on their own.
+    GraftQuery(
+      "q59_runtime_bloom",
+      """SELECT count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 499800""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = s2.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s2.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 499800)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("rev"))
     }
   )
 

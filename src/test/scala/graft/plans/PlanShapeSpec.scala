@@ -463,6 +463,13 @@ class PlanShapeSpec extends SparkSpec {
     p should include("PushedFilters")
   }
 
+  test("runtime bloom: build-side keys filter the fact scan of the shuffle join") {
+    val p = plan("q59_runtime_bloom")
+    p should include("bloom_filter_agg") // build-side bloom aggregate
+    p should include("might_contain")    // injected into the fact side
+    p should include("SortMergeJoin")    // the shuffle-join case it exists for
+  }
+
   test("audience overlap: three window estimates over stored registers, no event scan") {
     val p = plan("q58_audience_overlap")
     p should include("graft_index")
