@@ -2136,6 +2136,35 @@ object RelationalQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice"), 2).as("rev"))
+    },
+
+    // TPC-H Q13 shape — customer order-count distribution: a
+    // two-level aggregation whose inner level hangs off a LEFT OUTER
+    // join with the predicate in the ON clause (NOT the WHERE — the
+    // zero-order customers must survive as c_count = 0, which a
+    // where-filter would silently drop; count(o_orderkey) counts
+    // non-null matches only). Scale shape: one custkey exchange for
+    // the join+first aggregate, then the second aggregate runs over
+    // ≤ max(c_count) distinct keys — the histogram-of-counts pattern
+    // any per-entity activity distribution uses at 100 TB.
+    GraftQuery(
+      "q60_custdist",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val perCust = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+            .where(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
 
