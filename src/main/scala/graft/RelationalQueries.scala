@@ -2038,13 +2038,14 @@ object RelationalQueries {
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, dir) =>
       val os = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey").distinct()
-      // canonical undirected edges (a < b), reused four times below —
-      // checkpointed so the pair generation runs once
-      val co = os.as("x").join(os.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-        .agg(count(lit(1)).as("n"))
+      // canonical undirected edges (a < b) via the bucketized
+      // within-key pair primitive — ONE orderkey exchange + in-array
+      // pair expansion instead of a two-sided self-join (order sizes
+      // are bounded, so the collected member lists are too);
+      // checkpointed because the count reuses the edge set four times
+      val co = graft.dedup.PairGen
+        .pairsWithin(os, Seq("l_orderkey"), col("l_suppkey"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
         .where(col("n") >= 5).select("a", "b")
         .localCheckpoint()
       graft.operators.Triangles.count(co)
