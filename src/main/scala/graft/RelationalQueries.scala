@@ -2166,6 +2166,44 @@ object RelationalQueries {
       perCust.groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q10 shape — returned-revenue ranking: who cost us the
+    // most in returns last quarter. Classic star probe: the date
+    // range prunes orders at the scan, the returnflag prunes
+    // lineitem at the scan, customer/nation broadcast, the fact
+    // exchanges once on orderkey, and the ranking is a TopK
+    // (TakeOrderedAndProject), never a global sort. Deterministic
+    // tail: ties at the cut break on c_custkey.
+    GraftQuery(
+      "q61_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit("2000-04-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     }
   )
 

@@ -463,6 +463,14 @@ class PlanShapeSpec extends SparkSpec {
     p should include("PushedFilters")
   }
 
+  test("returned revenue: pruned star probe ends in a TopK, not a global sort") {
+    val p = plan("q61_returned_revenue")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should include("PushedFilters") // returnflag + date reach the scans
+    p should not include "CartesianProduct"
+  }
+
   test("runtime bloom: build-side keys filter the fact scan of the shuffle join") {
     val p = plan("q59_runtime_bloom")
     p should include("bloom_filter_agg") // build-side bloom aggregate
