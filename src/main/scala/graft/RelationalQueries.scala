@@ -1863,14 +1863,14 @@ object RelationalQueries {
     // TPC-H Q15 shape — the max-over-an-aggregated-view pattern: the
     // top-revenue supplier(s) of a quarter, ties included. Spark-first
     // decorrelation: the classic form scans the revenue view twice
-    // (once for max, once to filter); here the global max is a WINDOW
-    // over the per-supplier aggregate (~|suppliers| rows — the empty
-    // partition is safe at any corpus size because the frame is the
-    // POST-aggregate view, never the fact), so lineitem is scanned
-    // exactly ONCE (plan-pinned). Revenue folds in integer cents
-    // (floor(x*100+0.5) — IEEE-identical in both engines), so the
-    // =max row-membership test is order-independent and exact; the
-    // double division happens only at emit time.
+    // (once for max, once to filter); here the per-supplier aggregate
+    // is checkpointed ONCE (one lineitem scan, ever) and the global
+    // max re-enters as a 1-row BROADCAST join — no partition-less
+    // window, so no single-task stage exists at any |suppliers| (the
+    // max itself is a two-phase distributed aggregate). Revenue folds
+    // in integer cents (floor(x*100+0.5) — IEEE-identical in both
+    // engines), so the =max row-membership test is order-independent
+    // and exact; the double division happens only at emit time.
     GraftQuery(
       "q53_top_supplier",
       """WITH rev AS (
@@ -1885,14 +1885,14 @@ object RelationalQueries {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey, m
         |WHERE cents = mc
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.load(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp")
           && col("l_shipdate") < lit("2000-04-01 00:00:00").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(floor(col("l_extendedprice")
           * (lit(1) - col("l_discount")) * 100 + 0.5)).as("cents"))
-      rev.withColumn("mc", max("cents").over(Window.partitionBy()))
+        .localCheckpoint()
+      rev.crossJoin(broadcast(rev.agg(max("cents").as("mc"))))
         .where(col("cents") === col("mc"))
         .join(broadcast(Tables.load(s, dir, "supplier")
           .select("s_suppkey", "s_name")),

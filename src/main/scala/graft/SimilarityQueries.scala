@@ -454,11 +454,22 @@ object SimilarityQueries {
       // of being rebuilt inline per run, and the term filter lands on
       // the stored parquet scan as a pushed predicate
       val post = TextIndexStore.postings(s, dir)
-      // lexical list: matched set is term-bounded, so the global
-      // ranking window runs over hundreds of rows, not the corpus
-      val bRanked = TextSearch
+      // lexical list: the matched set GROWS with the corpus (every doc
+      // containing a query term), so the global top-100 rank is a
+      // salted two-level heap — per-salt group limits bound every sort
+      // partition, and the final partition-less window orders ≤ 64·100
+      // rows (lossless: the global top-100 by (score, doc_id) is a
+      // subset of the union of per-salt top-100s under the same total
+      // order). A bare Window.orderBy here would plan a single task
+      // over the whole matched set.
+      val bScored = TextSearch
         .bm25OverPostings(post, "doc_id", Seq("vector", "window", "merge"),
           stats = Some(TextIndexStore.stats(s, dir)))
+        .withColumn("_salt", pmod(hash(col("doc_id")), lit(64)))
+        .withColumn("_rs", row_number().over(Window.partitionBy("_salt")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("_rs") <= 100)
+      val bRanked = bScored
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rank") <= 100)

@@ -47,6 +47,55 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("SWEEP: no partition-less window over an unbounded-cardinality frame") {
+    // A WindowExec with an empty partitionSpec is a SINGLE TASK: fine
+    // over a frame whose row count is fixed by construction (histogram
+    // bins, a k-bounded heap output, a coarse-bucket prefix), fatal
+    // over anything that grows with the corpus (q53's former
+    // max-over-suppliers window). Two frames count as bounded
+    // automatically: a window fed by a Final WindowGroupLimit (the
+    // heap already cut the input to ≤ partitions×k rows), and the
+    // explicit allowlist below — every entry's frame is a
+    // POST-aggregate with corpus-independent cardinality.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val bounded = Set(
+      "c5_histogram_quantiles", // frame = log-histogram bins (≤ 16·log2 span)
+      "c10_stored_quantiles",   // same bins, served from the stored artifact
+      "q46_revenue_gini",       // frame = per-supplier deciles (10 rows)
+      "q47_binned_gini",        // frame = (bin, count, sum) aggregate rows
+      // frame = one row per 4096-doc coarse bucket — the deliberate
+      // two-level prefix-sum of TextOps.packPlan (bucketSize is the
+      // scale knob; the per-doc cumsum below it is bucket-partitioned)
+      "t16_sequence_pack")
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+        case other => other.children.flatMap(flatten)
+      }
+      (p +: inner) ++ p.subqueries.flatMap(flatten)
+    }
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bounded)
+      .flatMap { name =>
+        try {
+          val root = graft.SparkEntry.queries(name)(spark, dir)
+            .queryExecution.executedPlan
+          val bad = flatten(root).collect {
+            // bounded automatically when a WindowGroupLimit sits below:
+            // the heap already cut the frame to ≤ groups×k rows
+            // (groups = shuffle partitions, or a fixed salt domain for
+            // the salted two-level ranks)
+            case w: WindowExec if w.partitionSpec.isEmpty &&
+              !flatten(w.child).exists(_.isInstanceOf[WindowGroupLimitExec]) => w
+          }
+          if (bad.nonEmpty) Some(s"$name: ${bad.head.nodeName}") else None
+        } catch { case e: Throwable => Some(s"$name PLAN_FAILED: $e") }
+      }
+    withClue(offenders.mkString("\n")) { offenders shouldBe empty }
+  }
+
   test("q1 pricing summary: map-side partial aggregation before the shuffle") {
     val p = plan("q1_pricing_summary")
     p should include("partial_sum")
@@ -440,12 +489,19 @@ class PlanShapeSpec extends SparkSpec {
     p should include("TakeOrderedAndProject") // TopK, not a global sort
   }
 
-  test("top supplier: global max is a window over the aggregate, one lineitem scan") {
+  test("top supplier: global max broadcasts 1 row; no partition-less window") {
     val p = plan("q53_top_supplier")
-    // the revenue view is scanned once; no rev-vs-max self-join
-    "FileScan".r.findAllIn(p).length should be <= 2 // lineitem + supplier
-    p should include("Window")
-    p should include("BroadcastHashJoin") // supplier dim broadcasts
+    // the revenue view is checkpointed (one lineitem scan, at query
+    // build); the serve plan reads the checkpoint twice with NO window
+    // — the former Window.partitionBy() form planned a single-task
+    // WindowExec over a frame that grows with |suppliers|
+    p should not include "Window"
+    // the =max membership test plans as a BroadcastHashJoin on the
+    // 1-row aggregate (cents = mc is an equi-condition); supplier
+    // broadcasts too — two broadcast joins, no shuffle join at all
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+    p should include("partial_max") // the global max is two-phase
+    "FileScan".r.findAllIn(p).length should be <= 1 // supplier only
     p should not include "CartesianProduct"
   }
 
