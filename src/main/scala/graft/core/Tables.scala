@@ -29,17 +29,52 @@ object Tables {
     * convention (every entry point sets spark.sql.session.timeZone=UTC)
     * is what keeps `unix_millis` equal to DuckDB's naive-UTC epoch_ms.
     */
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEvents(load(spark, sfDir, "events"))
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEvents(readMaybeNanos(spark, s"$sfDir/events.parquet"))
+
+  /** Child session carrying `legacy.parquet.nanosAsLong` plus the
+    * parent's session conventions (time zone, shuffle width) — the
+    * SCOPED way to read a possibly-nanos parquet file. Serve paths
+    * must never `spark.conf.set` on the shared session: a global flag
+    * flipped as a side effect of serving one query changes how every
+    * other query in the session reads parquet (the same child-session
+    * discipline q40/q59 use for their scan flags).
+    */
+  def eventsSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions")
+      .foreach(k => spark.conf.getOption(k).foreach(s2.conf.set(k, _)))
+    s2
   }
+
+  /** Read `path`, adapting to a TIMESTAMP(NANOS) physical type without
+    * touching the shared session's conf: the plain read is tried
+    * first (micros files — the common case — stay parent-session
+    * plans); only the nanos rejection retries through
+    * [[eventsSession]], whose returned frame carries its own scoped
+    * conf for the plan's whole lifetime.
+    */
+  def readMaybeNanos(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      // the nanos rejection surfaces as AnalysisException from a
+      // driver-side footer read, or wrapped in a SparkException when
+      // schema inference ran as a job — walk the cause chain
+      case e: Throwable if {
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage))
+          .exists(m => m.contains("PARQUET_TYPE_ILLEGAL") && m.contains("NANOS"))
+      } =>
+        eventsSession(spark).read.parquet(path)
+    }
 
   /** The type-adaptive normalization of [[loadEvents]] over an
     * already-read frame — for callers (the incremental-artifact piece
     * builders) that receive raw event file subsets instead of reading
-    * the table themselves. Readers on a possibly-nanos file must set
-    * `spark.sql.legacy.parquet.nanosAsLong` BEFORE the read, as
-    * [[loadEvents]] does.
+    * the table themselves. Readers on a possibly-nanos file must read
+    * under [[eventsSession]] (nanos arrive as LongType only with the
+    * flag), as [[loadEvents]] and `EventSketchStore` do.
     */
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {

@@ -56,17 +56,20 @@ object EventSketchStore {
 
   /** Folded per-day HLL registers (day, register, r) of the distinct
     * active users; feed windowed merges to [[HyperLogLog.estimate]].
+    *
+    * The store's internal raw-event reads (advance, rebuild) run on a
+    * [[Tables.eventsSession]] child — the nanos-type adaptation stays
+    * scoped to this artifact's plans instead of flipping the shared
+    * session's parquet semantics as a serve-path side effect.
     */
-  def dayRegisters(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    foldDayHll(handle(s"$sfDir/events.parquet").serve(spark, "dayhll"))
-  }
+  def dayRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    foldDayHll(handle(s"$sfDir/events.parquet")
+      .serve(Tables.eventsSession(spark), "dayhll"))
 
-  /** Offline compaction hook. */
-  def compact(spark: SparkSession, corpusPath: String): Unit = {
-    // compaction may advance the piece (reading raw event files), so
-    // it needs the same pre-read type adaptation as dayRegisters
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    handle(corpusPath).compact(spark)
-  }
+  /** Offline compaction hook. Compaction may advance the piece
+    * (reading raw event files), so it runs on the same scoped child
+    * session as [[dayRegisters]].
+    */
+  def compact(spark: SparkSession, corpusPath: String): Unit =
+    handle(corpusPath).compact(Tables.eventsSession(spark))
 }
