@@ -38,6 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object HashedTfIdf {
 
+  /** Hard cap on the (query × matched-bucket) rows the pruning gates
+    * may collect to the driver: past it, [[topKCosinePruned]] skips
+    * the gate arithmetic and runs the naive distributed plan — a
+    * graceful degradation instead of a driver OOM when a caller
+    * passes a fleet far beyond the broadcast-sized contract. 2^20
+    * rows ≈ tens of MB; the bench fleets are 3-4 orders of magnitude
+    * under it.
+    */
+  private[graft] val maxGateRows: Int = 1 << 20
+
   /** Sparse signed-hash TF-IDF rows (idCol, bucket, w). */
   def sparseFeatures(docs: DataFrame, idCol: String, text: Column,
       dim: Int, minIdf: Double = 0.0): DataFrame = {
@@ -151,7 +161,8 @@ object HashedTfIdf {
     * either way, this picks only the cheaper physical plan.
     */
   def topKCosinePruned(features: DataFrame, queryFeatures: DataFrame,
-      k: Int, fallbackFrac: Double = 0.5): DataFrame = {
+      k: Int, fallbackFrac: Double = 0.5,
+      gateCap: Int = maxGateRows): DataFrame = {
     val norms = features.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .localCheckpoint()
@@ -163,7 +174,8 @@ object HashedTfIdf {
     val tot = ub.agg(sum("cnt")).head
     val avgPerDoc = Option(tot.get(0)).fold(0.0)(_.asInstanceOf[Long].toDouble) /
       math.max(1L, norms.count()).toDouble
-    prunedImpl(features, queryFeatures, k, fallbackFrac, norms, ub, avgPerDoc)
+    prunedImpl(features, queryFeatures, k, fallbackFrac, norms, ub,
+      avgPerDoc, gateCap)
   }
 
   /** [[topKCosinePruned]] over a [[TfIdfStore]]-backed corpus: norms,
@@ -176,18 +188,18 @@ object HashedTfIdf {
     */
   def topKCosinePrunedStored(features: DataFrame, queryFeatures: DataFrame,
       k: Int, norms: DataFrame, ceilings: DataFrame, stats: DataFrame,
-      fallbackFrac: Double = 0.5): DataFrame = {
+      fallbackFrac: Double = 0.5, gateCap: Int = maxGateRows): DataFrame = {
     val st = stats.head
     val nDocs = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
     val featRows = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long])
     val avgPerDoc = featRows.toDouble / math.max(1L, nDocs).toDouble
     prunedImpl(features, queryFeatures, k, fallbackFrac, norms, ceilings,
-      avgPerDoc)
+      avgPerDoc, gateCap)
   }
 
   private def prunedImpl(features: DataFrame, queryFeatures: DataFrame,
       k: Int, fallbackFrac: Double, norms: DataFrame, ub: DataFrame,
-      avgPerDoc: Double): DataFrame = {
+      avgPerDoc: Double, gateCap: Int = maxGateRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -200,9 +212,20 @@ object HashedTfIdf {
     // matched bucket) rows — materializing those as Spark windows +
     // checkpoints + tiny head jobs cost ~1.6 s/run at sf0.1 (the r9
     // v22 bench regression) against corpus work it often didn't save.
-    // Driver-side the gates cost two fleet-bounded collects.
-    val qfRows = queryFeatures
-      .select(col("query_id"), col("bucket"), col("w")).collect()
+    // Driver-side the gates cost two fleet-bounded collects — and the
+    // contract is ENFORCED, not assumed: the collect is capped at
+    // maxGateRows (limit pushes the cap into the plan, so at most
+    // cap+1 rows ever ship), and an oversized fleet falls back to the
+    // fully distributed naive plan instead of OOMing the driver. The
+    // second collect (per-bucket ceilings semi-joined to the fleet's
+    // buckets) is bounded by the first: ≤ one row per distinct fleet
+    // bucket.
+    val qfCollected = queryFeatures
+      .select(col("query_id"), col("bucket"), col("w"))
+      .limit(gateCap + 1).collect()
+    if (qfCollected.length > gateCap)
+      return topKCosineWith(features, queryFeatures, k, norms)
+    val qfRows = qfCollected
     val ubRows = ub
       .join(broadcast(queryFeatures.select("bucket").distinct()), "bucket")
       .select(col("bucket"), col("u"), col("cnt")).collect()

@@ -214,9 +214,16 @@ object TextSearch {
     // bounds — the former window/checkpoint/head-job scaffolding cost
     // more per run than the pruning saved on fallback corpora (the
     // same shape as HashedTfIdf's r9 v22 bench regression).
-    val qtbRows = qt.join(bounds, "term")
+    // enforced, not assumed: the collect is capped (limit pushes the
+    // cap into the plan), and an oversized fleet degrades to the
+    // fully distributed batch plan instead of OOMing the driver
+    val qtbCollected = qt.join(bounds, "term")
       .select(col("query_id"), col("term"), col("df"),
-        col("max_tf"), col("min_dl")).collect()
+        col("max_tf"), col("min_dl"))
+      .limit(HashedTfIdf.maxGateRows + 1).collect()
+    if (qtbCollected.length > HashedTfIdf.maxGateRows)
+      return bm25TopKBatch(post, idCol, queryTerms, k, k1, b, Some(stats))
+    val qtbRows = qtbCollected
     final case class QT(term: String, df: Long, ubV: Double,
         var sR: Double = 0d)
     val byQuery: Map[Any, Array[QT]] =

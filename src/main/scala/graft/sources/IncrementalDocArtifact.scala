@@ -57,7 +57,14 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * piece has not covered (tracked per piece in a `covered` ledger; the
   * per-generation entry lists live in `_gens/`). Compaction first
   * catches merges up, then folds — so gen-level exclusion never meets
-  * a folded-away generation.
+  * a folded-away generation. COST NOTE: because bounded generations
+  * require that ordering, every `compactEvery`-th append triggers the
+  * deferred merge catch-up even in a screen-only deployment — the
+  * catch-up work is not avoided, it is (a) paid once per
+  * `compactEvery` appends instead of per append and (b) DETACHED from
+  * the tick (maintenance pool), so the ingest path's latency stays
+  * O(new-additive) throughout; set `compactEvery = 0` to opt out
+  * entirely and fold/catch up only via the explicit offline hooks.
   *
   * Layout, per (corpus path, artifact key):
   *
@@ -92,17 +99,106 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * pointer flip as the folded data, so absorbed partitions are dead
   * by marker even if their physical deletion (mere GC) never ran.
   *
-  * Concurrency contract: mutation (reconcile, compact) is synchronized
-  * per handle per JVM; ACROSS processes the design is single-writer
-  * per (corpus, artifact) — the standard ingest-pipeline shape. A
-  * racing second builder is benign on the full-rebuild path (staged
-  * versions are per-writer unique, the pointer swap last-writer-wins
-  * over identical deterministic content), but two processes appending
-  * the SAME increment concurrently could interleave files inside one
-  * deterministic `_gen` partition — serialize ingest, as any table
-  * format requires of its committers.
+  * Concurrency contract (per JVM): mutation is serialized by a
+  * JVM-wide lock per artifact ROOT (handles are created per call, so
+  * instance monitors could never serialize two handles of the same
+  * artifact), and maintenance (the fold + lazy catch-up) holds a
+  * separate per-root lock, staging its expensive jobs OFF the mutation
+  * lock — ingest ticks and serves proceed concurrently with a running
+  * fold and block only for the short commit windows. Reads serve
+  * COMMITTED generations only (the ledger names them), so a
+  * half-written generation — crashed advance, or a detached catch-up
+  * mid-stage — is invisible to every reader. Auto-compaction on the
+  * `compactEvery` cadence is DETACHED (single-flight per root, daemon
+  * maintenance pool): a tick's latency never includes a fold;
+  * `awaitMaintenance()` joins it when determinism matters. ACROSS
+  * processes the design is single-writer per (corpus, artifact) — the
+  * standard ingest-pipeline shape. A racing second builder is benign
+  * on the full-rebuild path (staged versions are per-writer unique,
+  * the pointer swap last-writer-wins over identical deterministic
+  * content), but two processes appending the SAME increment
+  * concurrently could interleave files inside one deterministic
+  * `_gen` partition — serialize ingest, as any table format requires
+  * of its committers.
   */
 object IncrementalDocArtifact {
+
+  // ------------------------------------------------------------------
+  // JVM-wide coordination. Handles are created PER CALL (stores build
+  // a fresh Handle on every serve), so instance monitors cannot
+  // serialize two handles of the same artifact — every lock below is
+  // keyed by the artifact ROOT, shared across handle instances.
+  // ------------------------------------------------------------------
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    rootLocks.computeIfAbsent(key, _ => new Object)
+
+  /** Detached maintenance: auto-compactions run here so an ingest
+    * tick's latency never includes a fold — the advance returns after
+    * its ledger rename and the fold publishes later behind the
+    * versioned pointers. Two daemon threads: folds of DIFFERENT
+    * artifacts overlap; a second fold of the SAME artifact dedupes
+    * via [[pendingCompact]] (single-flight per root).
+    */
+  private val maintenancePool =
+    java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-artifact-maintenance")
+        t.setDaemon(true)
+        t
+      })
+
+  private val pendingCompact =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+
+  private def scheduleCompact(key: String, body: () => Unit): Unit =
+    pendingCompact.computeIfAbsent(key, _ =>
+      maintenancePool.submit(new Runnable {
+        def run(): Unit =
+          try body()
+          catch {
+            case e: Throwable =>
+              // state stays correct on any failure (pointer flips are
+              // all-or-nothing); surface the miss and let the next
+              // trigger retry
+              System.err.println(
+                s"graft detached compaction failed for $key: $e")
+          } finally pendingCompact.remove(key)
+      }))
+
+  private def awaitPending(key: String): Unit = {
+    val f = pendingCompact.get(key)
+    if (f != null)
+      try f.get()
+      catch { case _: Throwable => () } // failure already logged
+  }
+
+  /** Generations currently being STAGED off-lock (a detached catch-up
+    * writing its delta before the ledger commit): the orphan sweep
+    * must not mistake them for crash debris.
+    */
+  private val inFlightGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
+  private def registerInFlight(key: String, gen: String): Unit =
+    inFlightGens.computeIfAbsent(key,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).add(gen)
+
+  private def unregisterInFlight(key: String, gen: String): Unit = {
+    val s = inFlightGens.get(key)
+    if (s != null) s.remove(gen)
+  }
+
+  private def inFlightOf(key: String): Set[String] = {
+    val s = inFlightGens.get(key)
+    if (s == null) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      s.asScala.toSet
+    }
+  }
 
   /** One ADDITIVE (or, with `pinned`, TRAINED) stored piece.
     *
@@ -173,6 +269,15 @@ object IncrementalDocArtifact {
 
     private def root: Path =
       Paths.get(ArtifactStore.root, ArtifactStore.pathKey(corpusPath) + "_" + key)
+    private lazy val rootKey: String = root.toString
+    // MUTATION lock (reconcile / rebuild / every commit window) and
+    // MAINTENANCE lock (catch-up + fold staging) are separate so an
+    // ingest tick or additive serve never waits on a running fold:
+    // maintenance holds `mlock` for its whole (possibly long) staging
+    // and takes `lock` only for its short commit windows. Ordering is
+    // always mlock -> lock, never the reverse — no deadlock.
+    private def lock: Object = IncrementalDocArtifact.lockFor(rootKey)
+    private def mlock: Object = IncrementalDocArtifact.lockFor(rootKey + "#maint")
     private def statePath: Path = root.resolve("state")
     private def baseIO(piece: String): ParquetTableIO =
       new ParquetTableIO(root.resolve(piece).resolve("base").toString)
@@ -335,8 +440,10 @@ object IncrementalDocArtifact {
     private def dropUncommittedGens(st: LedgerState): Unit =
       if (st.v2) allNames.foreach { n =>
         val isMerge = merges.exists(_.name == n)
+        val staging = IncrementalDocArtifact.inFlightOf(rootKey)
         gensOf(n).map(_.stripPrefix("_gen="))
           .filterNot(st.gens)
+          .filterNot(staging) // a detached catch-up mid-stage, not debris
           .foreach { g =>
             deleteTree(deltaDir(n).resolve("_gen=" + g))
             if (isMerge) (coveredEntries(n), genEntries(g)) match {
@@ -347,40 +454,57 @@ object IncrementalDocArtifact {
           }
       }
 
-    /** Live delta rows of `piece` (folded and excluded gens skipped at
-      * the PATH level — absorbed directories are never even listed in
-      * the scan).
+    /** Committed generation ids of a v2 ledger; None on a legacy
+      * ledger (its gens are unknowable — every live gen counts as
+      * committed, the old code's contract).
       */
-    private def liveDelta(spark: SparkSession, piece: String,
-        exclude: Set[String]): Option[DataFrame] = {
-      val gens = gensOf(piece).filterNot(g => exclude.contains(g.stripPrefix("_gen=")))
+    private def committedOf(st: LedgerState): Option[Set[String]] =
+      if (st.v2) Some(st.gens) else None
+
+    /** Live gen DIRECTORIES of `piece` a read may serve: folded gens
+      * are dead by marker, `exclude`d gens are the caller's
+      * pre-increment cut, and — the torn-read guard — only gens the
+      * COMMITTED ledger names are visible at all (`allowed`): a
+      * half-written generation (crashed advance, or a detached
+      * catch-up still staging) never reaches any reader's scan.
+      */
+    private def liveGens(piece: String, exclude: Set[String],
+        allowed: Option[Set[String]]): Seq[String] =
+      gensOf(piece)
+        .filter(g => allowed.forall(_.contains(g.stripPrefix("_gen="))))
+        .filterNot(g => exclude.contains(g.stripPrefix("_gen=")))
+
+    /** Union scan of exactly `gens` (path-level: absorbed directories
+      * are never even listed).
+      */
+    private def deltaOfGens(spark: SparkSession, piece: String,
+        gens: Seq[String]): Option[DataFrame] =
       if (gens.isEmpty) None
       else Some(spark.read
         .option("basePath", deltaDir(piece).toString)
         .parquet(gens.map(g => deltaDir(piece).resolve(g).toString): _*)
         .drop("_gen"))
-    }
 
-    /** Additive piece view: base ∪ deltas (minus `exclude`). */
-    private def readPiece(spark: SparkSession, piece: String,
-        exclude: Set[String]): DataFrame = {
+    /** Additive piece view: base ∪ the given delta gens. */
+    private def readPieceGens(spark: SparkSession, piece: String,
+        gens: Seq[String]): DataFrame = {
       val base = baseIO(piece)
       val parts = Seq(
         if (base.exists) Some(base.read(spark)) else None,
-        liveDelta(spark, piece, exclude)).flatten
+        deltaOfGens(spark, piece, gens)).flatten
       parts.reduceOption(_.unionByName(_)).getOrElse(
         throw new IllegalStateException(s"no $piece artifact for $corpusPath"))
     }
 
-    /** Merge piece view: LWW per key over base (seq −1) ∪ deltas.
-      * Steady state (no deltas — fresh build or post-compaction) is a
-      * plain base scan: the LWW window and its shuffle only exist
-      * while unfolded generations do.
+    /** Merge piece view: LWW per key over base (seq −1) ∪ the given
+      * delta gens. Steady state (no deltas — fresh build or
+      * post-compaction) is a plain base scan: the LWW window and its
+      * shuffle only exist while unfolded generations do.
       */
-    private def readMergeResolved(spark: SparkSession, mp: MergePiece,
-        exclude: Set[String]): DataFrame = {
+    private def readMergeGens(spark: SparkSession, mp: MergePiece,
+        gens: Seq[String]): DataFrame = {
       val base = baseIO(mp.name)
-      liveDelta(spark, mp.name, exclude) match {
+      deltaOfGens(spark, mp.name, gens) match {
         case None =>
           if (!base.exists) throw new IllegalStateException(
             s"no ${mp.name} artifact for $corpusPath")
@@ -397,12 +521,21 @@ object IncrementalDocArtifact {
       }
     }
 
-    private def view(spark: SparkSession, exclude: Set[String])(
-        name: String): DataFrame =
-      merges.find(_.name == name) match {
-        case Some(mp) => readMergeResolved(spark, mp, exclude)
-        case None => readPiece(spark, name, exclude)
-      }
+    /** Reader factory: the committed-gen set is read ONCE from the
+      * ledger here, so every view served through the returned function
+      * sees one consistent committed cut.
+      */
+    private def view(spark: SparkSession,
+        exclude: Set[String]): String => DataFrame = {
+      val allowed = committedOf(readLedger())
+      name =>
+        merges.find(_.name == name) match {
+          case Some(mp) =>
+            readMergeGens(spark, mp, liveGens(mp.name, exclude, allowed))
+          case None =>
+            readPieceGens(spark, name, liveGens(name, exclude, allowed))
+        }
+    }
 
     private def writeDelta(df: DataFrame, piece: String, gen: String): Unit =
       df.withColumn("_gen", lit(gen))
@@ -411,64 +544,87 @@ object IncrementalDocArtifact {
         .partitionBy("_gen")
         .parquet(deltaDir(piece).toString)
 
-    private def reconcile(spark: SparkSession): Unit = synchronized {
-      val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
-      val st = readLedger()
-      dropUncommittedGens(st)
-      if (st.entries == current) {
+    private def reconcile(spark: SparkSession): Unit = {
+      lock.synchronized {
+        val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
+        val st = readLedger()
+        dropUncommittedGens(st)
+        val unchanged = st.entries == current &&
+          (!st.v2 || st.baseVersions == baseMarkers())
         // base-version check: a rebuild that crashed before its ledger
         // rename (then the corpus reverted) left poisoned bases behind
         // a matching ledger — the recorded versions disagree, rebuild
-        if (!st.v2 || st.baseVersions == baseMarkers()) return
-      }
-      Files.createDirectories(root)
-      val currentSet = current.toSet
-      val newEntries = current.filterNot(st.entries.toSet)
-      val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
-        newEntries.nonEmpty
-      // committed gens carried into the next ledger write; a legacy
-      // ledger commits every live gen (they were all committed by the
-      // old code's contract)
-      val carriedGens =
-        if (st.v2) st.gens
-        else deltaGens().map(_.stripPrefix("_gen=")).toSet
+        if (!unchanged) {
+          Files.createDirectories(root)
+          val currentSet = current.toSet
+          val newEntries = current.filterNot(st.entries.toSet)
+          val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
+            newEntries.nonEmpty
+          // committed gens carried into the next ledger write; a legacy
+          // ledger commits every live gen (they were all committed by
+          // the old code's contract)
+          val carriedGens =
+            if (st.v2) st.gens
+            else deltaGens().map(_.stripPrefix("_gen=")).toSet
 
-      if (st.entries == current) {
-        // only the base-version check failed → heal by full rebuild
-        rebuildAll(spark, current)
-      } else if (appendOnly) {
-        val corpusRoot = Paths.get(corpusPath)
-        val newFiles = newEntries.map(e =>
-          corpusRoot.resolve(e.split('|').head).toString)
-        val newDocs = spark.read.parquet(newFiles: _*)
-        val gen = genId(newEntries)
-        // seq = covered-file count before this increment: strictly
-        // increasing across appends, deterministic under replay
-        val seq = st.entries.size.toLong
-        val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
-        writeGenEntries(gen, newEntries)
-        if (lazyMerges)
-          // merge pieces stay behind; pin their coverage at the
-          // pre-append ledger if this is their first lazy skip
-          merges.foreach(mp => if (coveredEntries(mp.name).isEmpty)
-            writeCovered(mp.name, st.entries))
-        else
-          merges.foreach(mp => writeDelta(
-            mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
-        pieces.filterNot(_.pinned)
-          .foreach(p => writeDelta(p.build(newDocs, ctx), p.name, gen))
-        onAdvanceDone(ctx)
-        // ledger advance is the commit point — atomic rename, last
-        writeLedger(current, carriedGens + gen)
-        if (!lazyMerges)
-          merges.foreach(mp => writeCovered(mp.name, current))
-      } else {
-        rebuildAll(spark, current)
+          if (st.entries == current) {
+            // only the base-version check failed → heal by full rebuild
+            rebuildAll(spark, current)
+          } else if (appendOnly) {
+            val corpusRoot = Paths.get(corpusPath)
+            val newFiles = newEntries.map(e =>
+              corpusRoot.resolve(e.split('|').head).toString)
+            val newDocs = spark.read.parquet(newFiles: _*)
+            val gen = genId(newEntries)
+            // seq = covered-file count before this increment: strictly
+            // increasing across appends, deterministic under replay
+            val seq = st.entries.size.toLong
+            val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
+            writeGenEntries(gen, newEntries)
+            if (lazyMerges)
+              // merge pieces stay behind; pin their coverage at the
+              // pre-append ledger if this is their first lazy skip
+              merges.foreach(mp => if (coveredEntries(mp.name).isEmpty)
+                writeCovered(mp.name, st.entries))
+            else
+              merges.foreach(mp => writeDelta(
+                mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
+            pieces.filterNot(_.pinned)
+              .foreach(p => writeDelta(p.build(newDocs, ctx), p.name, gen))
+            onAdvanceDone(ctx)
+            // ledger advance is the commit point — atomic rename, last
+            writeLedger(current, carriedGens + gen)
+            if (!lazyMerges)
+              merges.foreach(mp => writeCovered(mp.name, current))
+          } else {
+            rebuildAll(spark, current)
+          }
+        }
       }
-      if (compactEvery > 0 && deltaGens().size >= compactEvery) compact(spark)
+      // auto-compaction is DETACHED: the tick returns after its ledger
+      // commit; the fold (and, in lazy mode, the deferred merge
+      // catch-up it must run first) happens on the maintenance pool
+      // behind the versioned pointers — a tick's latency never
+      // includes a fold
+      maybeCompactDetached(spark)
     }
 
-    private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = {
+    /** Schedule a detached compaction when the live-generation count
+      * crossed `compactEvery`. Single-flight per artifact root; the
+      * explicit [[compact]] stays synchronous for offline use.
+      */
+    private def maybeCompactDetached(spark: SparkSession): Unit =
+      if (compactEvery > 0 && deltaGens().size >= compactEvery)
+        IncrementalDocArtifact.scheduleCompact(rootKey, () => compact(spark))
+
+    /** Block until any in-flight detached compaction of THIS artifact
+      * finishes — the determinism hook for tests, probes and
+      * latency-sensitive shutdown paths.
+      */
+    def awaitMaintenance(): Unit =
+      IncrementalDocArtifact.awaitPending(rootKey)
+
+    private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = lock.synchronized {
       // stale deltas go FIRST so rebuild-order reads (a later piece
       // reading an earlier one through ctx) see only rebuilt bases
       allNames.foreach(n => deleteTree(deltaDir(n)))
@@ -497,99 +653,173 @@ object IncrementalDocArtifact {
       * pending entry list alone); commit order delta → ledger →
       * coverage makes every crash window either a droppable orphan or
       * an idempotent re-advance.
+      *
+      * The expensive part (the advance jobs + delta writes) stages
+      * OFF the mutation lock: ingest ticks and additive serves proceed
+      * concurrently (the half-written generation is invisible to them
+      * — reads serve committed gens only — and the in-flight
+      * registration keeps a concurrent tick's orphan sweep off it).
+      * The ledger commit re-reads current state under the lock and
+      * ABORTS (dropping the staged generation) if a rebuild or fold
+      * moved the bases out from under the advance's views.
       */
-    private def catchUpMerges(spark: SparkSession): Unit = synchronized {
+    private def catchUpMerges(spark: SparkSession): Unit = mlock.synchronized {
       if (merges.isEmpty) return
-      val st = readLedger()
-      if (st.entries.isEmpty) return
-      val entrySet = st.entries.toSet
-      // group pieces by their pending entries (normally all equal)
-      val groups = merges.groupBy { mp =>
-        val covered = coveredEntries(mp.name).getOrElse(st.entries).toSet
-        st.entries.filterNot(covered)
-      }.filter(_._1.nonEmpty)
-      if (groups.isEmpty) return
-      var gens = st.gens
-      groups.foreach { case (pending, mps) =>
-        val gen = genId(pending)
-        val pendingSet = pending.toSet
-        val coveredSet = entrySet -- pendingSet
-        // exclude: committed gens not fully covered by this group
-        // (additive gens of the pending appends, and — in crash-skew
-        // replays — an already-committed catch-up gen of a piece that
-        // got ahead) + the gen being written
-        val exclude = gens.filter(g => genEntries(g) match {
-          case Some(es) => !es.forall(coveredSet)
-          case None => false // legacy gen: predates lazy mode, covered
-        }) + gen
-        val corpusRoot = Paths.get(corpusPath)
-        val newFiles = pending.map(e =>
-          corpusRoot.resolve(e.split('|').head).toString)
-        val newDocs = spark.read.parquet(newFiles: _*)
-        val seq = coveredSet.size.toLong
-        val ctx = new AdvanceCtx(spark, newDocs, view(spark, exclude))
-        writeGenEntries(gen, pending)
-        mps.foreach(mp => writeDelta(
-          mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
-        onAdvanceDone(ctx)
-        gens = gens + gen
-        writeLedger(st.entries, gens)
-        mps.foreach(mp => writeCovered(mp.name, st.entries))
+      val snap = lock.synchronized {
+        val st = readLedger()
+        dropUncommittedGens(st)
+        if (st.entries.isEmpty) None
+        else {
+          // group pieces by their pending entries (normally all equal)
+          val groups = merges.groupBy { mp =>
+            val covered = coveredEntries(mp.name).getOrElse(st.entries).toSet
+            st.entries.filterNot(covered)
+          }.filter(_._1.nonEmpty).toSeq
+          if (groups.isEmpty) None else Some((st, groups))
+        }
       }
-      if (compactEvery > 0 && deltaGens().size >= compactEvery) compact(spark)
+      snap.foreach { case (st, groups) =>
+        val entrySet = st.entries.toSet
+        var gens = st.gens
+        groups.foreach { case (pending, mps) =>
+          val gen = genId(pending)
+          val pendingSet = pending.toSet
+          val coveredSet = entrySet -- pendingSet
+          // exclude: committed gens not fully covered by this group
+          // (additive gens of the pending appends, and — in crash-skew
+          // replays — an already-committed catch-up gen of a piece that
+          // got ahead) + the gen being written
+          val exclude = gens.filter(g => genEntries(g) match {
+            case Some(es) => !es.forall(coveredSet)
+            case None => false // legacy gen: predates lazy mode, covered
+          }) + gen
+          val corpusRoot = Paths.get(corpusPath)
+          val newFiles = pending.map(e =>
+            corpusRoot.resolve(e.split('|').head).toString)
+          val newDocs = spark.read.parquet(newFiles: _*)
+          val seq = coveredSet.size.toLong
+          val ctx = new AdvanceCtx(spark, newDocs, view(spark, exclude))
+          IncrementalDocArtifact.registerInFlight(rootKey, gen)
+          try {
+            writeGenEntries(gen, pending)
+            mps.foreach(mp => writeDelta(
+              mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
+            onAdvanceDone(ctx)
+            val committed = lock.synchronized {
+              val cur = readLedger()
+              val ok = cur.baseVersions == st.baseVersions &&
+                st.entries.forall(cur.entries.toSet)
+              if (ok) {
+                gens = cur.gens + gen
+                writeLedger(cur.entries, gens)
+                mps.foreach(mp => writeCovered(mp.name, st.entries))
+              }
+              ok
+            }
+            if (!committed) {
+              // a rebuild (or a fold racing an explicit compact) moved
+              // the state this advance read — its rows describe a world
+              // that no longer exists; drop them and let the next read
+              // catch up against the new state
+              mps.foreach(mp =>
+                deleteTree(deltaDir(mp.name).resolve("_gen=" + gen)))
+              Files.deleteIfExists(genEntriesPath(gen))
+              return
+            }
+          } finally IncrementalDocArtifact.unregisterInFlight(rootKey, gen)
+        }
+      }
     }
 
-    /** Fold every delta generation into the base snapshots. CRASH
-      * ATOMIC: the list of folded gens is written INSIDE the staged
-      * base version, so it publishes in the same atomic pointer flip
-      * as the folded data — a crash at any point leaves either the old
-      * state (pointer unflipped, deltas live) or the new state
+    /** Fold every COMMITTED delta generation into the base snapshots.
+      * CRASH ATOMIC: the list of folded gens is written INSIDE the
+      * staged base version, so it publishes in the same atomic pointer
+      * flip as the folded data — a crash at any point leaves either
+      * the old state (pointer unflipped, deltas live) or the new state
       * (pointer flipped, absorbed gens dead by marker even if their
       * directories survive). Physical deletion of absorbed gens is
       * garbage collection, re-attempted at the start of every
       * compaction. Lazy merges catch up FIRST: folding an additive
       * generation a merge piece has not reflected would break the
       * gen-level exclusion its catch-up views need.
+      *
+      * The fold jobs (the expensive part) stage OFF the mutation lock
+      * against a SNAPSHOT of the committed generations: concurrent
+      * ticks and serves proceed against base + live gens throughout.
+      * The commit window re-takes the lock, verifies no rebuild (or
+      * racing fold) moved the base pointers since the snapshot —
+      * aborting the staged versions if one did — then flips every
+      * pointer and re-commits the ledger footer. Generations committed
+      * DURING the fold simply stay live: they are not in any
+      * `_folded_gens` marker, so the post-commit reads serve
+      * newBase ∪ remaining-gens, exactly a fold that never saw them.
       */
-    def compact(spark: SparkSession): Unit = synchronized {
+    def compact(spark: SparkSession): Unit = mlock.synchronized {
       if (lazyMerges) catchUpMerges(spark)
-      // GC: directories a previous compaction absorbed but failed to
-      // delete (they are dead by marker; remove before the marker is
-      // superseded, or they would resurface as live gens)
-      allNames.foreach { n =>
-        foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+      // phase 1 (locked, short): sweep crash debris, GC absorbed
+      // directories a previous compaction failed to delete (they are
+      // dead by marker; remove before the marker is superseded, or
+      // they would resurface as live gens), snapshot what to fold
+      val snap = lock.synchronized {
+        val st0 = readLedger()
+        dropUncommittedGens(st0)
+        allNames.foreach { n =>
+          foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+        }
+        val allowed = committedOf(st0)
+        val byPiece = allNames.map(n =>
+          n -> liveGens(n, Set.empty, allowed)).toMap
+        if (byPiece.valuesIterator.forall(_.isEmpty)) None
+        else Some((byPiece, baseMarkers()))
       }
-      if (deltaGens().isEmpty) return
-      def foldInto(io: ParquetTableIO, df: DataFrame, folded: Seq[String]): Unit = {
-        val staged = io.stage()
-        df.write.mode("overwrite").parquet(staged.vDir.toString)
-        Files.writeString(staged.vDir.resolve("_folded_gens"),
-          folded.mkString("\n"))
-        io.commitStaged(staged)
-      }
-      pieces.foreach { p =>
-        val gens = gensOf(p.name)
-        val merged = readPiece(spark, p.name, Set.empty)
-        foldInto(baseIO(p.name), p.fold.map(_(merged)).getOrElse(merged), gens)
-      }
-      merges.foreach { mp =>
-        foldInto(baseIO(mp.name), readMergeResolved(spark, mp, Set.empty),
-          gensOf(mp.name))
-      }
-      // tidy path; a crash here is covered by the marker + next GC
-      allNames.foreach { n =>
-        foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
-      }
-      // base versions changed under the committed ledger — re-commit
-      // the footer, pruning gens no longer live anywhere (their data
-      // is folded; their directories are dead by marker and the next
-      // sweep GCs them). A crash before this rename heals by full
-      // rebuild on the next reconcile.
-      val st = readLedger()
-      if (st.entries.nonEmpty) {
-        val live = deltaGens().map(_.stripPrefix("_gen=")).toSet
-        writeLedger(st.entries, st.gens.intersect(live))
-        st.gens.diff(live).foreach(g => Files.deleteIfExists(genEntriesPath(g)))
+      snap.foreach { case (byPiece, markers0) =>
+        // phase 2 (unlocked): stage the folded snapshots — reads pin
+        // to exactly the snapshot gens, so concurrent commits cannot
+        // leak into the fold
+        def stageFold(io: ParquetTableIO, df: DataFrame,
+            folded: Seq[String]): (() => Unit, () => Unit) = {
+          val staged = io.stage()
+          df.write.mode("overwrite").parquet(staged.vDir.toString)
+          Files.writeString(staged.vDir.resolve("_folded_gens"),
+            folded.mkString("\n"))
+          (() => io.commitStaged(staged), () => io.abortStaged(staged))
+        }
+        val stagedPieces = pieces.map { p =>
+          val gens = byPiece(p.name)
+          val merged = readPieceGens(spark, p.name, gens)
+          stageFold(baseIO(p.name),
+            p.fold.map(_(merged)).getOrElse(merged), gens)
+        } ++ merges.map { mp =>
+          stageFold(baseIO(mp.name),
+            readMergeGens(spark, mp, byPiece(mp.name)), byPiece(mp.name))
+        }
+        // phase 3 (locked, short): verify, flip, GC, re-commit footer
+        lock.synchronized {
+          if (baseMarkers() != markers0) {
+            // a rebuild (or a racing fold) republished some base since
+            // the snapshot — the staged versions describe a dead state
+            stagedPieces.foreach { case (_, abort) => abort() }
+          } else {
+            stagedPieces.foreach { case (commit, _) => commit() }
+            // tidy path; a crash here is covered by marker + next GC
+            allNames.foreach { n =>
+              foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+            }
+            // base versions changed under the committed ledger —
+            // re-commit the footer, pruning gens no longer live
+            // anywhere (their data is folded; their directories are
+            // dead by marker and the next sweep GCs them). A crash
+            // before this rename heals by full rebuild on the next
+            // reconcile.
+            val st = readLedger()
+            if (st.entries.nonEmpty) {
+              val live = deltaGens().map(_.stripPrefix("_gen=")).toSet
+              writeLedger(st.entries, st.gens.intersect(live))
+              st.gens.diff(live).foreach(g =>
+                Files.deleteIfExists(genEntriesPath(g)))
+            }
+          }
+        }
       }
     }
 
@@ -597,17 +827,22 @@ object IncrementalDocArtifact {
       * delta generation) — the offline refresh hook of pinned /
       * generation-pinned artifacts (codebooks, pinned-idf features).
       */
-    def rebuild(spark: SparkSession): Unit = synchronized {
+    def rebuild(spark: SparkSession): Unit = {
       val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
       rebuildAll(spark, current)
     }
 
     /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:
-      * the LWW-resolved view, caught up first in lazy mode).
+      * the LWW-resolved view, caught up first in lazy mode — a
+      * catch-up can push the live-gen count past the fold threshold,
+      * so it re-checks the detached trigger).
       */
     def serve(spark: SparkSession, piece: String): DataFrame = {
       reconcile(spark)
-      if (lazyMerges && merges.exists(_.name == piece)) catchUpMerges(spark)
+      if (lazyMerges && merges.exists(_.name == piece)) {
+        catchUpMerges(spark)
+        maybeCompactDetached(spark)
+      }
       view(spark, Set.empty)(piece)
     }
 

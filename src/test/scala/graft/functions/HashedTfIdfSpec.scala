@@ -87,6 +87,18 @@ class HashedTfIdfSpec extends SparkSpec {
       HashedTfIdf.topKCosine(f, qf, k = 10))
   }
 
+  test("a fleet past the gate cap degrades to the naive plan, same answer") {
+    // the driver-collect guard: gateCap=1 with a multi-row query
+    // feature set forces the capped-limit fallback; the result must
+    // equal the naive path exactly
+    val f = HashedTfIdf.sparseFeatures(docs, "doc_id", col("text"), dim = 64)
+    val qf = f.where(col("doc_id") === 1).withColumnRenamed("doc_id", "query_id")
+    assert(qf.count() > 1, "fixture must exceed the test cap")
+    assertSameRows(
+      HashedTfIdf.topKCosinePruned(f, qf, k = 2, gateCap = 1),
+      HashedTfIdf.topKCosine(f, qf, k = 2))
+  }
+
   test("minIdf drops ubiquitous tokens from the postings") {
     val every = Seq(
       (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"))

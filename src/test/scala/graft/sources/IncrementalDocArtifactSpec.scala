@@ -76,6 +76,63 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     deleteTree(Paths.get(sf))
   }
 
+  test("an uncommitted orphan generation is invisible to reads and swept by compact()") {
+    // the crash+revert hole on the maintenance path: an advance
+    // crashed before its ledger commit (orphan delta gen), the corpus
+    // append was reverted — a direct offline compact() must sweep the
+    // orphan, never fold its rows into the base as live
+    val sf = Files.createTempDirectory("graft-engine-orphan").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    handle(corpus).serve(spark, "rows").count() shouldBe 2
+
+    // fabricate the crash debris: a delta generation the ledger never
+    // committed (no #gen entry, no _gens list)
+    val deltaRoot = Paths.get(ArtifactStore.root,
+      ArtifactStore.pathKey(corpus) + "_spec", "rows", "delta")
+    Seq((99L, "poison")).toDF("doc_id", "text")
+      .withColumn("_gen", lit("deadbeefcafe0123"))
+      .write.partitionBy("_gen").mode("append").parquet(deltaRoot.toString)
+    Files.exists(deltaRoot.resolve("_gen=deadbeefcafe0123")) shouldBe true
+
+    // committed-only reads: the orphan is invisible even BEFORE any
+    // sweep runs
+    handle(corpus).serve(spark, "rows").count() shouldBe 2
+
+    // the offline maintenance path sweeps it instead of folding it
+    handle(corpus).compact(spark)
+    Files.exists(deltaRoot.resolve("_gen=deadbeefcafe0123")) shouldBe false
+    handle(corpus).serve(spark, "rows")
+      .as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "one"), (2L, "two"))
+    deleteTree(Paths.get(sf))
+  }
+
+  test("auto-compaction is detached: the tick returns, awaitMaintenance folds") {
+    val sf = Files.createTempDirectory("graft-engine-detached").toString
+    val corpus = s"$sf/documents.parquet"
+    def h = IncrementalDocArtifact(corpus, "spec",
+      Seq(Piece("rows", (docs, _) => docs)), compactEvery = 3)
+    Seq((1L, "one")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    h.serve(spark, "rows").count() shouldBe 1
+    for (i <- 2 to 4) {
+      Seq((i.toLong, s"doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(corpus)
+      // the serve (tick) returns without waiting on any fold; values
+      // are correct throughout
+      h.serve(spark, "rows").count() shouldBe i
+    }
+    // third append crossed compactEvery=3 — the fold was scheduled
+    // detached; joining it must leave zero live generations and the
+    // same served rows
+    h.awaitMaintenance()
+    h.deltaGens() shouldBe empty
+    h.serve(spark, "rows").as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "one"), (2L, "doc2"), (3L, "doc3"), (4L, "doc4"))
+    deleteTree(Paths.get(sf))
+  }
+
   test("a fresh gen after compaction is live even with the marker present") {
     val sf = Files.createTempDirectory("graft-engine-fresh").toString
     val corpus = s"$sf/documents.parquet"
