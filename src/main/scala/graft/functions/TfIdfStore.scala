@@ -128,6 +128,28 @@ object TfIdfStore {
       Piece("nparts",
         (docs, _) => docs.agg(count(lit(1)).as("n_docs")),
         fold = Some(_.agg(sum("n_docs").as("n_docs")))),
+      // drift ledger: one (tok, tfsum, idfp) row per generation-token,
+      // where idfp is the PINNED idf this generation's feats were
+      // weighted with (the pre-increment fold — same inputs featsOf
+      // reads) and tfsum the generation's total tf of the token. The
+      // artifact-only drift bound in [[driftBound]] folds these
+      // against the always-current df/N — no corpus read. Identity
+      // fold: rows from different generations carry different pinned
+      // idfs and must stay separate. Size ≤ the feats piece (one row
+      // per gen-token vs one per doc-bucket).
+      Piece("driftparts",
+        (docs, ctx) => {
+          val dfreq = ctx.stored("dfparts").groupBy("tok")
+            .agg(sum("df").as("df"))
+          val n = ctx.stored("nparts")
+            .agg(sum("n_docs").cast("double").as("n_docs"))
+          val idfp = log((col("n_docs") + 1d)
+            / (coalesce(col("df"), lit(0L)) + 1d)) + 1d
+          tfOf(docs).groupBy("tok").agg(sum("tf").as("tfsum"))
+            .join(dfreq, Seq("tok"), "left")
+            .crossJoin(broadcast(n))
+            .select(col("tok"), col("tfsum"), idfp.as("idfp"))
+        }),
       Piece("feats",
         (docs, ctx) => byBucket(featsOf(docs, ctx, dim)),
         fold = Some(byBucket)),
@@ -203,11 +225,61 @@ object TfIdfStore {
     nd.crossJoin(broadcast(fr))
   }
 
-  /** Pinned-idf drift: max and mean absolute weight delta between the
-    * stored features and a fresh-stats vectorization of the same
-    * corpus, per the current df/N folds. Zero right after a rebuild;
-    * grows as appends shift df/N away from each generation's pinned
-    * snapshot. Read it to schedule [[refresh]].
+  /** ARTIFACT-ONLY drift bound — the check that decides whether to
+    * re-vectorize must not itself re-vectorize. Per (doc, bucket)
+    * cell, |w_now − w_stored| = |Σ_{t→b} s_t·tf·(idf_now − idf_g)|
+    * ≤ Σ_{t→b} tf·|idf_now − idf_g| (triangle inequality: the signed
+    * collision sum can only cancel), so
+    *
+    *   mean |Δw| ≤ ( Σ_gens Σ_tok tfsum_g(t)·|idf_now(t) − idfp_g(t)| )
+    *               / feat_rows
+    *
+    * where every factor is a stored piece: the pinned (tok, tfsum,
+    * idfp) per-generation ledger (`driftparts`), the always-current
+    * df/N folds, and the feats row count from `ceilparts`. Columns:
+    * (bound_mean_abs_dw, drift_mass). The bound dominates the exact
+    * [[driftReport]] mean — so a threshold gate on it fires whenever
+    * the exact report would — and is 0 right after a rebuild (every
+    * pinned idf equals the fresh one). Cost: O(|vocab|·gens) stored
+    * rows, independent of corpus size — the same check-cost contract
+    * as `VectorIndexStore.qerr`.
+    */
+  def driftBound(spark: SparkSession, sfDir: String, dim: Int = 1024): DataFrame = {
+    val dp = serve(spark, sfDir, "driftparts", dim)
+    val dfreq = serve(spark, sfDir, "dfparts", dim)
+      .groupBy("tok").agg(sum("df").as("df"))
+    val n = serve(spark, sfDir, "nparts", dim)
+      .agg(sum("n_docs").cast("double").as("n_docs"))
+    val featRows = serve(spark, sfDir, "ceilparts", dim)
+      .agg(sum("cnt").cast("double").as("feat_rows"))
+    val idfNow = log((col("n_docs") + 1d)
+      / (coalesce(col("df"), lit(0L)) + 1d)) + 1d
+    dp.join(dfreq, Seq("tok"), "left")
+      .crossJoin(broadcast(n))
+      .select((col("tfsum") * abs(idfNow - col("idfp"))).as("m"))
+      .agg(sum("m").as("drift_mass"))
+      .crossJoin(broadcast(featRows))
+      // + 1e-4: stored weights are ROUNDED to 4 decimals, so the
+      // exact report's per-cell |Δw| (a difference of two rounded
+      // values) can exceed the unrounded triangle bound by one
+      // rounding grid step — add it so domination is rigorous. Mass
+      // exactly 0 needs no slack: every pinned idf equals the current
+      // one, so stored and fresh weights are bit-identical.
+      .select(
+        round(when(col("drift_mass") > 0d,
+            col("drift_mass") / greatest(col("feat_rows"), lit(1d)) + 1e-4)
+          .otherwise(0d), 6).as("bound_mean_abs_dw"),
+        round(col("drift_mass"), 4).as("drift_mass"))
+  }
+
+  /** EXACT pinned-idf drift — the offline auditor: max and mean
+    * absolute weight delta between the stored features and a
+    * fresh-stats vectorization of the same corpus, per the current
+    * df/N folds. Zero right after a rebuild; grows as appends shift
+    * df/N away from each generation's pinned snapshot. NOTE: this
+    * re-vectorizes the whole corpus (that is what it compares
+    * against) — the maintenance gate reads [[driftBound]] instead,
+    * which needs only stored pieces.
     */
   def driftReport(spark: SparkSession, sfDir: String, dim: Int = 1024): DataFrame = {
     val stored = features(spark, sfDir, dim)
@@ -228,20 +300,19 @@ object TfIdfStore {
   def refresh(spark: SparkSession, corpusPath: String, dim: Int = 1024): Unit =
     handle(corpusPath, dim).rebuild(spark)
 
-  /** [[refresh]] when the measured pinned-idf drift exceeds
-    * `maxMeanAbsDw` (mean absolute weight delta vs a fresh-stats
-    * vectorization — [[driftReport]]'s second column). The
-    * `VectorIndexStore.retrainIfDrifted` cadence hook for the sparse
-    * feature store: schedule it after large appends and the pinned
-    * contract stays bounded without manual supervision. Returns
-    * whether a refresh ran. NOTE: the drift measurement itself
-    * re-vectorizes (that is what it compares against) — run it at
-    * maintenance cadence, not per query.
+  /** [[refresh]] when the ARTIFACT-ONLY drift bound exceeds
+    * `maxMeanAbsDw` ([[driftBound]]'s first column — an upper bound
+    * on the exact mean |Δw|, so this fires whenever a gate on the
+    * exact [[driftReport]] would, at a check cost independent of
+    * corpus size). The `VectorIndexStore.retrainIfDrifted` cadence
+    * hook for the sparse feature store: schedule it after large
+    * appends and the pinned contract stays bounded without manual
+    * supervision. Returns whether a refresh ran.
     */
   def refreshIfDrifted(spark: SparkSession, sfDir: String,
       maxMeanAbsDw: Double, dim: Int = 1024): Boolean = {
     val drifted =
-      driftReport(spark, sfDir, dim).head.getDouble(1) > maxMeanAbsDw
+      driftBound(spark, sfDir, dim).head.getDouble(0) > maxMeanAbsDw
     if (drifted) refresh(spark, s"$sfDir/documents.parquet", dim)
     drifted
   }

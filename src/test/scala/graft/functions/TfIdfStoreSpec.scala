@@ -130,6 +130,41 @@ class TfIdfStoreSpec extends SparkSpec {
     assert(TfIdfStore.driftReport(spark, sf).head.getDouble(0) === 0.0)
   }
 
+  test("artifact-only drift bound dominates the exact report; its plan scans no corpus") {
+    val (sf, corpus) = newCorpus("drift")
+    writeDocs(corpus, "overwrite", docsA: _*)
+    // fresh build: pinned idf == current idf, bound exactly zero
+    TfIdfStore.driftBound(spark, sf).head.getDouble(0) shouldBe 0.0
+    // shifted append: heavy repeats of shared tokens move df/N hard
+    writeDocs(corpus, "append",
+      6L -> "quick quick quick spark spark fox fox fox planning",
+      7L -> "quick fox quick fox quick fox spark spark spark",
+      8L -> "fox fox fox quick quick spark planning planning")
+    val exact = TfIdfStore.driftReport(spark, sf).head.getDouble(1)
+    val bound = TfIdfStore.driftBound(spark, sf).head.getDouble(0)
+    assert(exact > 0.0, "fixture must actually drift")
+    assert(bound >= exact,
+      s"bound $bound must dominate the exact mean $exact")
+    // the check that guards a corpus-sized job must not run one: every
+    // scan in the bound's plan is under the artifact root
+    val scans = TfIdfStore.driftBound(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    assert(scans.nonEmpty)
+    scans.foreach(p => assert(p.contains(ArtifactStore.root),
+      s"drift check scans outside the store: $p"))
+    // the gate fires on the bound wherever the exact report would
+    // (bound >= exact), and a refresh zeroes it again
+    assert(TfIdfStore.refreshIfDrifted(spark, sf, maxMeanAbsDw = exact / 2))
+    TfIdfStore.driftBound(spark, sf).head.getDouble(0) shouldBe 0.0
+  }
+
   test("pruned retrieval over stored norms/ceilings/stats equals naive exactly") {
     val (sf, corpus) = newCorpus("retr")
     writeDocs(corpus, "overwrite", docsA: _*)
