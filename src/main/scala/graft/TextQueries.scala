@@ -1388,6 +1388,29 @@ object TextQueries {
           SketchStore.Depth, SketchStore.Width)
         .select(col("term"), col("cms_count"))
         .orderBy("term")
+    },
+
+    // ADAPTIVE-width stored CountMin: c11 with the width sized from
+    // the stored exact vocabulary (t32's artifact) instead of a fixed
+    // constant — §9.21 measured fixed width-512 drowning in collision
+    // mass at 50 k vocab; next-pow2(4·|vocab|) keeps the estimate
+    // inside CMS theory's e/width band at any corpus. The width rides
+    // the artifact key, so differently-sized sketches coexist and
+    // mixed-width partials can never fold. The oracle re-derives the
+    // width from the corpus with the same integer pow2 ladder, then
+    // the full cell/estimate chain at that width.
+    GraftQuery(
+      "c12_adaptive_cms",
+      cmsAdaptiveEstCtes +
+        """
+          |SELECT term, cms_count FROM est ORDER BY term""".stripMargin) {
+      (s, dir) =>
+      import graft.sketch.{CountMin, SketchStore}
+      val (sk, w) = SketchStore.cmsAdaptive(s, dir, "documents")
+      val probeDf = s.createDataFrame(cmsProbes.map(Tuple1.apply)).toDF("term")
+      CountMin.estimate(sk, probeDf, "term", SketchStore.Depth, w)
+        .select(col("term"), col("cms_count"))
+        .orderBy("term")
     }
   )
 
@@ -1507,18 +1530,21 @@ object TextQueries {
     * definition so the two verifications can never silently
     * de-synchronize (the bm25IndexCte discipline).
     */
-  private def cmsCellSql(e: String, d: Int): String = {
+  private def cmsCellSql(e: String, d: Int,
+      widthSql: String = graft.sketch.SketchStore.Width.toString): String = {
     val P = MinHashLSH.P
     val (a, b, c) = MinHashLSH.hashParams(d)
     s"((($a * (('0x' || substr(md5($e), 1, 15))::BIGINT % $P) % $P" +
       s" + $b * (('0x' || substr(md5($e), 16, 15))::BIGINT % $P) % $P" +
-      s" + $c) % $P) % ${graft.sketch.SketchStore.Width})"
+      s" + $c) % $P) % $widthSql)"
   }
 
-  private def cmsDepthCells(src: String, withCnt: Boolean): String =
+  private def cmsDepthCells(src: String, withCnt: Boolean,
+      widthSql: String = graft.sketch.SketchStore.Width.toString,
+      extraFrom: String = ""): String =
     (0 until graft.sketch.SketchStore.Depth).map(d =>
       s"SELECT term${if (withCnt) ", cnt" else ""}, $d AS d, " +
-        s"${cmsCellSql("term", d)} AS cell FROM $src")
+        s"${cmsCellSql("term", d, widthSql)} AS cell FROM $src$extraFrom")
       .mkString("\n  UNION ALL\n  ")
 
   private lazy val cmsEstCtes: String = {
@@ -1532,6 +1558,39 @@ object TextQueries {
        |probes AS (SELECT unnest($probeList) AS term),
        |pc AS (
        |  ${cmsDepthCells("probes", withCnt = false)}),
+       |est AS (
+       |  SELECT pc.term, min(coalesce(sk.c, 0))::BIGINT AS cms_count
+       |  FROM pc LEFT JOIN sk USING (d, cell) GROUP BY pc.term)""".stripMargin
+  }
+
+  /** c12's oracle: the same estimate chain with the WIDTH derived from
+    * the corpus vocabulary the way `SketchStore.adaptiveCmsWidth`
+    * derives it from the stored artifact — least power of two ≥
+    * 4·|vocab|, floored at the fixed demo width. The pow2 ladder is
+    * re-derived with integer comparisons (generate_series, no log2
+    * floats), so both engines compute the identical width from the
+    * identical corpus.
+    */
+  private lazy val cmsAdaptiveEstCtes: String = {
+    val probeList = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+    val floorW = graft.sketch.SketchStore.Width
+    s"""$normCte,
+       |tok AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
+       |w AS (
+       |  SELECT (SELECT min(p)
+       |          FROM (SELECT CAST(power(2, g) AS BIGINT) AS p
+       |                FROM generate_series(9, 30) t(g)) pp
+       |          WHERE p >= greatest($floorW,
+       |            4 * (SELECT count(DISTINCT term) FROM tok))) AS width),
+       |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |cells AS (
+       |  ${cmsDepthCells("tc", withCnt = true, widthSql = "w.width",
+              extraFrom = ", w")}),
+       |sk AS (SELECT d, cell, sum(cnt)::BIGINT AS c FROM cells GROUP BY d, cell),
+       |probes AS (SELECT unnest($probeList) AS term),
+       |pc AS (
+       |  ${cmsDepthCells("probes", withCnt = false, widthSql = "w.width",
+              extraFrom = ", w")}),
        |est AS (
        |  SELECT pc.term, min(coalesce(sk.c, 0))::BIGINT AS cms_count
        |  FROM pc LEFT JOIN sk USING (d, cell) GROUP BY pc.term)""".stripMargin

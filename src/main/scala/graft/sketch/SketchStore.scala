@@ -110,6 +110,42 @@ object SketchStore {
   def hll(spark: SparkSession, sfDir: String, table: String): DataFrame =
     foldHll(handle(s"$sfDir/$table.parquet").serve(spark, "hll"))
 
+  /** CMS width sized from the STORED exact vocabulary
+    * (`TfIdfStore.docFrequencies` — an artifact scan, never a corpus
+    * job): the least power of two ≥ 4·|vocab|, floored at [[Width]].
+    * §9.21 measured width-512 collision domination at 50 k vocab
+    * (~78 k mass per cell); width ≈ 4·|vocab| keeps expected per-cell
+    * collision mass near N/(4·|vocab|) — inside CMS theory's ε ≈
+    * e/width regime instead of orders beyond it. The pow2 ladder is
+    * integer-exact (no log2 floating point), so the DuckDB oracle
+    * re-derives the same width from the same corpus.
+    */
+  def adaptiveCmsWidth(spark: SparkSession, sfDir: String): Int = {
+    val vocab =
+      graft.functions.TfIdfStore.docFrequencies(spark, sfDir).count()
+    val target = math.max(Width.toLong, 4L * vocab)
+    (9 to 30).map(1 << _).find(_ >= target).getOrElse(1 << 30)
+  }
+
+  /** Stored CountMin at [[adaptiveCmsWidth]], returned with the width
+    * it was built at. The width RIDES THE ARTIFACT KEY
+    * (`cmsw<width>`): partials of different widths can never fold
+    * together, and when vocabulary growth crosses the next power of
+    * two the first serve under the new width builds a fresh artifact
+    * — the retrain analogue, made rare by the pow2 quantization
+    * (appends within the same pow2 band advance the existing sketch
+    * O(new) as usual).
+    */
+  def cmsAdaptive(spark: SparkSession, sfDir: String,
+      table: String): (DataFrame, Int) = {
+    val w = adaptiveCmsWidth(spark, sfDir)
+    val h = IncrementalDocArtifact(s"$sfDir/$table.parquet", s"cmsw$w", Seq(
+      Piece("cms",
+        (docs, _) => CountMin.build(toks(docs), col("term"), Depth, w),
+        fold = Some(foldCms))))
+    (foldCms(h.serve(spark, "cms")), w)
+  }
+
   /** Folded log-histogram (bucket, cnt) of per-document token counts;
     * feed to [[LogHistogram.quantiles]].
     */
