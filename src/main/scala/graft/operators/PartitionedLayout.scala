@@ -1,6 +1,7 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -19,10 +20,23 @@ import graft.sources.ArtifactStore
   * the decade: the dominant cost of a time-ranged query is decided by
   * layout, not by the query plan.
   *
-  * Same idempotence discipline as [[Bucketing.ensureBucketed]]: the
-  * clustered write is the one-time price of the layout, so it is keyed
-  * on a source fingerprint and skipped when current — a repeated
-  * pipeline never rewrites it, a changed source always does.
+  * INCREMENTAL MAINTENANCE (the store discipline applied to layout):
+  * the layout tracks its source's per-file ledger. A pure file APPEND
+  * re-clusters only the NEW files — O(new) — writing their rows into
+  * (usually new) `partCol=` directories; any other source change
+  * rewrites the layout into a fresh versioned data root. Both commit
+  * through ONE atomic manifest rename: the manifest names the data
+  * root and EVERY data file the layout consists of, and reads serve
+  * exactly the manifest's files — so a crash anywhere mid-write
+  * (half-moved increment files, a half-written rebuild root) leaves
+  * the prior manifest serving the prior layout, bit-identically.
+  * Replay is deterministic: increment file names derive from the
+  * appended entry set (a re-run after a crash overwrites its own
+  * debris), and a rebuild's data root is superseded wholesale.
+  *
+  * Single-writer per table per JVM (a JVM-wide per-table lock, same
+  * contract as `IncrementalDocArtifact`); across processes the layout
+  * is single-writer like any table-format committer.
   *
   * Reference analogue: none — the reference re-reads its whole source
   * window every sync (`pyCassElastic.py:199-212`); this is the layout
@@ -30,41 +44,190 @@ import graft.sources.ArtifactStore
   */
 object PartitionedLayout {
 
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    locks.computeIfAbsent(table, _ => new Object)
+
   private def loc(table: String): String =
     s"${ArtifactStore.root}/partitioned/$table"
 
-  /** Write `df` partitioned by `partCol` unless the layout already
-    * matches `fingerprint` (e.g. `ArtifactStore.fingerprint` of the
-    * source path). Returns the layout location. The marker file rides
-    * inside the layout directory (underscore-prefixed, invisible to
-    * the parquet reader), so a partial overwrite can never present as
-    * current.
-    *
-    * Single-writer discipline (same contract as
-    * [[Bucketing.ensureBucketed]]): two sessions racing
-    * `ensurePartitioned` on the same table race mode-overwrite
-    * writes — pipelines share a layout through one writer. Readers
-    * are safe against a CRASHED writer (the marker is written last,
-    * so a torn layout re-registers as stale and rebuilds), not
-    * against a concurrent one; the staged-commit upgrade path is the
-    * `IncrementalDocArtifact` versioned-pointer pattern.
-    */
-  def ensurePartitioned(df: DataFrame, table: String, partCol: String,
-      fingerprint: String): String = {
-    val path = loc(table)
-    val marker = Paths.get(path).resolve("_fingerprint")
-    val fresh = Files.exists(marker) &&
-      Files.readString(marker).trim == fingerprint
-    if (!fresh) {
-      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      Files.writeString(marker, fingerprint)
+  private def manifestPath(table: String): Path =
+    Paths.get(loc(table), "_manifest")
+
+  private final case class Manifest(dataRoot: String, files: Seq[String],
+      entries: Seq[String])
+
+  private def readManifest(table: String): Option[Manifest] = {
+    val p = manifestPath(table)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .filter(_.nonEmpty)
+      val root = lines.collectFirst { case l if l.startsWith("#root:") =>
+        l.stripPrefix("#root:") }
+      root.map(r => Manifest(r,
+        lines.filter(_.startsWith("#file:")).map(_.stripPrefix("#file:")),
+        lines.filterNot(_.startsWith("#"))))
     }
-    path
   }
 
-  /** Read a layout back; the partition column is restored from the
-    * directory names at planning time.
+  /** Atomic-rename manifest commit — THE commit point of every layout
+    * mutation; reads resolve exactly what it names.
     */
-  def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(loc(table))
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(loc(table)))
+    val tmp = manifestPath(table).resolveSibling("_manifest.tmp")
+    Files.writeString(tmp,
+      (Seq("#root:" + m.dataRoot) ++ m.files.sorted.map("#file:" + _) ++
+        m.entries).mkString("\n"))
+    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def genId(newEntries: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    newEntries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Cluster `derive(source)` under `partCol=` directories, maintained
+    * INCREMENTALLY against the source's file ledger:
+    *
+    *  - ledger unchanged → serve as-is (zero work — the idempotent
+    *    repeated-pipeline case);
+    *  - pure file append → re-cluster ONLY the new files into the
+    *    live data root (new files under the affected `partCol=` dirs;
+    *    existing files byte-untouched), commit by manifest rename;
+    *  - anything else → full rewrite into a fresh versioned data root,
+    *    committed by the same rename (the old root is GC'd after).
+    *
+    * Returns the layout table name for [[read]].
+    */
+  def ensureIncremental(spark: SparkSession, sourcePath: String,
+      table: String, partCol: String,
+      derive: DataFrame => DataFrame): String = lockFor(table).synchronized {
+    val current = ArtifactStore.entries(sourcePath).filter { e =>
+      val rel = e.substring(0, e.indexOf('|'))
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      !(name.startsWith("_") || name.startsWith("."))
+    }
+    readManifest(table) match {
+      case Some(m) if m.entries == current => table // fresh — serve
+      case Some(m) if m.entries.nonEmpty &&
+          m.entries.forall(current.toSet) &&
+          current.exists(e => !m.entries.toSet(e)) =>
+        appendIncrement(spark, sourcePath, table, partCol, derive, m, current)
+        table
+      case _ =>
+        fullRewrite(spark, sourcePath, table, partCol, derive, current)
+        table
+    }
+  }
+
+  /** O(new): derive + cluster only the appended files, stage, then
+    * move each staged file to a DETERMINISTIC gen-prefixed name inside
+    * the live data root (a crashed replay first sweeps its own gen's
+    * debris, so re-runs overwrite themselves), and commit the extended
+    * manifest atomically.
+    */
+  private def appendIncrement(spark: SparkSession, sourcePath: String,
+      table: String, partCol: String, derive: DataFrame => DataFrame,
+      m: Manifest, current: Seq[String]): Unit = {
+    val newEntries = current.filterNot(m.entries.toSet)
+    val gen = genId(newEntries)
+    val srcRoot = Paths.get(sourcePath)
+    val newFiles = newEntries.map(e =>
+      srcRoot.resolve(e.split('|').head).toString)
+    val dataRoot = Paths.get(loc(table), m.dataRoot)
+    // replay sweep: files of THIS gen from a crashed prior attempt
+    // (they are invisible to reads — not in the manifest — but their
+    // names must be free for the deterministic re-move)
+    sweepGen(dataRoot, gen)
+    val staging = Paths.get(loc(table), s"_staging_$gen")
+    deleteTree(staging)
+    derive(spark.read.parquet(newFiles: _*))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(staging.toString)
+    // move staged part-files to deterministic names in the live root
+    val moved = scala.collection.mutable.ArrayBuffer[String]()
+    val dirs = Files.list(staging)
+    try dirs.forEach { d =>
+      val dn = d.getFileName.toString
+      if (Files.isDirectory(d) && dn.contains("=")) {
+        val tgt = dataRoot.resolve(dn)
+        Files.createDirectories(tgt)
+        val fs = Files.list(d)
+        val parts =
+          try fs.toArray.toSeq.map(_.asInstanceOf[Path])
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+          finally fs.close()
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val name = f"g$gen-$i%05d.parquet"
+          Files.move(f, tgt.resolve(name),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved += s"$dn/$name"
+        }
+      }
+    } finally dirs.close()
+    deleteTree(staging)
+    writeManifest(table, Manifest(m.dataRoot, m.files ++ moved, current))
+  }
+
+  private def fullRewrite(spark: SparkSession, sourcePath: String,
+      table: String, partCol: String, derive: DataFrame => DataFrame,
+      current: Seq[String]): Unit = {
+    val old = readManifest(table).map(_.dataRoot)
+    val newRoot = "data-" + java.util.UUID.randomUUID().toString.take(8)
+    val dataRoot = Paths.get(loc(table), newRoot)
+    derive(spark.read.parquet(sourcePath))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(dataRoot.toString)
+    val files = {
+      val s = Files.walk(dataRoot)
+      try s.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .toArray.toSeq.map(_.asInstanceOf[Path])
+        .map(f => dataRoot.relativize(f).toString)
+      finally s.close()
+    }
+    writeManifest(table, Manifest(newRoot, files, current))
+    // the superseded root is invisible the instant the rename lands;
+    // its deletion is mere GC
+    old.filterNot(_ == newRoot)
+      .foreach(r => deleteTree(Paths.get(loc(table), r)))
+  }
+
+  private def sweepGen(dataRoot: Path, gen: String): Unit =
+    if (Files.exists(dataRoot)) {
+      val s = Files.walk(dataRoot)
+      try s.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.startsWith(s"g$gen-"))
+        .toArray.toSeq.map(_.asInstanceOf[Path]).foreach(Files.delete)
+      finally s.close()
+    }
+
+  /** Read a layout back — EXACTLY the committed manifest's files (an
+    * orphan from a crashed writer is never listed, so it is never
+    * read); the partition column is restored from the directory names
+    * at planning time, which is what keeps `PartitionFilters` /
+    * dynamic partition pruning operating on the layout.
+    */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val m = readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no layout manifest for $table"))
+    val dataRoot = Paths.get(loc(table), m.dataRoot)
+    spark.read
+      .option("basePath", dataRoot.toString)
+      .parquet(m.files.map(f => dataRoot.resolve(f).toString): _*)
+  }
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

@@ -6,12 +6,38 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** The incrementally-maintained hive layout: directory pruning works
+  * and matches the flat scan, the unchanged-ledger path is zero-work,
+  * an APPEND re-clusters only the new files (old data files
+  * byte-untouched), a crashed half-append stays invisible behind the
+  * manifest (prior layout serves bit-identically) and heals on the
+  * next ensure, and a source rewrite re-lays out wholesale.
+  */
 class PartitionedLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  private def newSource(tag: String): String =
+    Files.createTempDirectory(s"graft-playout-$tag")
+      .resolve("src.parquet").toString
+
+  import scala.jdk.CollectionConverters._
+  private def stamp(root: String): Map[String, Long] = {
+    val st = Files.walk(Paths.get(root))
+    try st.iterator().asScala.filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    finally st.close()
+  }
+
+  private def layoutRoot(table: String): String =
+    s"${graft.sources.ArtifactStore.root}/partitioned/$table"
+
   test("predicate on the partition column prunes directories; values equal the flat scan") {
+    val src = newSource("prune")
     val df = (1L to 3000L).map(i => (i % 10, i, s"v$i")).toDF("pk", "id", "v")
-    PartitionedLayout.ensurePartitioned(df, "pspec_prune", "pk", "fp1")
+    df.write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_prune", "pk",
+      identity)
     val q = PartitionedLayout.read(spark, "pspec_prune")
       .where(col("pk") === 3 || col("pk") === 7)
     q.collect()
@@ -25,24 +51,86 @@ class PartitionedLayoutSpec extends SparkSpec {
       df.where(col("pk") === 3 || col("pk") === 7))
   }
 
-  test("ensurePartitioned is idempotent per fingerprint and rewrites on change") {
-    val df = (1L to 100L).map(i => (i % 4, i)).toDF("pk", "id")
-    val loc = PartitionedLayout.ensurePartitioned(df, "pspec_idem", "pk", "fpA")
-    import scala.jdk.CollectionConverters._
-    def stamp(): Map[String, Long] = {
-      val st = Files.walk(Paths.get(loc))
-      try st.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
-      finally st.close()
+  test("unchanged ledger is zero-work; append re-clusters ONLY the new files") {
+    val src = newSource("inc")
+    (1L to 100L).map(i => (i % 4, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_inc", "pk",
+      identity)
+    val before = stamp(layoutRoot("pspec_inc"))
+    // unchanged: nothing rewritten, byte-identical layout
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_inc", "pk",
+      identity)
+    assert(stamp(layoutRoot("pspec_inc")) === before,
+      "reuse path rewrote layout files")
+    // append rows for existing pk=0 and a brand-new pk=99
+    (1L to 20L).map(i => (if (i <= 10) 0L else 99L, i + 1000L))
+      .toDF("pk", "id").coalesce(1).write.mode("append").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_inc", "pk",
+      identity)
+    val after = stamp(layoutRoot("pspec_inc"))
+    // every pre-existing data file byte-untouched: the increment only
+    // ADDED files (to pk=0 and the new pk=99 directory)
+    before.foreach { case (f, t) =>
+      assert(after.contains(f) && after(f) == t, s"append rewrote $f")
     }
-    val before = stamp()
-    // same fingerprint: nothing rewritten, byte-identical layout
-    PartitionedLayout.ensurePartitioned(df, "pspec_idem", "pk", "fpA")
-    assert(stamp() === before, "reuse path rewrote layout files")
-    // changed fingerprint: the layout rebuilds and serves the new rows
-    val df2 = (1L to 50L).map(i => (i % 4, i + 1000)).toDF("pk", "id")
-    PartitionedLayout.ensurePartitioned(df2, "pspec_idem", "pk", "fpB")
+    assert(after.keys.exists(_.contains("pk=99")), "new partition dir missing")
     assertSameRows(
-      PartitionedLayout.read(spark, "pspec_idem").select("pk", "id"), df2)
+      PartitionedLayout.read(spark, "pspec_inc").select("pk", "id"),
+      spark.read.parquet(src).select("pk", "id"))
+  }
+
+  private def readDataRoot(table: String): String = {
+    val lines = Files.readAllLines(
+      Paths.get(layoutRoot(table), "_manifest")).asScala
+    lines.find(_.startsWith("#root:")).get.stripPrefix("#root:")
+  }
+
+  test("a crashed half-append is invisible; the next ensure heals it") {
+    val src = newSource("crash")
+    (1L to 60L).map(i => (i % 3, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_crash", "pk",
+      identity)
+    val served = PartitionedLayout.read(spark, "pspec_crash")
+      .select("pk", "id").collect().map(_.toSeq).toSet
+    // fabricate crash debris: a parquet file inside the live data root
+    // that no manifest names (a mid-move crash of an increment)
+    val dataRoot = Paths.get(layoutRoot("pspec_crash"), readDataRoot("pspec_crash"))
+    val orphanDir = dataRoot.resolve("pk=7")
+    Seq((7L, 777L)).toDF("pk", "id").drop("pk")
+      .coalesce(1).write.parquet(orphanDir.resolveSibling("_tmp_orphan").toString)
+    val tmp = Files.walk(orphanDir.resolveSibling("_tmp_orphan"))
+    val pf =
+      try tmp.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally tmp.close()
+    Files.createDirectories(orphanDir)
+    Files.copy(pf, orphanDir.resolve("gdeadbeef-00000.parquet"))
+    // the orphan is NOT served: reads resolve exactly the manifest
+    assert(PartitionedLayout.read(spark, "pspec_crash")
+      .select("pk", "id").collect().map(_.toSeq).toSet === served)
+    // and a real append afterwards still lands correctly
+    Seq((7L, 7000L)).toDF("pk", "id")
+      .coalesce(1).write.mode("append").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_crash", "pk",
+      identity)
+    assertSameRows(
+      PartitionedLayout.read(spark, "pspec_crash").select("pk", "id"),
+      spark.read.parquet(src).select("pk", "id"))
+  }
+
+  test("a source rewrite re-lays out wholesale and serves the new rows") {
+    val src = newSource("rw")
+    (1L to 100L).map(i => (i % 4, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_rw", "pk",
+      identity)
+    val df2 = (1L to 50L).map(i => (i % 4, i + 1000L)).toDF("pk", "id")
+    df2.coalesce(1).write.mode("overwrite").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_rw", "pk",
+      identity)
+    assertSameRows(
+      PartitionedLayout.read(spark, "pspec_rw").select("pk", "id"), df2)
   }
 }
