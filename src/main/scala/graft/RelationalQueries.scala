@@ -2204,24 +2204,166 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice")
           * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q2 shape — a correlated MIN whose correlation reaches
+    // through a JOIN CHAIN (lineitem→supplier→nation→region): the
+    // cheapest regional offer per part, ties included. Spark-first
+    // decorrelation: the region-filtered supplier set collapses to a
+    // broadcast BEFORE touching the fact (no correlation ever
+    // executes per-row), the regional per-part minimum is ONE
+    // aggregate over the eligible offers, and membership is an
+    // equi-join on (partkey, min) — the offer view is checkpointed so
+    // the fact is scanned once. Unit price folds in integer cents
+    // (floor of the same double expression both engines evaluate
+    // identically), so =min is exact.
+    GraftQuery(
+      "q62_regional_min_offer",
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(min(floor(l_extendedprice * 100 / l_quantity)) AS BIGINT)
+        |      AS unit_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_name, n_name, o.unit_cents
+        |FROM part, offer o, supplier, nation, region
+        |WHERE p_partkey = o.l_partkey AND s_suppkey = o.l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size <= 5
+        |  AND o.unit_cents = (
+        |    SELECT min(o2.unit_cents)
+        |    FROM offer o2, supplier s2, nation n2, region r2
+        |    WHERE o2.l_partkey = p_partkey AND o2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_name""".stripMargin) { (s, dir) =>
+      // region-filtered supplier chain: a tiny broadcast, built once
+      val rs = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region")
+          .where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val offer = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(floor(col("l_extendedprice") * 100 / col("l_quantity")))
+          .cast("long").as("unit_cents"))
+      val eligible = offer
+        .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+        .localCheckpoint() // one fact scan; reused for min + membership
+      val regionalMin = eligible.groupBy("l_partkey")
+        .agg(min("unit_cents").as("mc"))
+      eligible
+        .join(regionalMin, "l_partkey")
+        .where(col("unit_cents") === col("mc"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .where(col("p_size") <= 5).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "s_name", "n_name", "unit_cents")
+        .orderBy("p_partkey", "s_name")
+    },
+
+    // TPC-H Q11 shape — HAVING against a GLOBAL-SHARE scalar: parts
+    // whose value (held by one nation's suppliers) exceeds a fraction
+    // of the nation's total. Spark-first: the per-part value view is
+    // checkpointed (one fact scan), its global total re-enters as a
+    // broadcast 1-row aggregate — never a driver collect, never a
+    // partition-less window. Values fold as integer cents inside a
+    // double sum (exact: every partial is an integer < 2^53, so
+    // summation order cannot matter), making the share threshold
+    // deterministic across engines.
+    GraftQuery(
+      "q63_value_share",
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(floor(l_extendedprice * l_quantity * 100 + 0.5)) AS BIGINT)
+        |      AS val_cents
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_2'
+        |  GROUP BY 1)
+        |SELECT l_partkey, val_cents FROM v
+        |WHERE val_cents > (SELECT sum(val_cents) * 0.002 FROM v)
+        |ORDER BY val_cents DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val ns = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation")
+          .where(col("n_name") === "NATION_2"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = Tables.load(s, dir, "lineitem")
+        .join(broadcast(ns), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(floor(col("l_extendedprice") * col("l_quantity") * 100
+          + 0.5)).as("val_cents"))
+        .localCheckpoint()
+      v.crossJoin(broadcast(v.agg((sum("val_cents") * 0.002).as("thr"))))
+        .where(col("val_cents") > col("thr"))
+        .select("l_partkey", "val_cents")
+        .orderBy(col("val_cents").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q20 shape — IN over a per-key aggregate nested inside a
+    // semi-join chain, with a correlated scalar in the HAVING: the
+    // suppliers of one nation who dominate (>12% of total shipped
+    // quantity) some PROMO part. Spark-first decorrelation: the inner
+    // correlated total becomes a per-part aggregate joined back (one
+    // extra fact aggregate, zero per-row subplans), the part filter
+    // broadcasts into the fact BEFORE the per-(part,supplier)
+    // aggregate, and the IN becomes a LEFT SEMI join against the
+    // qualifying-supplier set.
+    GraftQuery(
+      "q64_dominant_supplier",
+      """SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_19'
+        |  AND s_suppkey IN (
+        |    SELECT l.l_suppkey
+        |    FROM lineitem l, part
+        |    WHERE p_partkey = l.l_partkey AND p_type = 'PROMO'
+        |    GROUP BY l.l_suppkey, l.l_partkey
+        |    HAVING sum(l.l_quantity) > 0.12 * (
+        |      SELECT sum(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      val promo = Tables.load(s, dir, "part")
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val supQty = li
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("sup_qty"))
+      // the correlated scalar, decorrelated: per-part total over ALL
+      // lineitem (the inner subquery is not part-type filtered)
+      val totQty = li.groupBy("l_partkey")
+        .agg((sum("l_quantity") * 0.12).as("thr"))
+      val qual = supQty.join(totQty, "l_partkey")
+        .where(col("sup_qty") > col("thr"))
+        .select("l_suppkey").distinct()
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .where(col("n_name") === "NATION_19")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     }
   )
 
-  /** One-time (fingerprint-keyed) hive-partitioned layout of lineitem
-    * by ship month, shared by q55 (static pruning) and q56 (dynamic
-    * pruning); returns the layout table name.
+  /** Incrementally-maintained hive-partitioned layout of lineitem by
+    * ship month, shared by q55 (static pruning) and q56 (dynamic
+    * pruning); returns the layout table name. A lineitem file append
+    * re-clusters ONLY the new files (O(new), usually touching only
+    * the new months' directories); a rewrite re-lays out wholesale —
+    * both behind the manifest's atomic commit.
     */
-  private def ensureLineitemByMonth(s: SparkSession, dir: String): String = {
-    val table = "graft_part_lineitem_month"
-    PartitionedLayout.ensurePartitioned(
-      Tables.load(s, dir, "lineitem")
-        .withColumn("ship_month",
-          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-            .cast("int")),
-      table, "ship_month",
-      graft.sources.ArtifactStore.fingerprint(s"$dir/lineitem.parquet"))
-    table
-  }
+  private def ensureLineitemByMonth(s: SparkSession, dir: String): String =
+    PartitionedLayout.ensureIncremental(s, s"$dir/lineitem.parquet",
+      "graft_part_lineitem_month", "ship_month",
+      _.withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("int")))
 
   /** DuckDB unroll of PageRank.ranks: per iteration one dangling-mass
     * scalar, one contribution aggregate, one rank update — identical
