@@ -2348,6 +2348,73 @@ object RelationalQueries {
         .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16 shape — NOT IN against a subquery: supplier diversity
+    // per (brand, type, size), excluding flagged suppliers. NOT IN is
+    // the one subquery form whose decorrelation is NOT a plain anti
+    // join (a NULL anywhere in the subquery must empty the result):
+    // Catalyst plans the NULL-AWARE anti join — single-key broadcast
+    // variant (plan-pinned) — so this exercises a physical operator
+    // nothing else in the registry reaches. Expressed through Spark
+    // SQL on the parquet files directly: the decorrelation under test
+    // is the OPTIMIZER's, not a hand rewrite.
+    GraftQuery(
+      "q65_supplier_diversity",
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, dir) =>
+      s.sql(
+        s"""SELECT p_brand, p_type, p_size,
+           |  count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM parquet.`$dir/lineitem.parquet`
+           |JOIN parquet.`$dir/part.parquet` ON p_partkey = l_partkey
+           |WHERE p_size IN (1, 5, 9, 13)
+           |  AND l_suppkey NOT IN (
+           |    SELECT s_suppkey FROM parquet.`$dir/supplier.parquet`
+           |    WHERE s_acctbal < 500)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // TPC-H Q19 shape — a DISJUNCTION of per-brand conjunctions
+    // spanning both join sides. The plan question is predicate
+    // decomposition: Catalyst must extract each side's implied
+    // disjunction ((brand, size) terms for part; the quantity range
+    // for lineitem) and push them into the scans, leaving only the
+    // cross-side residual on the joined rows — one scan per table,
+    // Or(...) visible in the part scan's PushedFilters (plan-pinned),
+    // part broadcast.
+    GraftQuery(
+      "q66_disjunctive_promo",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .where(arm("Brand#11", 15, 1, 20) || arm("Brand#22", 10, 10, 30) ||
+          arm("Brand#33", 5, 20, 40))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
     }
   )
 

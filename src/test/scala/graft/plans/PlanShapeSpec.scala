@@ -541,6 +541,26 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct" // 1-row joins go BNLJ
   }
 
+  test("NOT IN plans as a NULL-AWARE anti join, never a per-row subplan") {
+    val p = plan("q65_supplier_diversity")
+    // the one decorrelation that is NOT a plain anti join: a NULL in
+    // the subquery must empty the result, so Catalyst's single-key
+    // broadcast null-aware variant must appear — BroadcastHashJoin's
+    // trailing boolean is its isNullAwareAntiJoin flag
+    p should include("LeftAnti, BuildRight, true")
+    p should not include "CartesianProduct"
+  }
+
+  test("disjunctive predicate decomposes and pushes into both scans") {
+    val p = plan("q66_disjunctive_promo")
+    // each side's implied disjunction reaches its own scan: Or(...)
+    // lands in the part scan's pushed filters; one scan per table
+    p should include regex "PushedFilters: \\[[^\\]]*Or\\("
+    "FileScan".r.findAllIn(p).length shouldBe 2
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
