@@ -261,9 +261,53 @@ object Bench {
       finally if (q != null) q.stop()
     }
 
+    // ingest-tick latency ACROSS FOLD BOUNDARIES: a two-piece screen
+    // store advanced 12 ticks with compactEvery = 4, so three
+    // auto-folds land inside the loop. The r11 detached-compaction
+    // contract is that no tick pays a fold inline — p95 staying near
+    // p50 across the boundaries is what this tracks round-over-round
+    // (§9.29 has the full 24-tick probe).
+    val tickWalls: Seq[Double] = {
+      try {
+        import graft.sources.IncrementalDocArtifact
+        import graft.sources.IncrementalDocArtifact.Piece
+        val base = Files.createTempDirectory("bench_tick")
+        val corpus = base.resolve("docs.parquet").toString
+        def h = IncrementalDocArtifact(corpus, "bt1", Seq(
+          Piece("digest", (docs, _) => docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.md5(col("text")).as("dg"))),
+          Piece("toks", (docs, _) => docs
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+            .groupBy("tok").agg(org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("n")),
+            fold = Some(_.groupBy("tok").agg(
+              org.apache.spark.sql.functions.sum("n").as("n"))))),
+          compactEvery = 4)
+        val B = 8000
+        val walls = (0 until 12).map { b =>
+          spark.range(b.toLong * B, (b + 1).toLong * B)
+            .select(col("id").as("doc_id"),
+              org.apache.spark.sql.functions.concat_ws(" ",
+                (0 until 20).map(i => org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit("w"),
+                  org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.hash(col("id") + i * 7919),
+                    org.apache.spark.sql.functions.lit(4000)))): _*).as("text"))
+            .coalesce(2).write.mode("append").parquet(corpus)
+          val t0 = System.nanoTime()
+          h.serve(spark, "digest").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        h.awaitMaintenance() // quiesce before the next bench block
+        walls.sorted
+      } catch { case NonFatal(_) => Seq.empty[Double] }
+    }
+
     s"""{"lww_rows_per_s":$lww,"lww_batch_p50_s":${ms3(pct(lwwWalls, 0.5))},"lww_batch_p95_s":${ms3(pct(lwwWalls, 0.95))},""" +
       s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))},""" +
       s""""ingest_docs_per_s":$ingest,"ingest_batch_p50_s":${ms3(pct(ingestWalls, 0.5))},"ingest_batch_p95_s":${ms3(pct(ingestWalls, 0.95))},""" +
-      s""""vec_ingest_per_s":$vec,"vec_batch_p50_s":${ms3(pct(vecWalls, 0.5))},"vec_batch_p95_s":${ms3(pct(vecWalls, 0.95))}}"""
+      s""""vec_ingest_per_s":$vec,"vec_batch_p50_s":${ms3(pct(vecWalls, 0.5))},"vec_batch_p95_s":${ms3(pct(vecWalls, 0.95))},""" +
+      s""""tick_p50_s":${ms3(pct(tickWalls, 0.5))},"tick_p95_s":${ms3(pct(tickWalls, 0.95))},"tick_max_s":${ms3(if (tickWalls.isEmpty) -1.0 else tickWalls.last)}}"""
   }
 }

@@ -801,10 +801,14 @@ object IncrementalDocArtifact {
             stagedPieces.foreach { case (_, abort) => abort() }
           } else {
             stagedPieces.foreach { case (commit, _) => commit() }
-            // tidy path; a crash here is covered by marker + next GC
-            allNames.foreach { n =>
-              foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
-            }
+            // absorbed gen directories are NOT deleted here: they are
+            // dead by marker for every NEW listing, but an in-flight
+            // reader (a plan built just before the flip, possibly on
+            // another thread — the fold is detached) may still scan
+            // them against the pre-flip base it resolved. They survive
+            // as a one-fold grace window — the same discipline as the
+            // base pointer's previous-version retention — and the
+            // NEXT compaction's phase-1 sweep garbage-collects them.
             // base versions changed under the committed ledger —
             // re-commit the footer, pruning gens no longer live
             // anywhere (their data is folded; their directories are

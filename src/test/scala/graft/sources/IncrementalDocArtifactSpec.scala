@@ -21,14 +21,6 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     IncrementalDocArtifact(corpus, "spec",
       Seq(Piece("rows", (docs, _) => docs)), compactEvery = 0)
 
-  private def copyTree(src: Path, dst: Path): Unit = {
-    val s = Files.walk(src)
-    try s.forEach { f =>
-      val t = dst.resolve(src.relativize(f))
-      if (Files.isDirectory(f)) Files.createDirectories(t)
-      else { Files.createDirectories(t.getParent); Files.copy(f, t) }
-    } finally s.close()
-  }
 
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
@@ -48,8 +40,6 @@ class IncrementalDocArtifactSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(corpus)
     handle(corpus).serve(spark, "rows").count() shouldBe 3
 
-    // snapshot the live delta gen, compact, then "fail" the deletion
-    // by restoring the absorbed directory
     val deltaDir = Paths.get(ArtifactStore.root,
       ArtifactStore.pathKey(corpus) + "_spec", "rows", "delta")
     val gen = {
@@ -58,18 +48,19 @@ class IncrementalDocArtifactSpec extends SparkSpec {
         .toArray.toSeq.map(_.asInstanceOf[Path]).head
       finally s.close()
     }
-    val stash = Files.createTempDirectory("gen-stash").resolve(gen.getFileName)
-    copyTree(gen, stash)
     handle(corpus).compact(spark)
-    Files.exists(gen) shouldBe false
-    copyTree(stash, gen) // the crashed-delete state
+    // GRACE WINDOW (r11): the absorbed directory survives the fold
+    // that absorbed it — dead by marker for every new listing, but
+    // still scannable by an in-flight reader whose plan resolved the
+    // pre-flip base (folds are detached, so such readers are normal)
+    Files.exists(gen) shouldBe true
 
     // marker kills it: no double count, rows identical
     val served = handle(corpus).serve(spark, "rows")
       .as[(Long, String)].collect().sorted
     served shouldBe Array((1L, "one"), (2L, "two"), (3L, "three"))
 
-    // next compaction garbage-collects the dead directory
+    // the NEXT compaction's sweep garbage-collects the dead directory
     handle(corpus).compact(spark)
     Files.exists(gen) shouldBe false
     handle(corpus).serve(spark, "rows").count() shouldBe 3
