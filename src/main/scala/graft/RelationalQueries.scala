@@ -2415,6 +2415,254 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
           count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q3 shape — shipping-priority top-10: revenue of orders
+    // placed before / shipped after a cut date for one market
+    // segment. Star probe: segment-filtered customers broadcast into
+    // date-filtered orders, both date filters pushed to their scans,
+    // one fact exchange on orderkey, and the ranking is a TopK
+    // (TakeOrderedAndProject), never a global sort.
+    GraftQuery(
+      "q67_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE)::VARCHAR AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, odate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+          .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // TPC-H Q5 shape — LOCAL-supplier revenue by nation: the join
+    // graph has a cycle (customer and supplier must share a nation),
+    // closed here as a post-join equality filter on the two nationkey
+    // columns rather than a second join. Dimension chains broadcast;
+    // the lineitem-orders orderkey join is the one fact-fact exchange.
+    GraftQuery(
+      "q68_local_supplier_volume",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val sn = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q6 shape — the pure filter-aggregate: every predicate is
+    // scan-pushable (date range, discount band, quantity cap), so the
+    // whole query is one pruned columnar scan + a two-phase agg. At
+    // 100 TB this is the query whose cost IS the layout: with q55's
+    // month partitioning the date range never reads excluded months.
+    GraftQuery(
+      "q69_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue_delta"))
+    },
+
+    // TPC-H Q8 shape — market share: one nation's fraction of a
+    // region's import volume per year. The ratio folds in integer
+    // cents (exact at any summation order), so the 6-decimal share is
+    // deterministic across engines; all seven dimension hops broadcast
+    // and the only fact-fact exchange is lineitem-orders.
+    GraftQuery(
+      "q70_market_share",
+      """WITH alln AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS vol_cents,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents
+        |        ELSE 0 END) / sum(vol_cents), 6) AS mkt_share
+        |FROM alln GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val custEur = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val ord = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(custEur), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val suppN = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .where(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("vol_cents", floor(col("l_extendedprice")
+          * (lit(1) - col("l_discount")) * 100 + 0.5))
+        .groupBy("o_year")
+        .agg(round(sum(when(col("supp_nation") === "NATION_7",
+            col("vol_cents")).otherwise(0)) / sum("vol_cents"), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 shape — product profit by supplier nation and year
+    // (the reference schema's supplycost proxied as a fixed fraction
+    // of retail price — the SHAPE is the five-way star with an
+    // arithmetic measure, not the constant). Part filter broadcasts
+    // before the fact; one orderkey exchange.
+    GraftQuery(
+      "q71_product_profit",
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin) { (s, dir) =>
+      val suppN = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .where(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+          .as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    // TPC-H Q12 shape — two-way conditional counts per line status
+    // (the reference's shipmode/commitdate columns are absent from
+    // the generated schema; the SHAPE is the CASE-sum pair over a
+    // priority predicate). Exact integer counts, one orderkey
+    // exchange, both filters pushed.
+    GraftQuery(
+      "q72_priority_lines",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R"
+          && col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 shape — promo revenue ratio for one month: the
+    // numerator is a conditional slice of the denominator, folded in
+    // integer cents so the 4-decimal percentage is exact across
+    // engines. One month of fact (scan-pruned), part broadcast.
+    GraftQuery(
+      "q73_promo_share",
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |    ELSE 0 END)
+        |  / sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)), 4)
+        |    AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, dir) =>
+      val cents = floor(col("l_extendedprice")
+        * (lit(1) - col("l_discount")) * 100 + 0.5)
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", cents)
+            .otherwise(0)) / sum(cents), 4).as("promo_revenue"))
     }
   )
 
