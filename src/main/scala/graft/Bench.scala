@@ -300,6 +300,19 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         h.awaitMaintenance() // quiesce before the next bench block
+        // tidy: the per-run temp corpus keys a unique artifact dir
+        // under the shared index root — drop it so bench runs don't
+        // accumulate dead stores there
+        val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
+          graft.sources.ArtifactStore.pathKey(corpus) + "_bt1")
+        Seq(art, base).foreach { d =>
+          if (java.nio.file.Files.exists(d)) {
+            val s = java.nio.file.Files.walk(d)
+            try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.delete(f))
+            finally s.close()
+          }
+        }
         walls.sorted
       } catch { case NonFatal(_) => Seq.empty[Double] }
     }

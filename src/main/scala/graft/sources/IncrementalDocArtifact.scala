@@ -526,8 +526,18 @@ object IncrementalDocArtifact {
       * sees one consistent committed cut.
       */
     private def view(spark: SparkSession,
-        exclude: Set[String]): String => DataFrame = {
-      val allowed = committedOf(readLedger())
+        exclude: Set[String]): String => DataFrame =
+      viewWith(spark, exclude, committedOf(readLedger()))
+
+    /** [[view]] with the committed cut PINNED by the caller — the
+      * off-lock catch-up must read views against its SNAPSHOT's
+      * committed set: a generation committed by a concurrent append
+      * mid-catch-up must not leak into what is contractually the
+      * piece's PRE-increment view (the builders evaluate these lazily,
+      * possibly long after the snapshot was taken).
+      */
+    private def viewWith(spark: SparkSession, exclude: Set[String],
+        allowed: Option[Set[String]]): String => DataFrame = {
       name =>
         merges.find(_.name == name) match {
           case Some(mp) =>
@@ -698,7 +708,11 @@ object IncrementalDocArtifact {
             corpusRoot.resolve(e.split('|').head).toString)
           val newDocs = spark.read.parquet(newFiles: _*)
           val seq = coveredSet.size.toLong
-          val ctx = new AdvanceCtx(spark, newDocs, view(spark, exclude))
+          // views pinned to the SNAPSHOT's committed cut (st), not the
+          // live ledger: gens committed concurrently with this staging
+          // stay invisible to the pre-increment views
+          val ctx = new AdvanceCtx(spark, newDocs,
+            viewWith(spark, exclude, committedOf(st)))
           IncrementalDocArtifact.registerInFlight(rootKey, gen)
           try {
             writeGenEntries(gen, pending)
