@@ -193,10 +193,22 @@ object PartitionedLayout {
       finally s.close()
     }
     writeManifest(table, Manifest(newRoot, files, current))
-    // the superseded root is invisible the instant the rename lands;
-    // its deletion is mere GC
-    old.filterNot(_ == newRoot)
-      .foreach(r => deleteTree(Paths.get(loc(table), r)))
+    // the superseded root is invisible the instant the rename lands —
+    // but an in-flight reader that resolved the OLD manifest may still
+    // be scanning it, so it survives ONE rewrite as a grace window
+    // (the store-fold / base-pointer discipline); anything older is
+    // garbage-collected here
+    val keep = Set(newRoot) ++ old
+    val tableRoot = Paths.get(loc(table))
+    if (Files.exists(tableRoot)) {
+      val s = Files.list(tableRoot)
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("data-") &&
+          !keep(d.getFileName.toString))
+        .foreach(deleteTree)
+      finally s.close()
+    }
   }
 
   private def sweepGen(dataRoot: Path, gen: String): Unit =

@@ -126,11 +126,22 @@ class PartitionedLayoutSpec extends SparkSpec {
       .coalesce(1).write.parquet(src)
     PartitionedLayout.ensureIncremental(spark, src, "pspec_rw", "pk",
       identity)
+    val root1 = readDataRoot("pspec_rw")
     val df2 = (1L to 50L).map(i => (i % 4, i + 1000L)).toDF("pk", "id")
     df2.coalesce(1).write.mode("overwrite").parquet(src)
     PartitionedLayout.ensureIncremental(spark, src, "pspec_rw", "pk",
       identity)
     assertSameRows(
       PartitionedLayout.read(spark, "pspec_rw").select("pk", "id"), df2)
+    // the superseded root survives ONE rewrite (grace window for
+    // in-flight readers of the old manifest) and is GC'd by the next
+    Files.exists(Paths.get(layoutRoot("pspec_rw"), root1)) shouldBe true
+    val df3 = (1L to 20L).map(i => (i % 4, i + 5000L)).toDF("pk", "id")
+    df3.coalesce(1).write.mode("overwrite").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_rw", "pk",
+      identity)
+    Files.exists(Paths.get(layoutRoot("pspec_rw"), root1)) shouldBe false
+    assertSameRows(
+      PartitionedLayout.read(spark, "pspec_rw").select("pk", "id"), df3)
   }
 }
