@@ -124,6 +124,47 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     deleteTree(Paths.get(sf))
   }
 
+  test("a fold staged against a state a rebuild replaced never publishes") {
+    // the commit-abort guard, exercised deterministically: a fold
+    // blocks mid-staging (latched fold fn), a corpus REWRITE rebuilds
+    // everything underneath it, then the fold resumes — whatever it
+    // staged describes a dead state and must never reach the base
+    // pointers (it either fails on the swept delta dirs or aborts on
+    // the moved base markers); the rebuilt corpus keeps serving.
+    val sf = Files.createTempDirectory("graft-engine-abort").toString
+    val corpus = s"$sf/documents.parquet"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def h = IncrementalDocArtifact(corpus, "spec",
+      Seq(Piece("rows", (docs, _) => docs,
+        fold = Some { df =>
+          entered.countDown()
+          gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          df
+        })), compactEvery = 0)
+    Seq((1L, "one")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    h.serve(spark, "rows").count() shouldBe 1
+    Seq((2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    h.serve(spark, "rows").count() shouldBe 2 // one live gen to fold
+    val folder = new Thread(() =>
+      try h.compact(spark) catch { case _: Throwable => () })
+    folder.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "fold never started staging")
+    // rewrite + rebuild while the fold is mid-staging
+    Seq((10L, "fresh")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(corpus)
+    h.serve(spark, "rows").as[(Long, String)].collect().toSeq shouldBe
+      Seq((10L, "fresh"))
+    gate.countDown()
+    folder.join(60000)
+    // the stale fold must not have clobbered the rebuilt state
+    h.serve(spark, "rows").as[(Long, String)].collect().toSeq shouldBe
+      Seq((10L, "fresh"))
+    deleteTree(Paths.get(sf))
+  }
+
   test("a fresh gen after compaction is live even with the marker present") {
     val sf = Files.createTempDirectory("graft-engine-fresh").toString
     val corpus = s"$sf/documents.parquet"
