@@ -2211,12 +2211,14 @@ object RelationalQueries {
     // cheapest regional offer per part, ties included. Spark-first
     // decorrelation: the region-filtered supplier set collapses to a
     // broadcast BEFORE touching the fact (no correlation ever
-    // executes per-row), the regional per-part minimum is ONE
-    // aggregate over the eligible offers, and membership is an
-    // equi-join on (partkey, min) — the offer view is checkpointed so
-    // the fact is scanned once. Unit price folds in integer cents
-    // (floor of the same double expression both engines evaluate
-    // identically), so =min is exact.
+    // executes per-row), and the regional per-part minimum + the
+    // membership test run as ONE key-partitioned window over the
+    // eligible offers — one lineitem scan, one partkey exchange,
+    // nothing materialized (the eligible view is fact-derived and
+    // grows with the corpus, so caching it would be the scale
+    // hazard). Unit price folds in integer cents (floor of the same
+    // double expression both engines evaluate identically), so =min
+    // is exact.
     GraftQuery(
       "q62_regional_min_offer",
       """WITH offer AS (
@@ -2249,13 +2251,11 @@ object RelationalQueries {
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(floor(col("l_extendedprice") * 100 / col("l_quantity")))
           .cast("long").as("unit_cents"))
-      val eligible = offer
+      val mc = min("unit_cents").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_partkey"))
+      offer
         .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
-        .localCheckpoint() // one fact scan; reused for min + membership
-      val regionalMin = eligible.groupBy("l_partkey")
-        .agg(min("unit_cents").as("mc"))
-      eligible
-        .join(regionalMin, "l_partkey")
+        .withColumn("mc", mc)
         .where(col("unit_cents") === col("mc"))
         .join(broadcast(Tables.load(s, dir, "part")
           .where(col("p_size") <= 5).select("p_partkey")),

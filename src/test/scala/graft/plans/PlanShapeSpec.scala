@@ -541,6 +541,17 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct" // 1-row joins go BNLJ
   }
 
+  test("Q2 shape: regional min is a KEY-partitioned window, one fact scan") {
+    val p = plan("q62_regional_min_offer")
+    // the correlated MIN decorrelates to a window partitioned by
+    // partkey over the broadcast-filtered offers: one lineitem scan,
+    // no materialized intermediate, no partition-less window
+    "lineitem.parquet".r.findAllIn(p).length shouldBe 1
+    p should include regex "Window.*l_partkey"
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("NOT IN plans as a NULL-AWARE anti join, never a per-row subplan") {
     val p = plan("q65_supplier_diversity")
     // the one decorrelation that is NOT a plain anti join: a NULL in
