@@ -107,6 +107,7 @@ object PartitionedLayout {
   def ensureIncremental(spark: SparkSession, sourcePath: String,
       table: String, partCol: String,
       derive: DataFrame => DataFrame): String = lockFor(table).synchronized {
+    sweepStaging(table)
     val current = ArtifactStore.entries(sourcePath).filter { e =>
       val rel = e.substring(0, e.indexOf('|'))
       val name = rel.substring(rel.lastIndexOf('/') + 1)
@@ -211,6 +212,27 @@ object PartitionedLayout {
     }
   }
 
+  /** GC every orphaned `_staging_*` directory of `table` — the debris
+    * of an appendIncrement that crashed after writing its staging dir.
+    * A replay of the SAME gen would clean its own, but if the source
+    * then changed non-append-only the replay never happens and the
+    * (potentially large) directory would leak forever. Runs at the
+    * top of every [[ensureIncremental]] under the table lock — no
+    * in-JVM append can be mid-staging (the lock serializes writers),
+    * and across processes the layout is single-writer by contract.
+    */
+  private def sweepStaging(table: String): Unit = {
+    val tableRoot = Paths.get(loc(table))
+    if (Files.exists(tableRoot)) {
+      val s = Files.list(tableRoot)
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("_staging_"))
+        .foreach(deleteTree)
+      finally s.close()
+    }
+  }
+
   private def sweepGen(dataRoot: Path, gen: String): Unit =
     if (Files.exists(dataRoot)) {
       val s = Files.walk(dataRoot)
@@ -229,6 +251,15 @@ object PartitionedLayout {
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = readManifest(table).getOrElse(
       throw new IllegalStateException(s"no layout manifest for $table"))
+    if (m.files.isEmpty)
+      // partitionBy writes no partCol dirs for an empty result, so an
+      // empty source (or a derive that filters everything out) commits
+      // a zero-file manifest; passing zero paths to the parquet reader
+      // would fail with an unrelated "unable to infer schema" — refuse
+      // with the actual cause instead
+      throw new IllegalStateException(
+        s"layout $table has a committed manifest but zero data files " +
+          "(empty source, or derive() produced no rows) — nothing to read")
     val dataRoot = Paths.get(loc(table), m.dataRoot)
     spark.read
       .option("basePath", dataRoot.toString)

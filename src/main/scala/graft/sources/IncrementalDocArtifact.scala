@@ -105,7 +105,12 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * artifact), and maintenance (the fold + lazy catch-up) holds a
   * separate per-root lock, staging its expensive jobs OFF the mutation
   * lock — ingest ticks and serves proceed concurrently with a running
-  * fold and block only for the short commit windows. Reads serve
+  * fold and block only for the short commit windows. The one
+  * exception: a lazy-merge serve with GENUINELY pending catch-up work
+  * must wait for a running fold to finish (its gen-level exclusion
+  * cannot race the fold absorbing those same generations); the
+  * no-pending check itself needs only a short mutation-lock window,
+  * so an up-to-date merge serve never waits on a fold. Reads serve
   * COMMITTED generations only (the ledger names them), so a
   * half-written generation — crashed advance, or a detached catch-up
   * mid-stage — is invisible to every reader. Auto-compaction on the
@@ -153,16 +158,32 @@ object IncrementalDocArtifact {
   private val pendingCompact =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
 
+  /** Last detached-maintenance failure per artifact root — STICKY
+    * until a subsequent maintenance of the same root succeeds. The
+    * fire-and-forget tick path stays log-only (state is correct on
+    * any failure: pointer flips are all-or-nothing, the miss just
+    * means the fold did not happen and generations keep accruing),
+    * but [[Handle.awaitMaintenance]] — the declared determinism hook
+    * for tests, probes and shutdown — RETHROWS it, so a persistent
+    * failure (e.g. disk full) surfaces programmatically instead of
+    * as silent unbounded generation growth.
+    */
+  private val lastMaintenanceFailure =
+    new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+
   private def scheduleCompact(key: String, body: () => Unit): Unit =
     pendingCompact.computeIfAbsent(key, _ =>
       maintenancePool.submit(new Runnable {
         def run(): Unit =
-          try body()
-          catch {
+          try {
+            body()
+            lastMaintenanceFailure.remove(key) // success clears the record
+          } catch {
             case e: Throwable =>
               // state stays correct on any failure (pointer flips are
-              // all-or-nothing); surface the miss and let the next
-              // trigger retry
+              // all-or-nothing); record + surface the miss and let the
+              // next trigger retry
+              lastMaintenanceFailure.put(key, e)
               System.err.println(
                 s"graft detached compaction failed for $key: $e")
           } finally pendingCompact.remove(key)
@@ -172,7 +193,12 @@ object IncrementalDocArtifact {
     val f = pendingCompact.get(key)
     if (f != null)
       try f.get()
-      catch { case _: Throwable => () } // failure already logged
+      catch { case _: Throwable => () } // recorded below, rethrown there
+    val e = lastMaintenanceFailure.get(key)
+    if (e != null)
+      throw new IllegalStateException(
+        s"detached maintenance failed for $key (sticky until a " +
+          "subsequent maintenance of this artifact succeeds)", e)
   }
 
   /** Generations currently being STAGED off-lock (a detached catch-up
@@ -673,9 +699,14 @@ object IncrementalDocArtifact {
       * ABORTS (dropping the staged generation) if a rebuild or fold
       * moved the bases out from under the advance's views.
       */
-    private def catchUpMerges(spark: SparkSession): Unit = mlock.synchronized {
-      if (merges.isEmpty) return
-      val snap = lock.synchronized {
+    /** Pending-catch-up snapshot, taken under the MUTATION lock only:
+      * the ledger, plus merge pieces grouped by the committed entries
+      * they have not yet reflected (normally all equal). None when
+      * nothing is pending.
+      */
+    private def pendingMergeWork()
+        : Option[(LedgerState, Seq[(Seq[String], Seq[MergePiece])])] =
+      lock.synchronized {
         val st = readLedger()
         dropUncommittedGens(st)
         if (st.entries.isEmpty) None
@@ -688,6 +719,29 @@ object IncrementalDocArtifact {
           if (groups.isEmpty) None else Some((st, groups))
         }
       }
+
+    private def catchUpMerges(spark: SparkSession): Unit = {
+      if (merges.isEmpty) return
+      // No-pending fast path OFF the maintenance lock: a running
+      // detached fold holds `mlock` across its long unlocked staging
+      // phase, but the pending check needs only the mutation lock's
+      // short window — so a serve of an up-to-date merge piece never
+      // waits on a fold (the documented serve-concurrency contract).
+      // A serve with GENUINELY pending catch-up work must still wait
+      // for the fold: the catch-up's gen-level exclusion cannot run
+      // concurrently with a fold absorbing those same generations.
+      if (pendingMergeWork().isEmpty) return
+      mlock.synchronized { catchUpMergesLocked(spark) }
+    }
+
+    /** The catch-up body; caller holds `mlock`. The snapshot is
+      * (re)taken HERE, under the maintenance lock — the fast path's
+      * pre-check result is discarded because a fold that ran between
+      * the check and the lock acquisition may have changed what is
+      * pending.
+      */
+    private def catchUpMergesLocked(spark: SparkSession): Unit = {
+      val snap = pendingMergeWork()
       snap.foreach { case (st, groups) =>
         val entrySet = st.entries.toSet
         var gens = st.gens
@@ -769,7 +823,7 @@ object IncrementalDocArtifact {
       * newBase ∪ remaining-gens, exactly a fold that never saw them.
       */
     def compact(spark: SparkSession): Unit = mlock.synchronized {
-      if (lazyMerges) catchUpMerges(spark)
+      if (lazyMerges) catchUpMergesLocked(spark)
       // phase 1 (locked, short): sweep crash debris, GC absorbed
       // directories a previous compaction failed to delete (they are
       // dead by marker; remove before the marker is superseded, or
@@ -839,6 +893,10 @@ object IncrementalDocArtifact {
           }
         }
       }
+      // an explicit (synchronous) compact that completes clears the
+      // sticky detached-failure record too — ops fixed the cause and
+      // folded by hand; awaitMaintenance should stop reporting it
+      IncrementalDocArtifact.lastMaintenanceFailure.remove(rootKey)
     }
 
     /** Force a full rebuild under the current corpus (drops every

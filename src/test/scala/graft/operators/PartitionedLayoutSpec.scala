@@ -120,6 +120,43 @@ class PartitionedLayoutSpec extends SparkSpec {
       spark.read.parquet(src).select("pk", "id"))
   }
 
+  test("an orphaned staging dir from a crashed append is swept by the next ensure") {
+    // a crashed appendIncrement leaves _staging_<gen>; if the source
+    // then changes NON-append-only, no replay of that gen ever runs —
+    // the sweep at the top of ensureIncremental must GC it anyway
+    val src = newSource("stage")
+    (1L to 40L).map(i => (i % 2, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_stage", "pk",
+      identity)
+    val orphan = Paths.get(layoutRoot("pspec_stage"), "_staging_deadbeef")
+    Files.createDirectories(orphan.resolve("pk=9"))
+    Files.writeString(orphan.resolve("pk=9").resolve("part-00000.parquet"),
+      "debris")
+    // source REWRITE (not append): the crashed gen will never replay
+    val df2 = (1L to 10L).map(i => (i % 2, i + 900L)).toDF("pk", "id")
+    df2.coalesce(1).write.mode("overwrite").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_stage", "pk",
+      identity)
+    Files.exists(orphan) shouldBe false
+    assertSameRows(
+      PartitionedLayout.read(spark, "pspec_stage").select("pk", "id"), df2)
+  }
+
+  test("a zero-file manifest read refuses with the actual cause") {
+    // a derive that filters everything out commits a manifest with no
+    // data files (partitionBy writes no partCol dirs); reading it must
+    // fail with the real reason, not parquet's "unable to infer schema"
+    val src = newSource("empty")
+    (1L to 10L).map(i => (i % 2, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_empty", "pk",
+      _.where(lit(false)))
+    val e = intercept[IllegalStateException](
+      PartitionedLayout.read(spark, "pspec_empty"))
+    e.getMessage should include("zero data files")
+  }
+
   test("a source rewrite re-lays out wholesale and serves the new rows") {
     val src = newSource("rw")
     (1L to 100L).map(i => (i % 4, i)).toDF("pk", "id")

@@ -165,6 +165,96 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     deleteTree(Paths.get(sf))
   }
 
+  test("awaitMaintenance rethrows a sticky detached-fold failure; a later success clears it") {
+    // the determinism hook must not report success while the store
+    // silently stays unfolded: a detached fold that fails records the
+    // failure per root, awaitMaintenance rethrows it (sticky), and a
+    // subsequent SUCCESSFUL maintenance — here an explicit compact
+    // after the cause is fixed — clears the record
+    val sf = Files.createTempDirectory("graft-engine-fail").toString
+    val corpus = s"$sf/documents.parquet"
+    @volatile var boom = true
+    def h = IncrementalDocArtifact(corpus, "spec",
+      Seq(Piece("rows", (docs, _) => docs,
+        fold = Some { df =>
+          if (boom) throw new RuntimeException("disk full (simulated)")
+          df
+        })), compactEvery = 2)
+    Seq((1L, "one")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    h.serve(spark, "rows").count() shouldBe 1
+    for (i <- 2 to 3) {
+      Seq((i.toLong, s"doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(corpus)
+      h.serve(spark, "rows").count() shouldBe i // ticks stay log-only
+    }
+    // the crossing scheduled a detached fold that failed; the hook
+    // surfaces it — and again on a second call (sticky, the store is
+    // still unfolded)
+    val e = intercept[IllegalStateException](h.awaitMaintenance())
+    e.getCause.getMessage should include("disk full")
+    intercept[IllegalStateException](h.awaitMaintenance())
+    // state stayed correct throughout the failures
+    h.serve(spark, "rows").count() shouldBe 3
+    // fix the cause, fold by hand: the record clears
+    boom = false
+    h.compact(spark)
+    h.awaitMaintenance() // no throw
+    h.deltaGens() shouldBe empty
+    h.serve(spark, "rows").count() shouldBe 3
+    deleteTree(Paths.get(sf))
+  }
+
+  test("an up-to-date lazy merge serve never waits on a running fold") {
+    // the serve-concurrency contract on the merge path: a fold holds
+    // the maintenance lock across its long staging phase, but a serve
+    // whose merge piece has NOTHING pending checks that under the
+    // mutation lock only — it must complete while the fold is still
+    // gated mid-staging
+    val sf = Files.createTempDirectory("graft-engine-nowait").toString
+    val corpus = s"$sf/documents.parquet"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def h = IncrementalDocArtifact(corpus, "spec",
+      Seq(Piece("rows", (docs, _) => docs,
+        fold = Some { df =>
+          entered.countDown()
+          gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          df
+        })),
+      Seq(IncrementalDocArtifact.MergePiece("latest", Seq("doc_id"),
+        buildFull = (docs, _) => docs.select("doc_id", "text"),
+        advance = ctx => ctx.newDocs.select("doc_id", "text"))),
+      compactEvery = 0, lazyMerges = true, onAdvanceDone = _ => ())
+    Seq((1L, "one")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+    h.serve(spark, "latest").count() shouldBe 1
+    Seq((2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    // this serve catches the merge piece up — nothing pending after
+    h.serve(spark, "latest").count() shouldBe 2
+    val folder = new Thread(() =>
+      try h.compact(spark) catch { case _: Throwable => () })
+    folder.start()
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "fold never started staging")
+    // fold is mid-staging (maintenance lock held); an up-to-date merge
+    // serve on another thread must complete anyway
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var servedRows = -1L
+    val reader = new Thread(() => {
+      servedRows = h.serve(spark, "latest").count()
+      done.countDown()
+    })
+    reader.start()
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "up-to-date merge serve blocked on the running fold")
+    servedRows shouldBe 2
+    gate.countDown()
+    folder.join(60000)
+    reader.join(10000)
+    h.serve(spark, "latest").count() shouldBe 2
+    deleteTree(Paths.get(sf))
+  }
+
   test("a fresh gen after compaction is live even with the marker present") {
     val sf = Files.createTempDirectory("graft-engine-fresh").toString
     val corpus = s"$sf/documents.parquet"
