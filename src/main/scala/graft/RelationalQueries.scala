@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -13,8 +13,18 @@ import graft.operators.PartitionedLayout
   * are the capabilities a Spark engine at 100 TB must have.
   *
   * Scale notes, per shape:
-  *  - dimension joins broadcast (`broadcast()` hint pins it even when
-  *    stats are missing at the catalog level);
+  *  - GENUINELY BOUNDED dimension sides broadcast with a forced hint
+  *    (nation/region are fixed 25/5 rows; 1-row aggregates and
+  *    fixed-size derived dims likewise) — the hint pins it even when
+  *    stats are missing at the catalog level;
+  *  - CORPUS-GROWING sides (customer, part, supplier and their
+  *    dimension chains) are NEVER force-broadcast: a forced hint on a
+  *    side that scales with SF removes AQE's ability to fall back to
+  *    a shuffle join when the side outgrows memory — the one plan
+  *    choice that cannot degrade gracefully. Single-table sides carry
+  *    real scan stats, so the hint is simply omitted and the planner
+  *    chooses; dimension CHAINS (whose size-only estimate is a
+  *    useless product of children) go through [[maybeBroadcast]];
   *  - fact-fact joins shuffle on the join key and rely on AQE for
   *    skew/coalesce at runtime;
   *  - top-k per group is window row_number, NOT a global sort: the
@@ -1713,7 +1723,8 @@ object RelationalQueries {
     // subqueries become fact-keyed LEFT SEMI / LEFT ANTI self-joins —
     // the three lineitem legs shuffle on the same l_orderkey, so the
     // exchange plan co-partitions them (no cartesian, no rewrite into
-    // per-row subquery execution); supplier is a broadcast dim.
+    // per-row subquery execution); supplier joins by stats — broadcast
+    // at bench scale, never force-hinted (it grows with the corpus).
     GraftQuery(
       "q48_waiting_supplier",
       """SELECT s_name, count(*) AS numwait
@@ -1748,8 +1759,8 @@ object RelationalQueries {
           col("l_suppkey") =!= col("s3") &&
           col("d3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
           "left_anti")
-        .join(broadcast(Tables.load(s, dir, "supplier")
-          .select("s_suppkey", "s_name")),
+        .join(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name"),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
@@ -1817,7 +1828,7 @@ object RelationalQueries {
         .where(col("p_brand") === "Brand#23" && col("p_size") < 15)
         .select("p_partkey")
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(pa, col("l_partkey") === col("p_partkey"))
         .withColumn("thr", avg("l_quantity")
           .over(Window.partitionBy("l_partkey")) * 0.2)
         .where(col("l_quantity") < col("thr"))
@@ -1894,8 +1905,8 @@ object RelationalQueries {
         .localCheckpoint()
       rev.crossJoin(broadcast(rev.agg(max("cents").as("mc"))))
         .where(col("cents") === col("mc"))
-        .join(broadcast(Tables.load(s, dir, "supplier")
-          .select("s_suppkey", "s_name")),
+        .join(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           round(col("cents") / 100.0, 2).as("total_revenue"))
@@ -1907,10 +1918,12 @@ object RelationalQueries {
     // and orders->customer->nation) with an inequality across them.
     // Spark-first: each nation-filtered dimension chain collapses to a
     // tiny broadcast BEFORE touching a fact (nation is broadcast into
-    // supplier/customer, the two-nation subsets broadcast into the
-    // facts), so the ONLY shuffle is the lineitem-orders orderkey join
-    // — the unavoidable fact-fact exchange (plan-pinned: exactly one
-    // non-broadcast join).
+    // supplier/customer; the two-nation subsets are corpus-growing, so
+    // their broadcasts are STATS-GATED, not forced — past the
+    // threshold they degrade to shuffle joins), so at bench scale the
+    // ONLY shuffle is the lineitem-orders orderkey join — the
+    // unavoidable fact-fact exchange (pinned under bench-scale stats:
+    // exactly one non-broadcast join).
     GraftQuery(
       "q54_nation_volume",
       """WITH sn AS (
@@ -1941,12 +1954,14 @@ object RelationalQueries {
         .join(nation, col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
       val ord = Tables.load(s, dir, "orders")
-        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .join(maybeBroadcast(cn, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "cust_nation")
       Tables.load(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
           && col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
-        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        .join(maybeBroadcast(sn, dir, "supplier"),
+          col("s_suppkey") === col("l_suppkey"))
         .join(ord, col("o_orderkey") === col("l_orderkey"))
         .where(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -2199,7 +2214,8 @@ object RelationalQueries {
             && col("o_orderdate") < lit("2000-04-01 00:00:00").cast("timestamp"))
           .select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(maybeBroadcast(cust, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(round(sum(col("l_extendedprice")
           * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -2239,7 +2255,8 @@ object RelationalQueries {
         |      AND n2.n_regionkey = r2.r_regionkey
         |      AND r2.r_name = 'EUROPE')
         |ORDER BY p_partkey, s_name""".stripMargin) { (s, dir) =>
-      // region-filtered supplier chain: a tiny broadcast, built once
+      // region-filtered supplier chain: stats-gated broadcast (the
+      // supplier leaf grows with SF — never force-hinted), built once
       val rs = Tables.load(s, dir, "supplier")
         .join(Tables.load(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
@@ -2254,11 +2271,12 @@ object RelationalQueries {
       val mc = min("unit_cents").over(
         org.apache.spark.sql.expressions.Window.partitionBy("l_partkey"))
       offer
-        .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+        .join(maybeBroadcast(rs, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
         .withColumn("mc", mc)
         .where(col("unit_cents") === col("mc"))
-        .join(broadcast(Tables.load(s, dir, "part")
-          .where(col("p_size") <= 5).select("p_partkey")),
+        .join(Tables.load(s, dir, "part")
+          .where(col("p_size") <= 5).select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
         .select("p_partkey", "s_name", "n_name", "unit_cents")
         .orderBy("p_partkey", "s_name")
@@ -2292,7 +2310,8 @@ object RelationalQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val v = Tables.load(s, dir, "lineitem")
-        .join(broadcast(ns), col("l_suppkey") === col("s_suppkey"))
+        .join(maybeBroadcast(ns, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * col("l_quantity") * 100
           + 0.5)).as("val_cents"))
@@ -2331,7 +2350,7 @@ object RelationalQueries {
       val promo = Tables.load(s, dir, "part")
         .where(col("p_type") === "PROMO").select("p_partkey")
       val supQty = li
-        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum("l_quantity").as("sup_qty"))
       // the correlated scalar, decorrelated: per-part total over ALL
@@ -2389,8 +2408,8 @@ object RelationalQueries {
     // disjunction ((brand, size) terms for part; the quantity range
     // for lineitem) and push them into the scans, leaving only the
     // cross-side residual on the joined rows — one scan per table,
-    // Or(...) visible in the part scan's PushedFilters (plan-pinned),
-    // part broadcast.
+    // Or(...) visible in the part scan's PushedFilters (plan-pinned);
+    // part joins by stats — broadcast while it fits, never forced.
     GraftQuery(
       "q66_disjunctive_promo",
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -2409,7 +2428,7 @@ object RelationalQueries {
       def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
         col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
           col("l_quantity").between(qLo, qHi)
-      li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+      li.join(pt, col("p_partkey") === col("l_partkey"))
         .where(arm("Brand#11", 15, 1, 20) || arm("Brand#22", 10, 10, 30) ||
           arm("Brand#33", 5, 20, 40))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -2419,8 +2438,9 @@ object RelationalQueries {
 
     // TPC-H Q3 shape — shipping-priority top-10: revenue of orders
     // placed before / shipped after a cut date for one market
-    // segment. Star probe: segment-filtered customers broadcast into
-    // date-filtered orders, both date filters pushed to their scans,
+    // segment. Star probe: segment-filtered customers join by stats
+    // (broadcast at bench scale — the side grows with SF, so the hint
+    // is never forced), both date filters pushed to their scans,
     // one fact exchange on orderkey, and the ranking is a TopK
     // (TakeOrderedAndProject), never a global sort.
     GraftQuery(
@@ -2442,7 +2462,7 @@ object RelationalQueries {
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(Tables.load(s, dir, "orders")
           .where(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
-          .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+          .join(cust, col("c_custkey") === col("o_custkey"))
           .select("o_orderkey", "o_orderdate", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"),
@@ -2457,7 +2477,8 @@ object RelationalQueries {
     // TPC-H Q5 shape — LOCAL-supplier revenue by nation: the join
     // graph has a cycle (customer and supplier must share a nation),
     // closed here as a post-join equality filter on the two nationkey
-    // columns rather than a second join. Dimension chains broadcast;
+    // columns rather than a second join. Dimension chains broadcast
+    // under bench-scale stats (growing sides stats-gated, not forced);
     // the lineitem-orders orderkey join is the one fact-fact exchange.
     GraftQuery(
       "q68_local_supplier_volume",
@@ -2480,13 +2501,14 @@ object RelationalQueries {
       val ord = Tables.load(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .select("c_custkey", "c_nationkey")),
+        .join(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey"),
           col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "c_nationkey")
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(maybeBroadcast(sn, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .where(col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
@@ -2520,6 +2542,7 @@ object RelationalQueries {
     // region's import volume per year. The ratio folds in integer
     // cents (exact at any summation order), so the 6-decimal share is
     // deterministic across engines; all seven dimension hops broadcast
+    // under bench-scale stats (growing sides stats-gated, not forced)
     // and the only fact-fact exchange is lineitem-orders.
     GraftQuery(
       "q70_market_share",
@@ -2550,17 +2573,19 @@ object RelationalQueries {
       val ord = Tables.load(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .join(broadcast(custEur), col("c_custkey") === col("o_custkey"))
+        .join(maybeBroadcast(custEur, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
       val suppN = Tables.load(s, dir, "supplier")
         .join(Tables.load(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(Tables.load(s, dir, "part")
-          .where(col("p_type") === "PROMO").select("p_partkey")),
+        .join(Tables.load(s, dir, "part")
+          .where(col("p_type") === "PROMO").select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(maybeBroadcast(suppN, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("vol_cents", floor(col("l_extendedprice")
           * (lit(1) - col("l_discount")) * 100 + 0.5))
@@ -2574,8 +2599,9 @@ object RelationalQueries {
     // TPC-H Q9 shape — product profit by supplier nation and year
     // (the reference schema's supplycost proxied as a fixed fraction
     // of retail price — the SHAPE is the five-way star with an
-    // arithmetic measure, not the constant). Part filter broadcasts
-    // before the fact; one orderkey exchange.
+    // arithmetic measure, not the constant). The part filter joins by
+    // stats before the fact (broadcast while it fits); one orderkey
+    // exchange.
     GraftQuery(
       "q71_product_profit",
       """SELECT n_name, year(o_orderdate) AS o_year,
@@ -2593,11 +2619,12 @@ object RelationalQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "n_name")
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(Tables.load(s, dir, "part")
+        .join(Tables.load(s, dir, "part")
           .where(col("p_name").like("%red%"))
-          .select("p_partkey", "p_retailprice")),
+          .select("p_partkey", "p_retailprice"),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(maybeBroadcast(suppN, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
@@ -2642,7 +2669,8 @@ object RelationalQueries {
     // TPC-H Q14 shape — promo revenue ratio for one month: the
     // numerator is a conditional slice of the denominator, folded in
     // integer cents so the 4-decimal percentage is exact across
-    // engines. One month of fact (scan-pruned), part broadcast.
+    // engines. One month of fact (scan-pruned); part joins by stats —
+    // broadcast while it fits, never forced.
     GraftQuery(
       "q73_promo_share",
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -2658,13 +2686,49 @@ object RelationalQueries {
       Tables.load(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp")
           && col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.load(s, dir, "part")
-          .select("p_partkey", "p_type")),
+        .join(Tables.load(s, dir, "part")
+          .select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", cents)
             .otherwise(0)) / sum(cents), 4).as("promo_revenue"))
     }
   )
+
+  /** Stats-gated broadcast hint for a dimension-CHAIN side whose
+    * growing leaf scales with the corpus (supplier⋈nation,
+    * customer⋈nation⋈region): Catalyst's size-only estimator
+    * multiplies child sizes across a join, so a chain that is in fact
+    * tiny never LOOKS broadcastable statically — while a forced
+    * `broadcast()` hint cannot degrade when the leaf outgrows memory
+    * at scale. The gate decides from the same statistic Spark's
+    * planner uses for a plain scan: the growing leaf tables' on-disk
+    * bytes against the session's `autoBroadcastJoinThreshold`
+    * (driver-side file metadata — no job, no collect). Under the
+    * threshold the chain gets the hint — sound, because an FK join
+    * into nation/region cannot grow the row count and the projection
+    * only shrinks bytes, so leaf bytes upper-bound the chain; over
+    * it the hint disappears and stats/AQE pick the strategy (SMJ, or
+    * a runtime broadcast conversion if the filtered side turns out
+    * small). Single-table growing sides never need this: their scans
+    * carry real size stats, so those hints are simply omitted — the
+    * q25 discipline ("whether orders/customer shuffle or broadcast is
+    * a size decision, deliberately unpinned"), applied uniformly.
+    */
+  private def maybeBroadcast(df: DataFrame, dir: String,
+      growingLeaves: String*): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bytes = growingLeaves.map { t =>
+      val p = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      if (!java.nio.file.Files.exists(p)) Long.MaxValue
+      else {
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(f => java.nio.file.Files.isRegularFile(f))
+          .mapToLong(f => java.nio.file.Files.size(f)).sum
+        finally st.close()
+      }
+    }.sum
+    if (thr > 0 && bytes >= 0 && bytes <= thr) broadcast(df) else df
+  }
 
   /** Incrementally-maintained hive-partitioned layout of lineitem by
     * ship month, shared by q55 (static pruning) and q56 (dynamic

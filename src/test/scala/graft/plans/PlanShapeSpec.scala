@@ -572,6 +572,40 @@ class PlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("SF-growing sides degrade to shuffle joins when the broadcast threshold says so") {
+    // the scale-safe property the de-hinted TPC-H family must keep:
+    // no corpus-growing side (customer/part/supplier or their chains)
+    // carries a FORCED broadcast hint — under bench-scale stats the
+    // planner (and the stats-gated maybeBroadcast) still pick
+    // broadcast (asserted by the per-query pins above), but when the
+    // threshold says the side does NOT fit, the same queries must
+    // plan shuffle joins instead of insisting on a broadcast that
+    // would OOM at 100 TB. Only genuinely bounded sides (nation,
+    // region, 1-row aggregates) may stay broadcast regardless.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    // q63_value_share is de-hinted too but not assertable here: its
+    // growing-side join runs inside the localCheckpoint at query
+    // build, so the serve plan shows only the checkpoint scan
+    for (q <- Seq("q54_nation_volume", "q61_returned_revenue",
+        "q62_regional_min_offer", "q66_disjunctive_promo",
+        "q67_shipping_priority", "q68_local_supplier_volume",
+        "q70_market_share", "q71_product_profit", "q73_promo_share")) {
+      val df2 = graft.SparkEntry.queries(q)(s2, dir)
+      val p = df2.queryExecution.executedPlan.toString
+      withClue(s"$q (threshold=1KB): ") {
+        // the growing sides now shuffle — proof no hint forces them
+        p should include regex "SortMergeJoin|ShuffledHashJoin"
+        p should not include "CartesianProduct"
+      }
+      // and the answer is the same plan-shape-independently
+      val want = graft.SparkEntry.queries(q)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      withClue(s"$q values under shuffle plan: ")(
+        df2.collect().map(_.toString).sorted.toSeq shouldBe want)
+    }
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
