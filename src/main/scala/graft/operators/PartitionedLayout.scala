@@ -36,7 +36,13 @@ import graft.sources.ArtifactStore
   *
   * Single-writer per table per JVM (a JVM-wide per-table lock, same
   * contract as `IncrementalDocArtifact`); across processes the layout
-  * is single-writer like any table-format committer.
+  * is single-writer like any table-format committer — and ENFORCED
+  * like one: every mutation (append increment, full rewrite, the
+  * staging sweep) holds the table root's [[graft.sources.WriterLease]]
+  * (`O_EXCL` lease file + heartbeat), so a second mutating process
+  * gets a clean `ConcurrentWriterException` instead of interleaving
+  * files into the live data root. Reads (and the fresh-manifest serve
+  * path) never touch the lease.
   *
   * Reference analogue: none — the reference re-reads its whole source
   * window every sync (`pyCassElastic.py:199-212`); this is the layout
@@ -107,21 +113,28 @@ object PartitionedLayout {
   def ensureIncremental(spark: SparkSession, sourcePath: String,
       table: String, partCol: String,
       derive: DataFrame => DataFrame): String = lockFor(table).synchronized {
-    sweepStaging(table)
     val current = ArtifactStore.entries(sourcePath).filter { e =>
       val rel = e.substring(0, e.indexOf('|'))
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       !(name.startsWith("_") || name.startsWith("."))
     }
     readManifest(table) match {
-      case Some(m) if m.entries == current => table // fresh — serve
+      case Some(m) if m.entries == current => table // fresh — serve, no lease
       case Some(m) if m.entries.nonEmpty &&
           m.entries.forall(current.toSet) &&
           current.exists(e => !m.entries.toSet(e)) =>
-        appendIncrement(spark, sourcePath, table, partCol, derive, m, current)
+        graft.sources.WriterLease.withLease(Paths.get(loc(table)),
+          s"layout append $table") {
+          sweepStaging(table)
+          appendIncrement(spark, sourcePath, table, partCol, derive, m, current)
+        }
         table
       case _ =>
-        fullRewrite(spark, sourcePath, table, partCol, derive, current)
+        graft.sources.WriterLease.withLease(Paths.get(loc(table)),
+          s"layout rewrite $table") {
+          sweepStaging(table)
+          fullRewrite(spark, sourcePath, table, partCol, derive, current)
+        }
         table
     }
   }
@@ -217,9 +230,11 @@ object PartitionedLayout {
     * A replay of the SAME gen would clean its own, but if the source
     * then changed non-append-only the replay never happens and the
     * (potentially large) directory would leak forever. Runs at the
-    * top of every [[ensureIncremental]] under the table lock — no
-    * in-JVM append can be mid-staging (the lock serializes writers),
-    * and across processes the layout is single-writer by contract.
+    * top of every [[ensureIncremental]] MUTATION, under the table
+    * lock AND the writer lease — no in-JVM append can be mid-staging
+    * (the lock serializes writers), and the lease guarantees no other
+    * process is either; the lease-free serve path never sweeps, so it
+    * can never delete what a foreign writer is staging.
     */
   private def sweepStaging(table: String): Unit = {
     val tableRoot = Paths.get(loc(table))

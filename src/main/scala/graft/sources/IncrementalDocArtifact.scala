@@ -117,14 +117,17 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * `compactEvery` cadence is DETACHED (single-flight per root, daemon
   * maintenance pool): a tick's latency never includes a fold;
   * `awaitMaintenance()` joins it when determinism matters. ACROSS
-  * processes the design is single-writer per (corpus, artifact) — the
-  * standard ingest-pipeline shape. A racing second builder is benign
-  * on the full-rebuild path (staged versions are per-writer unique,
-  * the pointer swap last-writer-wins over identical deterministic
-  * content), but two processes appending the SAME increment
-  * concurrently could interleave files inside one deterministic
-  * `_gen` partition — serialize ingest, as any table format requires
-  * of its committers.
+  * processes the artifact is single-writer per (corpus, artifact) —
+  * the standard ingest-pipeline shape — and, unlike a mere doc
+  * contract, this is ENFORCED: every mutation path (advance, rebuild,
+  * catch-up, fold) holds the root's [[WriterLease]] (`O_EXCL` lease
+  * file + heartbeat), so a second process attempting to mutate the
+  * same artifact gets a clean
+  * [[WriterLease.ConcurrentWriterException]] instead of silently
+  * interleaving files inside a deterministic `_gen` partition. A
+  * crashed writer's lease goes stale after `graft.lease.staleMs`
+  * (default 30 s) and is taken over atomically. Reads never touch
+  * the lease.
   */
 object IncrementalDocArtifact {
 
@@ -462,9 +465,18 @@ object IncrementalDocArtifact {
       * the lazy catch-up would never re-advance them (every live delta
       * has its `_gens` entry list: it is written before the first delta
       * row and deleted only after fold/rebuild).
+      *
+      * Skipped while a LIVE foreign process holds the root's writer
+      * lease: its mid-stage generation looks exactly like crash debris
+      * from here (the in-flight registry is per-JVM), and deleting it
+      * under the writer would corrupt its commit. Safe to skip — reads
+      * serve committed generations only, so unswept debris is
+      * invisible; the sweep happens on the next reconcile after the
+      * foreign lease clears.
       */
     private def dropUncommittedGens(st: LedgerState): Unit =
-      if (st.v2) allNames.foreach { n =>
+      if (st.v2 && !WriterLease.heldByOtherProcess(root))
+        allNames.foreach { n =>
         val isMerge = merges.exists(_.name == n)
         val staging = IncrementalDocArtifact.inFlightOf(rootKey)
         gensOf(n).map(_.stripPrefix("_gen="))
@@ -590,8 +602,7 @@ object IncrementalDocArtifact {
         // base-version check: a rebuild that crashed before its ledger
         // rename (then the corpus reverted) left poisoned bases behind
         // a matching ledger — the recorded versions disagree, rebuild
-        if (!unchanged) {
-          Files.createDirectories(root)
+        if (!unchanged) WriterLease.withLease(root, "artifact advance") {
           val currentSet = current.toSet
           val newEntries = current.filterNot(st.entries.toSet)
           val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
@@ -661,6 +672,7 @@ object IncrementalDocArtifact {
       IncrementalDocArtifact.awaitPending(rootKey)
 
     private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = lock.synchronized {
+      WriterLease.withLease(root, "artifact rebuild") {
       // stale deltas go FIRST so rebuild-order reads (a later piece
       // reading an earlier one through ctx) see only rebuilt bases
       allNames.foreach(n => deleteTree(deltaDir(n)))
@@ -676,6 +688,7 @@ object IncrementalDocArtifact {
       // coverage behind a committed ledger
       merges.foreach(mp => writeCovered(mp.name, current))
       writeLedger(current, Set.empty)
+      }
     }
 
     /** Advance every lazy merge piece through the committed entries it
@@ -743,6 +756,7 @@ object IncrementalDocArtifact {
     private def catchUpMergesLocked(spark: SparkSession): Unit = {
       val snap = pendingMergeWork()
       snap.foreach { case (st, groups) =>
+        WriterLease.withLease(root, "lazy merge catch-up") {
         val entrySet = st.entries.toSet
         var gens = st.gens
         groups.foreach { case (pending, mps) =>
@@ -796,6 +810,7 @@ object IncrementalDocArtifact {
             }
           } finally IncrementalDocArtifact.unregisterInFlight(rootKey, gen)
         }
+        }
       }
     }
 
@@ -823,6 +838,7 @@ object IncrementalDocArtifact {
       * newBase ∪ remaining-gens, exactly a fold that never saw them.
       */
     def compact(spark: SparkSession): Unit = mlock.synchronized {
+      WriterLease.withLease(root, "artifact fold") {
       if (lazyMerges) catchUpMergesLocked(spark)
       // phase 1 (locked, short): sweep crash debris, GC absorbed
       // directories a previous compaction failed to delete (they are
@@ -897,6 +913,7 @@ object IncrementalDocArtifact {
       // sticky detached-failure record too — ops fixed the cause and
       // folded by hand; awaitMaintenance should stop reporting it
       IncrementalDocArtifact.lastMaintenanceFailure.remove(rootKey)
+      }
     }
 
     /** Force a full rebuild under the current corpus (drops every

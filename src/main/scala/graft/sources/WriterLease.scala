@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.{Executors, TimeUnit}
+
+/** Cross-process writer lease for the two on-disk committers
+  * ([[IncrementalDocArtifact]], `PartitionedLayout`). Both serialize
+  * writers per-JVM with root-keyed locks and DOCUMENT single-writer
+  * across processes — but a documented contract a second committer
+  * cannot detect is a contract that fails silently: two processes
+  * appending the same increment would interleave files inside one
+  * deterministic generation. Table formats (Delta, Iceberg) DETECT
+  * the second committer; this lease gives the engine the same
+  * property with the one primitive the filesystem guarantees —
+  * `O_EXCL` file creation.
+  *
+  * Protocol, per artifact/table root:
+  *
+  *  - every MUTATION path acquires `_writer_lease` inside the root
+  *    via atomic create-if-absent; read/serve paths never touch it;
+  *  - the file carries pid + a JVM token (ops diagnostics); liveness
+  *    is the file's MTIME, refreshed by a daemon heartbeat every
+  *    [[heartbeatMs]] while held — a crashed holder stops refreshing
+  *    and its lease goes STALE after [[staleMs]];
+  *  - a second process that finds a LIVE foreign lease gets a clean
+  *    [[ConcurrentWriterException]] naming the holder — a refusal,
+  *    not an interleave;
+  *  - a STALE lease is taken over atomically: the contender RENAMES
+  *    the stale file away (only one rename of a given file can
+  *    succeed) and then re-runs create-if-absent — two contenders
+  *    racing a takeover resolve to exactly one holder;
+  *  - within one JVM the lease is REENTRANT per root across threads:
+  *    the ingest tick (mutation lock) and a detached fold
+  *    (maintenance lock) of the same artifact may legitimately
+  *    overlap — they are one writer to the outside world.
+  *
+  * The stale timeout bounds the takeover hazard: a holder paused
+  * longer than [[staleMs]] (GC pause, SIGSTOP) can lose its lease
+  * mid-mutation, the standard lease trade-off — the default 30 s is
+  * ~40 missed heartbeats. Tune via `graft.lease.staleMs` (tests use
+  * small values); keep it well above worst-case pause in production.
+  */
+object WriterLease {
+
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  val LeaseName = "_writer_lease"
+
+  /** Liveness horizon: a lease whose mtime is older than this is a
+    * crashed holder's debris and may be taken over.
+    */
+  def staleMs: Long =
+    sys.props.get("graft.lease.staleMs").map(_.toLong).getOrElse(30000L)
+
+  private val heartbeatMs = 750L
+
+  private val jvmToken: String =
+    s"${ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private final class Held(val file: Path) { var count: Int = 1 }
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
+  private val guard = new Object
+
+  // heartbeat: refresh every held lease's mtime so a LIVE holder never
+  // goes stale; runs regardless of what staleMs tests configure (750 ms
+  // beats any takeover horizon a spec would reasonably set on US)
+  locally {
+    val t = Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
+      val th = new Thread(r, "graft-writer-lease-heartbeat")
+      th.setDaemon(true)
+      th
+    })
+    t.scheduleWithFixedDelay(() => {
+      val now = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis())
+      held.values.forEach { h =>
+        try Files.setLastModifiedTime(h.file, now)
+        catch { case _: Throwable => () } // missing file heals on release
+      }
+    }, heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
+  }
+
+  /** Acquire the mutation lease of `root` (creating the directory if
+    * needed), throwing [[ConcurrentWriterException]] if another LIVE
+    * process holds it. Reentrant within this JVM.
+    */
+  def acquire(root: Path, what: String): Unit = guard.synchronized {
+    val key = root.toString
+    val h = held.get(key)
+    if (h != null) { h.count += 1; return }
+    Files.createDirectories(root)
+    val lease = root.resolve(LeaseName)
+    var takeovers = 0
+    while (true) {
+      try {
+        Files.createFile(lease) // O_EXCL: the one atomic claim
+        Files.writeString(lease, jvmToken)
+        held.put(key, new Held(lease))
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // ours would be in `held` — this is a foreign holder
+          val ageMs =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lease).toMillis
+            catch { case _: java.io.IOException => -1L } // vanished: retry
+          if (ageMs >= 0 && ageMs <= staleMs) {
+            val owner =
+              try Files.readString(lease).trim
+              catch { case _: java.io.IOException => "?" }
+            throw new ConcurrentWriterException(
+              s"another process (lease owner $owner, heartbeat ${ageMs} ms " +
+                s"ago) is mutating $key — $what refused; the engine is " +
+                "single-writer per artifact root across processes")
+          }
+          if (ageMs > staleMs) {
+            // stale: take over by ATOMIC rename — of two contenders
+            // racing this, exactly one move succeeds, and the loser's
+            // next create-if-absent sees the winner's fresh lease
+            takeovers += 1
+            if (takeovers > 5) throw new ConcurrentWriterException(
+              s"could not take over repeatedly-stale lease of $key")
+            val tomb = root.resolve(
+              s"$LeaseName.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              Files.move(lease, tomb, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(tomb)
+            } catch { case _: java.io.IOException => () } // lost the race
+          }
+      }
+    }
+  }
+
+  /** Release one hold; the file is deleted when the outermost hold of
+    * this JVM releases.
+    */
+  def release(root: Path): Unit = guard.synchronized {
+    val key = root.toString
+    val h = held.get(key)
+    require(h != null, s"release without acquire for $key")
+    h.count -= 1
+    if (h.count == 0) {
+      held.remove(key)
+      try Files.deleteIfExists(h.file)
+      catch { case _: java.io.IOException => () } // stale takeover won it
+    }
+  }
+
+  /** True when a LIVE lease of `root` is held by some OTHER process —
+    * the read-path guard: serve-side garbage collection (orphan-gen /
+    * staging sweeps) must not delete what a foreign writer is
+    * mid-staging. Never true for our own holds; a stale foreign lease
+    * reads false (its debris is sweepable).
+    */
+  def heldByOtherProcess(root: Path): Boolean = {
+    if (held.containsKey(root.toString)) false
+    else try {
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(root.resolve(LeaseName)).toMillis
+      age <= staleMs
+    } catch { case _: java.io.IOException => false }
+  }
+
+  def withLease[T](root: Path, what: String)(body: => T): T = {
+    acquire(root, what)
+    try body finally release(root)
+  }
+}
