@@ -135,8 +135,17 @@ object TfIdfStore {
       // artifact-only drift bound in [[driftBound]] folds these
       // against the always-current df/N — no corpus read. Identity
       // fold: rows from different generations carry different pinned
-      // idfs and must stay separate. Size ≤ the feats piece (one row
-      // per gen-token vs one per doc-bucket).
+      // idfs and must stay separate. GROWTH INVARIANT: the ledger is
+      // O(|vocab| x generations-since-refresh) — it grows without a
+      // fold BY DESIGN, and its bound is the very gate that reads it:
+      // a drifting corpus pushes driftBound over the refresh
+      // threshold, and the [[refresh]] that fires re-vectorizes AND
+      // resets this ledger to exactly one generation's rows (a full
+      // rebuild drops every delta). A non-drifting corpus leaves the
+      // ledger growing only in gens whose pinned idfs stay near
+      // current — cheap rows that keep the bound honest. Size ≤ the
+      // feats piece either way (one row per gen-token vs one per
+      // doc-bucket); invariant asserted in TfIdfStoreSpec.
       Piece("driftparts",
         (docs, ctx) => {
           val dfreq = ctx.stored("dfparts").groupBy("tok")

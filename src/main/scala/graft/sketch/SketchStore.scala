@@ -119,12 +119,36 @@ object SketchStore {
     * e/width regime instead of orders beyond it. The pow2 ladder is
     * integer-exact (no log2 floating point), so the DuckDB oracle
     * re-derives the same width from the same corpus.
+    *
+    * MEMOIZED per corpus content (round-12): the width is a pure
+    * function of a slowly-growing quantity, so the vocabulary count
+    * job runs once per corpus VERSION — keyed by the corpus filesystem
+    * fingerprint (a microsecond walk, the [[graft.sources.ArtifactStore]]
+    * staleness primitive), which moves exactly when the df artifact's
+    * inputs do. Steady-state `cmsAdaptive` serves pay zero pre-serve
+    * driver actions: one fs walk + the sketch artifact read.
     */
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def adaptiveCmsWidth(spark: SparkSession, sfDir: String): Int = {
-    val vocab =
-      graft.functions.TfIdfStore.docFrequencies(spark, sfDir).count()
-    val target = math.max(Width.toLong, 4L * vocab)
-    (9 to 30).map(1 << _).find(_ >= target).getOrElse(1 << 30)
+    val corpus = s"$sfDir/documents.parquet"
+    val key = corpus + "|" + graft.sources.ArtifactStore.fingerprint(corpus)
+    val hit = widthMemo.get(key)
+    if (hit != null) hit.intValue()
+    else {
+      // computed OUTSIDE any map lock: the count is a Spark action
+      val vocab =
+        graft.functions.TfIdfStore.docFrequencies(spark, sfDir).count()
+      val target = math.max(Width.toLong, 4L * vocab)
+      val w = (9 to 30).map(1 << _).find(_ >= target).getOrElse(1 << 30)
+      // superseded corpus versions leave dead entries behind — bound
+      // the map instead of tracking precise invalidation (re-deriving
+      // after a rare clear costs one artifact count)
+      if (widthMemo.size > 64) widthMemo.clear()
+      widthMemo.putIfAbsent(key, Integer.valueOf(w))
+      w
+    }
   }
 
   /** Stored CountMin at [[adaptiveCmsWidth]], returned with the width

@@ -163,6 +163,24 @@ class TfIdfStoreSpec extends SparkSpec {
     // (bound >= exact), and a refresh zeroes it again
     assert(TfIdfStore.refreshIfDrifted(spark, sf, maxMeanAbsDw = exact / 2))
     TfIdfStore.driftBound(spark, sf).head.getDouble(0) shouldBe 0.0
+
+    // GROWTH-INVARIANT reset (the driftparts ledger is
+    // O(|vocab| x gens-since-refresh), bounded by this very gate):
+    // after the gate-fired refresh the ledger holds exactly ONE
+    // generation's rows — one (tok, tfsum, idfp) row per token, and
+    // zero live delta generations
+    val dpRoot = Paths.get(ArtifactStore.root,
+      ArtifactStore.pathKey(corpus) + "_tfidf1024", "driftparts")
+    val dpBase = new graft.sources.ParquetTableIO(
+      dpRoot.resolve("base").toString).read(spark)
+    dpBase.groupBy("tok").count()
+      .agg(max("count")).head.getLong(0) shouldBe 1L
+    val dpDelta = dpRoot.resolve("delta")
+    assert(!Files.exists(dpDelta) || {
+      val s = Files.list(dpDelta)
+      try s.filter(_.getFileName.toString.startsWith("_gen=")).count() == 0L
+      finally s.close()
+    }, "refresh must drop every pinned delta generation")
   }
 
   test("pruned retrieval over stored norms/ceilings/stats equals naive exactly") {

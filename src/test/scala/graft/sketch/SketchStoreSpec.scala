@@ -166,4 +166,55 @@ class SketchStoreSpec extends SparkSpec {
     assert(hllBase.groupBy("source", "register").count()
       .agg(max("count")).head.getLong(0) === 1L)
   }
+
+  test("adaptive width is memoized per corpus version: steady-state serve runs zero driver actions") {
+    val (sf, corpus) = newCorpus("adwidth")
+    writeDocs(corpus, "overwrite", docsA: _*)
+    val (sk1, w1) = SketchStore.cmsAdaptive(spark, sf, "documents")
+    sk1.collect() // build artifacts, populate the width memo
+
+    // count only THIS thread's jobs (job-group is thread-local, so
+    // concurrently-running suites on the shared session can't pollute)
+    val group = "graft-adwidth-memo"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          descs.add(String.valueOf(
+            js.properties.getProperty("spark.job.description")) + " / " +
+            js.stageInfos.map(_.name).mkString(";"))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "adaptive-width memo check")
+    try {
+      val (_, w2) = SketchStore.cmsAdaptive(spark, sf, "documents")
+      w2 shouldBe w1 // same corpus → memo hit, no vocabulary count job
+      Thread.sleep(1000) // listener bus is async — let events land
+      // the memo removes the pre-serve ACTION (the vocabulary count);
+      // what may remain is parquet schema inference on DataFrame
+      // construction (a driver-side footer read Spark runs as a tiny
+      // job) — assert no action-shaped job ran
+      val actions = descs.toArray.map(String.valueOf(_))
+        .filterNot(d => d.contains("parquet at"))
+      withClue(s"unexpected driver actions: ${actions.mkString(" | ")}: ") {
+        actions shouldBe empty
+      }
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // an append moves the corpus fingerprint → the width re-derives
+    // from the advanced df artifact (and the sketch stays correct)
+    writeDocs(corpus, "append", docsB: _*)
+    val (sk3, w3) = SketchStore.cmsAdaptive(spark, sf, "documents")
+    w3 should be >= w1
+    assert(rows(sk3) === rows(CountMin.build(toks(corpus),
+      col("term"), SketchStore.Depth, w3)))
+  }
 }
