@@ -321,6 +321,14 @@ object Bench {
       s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))},""" +
       s""""ingest_docs_per_s":$ingest,"ingest_batch_p50_s":${ms3(pct(ingestWalls, 0.5))},"ingest_batch_p95_s":${ms3(pct(ingestWalls, 0.95))},""" +
       s""""vec_ingest_per_s":$vec,"vec_batch_p50_s":${ms3(pct(vecWalls, 0.5))},"vec_batch_p95_s":${ms3(pct(vecWalls, 0.95))},""" +
-      s""""tick_p50_s":${ms3(pct(tickWalls, 0.5))},"tick_p95_s":${ms3(pct(tickWalls, 0.95))},"tick_max_s":${ms3(if (tickWalls.isEmpty) -1.0 else tickWalls.last)}}"""
+      s""""tick_p50_s":${ms3(pct(tickWalls, 0.5))},"tick_p95_s":${ms3(pct(tickWalls, 0.95))},"tick_max_s":${ms3(if (tickWalls.isEmpty) -1.0 else tickWalls.last)},""" + {
+        // the maintenance plane the tick latencies deliberately exclude
+        // (folds are detached): completions, failures, durations and the
+        // backlog peak across every store this bench run touched
+        val m = graft.sources.IncrementalDocArtifact.Maintenance.snapshot
+        s""""maint_folds":${m("folds_completed")},"maint_failed":${m("folds_failed")},""" +
+          s""""maint_fold_max_s":${m("fold_max_ms") / 1000.0},"maint_fold_total_s":${m("fold_total_ms") / 1000.0},""" +
+          s""""maint_queue_peak":${m("queue_peak")},"maint_queue_end":${m("queue_depth")}}"""
+      }
   }
 }

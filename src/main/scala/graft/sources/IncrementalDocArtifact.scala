@@ -146,17 +146,65 @@ object IncrementalDocArtifact {
   /** Detached maintenance: auto-compactions run here so an ingest
     * tick's latency never includes a fold — the advance returns after
     * its ledger rename and the fold publishes later behind the
-    * versioned pointers. Two daemon threads: folds of DIFFERENT
-    * artifacts overlap; a second fold of the SAME artifact dedupes
-    * via [[pendingCompact]] (single-flight per root).
+    * versioned pointers. Pool size defaults to 2 daemon threads and is
+    * configurable via `graft.maintenance.threads` (read at class-load):
+    * folds of DIFFERENT artifacts overlap up to the pool size — a
+    * deployment with a dozen stores whose `compactEvery` crossings
+    * burst together should size the pool so the backlog ([[Maintenance]]
+    * `queueDepth`) drains between bursts. A second fold of the SAME
+    * artifact dedupes via [[pendingCompact]] (single-flight per root).
     */
   private val maintenancePool =
-    java.util.concurrent.Executors.newFixedThreadPool(2,
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, sys.props.get("graft.maintenance.threads")
+        .map(_.toInt).getOrElse(2)),
       (r: Runnable) => {
         val t = new Thread(r, "graft-artifact-maintenance")
         t.setDaemon(true)
         t
       })
+
+  /** Observability of the detached-maintenance plane — the backlog a
+    * burst of simultaneous `compactEvery` crossings builds is invisible
+    * in tick latency by design (that is the point of detaching), so it
+    * must be visible HERE: queue depth, completion/failure counters and
+    * fold durations, surfaced by the bench next to the tick latencies
+    * (`maint_*` fields) and assertable in specs/probes.
+    */
+  object Maintenance {
+    private[IncrementalDocArtifact] val completed =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val failed =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val lastMillis =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val maxMillis =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val totalMillis =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val peakQueueDepth =
+      new java.util.concurrent.atomic.AtomicLong()
+
+    /** Detached maintenance tasks scheduled and not yet finished
+      * (running + queued behind the pool).
+      */
+    def queueDepth: Int = pendingCompact.size
+
+    def snapshot: Map[String, Long] = Map(
+      "folds_completed" -> completed.get(),
+      "folds_failed" -> failed.get(),
+      "fold_last_ms" -> lastMillis.get(),
+      "fold_max_ms" -> maxMillis.get(),
+      "fold_total_ms" -> totalMillis.get(),
+      "queue_depth" -> queueDepth.toLong,
+      "queue_peak" -> peakQueueDepth.get())
+
+    /** Zero the counters (bench/probe setup). */
+    def reset(): Unit = {
+      Seq(completed, failed, lastMillis, maxMillis, totalMillis,
+        peakQueueDepth).foreach(_.set(0L))
+    }
+  }
 
   private val pendingCompact =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
@@ -174,23 +222,36 @@ object IncrementalDocArtifact {
   private val lastMaintenanceFailure =
     new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
 
-  private def scheduleCompact(key: String, body: () => Unit): Unit =
+  private def scheduleCompact(key: String, body: () => Unit): Unit = {
     pendingCompact.computeIfAbsent(key, _ =>
       maintenancePool.submit(new Runnable {
-        def run(): Unit =
+        def run(): Unit = {
+          val t0 = System.nanoTime()
           try {
             body()
             lastMaintenanceFailure.remove(key) // success clears the record
+            Maintenance.completed.incrementAndGet()
           } catch {
             case e: Throwable =>
               // state stays correct on any failure (pointer flips are
               // all-or-nothing); record + surface the miss and let the
               // next trigger retry
+              Maintenance.failed.incrementAndGet()
               lastMaintenanceFailure.put(key, e)
               System.err.println(
                 s"graft detached compaction failed for $key: $e")
-          } finally pendingCompact.remove(key)
+          } finally {
+            val ms = (System.nanoTime() - t0) / 1000000L
+            Maintenance.lastMillis.set(ms)
+            Maintenance.maxMillis.accumulateAndGet(ms, Math.max(_, _))
+            Maintenance.totalMillis.addAndGet(ms)
+            pendingCompact.remove(key)
+          }
+        }
       }))
+    Maintenance.peakQueueDepth.accumulateAndGet(
+      pendingCompact.size.toLong, Math.max(_, _))
+  }
 
   private def awaitPending(key: String): Unit = {
     val f = pendingCompact.get(key)

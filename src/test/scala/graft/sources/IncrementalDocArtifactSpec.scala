@@ -271,4 +271,47 @@ class IncrementalDocArtifactSpec extends SparkSpec {
       Array((1L, "one"), (2L, "two"), (3L, "three"))
     deleteTree(Paths.get(sf))
   }
+
+  test("maintenance plane is observable: a 4-store fold burst is counted, timed, and drains") {
+    import IncrementalDocArtifact.Maintenance
+    val before = Maintenance.snapshot
+    def autoHandle(corpus: String) = IncrementalDocArtifact(corpus, "mobs",
+      Seq(Piece("rows", (docs, _) => docs)), compactEvery = 4)
+    val corpora = (0 until 4).map { i =>
+      val sf = Files.createTempDirectory(s"graft-maint-obs-$i").toString
+      val corpus = s"$sf/documents.parquet"
+      Seq((0L, s"base-$i")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(corpus)
+      autoHandle(corpus).serve(spark, "rows").count() shouldBe 1
+      corpus
+    }
+    // staggered appends: each round appends one file to EVERY store,
+    // so on the 4th round all four stores cross compactEvery together
+    // — the burst that builds a backlog behind the (default 2-thread)
+    // pool, which the metrics must make visible and which must drain
+    (1 to 4).foreach { round =>
+      corpora.zipWithIndex.foreach { case (corpus, i) =>
+        Seq((round.toLong * 10 + i, s"r$round-$i")).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(corpus)
+        autoHandle(corpus).serve(spark, "rows").count() shouldBe (1 + round)
+      }
+    }
+    corpora.foreach(c => autoHandle(c).awaitMaintenance())
+    val after = Maintenance.snapshot
+    // all four folds completed (counters are global — other suites may
+    // add to them, never subtract), none failed beyond the baseline of
+    // deliberately-failing tests elsewhere in this suite
+    (after("folds_completed") - before("folds_completed")) should be >= 4L
+    after("queue_peak") should be >= 1L
+    // drained for OUR stores: every delta generation folded away, and
+    // the folded serve still exact
+    corpora.zipWithIndex.foreach { case (corpus, i) =>
+      autoHandle(corpus).deltaGens() shouldBe empty
+      autoHandle(corpus).serve(spark, "rows").count() shouldBe 5
+      deleteTree(Paths.get(corpus).getParent)
+    }
+    // durations are recorded (a Spark fold takes measurable time)
+    after("fold_total_ms") should be >= before("fold_total_ms")
+    after("fold_max_ms") should be >= 1L
+  }
 }
