@@ -143,6 +143,56 @@ object IncrementalDocArtifact {
   private def lockFor(key: String): Object =
     rootLocks.computeIfAbsent(key, _ => new Object)
 
+  /** Per-root MUTATION COUNTER — the serve-path cache's invalidation
+    * signal. Every mutation path bumps it BEFORE its first disk write
+    * (invalidate-then-mutate): a reader that observes the pre-bump
+    * value reads pre-mutation disk state (correct — nothing committed
+    * yet), and a reader that could observe any mutated state observes
+    * the bump first and takes the uncached path. A mutation that
+    * CRASHES mid-way leaves the counter ahead of every stamp, so the
+    * next reconcile is a full (sweeping) one.
+    */
+  private val mutCounters =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+  private def counterFor(key: String): java.util.concurrent.atomic.AtomicLong =
+    mutCounters.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+
+  /** Reconciled-clean stamp per root: proof that at mutation-count
+    * `mutCount` the corpus listing hashed to `entriesHash`, the ledger
+    * file had stat `(ledgerMtime, ledgerSize)`, the base versions
+    * matched the footer, and the committed live generations were
+    * `liveGens`. A serve re-validates all three cheap facts (counter
+    * read, corpus walk it needs anyway, one ledger stat) and skips the
+    * ledger parse, the orphan-sweep listings and the base-marker
+    * listings entirely. The ledger stat guards the cross-process READ
+    * case (another process may legitimately mutate while this one only
+    * serves — its commits rewrite the ledger); in-JVM commits bump the
+    * counter. Stamps are written only at the END of a fully-clean (or
+    * just-mutated) reconcile, with the counter re-read under the lock.
+    */
+  private final case class ReconcileStamp(mutCount: Long,
+      entriesHash: String, ledgerMtime: Long, ledgerSize: Long,
+      committed: Option[Set[String]], liveGens: Map[String, Seq[String]])
+  private val reconcileStamps =
+    new java.util.concurrent.ConcurrentHashMap[String, ReconcileStamp]()
+
+  /** Serve-path filesystem reads (ledger parses + directory listings)
+    * per artifact root — observability for the cache probe/spec, not a
+    * public metric.
+    */
+  private val fsReadCounters =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+  private[sources] def fsReadsOf(rootKey: String): Long = {
+    val c = fsReadCounters.get(rootKey)
+    if (c == null) 0L else c.get()
+  }
+  private def fsRead(rootKey: String): Unit =
+    fsReadCounters.computeIfAbsent(rootKey,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+
   /** Detached maintenance: auto-compactions run here so an ingest
     * tick's latency never includes a fold — the advance returns after
     * its ledger rename and the fold publishes later behind the
@@ -368,6 +418,8 @@ object IncrementalDocArtifact {
     // always mlock -> lock, never the reverse — no deadlock.
     private def lock: Object = IncrementalDocArtifact.lockFor(rootKey)
     private def mlock: Object = IncrementalDocArtifact.lockFor(rootKey + "#maint")
+    private def counter: java.util.concurrent.atomic.AtomicLong =
+      IncrementalDocArtifact.counterFor(rootKey)
     private def statePath: Path = root.resolve("state")
     private def baseIO(piece: String): ParquetTableIO =
       new ParquetTableIO(root.resolve(piece).resolve("base").toString)
@@ -399,6 +451,7 @@ object IncrementalDocArtifact {
     private def readLedger(): LedgerState =
       if (!Files.exists(statePath)) LedgerState(Nil, Set.empty, Map.empty, v2 = true)
       else {
+        IncrementalDocArtifact.fsRead(rootKey)
         val lines = Files.readAllLines(statePath).toArray.toSeq.map(_.toString)
           .filter(_.nonEmpty)
         val (meta, entries) = lines.partition(_.startsWith("#"))
@@ -417,15 +470,20 @@ object IncrementalDocArtifact {
       */
     private def baseMarkers(): Map[String, String] =
       allNames.map { n =>
+        IncrementalDocArtifact.fsRead(rootKey)
         n -> baseIO(n).currentDir
           .map(d => Paths.get(d).getFileName.toString).getOrElse("-")
       }.toMap
 
     /** Atomic-rename ledger commit — THE commit point of every
       * mutation. Base versions are read from the live pointers at
-      * write time.
+      * write time. Bumps the mutation counter (and drops the
+      * reconcile stamp) BEFORE the rename — the serve-cache belt on
+      * top of the per-path invalidate-at-mutation-start bumps.
       */
     private def writeLedger(entries: Seq[String], gens: Set[String]): Unit = {
+      counter.incrementAndGet()
+      IncrementalDocArtifact.reconcileStamps.remove(rootKey)
       val footer = Seq("#v2") ++
         gens.toSeq.sorted.map("#gen:" + _) ++
         baseMarkers().toSeq.sortBy(_._1).map { case (p, v) => s"#base:$p:$v" }
@@ -499,6 +557,7 @@ object IncrementalDocArtifact {
       val d = deltaDir(piece)
       if (!Files.exists(d)) Nil
       else {
+        IncrementalDocArtifact.fsRead(rootKey)
         val folded = foldedGens(piece)
         val s = Files.list(d)
         try s.filter(_.getFileName.toString.startsWith("_gen="))
@@ -653,9 +712,72 @@ object IncrementalDocArtifact {
         .partitionBy("_gen")
         .parquet(deltaDir(piece).toString)
 
-    private def reconcile(spark: SparkSession): Unit = {
-      lock.synchronized {
+    // -----------------------------------------------------------------
+    // Serve-path reconcile cache: a hot artifact (the composed screen
+    // front door touches five stores per batch) must not pay a ledger
+    // parse + 3N directory listings per serve when NOTHING moved. The
+    // stamp proves the last reconcile was clean; re-validation costs
+    // the corpus walk (needed anyway — it IS the external-staleness
+    // check), one counter read and one ledger stat. Invalidation is
+    // the mutation counter (bumped before any in-JVM mutation's first
+    // visible write) plus the ledger stat (a foreign process's commits
+    // rewrite the ledger file). See [[ReconcileStamp]].
+    // -----------------------------------------------------------------
+
+    private def ledgerStat(): (Long, Long) =
+      if (!Files.exists(statePath)) (-1L, -1L)
+      else (Files.getLastModifiedTime(statePath).toMillis,
+        Files.size(statePath))
+
+    private def stampValid(s: IncrementalDocArtifact.ReconcileStamp,
+        curHash: String): Boolean =
+      s.mutCount == counter.get() && s.entriesHash == curHash &&
+        (s.ledgerMtime, s.ledgerSize) == ledgerStat()
+
+    /** Build + install the stamp for a state just verified (or just
+      * made) clean; caller holds `lock`.
+      */
+    private def recordStamp(curHash: String)
+        : IncrementalDocArtifact.ReconcileStamp = {
+      val st = readLedger()
+      val allowed = committedOf(st)
+      val lg = allNames.map(n => n -> liveGens(n, Set.empty, allowed)).toMap
+      val (m, sz) = ledgerStat()
+      val s = IncrementalDocArtifact.ReconcileStamp(
+        counter.get(), curHash, m, sz, allowed, lg)
+      IncrementalDocArtifact.reconcileStamps.put(rootKey, s)
+      s
+    }
+
+    private def reconcile(spark: SparkSession)
+        : IncrementalDocArtifact.ReconcileStamp = {
+      val stamp = lock.synchronized {
         val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
+        val curHash = genId(current)
+        val cached = IncrementalDocArtifact.reconcileStamps.get(rootKey)
+        if (cached != null && stampValid(cached, curHash)) cached
+        else {
+          reconcileLocked(spark, current)
+          recordStamp(curHash)
+        }
+      }
+      // auto-compaction is DETACHED: the tick returns after its ledger
+      // commit; the fold (and, in lazy mode, the deferred merge
+      // catch-up it must run first) happens on the maintenance pool
+      // behind the versioned pointers — a tick's latency never
+      // includes a fold. The trigger check reads the stamp's committed
+      // live gens — no extra listings on the fast path.
+      if (compactEvery > 0 && stamp.liveGens.valuesIterator.flatten
+          .toSet.size >= compactEvery)
+        IncrementalDocArtifact.scheduleCompact(rootKey, () => compact(spark))
+      stamp
+    }
+
+    /** The full reconcile body (sweep, compare, mutate); caller holds
+      * `lock`.
+      */
+    private def reconcileLocked(spark: SparkSession,
+        current: Seq[String]): Unit = {
         val st = readLedger()
         dropUncommittedGens(st)
         val unchanged = st.entries == current &&
@@ -664,6 +786,10 @@ object IncrementalDocArtifact {
         // rename (then the corpus reverted) left poisoned bases behind
         // a matching ledger — the recorded versions disagree, rebuild
         if (!unchanged) WriterLease.withLease(root, "artifact advance") {
+          // invalidate BEFORE the first write: a crashed mutation must
+          // leave the counter ahead of every stamp
+          counter.incrementAndGet()
+          IncrementalDocArtifact.reconcileStamps.remove(rootKey)
           val currentSet = current.toSet
           val newEntries = current.filterNot(st.entries.toSet)
           val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
@@ -708,13 +834,6 @@ object IncrementalDocArtifact {
             rebuildAll(spark, current)
           }
         }
-      }
-      // auto-compaction is DETACHED: the tick returns after its ledger
-      // commit; the fold (and, in lazy mode, the deferred merge
-      // catch-up it must run first) happens on the maintenance pool
-      // behind the versioned pointers — a tick's latency never
-      // includes a fold
-      maybeCompactDetached(spark)
     }
 
     /** Schedule a detached compaction when the live-generation count
@@ -734,6 +853,8 @@ object IncrementalDocArtifact {
 
     private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = lock.synchronized {
       WriterLease.withLease(root, "artifact rebuild") {
+      counter.incrementAndGet() // invalidate before the first delete
+      IncrementalDocArtifact.reconcileStamps.remove(rootKey)
       // stale deltas go FIRST so rebuild-order reads (a later piece
       // reading an earlier one through ctx) see only rebuilt bases
       allNames.foreach(n => deleteTree(deltaDir(n)))
@@ -945,6 +1066,11 @@ object IncrementalDocArtifact {
             // the snapshot — the staged versions describe a dead state
             stagedPieces.foreach { case (_, abort) => abort() }
           } else {
+            // invalidate before the first pointer flip: a stamped view
+            // must never pair a fresh (folded) base with stale gen
+            // listings
+            counter.incrementAndGet()
+            IncrementalDocArtifact.reconcileStamps.remove(rootKey)
             stagedPieces.foreach { case (commit, _) => commit() }
             // absorbed gen directories are NOT deleted here: they are
             // dead by marker for every NEW listing, but an in-flight
@@ -992,12 +1118,23 @@ object IncrementalDocArtifact {
       * so it re-checks the detached trigger).
       */
     def serve(spark: SparkSession, piece: String): DataFrame = {
-      reconcile(spark)
+      val stamp = reconcile(spark)
       if (lazyMerges && merges.exists(_.name == piece)) {
+        // a catch-up may commit a new generation — serve fresh
         catchUpMerges(spark)
         maybeCompactDetached(spark)
-      }
-      view(spark, Set.empty)(piece)
+        view(spark, Set.empty)(piece)
+      } else if (stamp.mutCount == counter.get()) {
+        // stamped view: committed cut + live gens from the validated
+        // stamp — zero ledger/listing reads. The counter re-check
+        // narrows the stamp's age to the same commit-vs-read race the
+        // fresh path has between its listing and its base-pointer
+        // resolution (grace windows cover in-flight readers either way)
+        merges.find(_.name == piece) match {
+          case Some(mp) => readMergeGens(spark, mp, stamp.liveGens(mp.name))
+          case None => readPieceGens(spark, piece, stamp.liveGens(piece))
+        }
+      } else view(spark, Set.empty)(piece)
     }
 
     private def deleteTree(dir: Path): Unit =

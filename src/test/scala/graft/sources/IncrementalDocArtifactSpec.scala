@@ -314,4 +314,49 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     after("fold_total_ms") should be >= before("fold_total_ms")
     after("fold_max_ms") should be >= 1L
   }
+
+  test("serve-path reconcile cache: warm serves read no ledger/listings; every mutation invalidates") {
+    val sf = Files.createTempDirectory("graft-engine-servecache").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    val rootKey = Paths.get(ArtifactStore.root,
+      ArtifactStore.pathKey(corpus) + "_spec").toString
+
+    handle(corpus).serve(spark, "rows").count() shouldBe 2 // cold: builds + stamps
+    val cold = IncrementalDocArtifact.fsReadsOf(rootKey)
+    cold should be > 0L
+
+    // warm serves: the stamp short-circuits the ledger parse, the
+    // orphan-sweep listings and the base-marker listings — ZERO
+    // counted filesystem reads across three serves
+    (1 to 3).foreach(_ => handle(corpus).serve(spark, "rows").count() shouldBe 2)
+    IncrementalDocArtifact.fsReadsOf(rootKey) shouldBe cold
+
+    // corpus append: the walk the fast path keeps is exactly what
+    // catches it — served fresh, immediately
+    Seq((3L, "three")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    handle(corpus).serve(spark, "rows")
+      .as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "one"), (2L, "two"), (3L, "three"))
+    val afterAppend = IncrementalDocArtifact.fsReadsOf(rootKey)
+    afterAppend should be > cold
+
+    // warm again after re-stamping
+    handle(corpus).serve(spark, "rows").count() shouldBe 3
+    handle(corpus).serve(spark, "rows").count() shouldBe 3
+    IncrementalDocArtifact.fsReadsOf(rootKey) shouldBe afterAppend
+
+    // a fold behind the serve's back bumps the mutation counter
+    // BEFORE its pointer flips — the next serve must take the fresh
+    // path (stale stamp would pair the folded base with dead gen
+    // listings = double count)
+    handle(corpus).compact(spark)
+    handle(corpus).serve(spark, "rows")
+      .as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "one"), (2L, "two"), (3L, "three"))
+    IncrementalDocArtifact.fsReadsOf(rootKey) should be > afterAppend
+    deleteTree(Paths.get(sf))
+  }
 }
