@@ -47,6 +47,27 @@ class WriterLeaseSpec extends SparkSpec {
     Files.exists(lease) shouldBe false
   }
 
+  test("the heartbeat keeps a long-held lease live (mtime refreshes while held)") {
+    val root = Files.createTempDirectory("graft-lease-hb")
+    WriterLease.withLease(root, "long mutation") {
+      val lease = root.resolve(WriterLease.LeaseName)
+      // simulate a missed refresh: age the file far past the stale
+      // horizon; the daemon heartbeat (sub-second cadence) must bring
+      // it back — this is what makes a live holder untakeable however
+      // long its mutation runs
+      Files.setLastModifiedTime(lease,
+        FileTime.fromMillis(System.currentTimeMillis() - staleAge))
+      val deadline = System.currentTimeMillis() + 10000
+      var fresh = false
+      while (!fresh && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        fresh = System.currentTimeMillis() -
+          Files.getLastModifiedTime(lease).toMillis < WriterLease.staleMs
+      }
+      assert(fresh, "heartbeat never refreshed the held lease")
+    }
+  }
+
   test("a LIVE foreign lease refuses acquisition; a STALE one is taken over") {
     val root = Files.createTempDirectory("graft-lease-foreign")
     plantForeignLease(root)
