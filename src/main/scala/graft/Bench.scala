@@ -299,20 +299,29 @@ object Bench {
           h.serve(spark, "digest").count()
           (System.nanoTime() - t0) / 1e9
         }
-        h.awaitMaintenance() // quiesce before the next bench block
-        // tidy: the per-run temp corpus keys a unique artifact dir
-        // under the shared index root — drop it so bench runs don't
-        // accumulate dead stores there
-        val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
-          graft.sources.ArtifactStore.pathKey(corpus) + "_bt1")
-        Seq(art, base).foreach { d =>
-          if (java.nio.file.Files.exists(d)) {
-            val s = java.nio.file.Files.walk(d)
-            try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(f => java.nio.file.Files.delete(f))
-            finally s.close()
+        // quiesce + tidy must NOT discard the measured walls: a sticky
+        // detached-fold failure rethrown by awaitMaintenance is a
+        // maintenance signal (visible via maint_failed), not a loss of
+        // 12 successfully-measured ticks
+        try h.awaitMaintenance()
+        catch { case NonFatal(e) =>
+          System.err.println(s"bench tick quiesce: $e") }
+        try {
+          // tidy: the per-run temp corpus keys a unique artifact dir
+          // under the shared index root — drop it so bench runs don't
+          // accumulate dead stores there
+          val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
+            graft.sources.ArtifactStore.pathKey(corpus) + "_bt1")
+          Seq(art, base).foreach { d =>
+            if (java.nio.file.Files.exists(d)) {
+              val s = java.nio.file.Files.walk(d)
+              try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.delete(f))
+              finally s.close()
+            }
           }
-        }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"bench tick cleanup: $e") }
         walls.sorted
       } catch { case NonFatal(_) => Seq.empty[Double] }
     }
@@ -326,7 +335,7 @@ object Bench {
         // (folds are detached): completions, failures, durations and the
         // backlog peak across every store this bench run touched
         val m = graft.sources.IncrementalDocArtifact.Maintenance.snapshot
-        s""""maint_folds":${m("folds_completed")},"maint_failed":${m("folds_failed")},""" +
+        s""""maint_folds":${m("folds_completed")},"maint_failed":${m("folds_failed")},"maint_aborted":${m("folds_aborted")},""" +
           s""""maint_fold_max_s":${m("fold_max_ms") / 1000.0},"maint_fold_total_s":${m("fold_total_ms") / 1000.0},""" +
           s""""maint_queue_peak":${m("queue_peak")},"maint_queue_end":${m("queue_depth")}}"""
       }

@@ -113,29 +113,37 @@ object PartitionedLayout {
   def ensureIncremental(spark: SparkSession, sourcePath: String,
       table: String, partCol: String,
       derive: DataFrame => DataFrame): String = lockFor(table).synchronized {
-    val current = ArtifactStore.entries(sourcePath).filter { e =>
-      val rel = e.substring(0, e.indexOf('|'))
-      val name = rel.substring(rel.lastIndexOf('/') + 1)
-      !(name.startsWith("_") || name.startsWith("."))
-    }
-    readManifest(table) match {
-      case Some(m) if m.entries == current => table // fresh — serve, no lease
-      case Some(m) if m.entries.nonEmpty &&
-          m.entries.forall(current.toSet) &&
-          current.exists(e => !m.entries.toSet(e)) =>
-        graft.sources.WriterLease.withLease(Paths.get(loc(table)),
-          s"layout append $table") {
-          sweepStaging(table)
-          appendIncrement(spark, sourcePath, table, partCol, derive, m, current)
+    def currentEntries(): Seq[String] =
+      ArtifactStore.entries(sourcePath).filter { e =>
+        val rel = e.substring(0, e.indexOf('|'))
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        !(name.startsWith("_") || name.startsWith("."))
+      }
+    def isFresh(current: Seq[String]): Boolean =
+      readManifest(table).exists(_.entries == current)
+    if (isFresh(currentEntries())) table // serve path — no lease
+    else {
+      graft.sources.WriterLease.withLease(Paths.get(loc(table)),
+        s"layout ensure $table") {
+        sweepStaging(table)
+        // RE-DECIDE under the lease: the pre-lease manifest read is a
+        // stale decision if a foreign process committed between the
+        // check and the lease acquisition — replaying it could append
+        // into a superseded data root and revert the table. A re-read
+        // that comes back fresh means the foreign writer did the work.
+        val current = currentEntries()
+        readManifest(table) match {
+          case Some(m) if m.entries == current => ()
+          case Some(m) if m.entries.nonEmpty &&
+              m.entries.forall(current.toSet) &&
+              current.exists(e => !m.entries.toSet(e)) =>
+            appendIncrement(spark, sourcePath, table, partCol, derive, m,
+              current)
+          case _ =>
+            fullRewrite(spark, sourcePath, table, partCol, derive, current)
         }
-        table
-      case _ =>
-        graft.sources.WriterLease.withLease(Paths.get(loc(table)),
-          s"layout rewrite $table") {
-          sweepStaging(table)
-          fullRewrite(spark, sourcePath, table, partCol, derive, current)
-        }
-        table
+      }
+      table
     }
   }
 

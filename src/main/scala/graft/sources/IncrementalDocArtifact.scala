@@ -174,7 +174,7 @@ object IncrementalDocArtifact {
     */
   private final case class ReconcileStamp(mutCount: Long,
       entriesHash: String, ledgerMtime: Long, ledgerSize: Long,
-      committed: Option[Set[String]], liveGens: Map[String, Seq[String]])
+      liveGens: Map[String, Seq[String]])
   private val reconcileStamps =
     new java.util.concurrent.ConcurrentHashMap[String, ReconcileStamp]()
 
@@ -206,8 +206,11 @@ object IncrementalDocArtifact {
     */
   private val maintenancePool =
     java.util.concurrent.Executors.newFixedThreadPool(
+      // guarded parse: a malformed property degrades to the default —
+      // throwing here is an ExceptionInInitializerError that kills the
+      // whole artifact plane
       math.max(1, sys.props.get("graft.maintenance.threads")
-        .map(_.toInt).getOrElse(2)),
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(2)),
       (r: Runnable) => {
         val t = new Thread(r, "graft-artifact-maintenance")
         t.setDaemon(true)
@@ -226,6 +229,8 @@ object IncrementalDocArtifact {
       new java.util.concurrent.atomic.AtomicLong()
     private[IncrementalDocArtifact] val failed =
       new java.util.concurrent.atomic.AtomicLong()
+    private[IncrementalDocArtifact] val aborted =
+      new java.util.concurrent.atomic.AtomicLong()
     private[IncrementalDocArtifact] val lastMillis =
       new java.util.concurrent.atomic.AtomicLong()
     private[IncrementalDocArtifact] val maxMillis =
@@ -243,6 +248,7 @@ object IncrementalDocArtifact {
     def snapshot: Map[String, Long] = Map(
       "folds_completed" -> completed.get(),
       "folds_failed" -> failed.get(),
+      "folds_aborted" -> aborted.get(),
       "fold_last_ms" -> lastMillis.get(),
       "fold_max_ms" -> maxMillis.get(),
       "fold_total_ms" -> totalMillis.get(),
@@ -251,7 +257,7 @@ object IncrementalDocArtifact {
 
     /** Zero the counters (bench/probe setup). */
     def reset(): Unit = {
-      Seq(completed, failed, lastMillis, maxMillis, totalMillis,
+      Seq(completed, failed, aborted, lastMillis, maxMillis, totalMillis,
         peakQueueDepth).foreach(_.set(0L))
     }
   }
@@ -272,15 +278,21 @@ object IncrementalDocArtifact {
   private val lastMaintenanceFailure =
     new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
 
-  private def scheduleCompact(key: String, body: () => Unit): Unit = {
+  private def scheduleCompact(key: String, body: () => Boolean): Unit = {
     pendingCompact.computeIfAbsent(key, _ =>
       maintenancePool.submit(new Runnable {
         def run(): Unit = {
           val t0 = System.nanoTime()
           try {
-            body()
-            lastMaintenanceFailure.remove(key) // success clears the record
-            Maintenance.completed.incrementAndGet()
+            if (body()) {
+              lastMaintenanceFailure.remove(key) // success clears the record
+              Maintenance.completed.incrementAndGet()
+            } else
+              // ABORTED: a rebuild/racing fold moved the bases — nothing
+              // folded, nothing failed; the next trigger retries. Counts
+              // neither completed (the store is still unfolded) nor
+              // failed (sticky failure would mis-signal awaitMaintenance)
+              Maintenance.aborted.incrementAndGet()
           } catch {
             case e: Throwable =>
               // state stays correct on any failure (pointer flips are
@@ -735,16 +747,17 @@ object IncrementalDocArtifact {
         (s.ledgerMtime, s.ledgerSize) == ledgerStat()
 
     /** Build + install the stamp for a state just verified (or just
-      * made) clean; caller holds `lock`.
+      * made) clean; caller holds `lock` and passes the FINAL ledger
+      * state (no re-parse of the file reconcileLocked just read or
+      * wrote).
       */
-    private def recordStamp(curHash: String)
+    private def recordStamp(curHash: String, st: LedgerState)
         : IncrementalDocArtifact.ReconcileStamp = {
-      val st = readLedger()
       val allowed = committedOf(st)
       val lg = allNames.map(n => n -> liveGens(n, Set.empty, allowed)).toMap
       val (m, sz) = ledgerStat()
       val s = IncrementalDocArtifact.ReconcileStamp(
-        counter.get(), curHash, m, sz, allowed, lg)
+        counter.get(), curHash, m, sz, lg)
       IncrementalDocArtifact.reconcileStamps.put(rootKey, s)
       s
     }
@@ -756,10 +769,7 @@ object IncrementalDocArtifact {
         val curHash = genId(current)
         val cached = IncrementalDocArtifact.reconcileStamps.get(rootKey)
         if (cached != null && stampValid(cached, curHash)) cached
-        else {
-          reconcileLocked(spark, current)
-          recordStamp(curHash)
-        }
+        else recordStamp(curHash, reconcileLocked(spark, current))
       }
       // auto-compaction is DETACHED: the tick returns after its ledger
       // commit; the fold (and, in lazy mode, the deferred merge
@@ -769,27 +779,43 @@ object IncrementalDocArtifact {
       // live gens — no extra listings on the fast path.
       if (compactEvery > 0 && stamp.liveGens.valuesIterator.flatten
           .toSet.size >= compactEvery)
-        IncrementalDocArtifact.scheduleCompact(rootKey, () => compact(spark))
+        IncrementalDocArtifact.scheduleCompact(rootKey, () => compactReturning(spark))
       stamp
     }
 
     /** The full reconcile body (sweep, compare, mutate); caller holds
-      * `lock`.
+      * `lock`. Returns the FINAL ledger state — post-mutation when one
+      * ran — so the stamp needn't re-parse the file it just wrote.
+      *
+      * The divergence check runs TWICE: once lease-free (the serve
+      * path must not touch the lease when nothing diverged), and again
+      * UNDER the writer lease before mutating — the pre-lease read is
+      * a stale decision if a foreign process committed between the
+      * check and the lease acquisition (its commits rewrote the ledger
+      * this decision was made from). A re-check that comes back clean
+      * means exactly that — the foreign writer already did the work.
       */
     private def reconcileLocked(spark: SparkSession,
-        current: Seq[String]): Unit = {
+        current: Seq[String]): LedgerState = {
+      def check(): (LedgerState, Boolean) = {
         val st = readLedger()
         dropUncommittedGens(st)
-        val unchanged = st.entries == current &&
-          (!st.v2 || st.baseVersions == baseMarkers())
         // base-version check: a rebuild that crashed before its ledger
         // rename (then the corpus reverted) left poisoned bases behind
         // a matching ledger — the recorded versions disagree, rebuild
-        if (!unchanged) WriterLease.withLease(root, "artifact advance") {
-          // invalidate BEFORE the first write: a crashed mutation must
-          // leave the counter ahead of every stamp
-          counter.incrementAndGet()
-          IncrementalDocArtifact.reconcileStamps.remove(rootKey)
+        (st, st.entries == current &&
+          (!st.v2 || st.baseVersions == baseMarkers()))
+      }
+      val (st0, clean0) = check()
+      if (clean0) st0
+      else WriterLease.withLease(root, "artifact advance") {
+        // invalidate BEFORE the first write: a crashed mutation must
+        // leave the counter ahead of every stamp
+        counter.incrementAndGet()
+        IncrementalDocArtifact.reconcileStamps.remove(rootKey)
+        val (st, clean) = check() // re-decide under the lease
+        if (clean) st
+        else {
           val currentSet = current.toSet
           val newEntries = current.filterNot(st.entries.toSet)
           val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
@@ -804,6 +830,7 @@ object IncrementalDocArtifact {
           if (st.entries == current) {
             // only the base-version check failed → heal by full rebuild
             rebuildAll(spark, current)
+            LedgerState(current, Set.empty, Map.empty, v2 = true)
           } else if (appendOnly) {
             val corpusRoot = Paths.get(corpusPath)
             val newFiles = newEntries.map(e =>
@@ -830,10 +857,13 @@ object IncrementalDocArtifact {
             writeLedger(current, carriedGens + gen)
             if (!lazyMerges)
               merges.foreach(mp => writeCovered(mp.name, current))
+            LedgerState(current, carriedGens + gen, Map.empty, v2 = true)
           } else {
             rebuildAll(spark, current)
+            LedgerState(current, Set.empty, Map.empty, v2 = true)
           }
         }
+      }
     }
 
     /** Schedule a detached compaction when the live-generation count
@@ -842,7 +872,7 @@ object IncrementalDocArtifact {
       */
     private def maybeCompactDetached(spark: SparkSession): Unit =
       if (compactEvery > 0 && deltaGens().size >= compactEvery)
-        IncrementalDocArtifact.scheduleCompact(rootKey, () => compact(spark))
+        IncrementalDocArtifact.scheduleCompact(rootKey, () => compactReturning(spark))
 
     /** Block until any in-flight detached compaction of THIS artifact
       * finishes — the determinism hook for tests, probes and
@@ -1019,8 +1049,20 @@ object IncrementalDocArtifact {
       * `_folded_gens` marker, so the post-commit reads serve
       * newBase ∪ remaining-gens, exactly a fold that never saw them.
       */
-    def compact(spark: SparkSession): Unit = mlock.synchronized {
+    def compact(spark: SparkSession): Unit = { compactReturning(spark); () }
+
+    /** [[compact]] returning whether the pass left nothing pending by
+      * its own doing: true = folded-and-committed or nothing to fold;
+      * false = ABORTED in phase 3 (a rebuild or racing fold moved the
+      * bases) — nothing was folded, the next trigger must retry. Only
+      * a true pass may clear the sticky detached-failure record or
+      * count as a completed fold: an aborted pass that cleared it
+      * would make `awaitMaintenance` report success over a store that
+      * is still unfolded.
+      */
+    private[sources] def compactReturning(spark: SparkSession): Boolean = mlock.synchronized {
       WriterLease.withLease(root, "artifact fold") {
+      var committedOk = true
       if (lazyMerges) catchUpMergesLocked(spark)
       // phase 1 (locked, short): sweep crash debris, GC absorbed
       // directories a previous compaction failed to delete (they are
@@ -1064,6 +1106,7 @@ object IncrementalDocArtifact {
           if (baseMarkers() != markers0) {
             // a rebuild (or a racing fold) republished some base since
             // the snapshot — the staged versions describe a dead state
+            committedOk = false
             stagedPieces.foreach { case (_, abort) => abort() }
           } else {
             // invalidate before the first pointer flip: a stamped view
@@ -1096,10 +1139,13 @@ object IncrementalDocArtifact {
           }
         }
       }
-      // an explicit (synchronous) compact that completes clears the
-      // sticky detached-failure record too — ops fixed the cause and
-      // folded by hand; awaitMaintenance should stop reporting it
-      IncrementalDocArtifact.lastMaintenanceFailure.remove(rootKey)
+      // an explicit (synchronous) compact that COMMITS (or had nothing
+      // to fold) clears the sticky detached-failure record too — ops
+      // fixed the cause and folded by hand; an ABORTED pass folded
+      // nothing and must leave the record standing
+      if (committedOk)
+        IncrementalDocArtifact.lastMaintenanceFailure.remove(rootKey)
+      committedOk
       }
     }
 

@@ -48,10 +48,14 @@ object WriterLease {
   val LeaseName = "_writer_lease"
 
   /** Liveness horizon: a lease whose mtime is older than this is a
-    * crashed holder's debris and may be taken over.
+    * crashed holder's debris and may be taken over. A malformed
+    * property degrades to the default — config misreads must not kill
+    * the mutation plane.
     */
   def staleMs: Long =
-    sys.props.get("graft.lease.staleMs").map(_.toLong).getOrElse(30000L)
+    sys.props.get("graft.lease.staleMs")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(30000L)
 
   private val heartbeatMs = 750L
 
@@ -61,11 +65,28 @@ object WriterLease {
 
   private final class Held(val file: Path) { var count: Int = 1 }
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
-  private val guard = new Object
+  // per-root acquire/release monitors: acquisition does file IO, which
+  // must not serialize mutations of UNRELATED artifacts behind one
+  // global lock
+  private val guards = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def guardFor(key: String): Object =
+    guards.computeIfAbsent(key, _ => new Object)
+
+  /** Does the lease file at `file` carry OUR token? After a stale
+    * takeover the path is occupied by the NEW holder's file — the old
+    * holder's heartbeat and release must leave it alone (refreshing or
+    * deleting a foreign live lease would destroy the new holder's
+    * exclusion). An unreadable/briefly-empty file reads as not-ours.
+    */
+  private def ownsFile(file: Path): Boolean =
+    try Files.readString(file).trim == jvmToken
+    catch { case _: java.io.IOException => false }
 
   // heartbeat: refresh every held lease's mtime so a LIVE holder never
   // goes stale; runs regardless of what staleMs tests configure (750 ms
-  // beats any takeover horizon a spec would reasonably set on US)
+  // beats any takeover horizon a spec would reasonably set on US).
+  // Only files still carrying OUR token are touched — after a stale
+  // takeover the path belongs to someone else.
   locally {
     val t = Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
       val th = new Thread(r, "graft-writer-lease-heartbeat")
@@ -76,7 +97,7 @@ object WriterLease {
       val now = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis())
       held.values.forEach { h =>
-        try Files.setLastModifiedTime(h.file, now)
+        try { if (ownsFile(h.file)) Files.setLastModifiedTime(h.file, now) }
         catch { case _: Throwable => () } // missing file heals on release
       }
     }, heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
@@ -86,8 +107,12 @@ object WriterLease {
     * needed), throwing [[ConcurrentWriterException]] if another LIVE
     * process holds it. Reentrant within this JVM.
     */
-  def acquire(root: Path, what: String): Unit = guard.synchronized {
+  def acquire(root: Path, what: String): Unit = {
     val key = root.toString
+    guardFor(key).synchronized { acquireLocked(root, key, what) }
+  }
+
+  private def acquireLocked(root: Path, key: String, what: String): Unit = {
     val h = held.get(key)
     if (h != null) { h.count += 1; return }
     Files.createDirectories(root)
@@ -103,31 +128,36 @@ object WriterLease {
         case _: java.nio.file.FileAlreadyExistsException =>
           // ours would be in `held` — this is a foreign holder
           val ageMs =
-            try System.currentTimeMillis() -
-              Files.getLastModifiedTime(lease).toMillis
-            catch { case _: java.io.IOException => -1L } // vanished: retry
-          if (ageMs >= 0 && ageMs <= staleMs) {
-            val owner =
-              try Files.readString(lease).trim
-              catch { case _: java.io.IOException => "?" }
-            throw new ConcurrentWriterException(
-              s"another process (lease owner $owner, heartbeat ${ageMs} ms " +
-                s"ago) is mutating $key — $what refused; the engine is " +
-                "single-writer per artifact root across processes")
-          }
-          if (ageMs > staleMs) {
-            // stale: take over by ATOMIC rename — of two contenders
-            // racing this, exactly one move succeeds, and the loser's
-            // next create-if-absent sees the winner's fresh lease
-            takeovers += 1
-            if (takeovers > 5) throw new ConcurrentWriterException(
-              s"could not take over repeatedly-stale lease of $key")
-            val tomb = root.resolve(
-              s"$LeaseName.stale.${java.util.UUID.randomUUID().toString.take(8)}")
-            try {
-              Files.move(lease, tomb, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(tomb)
-            } catch { case _: java.io.IOException => () } // lost the race
+            try Some(System.currentTimeMillis() -
+              Files.getLastModifiedTime(lease).toMillis)
+            catch { case _: java.io.IOException => None } // vanished: retry
+          ageMs match {
+            case Some(age) if age <= staleMs =>
+              // covers FUTURE mtimes too (age < 0 — clock skew / NTP
+              // step): a lease we cannot prove stale is live; refusing
+              // matches heldByOtherProcess and avoids a busy takeover
+              // spin until the clock catches up
+              val owner =
+                try Files.readString(lease).trim
+                catch { case _: java.io.IOException => "?" }
+              throw new ConcurrentWriterException(
+                s"another process (lease owner $owner, heartbeat ${age} ms " +
+                  s"ago) is mutating $key — $what refused; the engine is " +
+                  "single-writer per artifact root across processes")
+            case Some(_) =>
+              // stale: take over by ATOMIC rename — of two contenders
+              // racing this, exactly one move succeeds, and the loser's
+              // next create-if-absent sees the winner's fresh lease
+              takeovers += 1
+              if (takeovers > 5) throw new ConcurrentWriterException(
+                s"could not take over repeatedly-stale lease of $key")
+              val tomb = root.resolve(
+                s"$LeaseName.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+              try {
+                Files.move(lease, tomb, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(tomb)
+              } catch { case _: java.io.IOException => () } // lost the race
+            case None => () // file vanished between create and stat — retry
           }
       }
     }
@@ -136,15 +166,25 @@ object WriterLease {
   /** Release one hold; the file is deleted when the outermost hold of
     * this JVM releases.
     */
-  def release(root: Path): Unit = guard.synchronized {
+  def release(root: Path): Unit = {
     val key = root.toString
+    guardFor(key).synchronized { releaseLocked(key) }
+  }
+
+  private def releaseLocked(key: String): Unit = {
     val h = held.get(key)
     require(h != null, s"release without acquire for $key")
     h.count -= 1
     if (h.count == 0) {
       held.remove(key)
-      try Files.deleteIfExists(h.file)
-      catch { case _: java.io.IOException => () } // stale takeover won it
+      // delete ONLY if the file still carries our token: after a stale
+      // takeover (we were paused past the horizon) the path holds the
+      // NEW holder's live lease — deleting it would hand a third
+      // process concurrent access mid-commit. Losing the lease mid-
+      // mutation is the documented lease trade-off; at least the
+      // release must not compound it.
+      try { if (ownsFile(h.file)) Files.deleteIfExists(h.file) }
+      catch { case _: java.io.IOException => () }
     }
   }
 

@@ -147,8 +147,13 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     Seq((2L, "two")).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(corpus)
     h.serve(spark, "rows").count() shouldBe 2 // one live gen to fold
+    // capture the pass verdict: an abort must report false (it folded
+    // nothing — counting it completed or clearing a sticky failure
+    // would make awaitMaintenance lie about an unfolded store)
+    val verdict = new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
     val folder = new Thread(() =>
-      try h.compact(spark) catch { case _: Throwable => () })
+      try verdict.set(Some(h.compactReturning(spark)))
+      catch { case _: Throwable => verdict.set(None) })
     folder.start()
     assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
       "fold never started staging")
@@ -162,6 +167,10 @@ class IncrementalDocArtifactSpec extends SparkSpec {
     // the stale fold must not have clobbered the rebuilt state
     h.serve(spark, "rows").as[(Long, String)].collect().toSeq shouldBe
       Seq((10L, "fresh"))
+    // if the fold reached its commit window (rather than failing on
+    // the swept deltas), it must have reported the abort
+    verdict.get().foreach(ok => assert(!ok,
+      "an aborted fold must return false"))
     deleteTree(Paths.get(sf))
   }
 
