@@ -172,9 +172,16 @@ object IncrementalDocArtifact {
     * counter. Stamps are written only at the END of a fully-clean (or
     * just-mutated) reconcile, with the counter re-read under the lock.
     */
+  /** `lazyPending`: whether any lazy merge piece's coverage lagged the
+    * committed entries when the stamp was built — lets an up-to-date
+    * lazy serve skip the per-serve pending check (its ledger parse +
+    * listings) entirely. Coverage only changes inside mutation-lock
+    * windows that also bump the counter, so counter-validity implies
+    * this bit is current.
+    */
   private final case class ReconcileStamp(mutCount: Long,
       entriesHash: String, ledgerMtime: Long, ledgerSize: Long,
-      liveGens: Map[String, Seq[String]])
+      liveGens: Map[String, Seq[String]], lazyPending: Boolean)
   private val reconcileStamps =
     new java.util.concurrent.ConcurrentHashMap[String, ReconcileStamp]()
 
@@ -756,8 +763,12 @@ object IncrementalDocArtifact {
       val allowed = committedOf(st)
       val lg = allNames.map(n => n -> liveGens(n, Set.empty, allowed)).toMap
       val (m, sz) = ledgerStat()
+      val lazyPending = lazyMerges && merges.exists { mp =>
+        val covered = coveredEntries(mp.name).getOrElse(st.entries).toSet
+        st.entries.exists(e => !covered(e))
+      }
       val s = IncrementalDocArtifact.ReconcileStamp(
-        counter.get(), curHash, m, sz, lg)
+        counter.get(), curHash, m, sz, lg, lazyPending)
       IncrementalDocArtifact.reconcileStamps.put(rootKey, s)
       s
     }
@@ -945,8 +956,17 @@ object IncrementalDocArtifact {
         }
       }
 
-    private def catchUpMerges(spark: SparkSession): Unit = {
+    private def catchUpMerges(spark: SparkSession,
+        stamp: Option[IncrementalDocArtifact.ReconcileStamp] = None): Unit = {
       if (merges.isEmpty) return
+      // Stamped fast path: a counter-valid stamp that recorded no
+      // lagging coverage proves there is nothing to catch up — zero
+      // reads (coverage only changes in counter-bumping lock windows).
+      stamp match {
+        case Some(s) if !s.lazyPending && s.mutCount == counter.get() =>
+          return
+        case _ => ()
+      }
       // No-pending fast path OFF the maintenance lock: a running
       // detached fold holds `mlock` across its long unlocked staging
       // phase, but the pending check needs only the mutation lock's
@@ -1166,10 +1186,21 @@ object IncrementalDocArtifact {
     def serve(spark: SparkSession, piece: String): DataFrame = {
       val stamp = reconcile(spark)
       if (lazyMerges && merges.exists(_.name == piece)) {
-        // a catch-up may commit a new generation — serve fresh
-        catchUpMerges(spark)
-        maybeCompactDetached(spark)
-        view(spark, Set.empty)(piece)
+        catchUpMerges(spark, Some(stamp))
+        if (stamp.mutCount == counter.get()) {
+          // the catch-up found nothing pending and no mutation landed
+          // since the stamp (a committing catch-up bumps the counter):
+          // the stamped view is the fresh view, and the fold trigger
+          // already ran in reconcile over these same generations
+          readMergeGens(spark, merges.find(_.name == piece).get,
+            stamp.liveGens(piece))
+        } else {
+          // a catch-up committed a new generation — serve fresh, and
+          // re-check the fold trigger (the catch-up may have pushed
+          // the live-gen count past compactEvery)
+          maybeCompactDetached(spark)
+          view(spark, Set.empty)(piece)
+        }
       } else if (stamp.mutCount == counter.get()) {
         // stamped view: committed cut + live gens from the validated
         // stamp — zero ledger/listing reads. The counter re-check

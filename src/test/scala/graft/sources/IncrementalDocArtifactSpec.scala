@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.sources.IncrementalDocArtifact.Piece
+import graft.sources.IncrementalDocArtifact.{MergePiece, Piece}
 
 /** Engine-level crash-atomicity of compaction: the folded-gen list
   * commits inside the base snapshot with the pointer flip, so an
@@ -366,6 +366,64 @@ class IncrementalDocArtifactSpec extends SparkSpec {
       .as[(Long, String)].collect().sorted shouldBe
       Array((1L, "one"), (2L, "two"), (3L, "three"))
     IncrementalDocArtifact.fsReadsOf(rootKey) should be > afterAppend
+    deleteTree(Paths.get(sf))
+  }
+
+  test("serve-path reconcile cache covers lazy merge serves with nothing pending") {
+    val sf = Files.createTempDirectory("graft-engine-lazycache").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "one"), (7L, "seven")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    def h = IncrementalDocArtifact(corpus, "lmc",
+      Seq(Piece("rows", (docs, _) => docs)),
+      Seq(MergePiece("gmax", Seq("grp"),
+        buildFull = (docs, _) => docs
+          .select(pmod(col("doc_id"), lit(2L)).as("grp"), col("doc_id"))
+          .groupBy("grp").agg(max("doc_id").as("mx")),
+        advance = ctx => {
+          val fresh = ctx.newDocs
+            .select(pmod(col("doc_id"), lit(2L)).as("grp"), col("doc_id"))
+            .groupBy("grp").agg(max("doc_id").as("mx"))
+          fresh.join(ctx.stored("gmax").withColumnRenamed("mx", "mx0"),
+              Seq("grp"), "left")
+            .select(col("grp"), greatest(col("mx"),
+              coalesce(col("mx0"), lit(Long.MinValue))).as("mx"))
+        })),
+      compactEvery = 0, lazyMerges = true, onAdvanceDone = _ => ())
+    val rootKey = Paths.get(ArtifactStore.root,
+      ArtifactStore.pathKey(corpus) + "_lmc").toString
+
+    // cold: full build + stamp (lazyPending=false — fresh coverage)
+    h.serve(spark, "gmax").as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 7L)
+    val cold = IncrementalDocArtifact.fsReadsOf(rootKey)
+    cold should be > 0L
+
+    // warm lazy-merge serves: the stamp proves no lagging coverage, so
+    // the per-serve pending check (ledger parse + sweep listings) is
+    // skipped too — ZERO counted reads across three serves
+    (1 to 3).foreach(_ =>
+      h.serve(spark, "gmax").as[(Long, Long)].collect().toMap shouldBe
+        Map(1L -> 7L))
+    IncrementalDocArtifact.fsReadsOf(rootKey) shouldBe cold
+
+    // append: the advance leaves the merge behind (lazy), the serve
+    // catches it up and reflects the new group — correctness first.
+    // The catch-up COMMIT drops the stamp (every mutation does), so
+    // the next serve re-stamps once; steady state resumes after it
+    Seq((4L, "four")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    (1 to 2).foreach(_ => // catch-up serve, then the re-stamping serve
+      h.serve(spark, "gmax").as[(Long, Long)].collect().toMap shouldBe
+        Map(1L -> 7L, 0L -> 4L))
+    val afterAppend = IncrementalDocArtifact.fsReadsOf(rootKey)
+    afterAppend should be > cold
+
+    // steady state again: zero reads per serve
+    (1 to 2).foreach(_ =>
+      h.serve(spark, "gmax").as[(Long, Long)].collect().toMap shouldBe
+        Map(1L -> 7L, 0L -> 4L))
+    IncrementalDocArtifact.fsReadsOf(rootKey) shouldBe afterAppend
     deleteTree(Paths.get(sf))
   }
 }
