@@ -84,6 +84,43 @@ class WriterLeaseSpec extends SparkSpec {
     Files.exists(root.resolve(WriterLease.LeaseName)) shouldBe false
   }
 
+  test("a REAL second process's live lease refuses this JVM's mutation; its release frees it") {
+    // the genuine two-process protocol, not a planted file: a spawned
+    // JVM (graft.tools.LeaseHolderMain) acquires and heartbeats the
+    // lease; this JVM's acquisition must refuse while it lives and
+    // succeed after it releases. WriterLease is pure java.nio, so the
+    // child needs only the compiled classes + scala-library.
+    val root = Files.createTempDirectory("graft-lease-xproc")
+    val scalaLib = classOf[scala.Option[_]].getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val classes = Paths.get("target/scala-2.13/classes").toAbsolutePath
+    val pb = new ProcessBuilder("java", "-cp",
+      s"$classes:$scalaLib", "graft.tools.LeaseHolderMain",
+      root.toString, "6000")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    try {
+      val first = out.readLine()
+      withClue(s"holder said: $first: ")(first shouldBe "HELD")
+      val e = intercept[ConcurrentWriterException] {
+        WriterLease.withLease(root, "cross-process contender") {
+          fail("must not run while the other process holds")
+        }
+      }
+      e.getMessage should include("another process")
+      // after the holder releases and exits, acquisition succeeds
+      proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      var ran = false
+      WriterLease.withLease(root, "post-release") { ran = true }
+      ran shouldBe true
+    } finally {
+      proc.destroyForcibly()
+      out.close()
+    }
+  }
+
   test("artifact mutations refuse under a live foreign lease; serves of an unchanged artifact never touch it") {
     val sf = Files.createTempDirectory("graft-lease-art").toString
     val corpus = s"$sf/documents.parquet"
