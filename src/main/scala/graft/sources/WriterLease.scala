@@ -123,6 +123,7 @@ object WriterLease {
         Files.createFile(lease) // O_EXCL: the one atomic claim
         Files.writeString(lease, jvmToken)
         held.put(key, new Held(lease))
+        sweepTombs(root) // safe: we hold the lease, no takeover is mid-flight
         return
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -162,6 +163,20 @@ object WriterLease {
       }
     }
   }
+
+  /** GC takeover tombstones (`_writer_lease.stale.<uuid>`) a crashed
+    * contender left behind — its atomic move landed but the delete
+    * never ran. Tiny files, but they would accumulate forever; swept
+    * under a freshly-held lease, when no takeover can be mid-flight.
+    */
+  private def sweepTombs(root: Path): Unit =
+    try {
+      val s = Files.list(root)
+      try s.filter(_.getFileName.toString.startsWith(LeaseName + ".stale."))
+        .forEach(f => try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+      finally s.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Release one hold; the file is deleted when the outermost hold of
     * this JVM releases.
