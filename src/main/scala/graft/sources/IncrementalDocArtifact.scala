@@ -957,7 +957,7 @@ object IncrementalDocArtifact {
       }
 
     private def catchUpMerges(spark: SparkSession,
-        stamp: Option[IncrementalDocArtifact.ReconcileStamp] = None): Unit = {
+        stamp: Option[IncrementalDocArtifact.ReconcileStamp]): Unit = {
       if (merges.isEmpty) return
       // Stamped fast path: a counter-valid stamp that recorded no
       // lagging coverage proves there is nothing to catch up — zero

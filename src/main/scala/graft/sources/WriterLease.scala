@@ -97,8 +97,17 @@ object WriterLease {
       val now = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis())
       held.values.forEach { h =>
-        try { if (ownsFile(h.file)) Files.setLastModifiedTime(h.file, now) }
-        catch { case _: Throwable => () } // missing file heals on release
+        try {
+          if (ownsFile(h.file)) Files.setLastModifiedTime(h.file, now)
+          else if (!Files.exists(h.file)) {
+            // our lease file vanished while we believe we hold it (a
+            // racing contender's mistaken steal, or external tampering)
+            // — re-assert it; if someone else created one meanwhile the
+            // O_EXCL create fails and we leave theirs alone
+            try { Files.createFile(h.file); Files.writeString(h.file, jvmToken) }
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: Throwable => () }
       }
     }, heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS)
   }
@@ -123,7 +132,10 @@ object WriterLease {
         Files.createFile(lease) // O_EXCL: the one atomic claim
         Files.writeString(lease, jvmToken)
         held.put(key, new Held(lease))
-        sweepTombs(root) // safe: we hold the lease, no takeover is mid-flight
+        // GC tomb debris only when this acquisition actually took over
+        // (tombs can only come from takeovers — the common path pays
+        // no extra listing)
+        if (takeovers > 0) sweepTombs(root)
         return
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -156,7 +168,19 @@ object WriterLease {
                 s"$LeaseName.stale.${java.util.UUID.randomUUID().toString.take(8)}")
               try {
                 Files.move(lease, tomb, StandardCopyOption.ATOMIC_MOVE)
-                Files.deleteIfExists(tomb)
+                // RE-CHECK what we actually moved: a racing contender
+                // may have completed ITS takeover and created a FRESH
+                // lease between our stat and our move — stealing it
+                // would yield two live writers. A fresh tomb is
+                // restored (move back; the victim's heartbeat also
+                // re-asserts a vanished held lease as a second net);
+                // only a genuinely-stale tomb is deleted.
+                val tombAge = System.currentTimeMillis() -
+                  Files.getLastModifiedTime(tomb).toMillis
+                if (tombAge <= staleMs) {
+                  try Files.move(tomb, lease, StandardCopyOption.ATOMIC_MOVE)
+                  catch { case _: java.io.IOException => () } // victim re-asserted
+                } else Files.deleteIfExists(tomb)
               } catch { case _: java.io.IOException => () } // lost the race
             case None => () // file vanished between create and stat — retry
           }
@@ -170,13 +194,23 @@ object WriterLease {
     * under a freshly-held lease, when no takeover can be mid-flight.
     */
   private def sweepTombs(root: Path): Unit =
+    // broad catch: stream iteration wraps IO errors in
+    // UncheckedIOException — an escape here would leak a held,
+    // heartbeat-refreshed lease (acquire throws after held.put)
     try {
       val s = Files.list(root)
-      try s.filter(_.getFileName.toString.startsWith(LeaseName + ".stale."))
-        .forEach(f => try Files.deleteIfExists(f)
-          catch { case _: java.io.IOException => () })
+      try s.filter { f =>
+        val n = f.getFileName.toString
+        n.startsWith(LeaseName + ".stale.") &&
+          // only genuinely-stale tombs: a fresh one is a stolen live
+          // lease awaiting its victim's heartbeat re-assert
+          (try System.currentTimeMillis() -
+            Files.getLastModifiedTime(f).toMillis > staleMs
+          catch { case _: java.io.IOException => false })
+      }.forEach(f => try Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () })
       finally s.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Release one hold; the file is deleted when the outermost hold of
     * this JVM releases.

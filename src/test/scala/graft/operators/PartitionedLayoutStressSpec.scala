@@ -39,8 +39,8 @@ class PartitionedLayoutStressSpec extends SparkSpec {
         df.withColumn("pk", pmod(col("id"), lit(4L)))
 
       var next = 0L
-      def rows(n: Int, pkBase: Long = 0L): Seq[(Long, String)] =
-        (0 until n).map { _ => val r = (next + pkBase, s"v$next"); next += 1; r }
+      def rows(n: Int): Seq[(Long, String)] =
+        (0 until n).map { _ => val r = (next, s"v$next"); next += 1; r }
 
       // op 0 must create the source
       rows(20).toDF("id", "v").coalesce(1).write.parquet(src)
@@ -57,13 +57,7 @@ class PartitionedLayoutStressSpec extends SparkSpec {
             rows(15 + rnd.nextInt(10)).toDF("id", "v")
               .coalesce(1).write.mode("overwrite").parquet(src)
           case 3 => // crashed-foreign-writer debris before the ensure
-            Files.createDirectories(tableRoot)
-            val lease = tableRoot.resolve(WriterLease.LeaseName)
-            Files.deleteIfExists(lease)
-            Files.writeString(lease, s"99999-pstress$seed")
-            Files.setLastModifiedTime(lease,
-              java.nio.file.attribute.FileTime.fromMillis(
-                System.currentTimeMillis() - WriterLease.staleMs - 5000))
+            graft.TestLeases.plantStale(tableRoot, s"99999-pstress$seed")
         }
         PartitionedLayout.ensureIncremental(spark, src, table, "pk", derive)
         withClue(s"seed=$seed step=$step: ") {

@@ -90,21 +90,13 @@ class IncrementalMaintenanceStressSpec extends SparkSpec {
         expected ++= batch
         batch.toDF("doc_id", "text").coalesce(1)
           .write.mode(if (step == 1) "overwrite" else "append").parquet(corpus)
-        if (rnd.nextInt(3) == 0) {
+        if (rnd.nextInt(3) == 0)
           // crashed-foreign-writer debris: a STALE lease file planted
-          // at the artifact root — every mutation this step (advance,
-          // detached fold, explicit compact) must take it over
-          // transparently, and reads must ignore it entirely
-          val root = Paths.get(ArtifactStore.root,
-            ArtifactStore.pathKey(corpus) + "_stress1")
-          Files.createDirectories(root)
-          val lease = root.resolve(WriterLease.LeaseName)
-          Files.deleteIfExists(lease)
-          Files.writeString(lease, s"99999-stress$seed")
-          Files.setLastModifiedTime(lease,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - WriterLease.staleMs - 5000))
-        }
+          // ATOMICALLY at the artifact root — every mutation this step
+          // (advance, detached fold, explicit compact) must take it
+          // over transparently, and reads must ignore it entirely
+          graft.TestLeases.plantStale(Paths.get(ArtifactStore.root,
+            ArtifactStore.pathKey(corpus) + "_stress1"), s"99999-stress$seed")
         withClue(s"seed=$seed step=$step: ")(
           checkAll(corpus, lazyMerges, expected.toSeq))
         if (rnd.nextBoolean()) handle(corpus, lazyMerges).compact(spark)

@@ -91,12 +91,16 @@ class WriterLeaseSpec extends SparkSpec {
     // succeed after it releases. WriterLease is pure java.nio, so the
     // child needs only the compiled classes + scala-library.
     val root = Files.createTempDirectory("graft-lease-xproc")
-    val scalaLib = classOf[scala.Option[_]].getProtectionDomain
-      .getCodeSource.getLocation.getPath
-    val classes = Paths.get("target/scala-2.13/classes").toAbsolutePath
-    val pb = new ProcessBuilder("java", "-cp",
-      s"$classes:$scalaLib", "graft.tools.LeaseHolderMain",
-      root.toString, "6000")
+    // derive java and the classpath from the RUNNING JVM — a PATH java
+    // of another major version or a moved classes dir must not break
+    // the test
+    def loc(c: Class[_]): String =
+      Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+    val cp = Seq(loc(classOf[WriterLease.ConcurrentWriterException]),
+      loc(classOf[scala.Option[_]])).mkString(java.io.File.pathSeparator)
+    val pb = new ProcessBuilder(javaBin.toString, "-cp", cp,
+      "graft.tools.LeaseHolderMain", root.toString, "6000")
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new java.io.BufferedReader(
