@@ -91,8 +91,14 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * (replay overwrites itself — every advance reads views that EXCLUDE
   * the generation being written, so a crashed half-write can never
   * leak into its own recomputation), advance the ledger by atomic
-  * rename LAST; anything else → full rebuild, deltas cleared — an
-  * in-place regrown corpus can never serve stale rows. Compaction
+  * rename LAST; pure file REMOVAL retracting exactly whole live
+  * generations → BATCH ROLLBACK, O(dropped): the generations drop,
+  * additive rows die with them, merge rows' LWW resolves back to the
+  * pre-increment values they were computed from, pinned pieces keep
+  * their trained artifacts by contract (the bad-batch retract — see
+  * [[Handle.rollback]]); anything else → full rebuild, deltas
+  * cleared — an in-place regrown corpus can never serve stale rows.
+  * Compaction
   * folds deltas into the base via the pointer commit on the
   * `compactEvery` cadence or on demand — CRASH-ATOMICALLY: the
   * folded-gen list publishes inside the base version in the same
@@ -831,6 +837,8 @@ object IncrementalDocArtifact {
           val newEntries = current.filterNot(st.entries.toSet)
           val appendOnly = st.entries.nonEmpty && st.entries.forall(currentSet) &&
             newEntries.nonEmpty
+          val removalOnly = current.nonEmpty && newEntries.isEmpty &&
+            st.entries.exists(e => !currentSet(e))
           // committed gens carried into the next ledger write; a legacy
           // ledger commits every live gen (they were all committed by
           // the old code's contract)
@@ -870,11 +878,100 @@ object IncrementalDocArtifact {
               merges.foreach(mp => writeCovered(mp.name, current))
             LedgerState(current, carriedGens + gen, Map.empty, v2 = true)
           } else {
-            rebuildAll(spark, current)
-            LedgerState(current, Set.empty, Map.empty, v2 = true)
+            val rolled =
+              if (removalOnly) rollback(st, current) else None
+            rolled match {
+              case Some(dropped) =>
+                LedgerState(current, st.gens -- dropped, Map.empty, v2 = true)
+              case None =>
+                rebuildAll(spark, current)
+                LedgerState(current, Set.empty, Map.empty, v2 = true)
+            }
           }
         }
       }
+    }
+
+    /** BATCH ROLLBACK — the O(dropped) path for a removal-only corpus
+      * change that retracts exactly the files ingested since the last
+      * fold point. The base+delta design makes this free: everything
+      * appended after a fold lives ONLY in live delta generations, so
+      * if the removed files are exactly the union of the generations a
+      * piece holds live, dropping those generations restores the
+      * piece bit-identically to its pre-append state — additive rows
+      * die with their generations, merge rows' LWW resolves back to
+      * the pre-increment values the dropped advances were computed
+      * FROM, and pinned pieces (built at rebuild, not at append) are
+      * untouched by contract. The ops story is the bad-batch retract:
+      * a poisoned ingest discovered within the `compactEvery` window
+      * rolls back in O(1) instead of an O(corpus) rebuild
+      * (`compactEvery = 0` keeps the whole append history
+      * retractable).
+      *
+      * Sound ONLY when, for every piece, the removed entries that the
+      * piece's data reflects are exactly covered by whole live
+      * generations (per piece — lazy merges may hold them chunked
+      * differently, or not at all if never caught up): a removed
+      * entry folded into any base, or interleaved inside a kept
+      * generation, fails the check and the caller falls back to the
+      * full rebuild. Returns whether the rollback applied. Caller
+      * holds `lock` + the writer lease; commit order drop-deltas →
+      * coverage → ledger rename mirrors the orphan-sweep rollback
+      * (crash mid-way leaves a ledger that still mismatches, so the
+      * next reconcile rebuilds). Returns the dropped generation ids,
+      * or None when the rollback doesn't apply (caller rebuilds).
+      * PINNED pieces are exempt from the check: they are built at
+      * rebuild only and keep their trained artifact across appends by
+      * contract — a retract leaves them exactly as stale as the
+      * appends did, measured by their drift gates.
+      */
+    private def rollback(st: LedgerState,
+        current: Seq[String]): Option[Set[String]] = {
+      if (!st.v2) return None // legacy ledger: gen provenance unknowable
+      val removed = st.entries.toSet -- current.toSet
+      val committed = st.gens
+      val checkNames =
+        pieces.filterNot(_.pinned).map(_.name) ++ merges.map(_.name)
+      // per piece: the live committed gens whose entry lists are fully
+      // inside the removed set (droppable), and whether they account
+      // for EVERY removed entry the piece's data reflects
+      val plan = checkNames.map { n =>
+        val dataBearing: Set[String] =
+          if (merges.exists(_.name == n))
+            coveredEntries(n).getOrElse(st.entries).toSet
+          else st.entries.toSet
+        val live = gensOf(n).map(_.stripPrefix("_gen="))
+          .filter(committed)
+        val withEntries = live.map(g => g -> genEntries(g))
+        // a live gen with no recorded entry list cannot prove its
+        // provenance — bail
+        if (withEntries.exists(_._2.isEmpty)) return None
+        val droppable = withEntries
+          .map { case (g, es) => g -> es.get.toSet }
+          .filter { case (_, es) => es.nonEmpty && es.subsetOf(removed) }
+        val accounted = droppable.iterator.flatMap(_._2).toSet
+        // kept live gens must not touch the removed set (no partial
+        // generation can be rolled back), and every removed entry the
+        // piece reflects must be accounted for by dropped generations
+        val keptTouchRemoved = withEntries.exists { case (g, es) =>
+          !droppable.exists(_._1 == g) && es.get.exists(removed)
+        }
+        if (keptTouchRemoved || (removed & dataBearing) != accounted)
+          return None
+        n -> droppable.map(_._1)
+      }
+      // apply: drop the generations, roll coverage back, commit
+      plan.foreach { case (n, gens) =>
+        gens.foreach { g =>
+          deleteTree(deltaDir(n).resolve("_gen=" + g))
+        }
+        if (merges.exists(_.name == n)) coveredEntries(n).foreach(cov =>
+          writeCovered(n, cov.filterNot(removed)))
+      }
+      val droppedAll = plan.iterator.flatMap(_._2).toSet
+      droppedAll.foreach(g => Files.deleteIfExists(genEntriesPath(g)))
+      writeLedger(current, st.gens -- droppedAll)
+      Some(droppedAll)
     }
 
     /** Schedule a detached compaction when the live-generation count
