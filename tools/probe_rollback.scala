@@ -1,4 +1,4 @@
-// S9.31 input: BATCH ROLLBACK at scale — a 1M-doc two-piece store
+// S9.31 input: BATCH ROLLBACK at scale - a 1M-doc two-piece store
 // built as base + 4 appended batches of 60k docs; retracting the last
 // batch must cost O(dropped) (drop its generations + one ledger
 // rename) vs the O(corpus) full rebuild the same retract cost before
