@@ -82,14 +82,40 @@ class IncrementalMaintenanceStressSpec extends SparkSpec {
       val sf = Files.createTempDirectory(s"graft-stress-$seed").toString
       val corpus = s"$sf/documents.parquet"
       val expected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      // per-batch corpus files + rows, for the seeded RETRACT op: the
+      // engine may roll the batch back O(dropped) (still a whole live
+      // generation) or fall back to a rebuild (folded, or chunked into
+      // a combined generation) — parity must hold EITHER way
+      val batches = scala.collection.mutable.ArrayBuffer[
+        (Set[Path], Seq[(Long, String)])]()
+      def corpusFiles(): Set[Path] = {
+        val s = Files.list(Paths.get(corpus))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            !(n.startsWith("_") || n.startsWith("."))
+          }.toSet
+        } finally s.close()
+      }
       var next = 0L
       for (step <- 1 to 10) {
+        if (step > 2 && batches.nonEmpty && rnd.nextInt(4) == 0) {
+          // RETRACT the most recent batch before this step's append
+          val (files, rows) = batches.remove(batches.size - 1)
+          files.foreach(Files.deleteIfExists(_))
+          expected --= rows
+          withClue(s"seed=$seed step=$step retract: ")(
+            checkAll(corpus, lazyMerges, expected.toSeq))
+        }
         val batch = (0 until (1 + rnd.nextInt(3))).map { _ =>
           val r = (next, s"doc$next"); next += 1; r
         }
         expected ++= batch
+        val before = if (step == 1) Set.empty[Path] else corpusFiles()
         batch.toDF("doc_id", "text").coalesce(1)
           .write.mode(if (step == 1) "overwrite" else "append").parquet(corpus)
+        batches += ((corpusFiles() -- before, batch))
         if (rnd.nextInt(3) == 0)
           // crashed-foreign-writer debris: a STALE lease file planted
           // ATOMICALLY at the artifact root — every mutation this step
