@@ -61,8 +61,16 @@ object PartitionedLayout {
   private def manifestPath(table: String): Path =
     Paths.get(loc(table), "_manifest")
 
+  /** `genEntries`: which SOURCE entries each append increment (by gen
+    * id) covered — the provenance that makes increments RETRACTABLE
+    * (a removal-only source change matching whole increments drops
+    * their files from the manifest instead of re-laying out). The
+    * original full build carries none: its rows live in arbitrary
+    * part files, so a removal cutting into it always rewrites.
+    */
   private final case class Manifest(dataRoot: String, files: Seq[String],
-      entries: Seq[String])
+      entries: Seq[String],
+      genEntries: Map[String, Seq[String]] = Map.empty)
 
   private def readManifest(table: String): Option[Manifest] = {
     val p = manifestPath(table)
@@ -72,9 +80,15 @@ object PartitionedLayout {
         .filter(_.nonEmpty)
       val root = lines.collectFirst { case l if l.startsWith("#root:") =>
         l.stripPrefix("#root:") }
+      val genEntries = lines.filter(_.startsWith("#geni:")).map { l =>
+        val body = l.stripPrefix("#geni:")
+        val i = body.indexOf(':') // gen ids are hex — no ':' inside
+        body.substring(0, i) -> body.substring(i + 1)
+      }.groupBy(_._1).map { case (g, es) => g -> es.map(_._2) }
       root.map(r => Manifest(r,
         lines.filter(_.startsWith("#file:")).map(_.stripPrefix("#file:")),
-        lines.filterNot(_.startsWith("#"))))
+        lines.filterNot(_.startsWith("#")),
+        genEntries))
     }
   }
 
@@ -86,6 +100,8 @@ object PartitionedLayout {
     val tmp = manifestPath(table).resolveSibling("_manifest.tmp")
     Files.writeString(tmp,
       (Seq("#root:" + m.dataRoot) ++ m.files.sorted.map("#file:" + _) ++
+        m.genEntries.toSeq.sortBy(_._1).flatMap { case (g, es) =>
+          es.sorted.map(e => s"#geni:$g:$e") } ++
         m.entries).mkString("\n"))
     Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -139,6 +155,11 @@ object PartitionedLayout {
               current.exists(e => !m.entries.toSet(e)) =>
             appendIncrement(spark, sourcePath, table, partCol, derive, m,
               current)
+          case Some(m) if current.nonEmpty &&
+              current.forall(m.entries.toSet) &&
+              m.entries.exists(e => !current.toSet(e)) &&
+              retractIncrements(table, m, current) =>
+            () // removal-only change matched whole increments — retracted
           case _ =>
             fullRewrite(spark, sourcePath, table, partCol, derive, current)
         }
@@ -194,7 +215,39 @@ object PartitionedLayout {
       }
     } finally dirs.close()
     deleteTree(staging)
-    writeManifest(table, Manifest(m.dataRoot, m.files ++ moved, current))
+    writeManifest(table, Manifest(m.dataRoot, m.files ++ moved, current,
+      m.genEntries + (gen -> newEntries)))
+  }
+
+  /** BATCH ROLLBACK for the layout — the O(dropped) path for a
+    * removal-only source change whose files are exactly whole append
+    * increments: their gen-prefixed files drop out of the manifest in
+    * one atomic rename (the retract analogue of [[appendIncrement]]),
+    * and the physical files are deleted after the commit (the same
+    * immediate-GC precedent as a rewrite's superseded-root cleanup —
+    * a retract is an operator action). A removal cutting into the
+    * original build's files (no gen provenance) or splitting an
+    * increment returns false and the caller re-lays out wholesale.
+    */
+  private def retractIncrements(table: String, m: Manifest,
+      current: Seq[String]): Boolean = {
+    val removed = m.entries.toSet -- current.toSet
+    val droppable = m.genEntries.filter { case (_, es) =>
+      es.nonEmpty && es.toSet.subsetOf(removed) }
+    if (droppable.valuesIterator.flatten.toSet != removed) return false
+    val dropGens = droppable.keySet
+    def ofDropped(f: String): Boolean = {
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      dropGens.exists(g => name.startsWith(s"g$g-"))
+    }
+    val (dropFiles, keep) = m.files.partition(ofDropped)
+    writeManifest(table,
+      Manifest(m.dataRoot, keep, current, m.genEntries -- dropGens))
+    val dataRoot = Paths.get(loc(table), m.dataRoot)
+    dropFiles.foreach(f =>
+      try Files.deleteIfExists(dataRoot.resolve(f))
+      catch { case _: java.io.IOException => () }) // dead by manifest
+    true
   }
 
   private def fullRewrite(spark: SparkSession, sourcePath: String,

@@ -157,6 +157,66 @@ class PartitionedLayoutSpec extends SparkSpec {
     e.getMessage should include("zero data files")
   }
 
+  test("retracting whole append increments drops their files; unaligned removal re-lays out") {
+    val src = newSource("retract")
+    def srcFiles(): Set[java.nio.file.Path] = {
+      val s = Files.list(Paths.get(src))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          !(n.startsWith("_") || n.startsWith("."))
+        }.toSet
+      } finally s.close()
+    }
+    (1L to 40L).map(i => (i % 4, i)).toDF("pk", "id")
+      .coalesce(1).write.parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_retract", "pk",
+      identity)
+    val baseSrc = srcFiles()
+    val baseLayout = stamp(layoutRoot("pspec_retract"))
+
+    // two advanced increments
+    (41L to 50L).map(i => (i % 4, i)).toDF("pk", "id")
+      .coalesce(1).write.mode("append").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_retract", "pk",
+      identity)
+    val b1 = srcFiles() -- baseSrc
+    val afterB1 = stamp(layoutRoot("pspec_retract"))
+    (51L to 60L).map(i => (i % 4, i)).toDF("pk", "id")
+      .coalesce(1).write.mode("append").parquet(src)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_retract", "pk",
+      identity)
+    PartitionedLayout.read(spark, "pspec_retract").count() shouldBe 60
+
+    // RETRACT increment 2: its files drop from the manifest; every
+    // file that existed after increment 1 is byte-untouched (no
+    // re-layout)
+    b1.foreach(identity) // keep b1 for the next phase
+    (srcFiles() -- baseSrc -- b1).foreach(Files.delete)
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_retract", "pk",
+      identity)
+    PartitionedLayout.read(spark, "pspec_retract")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.max("id")).head.toSeq shouldBe
+      Seq(50L, 50L)
+    stamp(layoutRoot("pspec_retract")) shouldBe afterB1
+
+    // RETRACT a file of the ORIGINAL build: no gen provenance → full
+    // re-layout, values exact
+    baseSrc.foreach(Files.delete) // drop the whole original build file
+    PartitionedLayout.ensureIncremental(spark, src, "pspec_retract", "pk",
+      identity)
+    assertSameRows(
+      PartitionedLayout.read(spark, "pspec_retract").select("pk", "id"),
+      spark.read.parquet(src).select("pk", "id"))
+    // (the superseded root may linger one rewrite as the documented
+    // reader grace window — values, not file sets, are the contract
+    // here)
+    baseLayout should not be empty
+  }
+
   test("a source rewrite re-lays out wholesale and serves the new rows") {
     val src = newSource("rw")
     (1L to 100L).map(i => (i % 4, i)).toDF("pk", "id")

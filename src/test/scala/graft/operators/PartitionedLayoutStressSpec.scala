@@ -44,20 +44,42 @@ class PartitionedLayoutStressSpec extends SparkSpec {
 
       // op 0 must create the source
       rows(20).toDF("id", "v").coalesce(1).write.parquet(src)
+      def srcFiles(): Set[Path] = {
+        val s = Files.list(Paths.get(src))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            !(n.startsWith("_") || n.startsWith("."))
+          }.toSet
+        } finally s.close()
+      }
+      val batches = scala.collection.mutable.ArrayBuffer[Set[Path]]()
 
       for (step <- 1 to 12) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // small append into existing partitions
+            val before = srcFiles()
             rows(5 + rnd.nextInt(10)).toDF("id", "v")
               .coalesce(1).write.mode("append").parquet(src)
+            batches += (srcFiles() -- before)
           case 1 => // larger append (multiple files)
+            val before = srcFiles()
             rows(30).toDF("id", "v")
               .repartition(2).write.mode("append").parquet(src)
+            batches += (srcFiles() -- before)
           case 2 => // wholesale source rewrite — layout must re-lay out
             rows(15 + rnd.nextInt(10)).toDF("id", "v")
               .coalesce(1).write.mode("overwrite").parquet(src)
+            batches.clear()
           case 3 => // crashed-foreign-writer debris before the ensure
             graft.TestLeases.plantStale(tableRoot, s"99999-pstress$seed")
+          case 4 if batches.nonEmpty => // RETRACT the latest batch:
+            // whole-increment removals retract O(dropped), anything
+            // unaligned re-lays out — parity must hold either way
+            batches.remove(batches.size - 1)
+              .foreach(Files.deleteIfExists(_))
+          case _ => () // retract with nothing appended: no-op step
         }
         PartitionedLayout.ensureIncremental(spark, src, table, "pk", derive)
         withClue(s"seed=$seed step=$step: ") {
