@@ -2691,8 +2691,114 @@ object RelationalQueries {
           col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", cents)
             .otherwise(0)) / sum(cents), 4).as("promo_revenue"))
+    },
+
+    // Multi-source BFS shortest path over the part co-purchase graph
+    // (parts adjacent when co-purchased in >= 2 distinct orders; both
+    // orientations of each canonical edge; 4 deterministic seeds).
+    // Frontier-iterated: each hop joins ONLY the newly-discovered
+    // frontier against the edge list — O(E) TOTAL work across the
+    // run, where the recursive-CTE oracle re-expands every settled
+    // node every round (O(E·diameter), the shape this operator exists
+    // to avoid at scale). maxHops = 6 exercises the truncation
+    // contract: the sf0.01 BFS tree is 9 hops deep, so ~120 reachable
+    // nodes are deliberately beyond the bound in BOTH engines.
+    GraftQuery(
+      "q74_shortest_path",
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+        |       FROM op x JOIN op y
+        |         ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey
+        |       GROUP BY a, b HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM co
+        |      UNION ALL SELECT b, a FROM co),
+        |reach(node, dist) AS (
+        |  SELECT p_partkey AS node, 0 AS dist FROM part
+        |  WHERE p_partkey % 500 = 0
+        |  UNION
+        |  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.dist < 6)
+        |SELECT node, min(dist) AS dist FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      val co = partCoPurchaseEdges(s, dir)
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(co.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.load(s, dir, "part")
+        .where(col("p_partkey") % 500 === 0)
+        .select(col("p_partkey").as("node"))
+      graft.operators.ShortestPath.hops(edges, seeds, maxHops = 6)
+        .orderBy("node")
+    },
+
+    // k-core of the part co-purchase graph (k = 3): iterative peel to
+    // the degree->=k fixpoint — the dense-subgraph screen next to CC /
+    // PageRank / triangles. The oracle unrolls 16 peel stages with
+    // identical literals; the sf0.01 fixpoint lands at round 11, the
+    // Spark loop exits there, and every stage past a fixpoint is a
+    // provable no-op — so a fixed unroll >= the fixpoint round agrees
+    // exactly at ANY scale factor without tuning. Output: the
+    // surviving (node, deg) — every deg is >= 3 by definition.
+    GraftQuery("q75_kcore", kCoreOracleSql(k = 3, rounds = 16)) {
+      (s, dir) =>
+        graft.operators.KCore
+          .peelRounds(partCoPurchaseEdges(s, dir), k = 3, rounds = 16)
+          .orderBy("node")
     }
   )
+
+  /** Canonical (a < b) part co-purchase edges: parts adjacent when
+    * they appear together in >= 2 distinct orders — the sparse graph
+    * the BFS / k-core family runs on (1,880 nodes / 3,445 edges / a
+    * 9-hop BFS tree at sf0.01; the q44/q57 supplier co-supply graph
+    * is near-complete at its threshold and has no distance or
+    * coreness structure). One orderkey exchange via the bucketized
+    * within-key pair primitive, exactly as q57; checkpointed because
+    * both consumers iterate over it.
+    */
+  private def partCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    graft.dedup.PairGen
+      .pairsWithin(op, Seq("l_orderkey"), col("l_partkey"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("a", "b")
+      .localCheckpoint()
+  }
+
+  /** DuckDB unroll of [[graft.operators.KCore.peelRounds]]: stage r
+    * keeps the degree->=k survivors of stage r-1 and semi-filters the
+    * edge list by them — identical semantics to one Spark peel round.
+    * Stages past the fixpoint are no-ops, so the unroll agrees with
+    * the early-exiting operator for any data where the fixpoint is
+    * reached within `rounds`. Every stage is `AS MATERIALIZED`:
+    * DuckDB inlines plain CTEs per REFERENCE, and each stage
+    * references its predecessor three times — a 16-stage unroll
+    * without materialization expands to ~3^16 scan nodes and dies on
+    * file handles before it computes anything.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b
+      |       FROM op x JOIN op y
+      |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |       GROUP BY a, b HAVING count(*) >= 2),
+      |e0 AS MATERIALIZED (SELECT a, b FROM co)""".stripMargin
+    for (r <- 1 to rounds) sb ++= s""",
+      |k$r AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${r - 1}
+      |        UNION ALL SELECT b FROM e${r - 1})
+      |        GROUP BY node HAVING count(*) >= $k),
+      |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+      |        JOIN k$r x ON x.node = e.a JOIN k$r y ON y.node = e.b)""".stripMargin
+    sb ++= s"""
+      |SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e$rounds
+      |  UNION ALL SELECT b FROM e$rounds)
+      |GROUP BY node ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** Stats-gated broadcast hint for a dimension-CHAIN side whose
     * growing leaf scales with the corpus (supplier⋈nation,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ShortestPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def distMap(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("line graph: hop distances, truncation at maxHops") {
+    // a -> b -> c -> d -> e
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    distMap(ShortestPath.hops(e, seeds, maxHops = 2)) shouldBe
+      Map("a" -> 0, "b" -> 1, "c" -> 2) // d, e beyond the bound: absent
+    distMap(ShortestPath.hops(e, seeds, maxHops = 10)) shouldBe
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4)
+  }
+
+  test("multi-source takes the min over seeds; seeds settle at 0") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("z", "c"))
+      .toDF("src", "dst")
+    val d = distMap(ShortestPath.hops(e, Seq("a", "z").toDF("node"), 10))
+    d("c") shouldBe 1 // via z, not 2 via a
+    d("a") shouldBe 0
+    d("z") shouldBe 0
+  }
+
+  test("direction is respected; unreachable nodes are absent") {
+    val e = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val d = distMap(ShortestPath.hops(e, Seq("a").toDF("node"), 10))
+    d shouldBe Map("a" -> 0, "b" -> 1) // c only points INTO b
+  }
+
+  test("isolated seed is reported at distance 0") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val d = distMap(ShortestPath.hops(e, Seq("lonely").toDF("node"), 5))
+    d shouldBe Map("lonely" -> 0)
+  }
+
+  test("frontier exhaustion exits early without changing the result") {
+    // diameter 2; maxHops 100 must equal maxHops 2 (and terminate)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    distMap(ShortestPath.hops(e, seeds, 100)) shouldBe
+      distMap(ShortestPath.hops(e, seeds, 2))
+  }
+
+  test("a cycle back into settled nodes never relabels them") {
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val d = distMap(ShortestPath.hops(e, Seq("a").toDF("node"), 10))
+    d shouldBe Map("a" -> 0, "b" -> 1, "c" -> 2)
+  }
+}
