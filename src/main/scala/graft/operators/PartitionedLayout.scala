@@ -67,13 +67,25 @@ object PartitionedLayout {
     * their files from the manifest instead of re-laying out). The
     * original full build carries none: its rows live in arbitrary
     * part files, so a removal cutting into it always rewrites.
+    *
+    * `version`: monotone commit counter — assigned by [[writeManifest]]
+    * (never by callers), and the address of TIME TRAVEL: every commit
+    * also lands an immutable copy of the manifest under `_history/`,
+    * so [[readVersion]] can serve any prior commit whose data files
+    * still exist. History manifests are tiny text files; the DATA
+    * retention policy is [[retainVersions]].
     */
   private final case class Manifest(dataRoot: String, files: Seq[String],
       entries: Seq[String],
-      genEntries: Map[String, Seq[String]] = Map.empty)
+      genEntries: Map[String, Seq[String]] = Map.empty,
+      version: Long = 0L)
 
-  private def readManifest(table: String): Option[Manifest] = {
-    val p = manifestPath(table)
+  private def historyDir(table: String): Path =
+    Paths.get(loc(table), "_history")
+  private def historyPath(table: String, version: Long): Path =
+    historyDir(table).resolve(f"v$version%09d")
+
+  private def parseManifest(p: Path): Option[Manifest] =
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p).toArray.toSeq.map(_.toString)
@@ -85,33 +97,97 @@ object PartitionedLayout {
         val i = body.indexOf(':') // gen ids are hex — no ':' inside
         body.substring(0, i) -> body.substring(i + 1)
       }.groupBy(_._1).map { case (g, es) => g -> es.map(_._2) }
+      // pre-versioning manifests carry no #vers line → version 0
+      val version = lines.collectFirst { case l if l.startsWith("#vers:") =>
+        l.stripPrefix("#vers:").toLong }.getOrElse(0L)
       root.map(r => Manifest(r,
         lines.filter(_.startsWith("#file:")).map(_.stripPrefix("#file:")),
         lines.filterNot(_.startsWith("#")),
-        genEntries))
+        genEntries, version))
+    }
+
+  private def readManifest(table: String): Option[Manifest] =
+    parseManifest(manifestPath(table))
+
+  private def render(m: Manifest): String =
+    (Seq("#root:" + m.dataRoot, "#vers:" + m.version) ++
+      m.files.sorted.map("#file:" + _) ++
+      m.genEntries.toSeq.sortBy(_._1).flatMap { case (g, es) =>
+        es.sorted.map(e => s"#geni:$g:$e") } ++
+      m.entries).mkString("\n")
+
+  /** Write `_history/v<version>` if absent — immutable once written.
+    * Called for the new manifest right after its commit, and for the
+    * PRIOR live manifest right before it is superseded (which heals
+    * the crash window between a commit's rename and its history copy:
+    * the next commit re-derives the missing copy from the live file).
+    */
+  private def ensureHistoryCopy(table: String, m: Manifest): Unit = {
+    val p = historyPath(table, m.version)
+    if (!Files.exists(p)) {
+      Files.createDirectories(historyDir(table))
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      Files.writeString(tmp, render(m))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
   /** Atomic-rename manifest commit — THE commit point of every layout
-    * mutation; reads resolve exactly what it names.
+    * mutation; reads resolve exactly what it names. Assigns the next
+    * version (callers never set one) and maintains the history copies
+    * on both sides of the rename.
     */
   private def writeManifest(table: String, m: Manifest): Unit = {
     Files.createDirectories(Paths.get(loc(table)))
+    val prior = readManifest(table)
+    prior.foreach(ensureHistoryCopy(table, _)) // heal a crashed copy
+    val vm = m.copy(version = prior.map(_.version + 1).getOrElse(1L))
     val tmp = manifestPath(table).resolveSibling("_manifest.tmp")
-    Files.writeString(tmp,
-      (Seq("#root:" + m.dataRoot) ++ m.files.sorted.map("#file:" + _) ++
-        m.genEntries.toSeq.sortBy(_._1).flatMap { case (g, es) =>
-          es.sorted.map(e => s"#geni:$g:$e") } ++
-        m.entries).mkString("\n"))
+    Files.writeString(tmp, render(vm))
     Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    ensureHistoryCopy(table, vm)
   }
 
-  private def genId(newEntries: Seq[String]): String = {
+  /** Gen ids are salted with the BASE manifest version: a crashed
+    * append and its replay share the base (same id — the replay sweeps
+    * its own debris and overwrites deterministically), while a
+    * retract-then-reappend of the same entries commits in between and
+    * so gets a FRESH id — its replay sweep can never clobber the
+    * retracted gen's files where a raised [[retainVersions]] still
+    * serves them to time travelers.
+    */
+  private def genId(newEntries: Seq[String], baseVersion: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(java.nio.ByteBuffer.allocate(8).putLong(baseVersion).array())
     newEntries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
+
+  /** How many trailing versions' DATA files the GC passes must keep
+    * servable, live included (`graft.layout.retainVersions`, default
+    * 1 = the live version only — exactly the pre-time-travel physical
+    * behavior: a retract deletes its files immediately and a rewrite
+    * keeps one superseded root as the reader grace window). Append
+    * commits never delete anything, so on an append-only table EVERY
+    * version stays travelable regardless of this knob; it only decides
+    * how far back [[readVersion]] reaches across retracts/rewrites.
+    * Space held by a raised retention is reclaimed by [[vacuum]].
+    */
+  private def retainVersions: Int =
+    sys.props.get("graft.layout.retainVersions").map(_.toInt)
+      .getOrElse(1).max(1)
+
+  /** The manifests whose data files the GC passes must not delete:
+    * the live one plus history back to `live.version - retain + 1`.
+    */
+  private def retainedManifests(table: String): Seq[Manifest] =
+    readManifest(table).toSeq.flatMap { live =>
+      val floor = live.version - (retainVersions - 1)
+      live +: (floor until live.version)
+        .flatMap(v => parseManifest(historyPath(table, v)))
+    }
 
   /** Cluster `derive(source)` under `partCol=` directories, maintained
     * INCREMENTALLY against the source's file ledger:
@@ -178,7 +254,7 @@ object PartitionedLayout {
       table: String, partCol: String, derive: DataFrame => DataFrame,
       m: Manifest, current: Seq[String]): Unit = {
     val newEntries = current.filterNot(m.entries.toSet)
-    val gen = genId(newEntries)
+    val gen = genId(newEntries, m.version)
     val srcRoot = Paths.get(sourcePath)
     val newFiles = newEntries.map(e =>
       srcRoot.resolve(e.split('|').head).toString)
@@ -243,8 +319,13 @@ object PartitionedLayout {
     val (dropFiles, keep) = m.files.partition(ofDropped)
     writeManifest(table,
       Manifest(m.dataRoot, keep, current, m.genEntries -- dropGens))
+    // physical delete honors retention: a file still referenced by a
+    // retained history version (raised retainVersions) stays servable
+    // to time travelers and is reclaimed by vacuum() instead
+    val retained = retainedManifests(table)
+      .filter(_.dataRoot == m.dataRoot).flatMap(_.files).toSet
     val dataRoot = Paths.get(loc(table), m.dataRoot)
-    dropFiles.foreach(f =>
+    dropFiles.filterNot(retained).foreach(f =>
       try Files.deleteIfExists(dataRoot.resolve(f))
       catch { case _: java.io.IOException => () }) // dead by manifest
     true
@@ -272,8 +353,10 @@ object PartitionedLayout {
     // but an in-flight reader that resolved the OLD manifest may still
     // be scanning it, so it survives ONE rewrite as a grace window
     // (the store-fold / base-pointer discipline); anything older is
-    // garbage-collected here
-    val keep = Set(newRoot) ++ old
+    // garbage-collected here UNLESS a retained history version (raised
+    // retainVersions) still serves it to time travelers
+    val keep = Set(newRoot) ++ old ++
+      retainedManifests(table).map(_.dataRoot)
     val tableRoot = Paths.get(loc(table))
     if (Files.exists(tableRoot)) {
       val s = Files.list(tableRoot)
@@ -324,9 +407,12 @@ object PartitionedLayout {
     * at planning time, which is what keeps `PartitionFilters` /
     * dynamic partition pruning operating on the layout.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val m = readManifest(table).getOrElse(
-      throw new IllegalStateException(s"no layout manifest for $table"))
+  def read(spark: SparkSession, table: String): DataFrame =
+    serve(spark, table, readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no layout manifest for $table")))
+
+  private def serve(spark: SparkSession, table: String,
+      m: Manifest): DataFrame = {
     if (m.files.isEmpty)
       // partitionBy writes no partCol dirs for an empty result, so an
       // empty source (or a derive that filters everything out) commits
@@ -341,6 +427,111 @@ object PartitionedLayout {
       .option("basePath", dataRoot.toString)
       .parquet(m.files.map(f => dataRoot.resolve(f).toString): _*)
   }
+
+  /** Every version addressable by [[readVersion]], ascending — the
+    * history copies plus the live manifest (their data files may or
+    * may not still exist; readVersion checks that at serve time).
+    */
+  def versions(table: String): Seq[Long] = {
+    val hist =
+      if (!Files.exists(historyDir(table))) Seq.empty[Long]
+      else {
+        val s = Files.list(historyDir(table))
+        try s.toArray.toSeq.map(_.asInstanceOf[Path])
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+          .map(_.stripPrefix("v").toLong)
+        finally s.close()
+      }
+    (hist ++ readManifest(table).map(_.version)).distinct.sorted
+  }
+
+  /** TIME TRAVEL: serve the layout exactly as version `version`
+    * committed it — same file set, same partition pruning. Appends
+    * never delete data files, so on an append-only table every version
+    * back to the original build is servable; across retracts/rewrites
+    * the reach is [[retainVersions]] (a version whose files the GC
+    * already reclaimed refuses with the actual cause, not a scan
+    * error). The read is lock- and lease-free like [[read]]: history
+    * manifests are immutable once written.
+    */
+  def readVersion(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val live = readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no layout manifest for $table"))
+    val m =
+      if (live.version == version) live
+      else parseManifest(historyPath(table, version)).getOrElse(
+        throw new IllegalArgumentException(
+          s"layout $table has no version $version " +
+            s"(available: ${versions(table).mkString(", ")})"))
+    val dataRoot = Paths.get(loc(table), m.dataRoot)
+    val missing = m.files.filterNot(f => Files.exists(dataRoot.resolve(f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"layout $table version $version is no longer servable: " +
+          s"${missing.size} of its files were garbage-collected past " +
+          "retention (raise -Dgraft.layout.retainVersions before the " +
+          s"retract/rewrite that dropped them); first missing: " +
+          missing.head)
+    serve(spark, table, m)
+  }
+
+  /** Reclaim the space a raised [[retainVersions]] deferred: drop
+    * history manifests older than the newest `keepLast` versions (the
+    * live one always survives), then delete every data root and every
+    * gen file inside the live root that no remaining manifest
+    * references. Runs under the writer lease — vacuum deletes data, so
+    * it is a mutation even though the live manifest never changes.
+    * Returns the number of data files deleted.
+    */
+  def vacuum(table: String, keepLast: Int): Int =
+    lockFor(table).synchronized {
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      val live = readManifest(table).getOrElse(return 0)
+      graft.sources.WriterLease.withLease(Paths.get(loc(table)),
+        s"layout vacuum $table") {
+        val floor = live.version - (keepLast - 1)
+        versions(table).filter(v => v < floor && v != live.version)
+          .foreach(v => Files.deleteIfExists(historyPath(table, v)))
+        val kept = live +: versions(table).filter(_ != live.version)
+          .flatMap(v => parseManifest(historyPath(table, v)))
+        val keptRoots = kept.map(_.dataRoot).toSet
+        val keptByRoot = kept.groupBy(_.dataRoot)
+          .map { case (r, ms) => r -> ms.flatMap(_.files).toSet }
+        var deleted = 0
+        val tableRoot = Paths.get(loc(table))
+        if (Files.exists(tableRoot)) {
+          val s = Files.list(tableRoot)
+          val roots =
+            try s.toArray.toSeq.map(_.asInstanceOf[Path])
+              .filter(d => Files.isDirectory(d) &&
+                d.getFileName.toString.startsWith("data-"))
+            finally s.close()
+          roots.foreach { d =>
+            val name = d.getFileName.toString
+            if (!keptRoots(name)) {
+              val w = Files.walk(d)
+              val n =
+                try w.filter(Files.isRegularFile(_)).count().toInt
+                finally w.close()
+              deleteTree(d); deleted += n
+            } else {
+              val referenced = keptByRoot(name)
+              val w = Files.walk(d)
+              val victims =
+                try w.filter(f => Files.isRegularFile(f) &&
+                    f.getFileName.toString.endsWith(".parquet"))
+                  .toArray.toSeq.map(_.asInstanceOf[Path])
+                  .filterNot(f => referenced(d.relativize(f).toString))
+                finally w.close()
+              victims.foreach(Files.delete); deleted += victims.size
+            }
+          }
+        }
+        deleted
+      }
+    }
 
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
