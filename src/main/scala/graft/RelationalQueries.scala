@@ -2745,6 +2745,21 @@ object RelationalQueries {
         graft.operators.KCore
           .peelRounds(partCoPurchaseEdges(s, dir), k = 3, rounds = 16)
           .orderBy("node")
+    },
+
+    // Community detection by synchronous label propagation over the
+    // part co-purchase graph — 4 FIXED rounds (synchronous LPA can
+    // oscillate on bipartite structure, so fixed rounds IS the
+    // contract, not a fixpoint), plurality label with smallest-label
+    // tie-break so every engine lands the identical labeling. Window
+    // is partitioned by src (bounded per-group sort); the oracle
+    // unrolls the same rounds with the same tie-break.
+    GraftQuery("q76_label_propagation", lpaOracleSql(4)) { (s, dir) =>
+      val co = partCoPurchaseEdges(s, dir)
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(co.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.LabelPropagation.labels(edges, rounds = 4)
+        .orderBy("node")
     }
   )
 
@@ -2797,6 +2812,37 @@ object RelationalQueries {
       |SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e$rounds
       |  UNION ALL SELECT b FROM e$rounds)
       |GROUP BY node ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB unroll of [[graft.operators.LabelPropagation.labels]]:
+    * per round one neighbor-label count and one (count DESC, label
+    * ASC) row_number pick — identical tie-break to the Spark loop.
+    * Stages materialized for the same inlining reason as
+    * [[kCoreOracleSql]].
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b
+      |       FROM op x JOIN op y
+      |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |       GROUP BY a, b HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+      |      UNION ALL SELECT b, a FROM co),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+      .stripMargin
+    for (r <- 1 to rounds) sb ++= s""",
+      |c$r AS MATERIALIZED (SELECT e.src, l.lbl, count(*) AS c
+      |      FROM e JOIN l${r - 1} l ON l.node = e.dst
+      |      GROUP BY e.src, l.lbl),
+      |l$r AS MATERIALIZED (SELECT src AS node, lbl FROM (
+      |      SELECT src, lbl, row_number() OVER (
+      |        PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn FROM c$r)
+      |      WHERE rn = 1)""".stripMargin
+    sb ++= s"""
+      |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
     sb.toString
   }
 

@@ -21,6 +21,22 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
     Files.createTempDirectory(s"graft-ptt-$tag")
       .resolve("src.parquet").toString
 
+  /** Version assertions are absolute, so the table must start from
+    * nothing — the artifact store persists across JVM runs and a
+    * prior run's manifests would shift every version number.
+    */
+  private def fresh(table: String): String = {
+    val root = Paths.get(
+      s"${graft.sources.ArtifactStore.root}/partitioned/$table")
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    table
+  }
+
   private def append(src: String, lo: Long, hi: Long): Unit =
     (lo to hi).map(i => (i % 4, i)).toDF("pk", "id")
       .coalesce(1).write.mode("append").parquet(src)
@@ -43,6 +59,7 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
 
   test("append-only tables are travelable to every version for free") {
     val src = newSource("appendonly")
+    fresh("ptt_a")
     append(src, 1, 40); ensure(src, "ptt_a") // v1
     append(src, 41, 50); ensure(src, "ptt_a") // v2
     append(src, 51, 60); ensure(src, "ptt_a") // v3
@@ -77,6 +94,7 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
         }.toSet
       } finally s.close()
     }
+    fresh("ptt_r")
     append(src, 1, 40); ensure(src, "ptt_r") // v1
     val base = srcFiles()
     append(src, 41, 50); ensure(src, "ptt_r") // v2
@@ -106,7 +124,8 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
           }.toSet
         } finally s.close()
       }
-      append(src, 1, 40); ensure(src, "ptt_k") // v1
+      fresh("ptt_k")
+    append(src, 1, 40); ensure(src, "ptt_k") // v1
       val base = srcFiles()
       append(src, 41, 50); ensure(src, "ptt_k") // v2
       (srcFiles() -- base).foreach(Files.delete)
@@ -130,6 +149,7 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
 
   test("vacuum on an append-only table deletes nothing") {
     val src = newSource("noop")
+    fresh("ptt_n")
     append(src, 1, 40); ensure(src, "ptt_n")
     append(src, 41, 50); ensure(src, "ptt_n")
     PartitionedLayout.vacuum("ptt_n", keepLast = 1) shouldBe 0
@@ -142,6 +162,7 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
     val src = newSource("rw")
     (1L to 40L).map(i => (i % 4, i)).toDF("pk", "id")
       .coalesce(1).write.mode("overwrite").parquet(src)
+    fresh("ptt_w")
     ensure(src, "ptt_w") // v1
     (101L to 140L).map(i => (i % 4, i)).toDF("pk", "id")
       .coalesce(1).write.mode("overwrite").parquet(src)
@@ -171,7 +192,8 @@ class PartitionedLayoutTimeTravelSpec extends SparkSpec {
           }.toSet
         } finally s.close()
       }
-      append(src, 1, 40); ensure(src, "ptt_s") // v1
+      fresh("ptt_s")
+    append(src, 1, 40); ensure(src, "ptt_s") // v1
       val base = srcFiles()
       append(src, 41, 50); ensure(src, "ptt_s") // v2
       val incr = (srcFiles() -- base).toSeq
