@@ -42,7 +42,8 @@ scale20("orders", Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"))
 plog.println(s"rows: lineitem=${spark.read.parquet(s"$bigDir/lineitem.parquet").count()} " +
   s"part=${spark.read.parquet(s"$bigDir/part.parquet").count()}")
 
-val shapes = Seq("q74_shortest_path", "q75_kcore", "q43_pagerank")
+val shapes =
+  Seq("q74_shortest_path", "q75_kcore", "q76_label_propagation", "q43_pagerank")
 Seq(("sf0.1", srcDir, 1), ("20x", bigDir, 2)).foreach { case (tag, dir, reps) =>
   plog.println(s"--- $tag pass ($dir)")
   shapes.foreach { name =>
