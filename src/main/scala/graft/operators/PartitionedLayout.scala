@@ -483,7 +483,12 @@ object PartitionedLayout {
     * gen file inside the live root that no remaining manifest
     * references. Runs under the writer lease — vacuum deletes data, so
     * it is a mutation even though the live manifest never changes.
-    * Returns the number of data files deleted.
+    * Like a retract's immediate GC (and unlike a rewrite's one-root
+    * grace window), vacuum is an OPERATOR action: a reader mid-scan of
+    * a version being vacuumed may fail — the operator chose to reclaim
+    * that version, the engine's job is only that the live read and
+    * every still-retained version stay untouched. Returns the number
+    * of data files deleted.
     */
   def vacuum(table: String, keepLast: Int): Int =
     lockFor(table).synchronized {

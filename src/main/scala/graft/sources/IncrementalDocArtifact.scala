@@ -105,6 +105,19 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * pointer flip as the folded data, so absorbed partitions are dead
   * by marker even if their physical deletion (mere GC) never ran.
   *
+  * DELIBERATELY NO TIME TRAVEL (contrast `PartitionedLayout`, which
+  * has `readVersion`): the store's whole contract is that a serve
+  * equals a full rebuild over the CURRENT corpus — a derived artifact
+  * has no independent history worth addressing, only the corpus does,
+  * and corpus history belongs to the source/layout layer. The two
+  * needs read-at-version would serve are covered by dedicated
+  * mechanisms instead: reproducing yesterday's artifact = time-travel
+  * the SOURCE and rebuild (or read yesterday's pinned artifact
+  * version, which already rides the base-version pointer); undoing a
+  * bad batch = [[Handle.rollback]]. Retaining pre-fold bases for
+  * arbitrary replay would fight compaction — the one maintenance
+  * pressure this store exists to manage.
+  *
   * Concurrency contract (per JVM): mutation is serialized by a
   * JVM-wide lock per artifact ROOT (handles are created per call, so
   * instance monitors could never serialize two handles of the same
