@@ -2765,22 +2765,22 @@ object RelationalQueries {
 
   /** Canonical (a < b) part co-purchase edges: parts adjacent when
     * they appear together in >= 2 distinct orders — the sparse graph
-    * the BFS / k-core family runs on (1,880 nodes / 3,445 edges / a
-    * 9-hop BFS tree at sf0.01; the q44/q57 supplier co-supply graph
-    * is near-complete at its threshold and has no distance or
-    * coreness structure). One orderkey exchange via the bucketized
-    * within-key pair primitive, exactly as q57; checkpointed because
-    * both consumers iterate over it.
+    * the BFS / k-core / label-propagation family runs on (1,880 nodes
+    * / 3,445 edges / a 9-hop BFS tree at sf0.01; the q44/q57 supplier
+    * co-supply graph is near-complete at its threshold and has no
+    * distance or coreness structure). Served from the STORED
+    * co-occurrence artifact ([[graft.operators.CoOccurStore]]):
+    * the graph family never re-pays the whole-corpus pair exchange —
+    * a lineitem append advances the edge counts O(new + affected
+    * orders) and every graph query reads the stored counts. The
+    * oracles recompute the pairs from scratch in DuckDB, so the
+    * store path is hash-checked end-to-end; checkpointed because all
+    * three consumers iterate over it.
     */
-  private def partCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    graft.dedup.PairGen
-      .pairsWithin(op, Seq("l_orderkey"), col("l_partkey"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("a", "b")
+  private def partCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CoOccurStore
+      .edges(s, dir, "lineitem", "l_orderkey", "l_partkey", minCount = 2)
       .localCheckpoint()
-  }
 
   /** DuckDB unroll of [[graft.operators.KCore.peelRounds]]: stage r
     * keeps the degree->=k survivors of stage r-1 and semi-filters the

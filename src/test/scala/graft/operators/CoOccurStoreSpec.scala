@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The stored co-occurrence graph: serve equals the direct
+  * whole-corpus computation, appends advance O(new + affected
+  * groups), and — the case the MergePiece exists for — pairs whose
+  * two members arrive in DIFFERENT generations of the same group are
+  * counted exactly once.
+  */
+class CoOccurStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def direct(df: org.apache.spark.sql.DataFrame,
+      minCount: Long): org.apache.spark.sql.DataFrame =
+    graft.dedup.PairGen.pairsWithin(
+        df.select(col("g"), col("i")).distinct(), Seq("g"), col("i"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount).select("a", "b")
+
+  private def newCorpus(tag: String): String =
+    Files.createTempDirectory(s"graft-cooc-$tag").toString
+
+  test("serve equals the direct computation; repeat serve is stable") {
+    val sf = newCorpus("base")
+    Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 13L), (4L, 13L))
+      .toDF("g", "i").coalesce(1).write.parquet(s"$sf/baskets.parquet")
+    val stored = CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L)
+    assertSameRows(stored,
+      direct(spark.read.parquet(s"$sf/baskets.parquet"), 2L))
+    assertSameRows(CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L),
+      stored)
+  }
+
+  test("a pair split across generations of the same group counts once") {
+    val sf = newCorpus("xgen")
+    // gen 1: group 7 holds item 1 only — no pairs exist yet
+    Seq((7L, 1L), (8L, 1L), (8L, 2L)).toDF("g", "i")
+      .coalesce(1).write.parquet(s"$sf/baskets.parquet")
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L).count() shouldBe 1
+    // gen 2: item 2 joins group 7 — the (1,2) pair now co-occurs in
+    // BOTH groups; an additive per-generation design would miss the
+    // group-7 instance entirely (its members live in different gens)
+    Seq((7L, 2L)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(s"$sf/baskets.parquet")
+    val got = CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L)
+    got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 2L))
+    // and a duplicate (g,i) row appended later never inflates counts
+    Seq((7L, 2L), (8L, 1L)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(s"$sf/baskets.parquet")
+    assertSameRows(CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L),
+      direct(spark.read.parquet(s"$sf/baskets.parquet"), 1L))
+  }
+
+  test("edge counts invariant under generation chunking") {
+    for (seed <- Seq(5, 31); chunks <- Seq(1, 4)) {
+      val rnd = new scala.util.Random(seed)
+      // rows shuffled so groups STRADDLE chunk boundaries routinely
+      val rows = rnd.shuffle(for {
+        g <- 1L to 12L
+        _ <- 1 to (2 + rnd.nextInt(5))
+      } yield (g, rnd.nextInt(9).toLong))
+      val sf = newCorpus(s"chunk-$seed-$chunks")
+      val corpus = s"$sf/baskets.parquet"
+      val per = (rows.size + chunks - 1) / chunks
+      rows.grouped(per).zipWithIndex.foreach { case (grp, gi) =>
+        grp.toDF("g", "i").coalesce(1)
+          .write.mode(if (gi == 0) "overwrite" else "append").parquet(corpus)
+        // serve between appends so each chunk lands as its own advance
+        CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L).count()
+      }
+      withClue(s"seed=$seed chunks=$chunks: ") {
+        assertSameRows(
+          CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L),
+          direct(spark.read.parquet(corpus), 2L))
+      }
+    }
+  }
+
+  test("retracting the appended generation rolls the counts back") {
+    val sf = newCorpus("retract")
+    val corpus = s"$sf/baskets.parquet"
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("g", "i")
+      .coalesce(1).write.parquet(corpus)
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L).count() shouldBe 1
+    def files() = {
+      val s = Files.list(java.nio.file.Paths.get(corpus))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          !(n.startsWith("_") || n.startsWith("."))
+        }.toSet
+      } finally s.close()
+    }
+    val before = files()
+    Seq((3L, 10L), (3L, 11L)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val stored = CoOccurStore.edges(spark, sf, "baskets", "g", "i", 3L)
+    stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((10L, 11L))
+    // drop the appended batch: LWW resolves back to the pre-increment
+    // count of 2 — below the 3-cut
+    (files() -- before).foreach(Files.delete)
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 3L).count() shouldBe 0
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L).count() shouldBe 1
+  }
+}
