@@ -2760,6 +2760,27 @@ object RelationalQueries {
         .unionAll(co.select(col("b").as("src"), col("a").as("dst")))
       graft.operators.LabelPropagation.labels(edges, rounds = 4)
         .orderBy("node")
+    },
+
+    // Weighted shortest path (bounded Bellman-Ford) over the SAME
+    // stored co-occurrence graph, edge cost 6 div n — stronger ties
+    // are cheaper, all-integer so the unrolled oracle is bit-equal.
+    // 8 relaxation rounds = min cost over paths of <= 8 edges; unlike
+    // q74's hop BFS a settled node can still improve (a long cheap
+    // path beats a short expensive one), which is exactly why this
+    // relaxes the full table per round instead of a frontier.
+    GraftQuery("q77_weighted_sssp", ssspOracleSql(8)) { (s, dir) =>
+      val co = graft.operators.CoOccurStore
+        .weightedEdges(s, dir, "lineitem", "l_orderkey", "l_partkey", 2L)
+        .withColumn("w", expr("6 div n"))
+      val edges = co.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          co.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = Tables.load(s, dir, "part")
+        .where(col("p_partkey") % 500 === 0)
+        .select(col("p_partkey").as("node"))
+      graft.operators.ShortestPath.weighted(edges, seeds, rounds = 8)
+        .orderBy("node")
     }
   )
 
@@ -2843,6 +2864,36 @@ object RelationalQueries {
       |      WHERE rn = 1)""".stripMargin
     sb ++= s"""
       |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB unroll of [[graft.operators.ShortestPath.weighted]]: per
+    * round one relax join + one min fold, identical integer edge
+    * costs (`6 // n` = Spark's `6 div n` on positives).
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |       count(*) AS n
+      |       FROM op x JOIN op y
+      |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |       GROUP BY a, b HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst, 6 // n AS w FROM co
+      |      UNION ALL SELECT b, a, 6 // n FROM co),
+      |d0 AS MATERIALIZED (SELECT p_partkey AS node, 0 AS dist FROM part
+      |      WHERE p_partkey % 500 = 0)""".stripMargin
+    for (r <- 1 to rounds) sb ++= s""",
+      |d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+      |      SELECT node, dist FROM d${r - 1}
+      |      UNION ALL
+      |      SELECT e.dst AS node, d.dist + e.w
+      |      FROM e JOIN d${r - 1} d ON d.node = e.src)
+      |      GROUP BY node)""".stripMargin
+    sb ++= s"""
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+      |ORDER BY node""".stripMargin
     sb.toString
   }
 

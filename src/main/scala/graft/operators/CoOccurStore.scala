@@ -87,9 +87,17 @@ object CoOccurStore {
     */
   def edges(spark: SparkSession, sfDir: String, table: String,
       groupCol: String, itemCol: String, minCount: Long): DataFrame =
+    weightedEdges(spark, sfDir, table, groupCol, itemCol, minCount)
+      .select("a", "b")
+
+  /** As [[edges]] but keeping the co-occurrence count `n` — the edge
+    * weight for the weighted-distance family.
+    */
+  def weightedEdges(spark: SparkSession, sfDir: String, table: String,
+      groupCol: String, itemCol: String, minCount: Long): DataFrame =
     handle(s"$sfDir/$table.parquet", groupCol, itemCol)
       .serve(spark, "edges")
-      .where(col("n") >= minCount).select("a", "b")
+      .where(col("n") >= minCount)
 
   /** Offline compaction hook. */
   def compact(spark: SparkSession, corpusPath: String,

@@ -39,6 +39,37 @@ object ShortestPath {
     * seeds included; they are reachable at distance 0 by definition),
     * every node first discovered at hop h ≤ maxHops at h.
     */
+  /** Bounded Bellman-Ford: min total WEIGHT from any seed along
+    * DIRECTED `edges(src, dst, w)` over paths of at most `rounds`
+    * edges — the weighted member next to [[hops]] (which is this with
+    * w ≡ 1 plus the frontier optimization hop-distance admits; with
+    * real weights a settled node can still improve, so every round
+    * relaxes the full distance table — the textbook reason
+    * Bellman-Ford is O(V·E) and BFS is O(E)). Fixed rounds is the
+    * contract (like [[graft.operators.LabelPropagation]]): "shortest
+    * path using at most k edges" is exact and engine-agnostic for any
+    * k, converging to the true shortest path once k reaches the
+    * longest shortest-path edge count. One keyed join + one min
+    * aggregate per round; integer weights make results bit-equal with
+    * the unrolled oracle.
+    */
+  def weighted(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()

@@ -54,4 +54,37 @@ class ShortestPathSpec extends SparkSpec {
     val d = distMap(ShortestPath.hops(e, Seq("a").toDF("node"), 10))
     d shouldBe Map("a" -> 0, "b" -> 1, "c" -> 2)
   }
+
+  private def wDistMap(
+      df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("weighted: a long cheap path beats a short expensive one") {
+    // a -> z direct costs 10; a -> b -> c -> z costs 3
+    val e = Seq(("a", "z", 10L), ("a", "b", 1L), ("b", "c", 1L),
+      ("c", "z", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    // 1 round: only the direct edge fits the <=1-edge bound
+    wDistMap(ShortestPath.weighted(e, seeds, 1))("z") shouldBe 10L
+    // 3 rounds: the cheap 3-edge path wins — the improvement of an
+    // already-reached node is exactly what the hop BFS never does
+    wDistMap(ShortestPath.weighted(e, seeds, 3))("z") shouldBe 3L
+  }
+
+  test("weighted with unit costs equals hop BFS where both are defined") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val w = wDistMap(ShortestPath.weighted(
+      e.withColumn("w", org.apache.spark.sql.functions.lit(1L)), seeds, 5))
+    distMap(ShortestPath.hops(e, seeds, 5)).foreach { case (n, d) =>
+      w(n) shouldBe d.toLong
+    }
+  }
+
+  test("weighted multi-source takes the cheapest seed") {
+    val e = Seq(("a", "m", 5L), ("z", "m", 2L)).toDF("src", "dst", "w")
+    wDistMap(
+      ShortestPath.weighted(e, Seq("a", "z").toDF("node"), 2))("m") shouldBe 2L
+  }
 }
