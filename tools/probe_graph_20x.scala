@@ -43,7 +43,8 @@ plog.println(s"rows: lineitem=${spark.read.parquet(s"$bigDir/lineitem.parquet").
   s"part=${spark.read.parquet(s"$bigDir/part.parquet").count()}")
 
 val shapes =
-  Seq("q74_shortest_path", "q75_kcore", "q76_label_propagation", "q43_pagerank")
+  Seq("q74_shortest_path", "q75_kcore", "q76_label_propagation",
+    "q77_weighted_sssp", "q43_pagerank")
 Seq(("sf0.1", srcDir, 1), ("20x", bigDir, 2)).foreach { case (tag, dir, reps) =>
   plog.println(s"--- $tag pass ($dir)")
   shapes.foreach { name =>
