@@ -4,42 +4,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.IncrementalDocArtifact
-import graft.sources.IncrementalDocArtifact.{MergePiece, Piece}
+import graft.sources.IncrementalDocArtifact.Piece
 
 /** Stored, incrementally-maintained co-occurrence graph: canonical
   * (a < b) edge counts over (group, item) rows — items adjacent when
   * they appear in the same group, weighted by how many groups share
-  * them. This is the edge list the graph family (BFS / k-core / label
-  * propagation) and any market-basket screen consumes; without the
-  * store every query re-pays the full pair-generation exchange over
-  * the whole corpus, which at 100 TB is the dominant cost of ANY
-  * graph question.
+  * them. This is the edge list the graph family (BFS / weighted SSSP
+  * / k-core / label propagation) and any market-basket screen
+  * consumes; without the store every query re-pays the full
+  * pair-generation exchange over the whole corpus, which at 100 TB is
+  * the dominant cost of ANY graph question.
   *
-  * Why this is a [[MergePiece]] and not an additive piece — the
-  * cross-generation group problem: a group's rows may arrive across
-  * MANY corpus increments (an order's lineitems split over files), so
-  * pairs computed per generation would miss every pair whose two
-  * members arrived in different generations. The advance therefore
-  * recomputes the pair counts of only the AFFECTED groups (groups
-  * named by the increment) against the pre-increment stored rows,
-  * and upserts `stored_n − pre_n + post_n` per touched edge —
-  * O(increment + affected groups' rows), never O(corpus). Appends
-  * only add distinct (group, item) rows, so counts only grow and the
-  * touched-edge set is exactly `post_n > pre_n`.
+  * The cross-generation group problem: a group's rows may arrive
+  * across MANY corpus increments (an order's lineitems split over
+  * files), so pairs computed per generation in isolation would miss
+  * every pair whose two members arrived in different generations.
+  * The advance therefore recomputes the pair counts of only the
+  * AFFECTED groups (groups named by the increment) against the
+  * pre-increment stored rows.
+  *
+  * Counts are ADDITIVE, so the pair piece stores per-generation
+  * DELTA PARTIALS (`post − pre` per touched edge) summed at read and
+  * collapsed by the compaction fold — NOT a keyed upsert of absolute
+  * counts. The first cut of this store was the upsert: measured at a
+  * 10 M-row corpus (45 M stored pairs at cut 1), its advance dragged
+  * THREE full passes over the all-pairs artifact (the pre-increment
+  * LWW view for the upsert join, then the LWW window again at serve)
+  * — 18.5 s for a 10 k-row append, SLOWER than the 7.3 s from-scratch
+  * rebuild it exists to avoid. The partial design needs no read of
+  * the stored pairs at all during an advance: O(increment + affected
+  * groups' rows) genuinely, and the serve is one scan + one
+  * map-side-combinable sum (post-fold the base is one row per key, so
+  * the exchange carries ~unique rows).
   *
   * Pieces:
   *  - `gi` (ADDITIVE): the raw 2-column (g, i) projection per corpus
   *    file — the advance's source for pre-increment rows of affected
-  *    groups (folded clustered by g, so that filter prunes row
-  *    groups). Deliberately NOT distinct: per-file distinct is not
-  *    additive when duplicates span files; distinct is applied where
-  *    pairs are computed.
-  *  - `edges` (KEYED UPSERT on (a, b)): the co-occurrence counts.
+  *    groups (folded clustered by g, so the affected-groups filter
+  *    prunes row groups). Deliberately NOT distinct: per-file
+  *    distinct is not additive when duplicates span files; distinct
+  *    is applied where pairs are computed.
+  *  - `pairparts` (ADDITIVE partials): at full rebuild one exact
+  *    partial over the whole corpus (`ctx.isRebuild` distinguishes —
+  *    the delta-vs-stored form would self-subtract there); per
+  *    advance the affected-groups delta. Fold = sum.
   *
-  * Chunking invariance (the lazy-merge contract): one advance over k
-  * appended file sets recomputes affected groups against the same
-  * final corpus state as k chained advances — both end at the true
-  * whole-corpus counts per edge.
+  * The all-pairs artifact is inherently ~(basket−1)/2 × corpus rows
+  * at cut 1; the threshold stays a SERVE-side filter so one artifact
+  * serves every cut, and bounded basket sizes keep the blowup linear.
   */
 object CoOccurStore {
 
@@ -50,32 +62,40 @@ object CoOccurStore {
   private def handle(corpusPath: String, groupCol: String, itemCol: String) = {
     def gi(docs: DataFrame): DataFrame =
       docs.select(col(groupCol).as("g"), col(itemCol).as("i"))
-    IncrementalDocArtifact(corpusPath, s"cooc_${groupCol}_$itemCol",
-      Seq(Piece("gi", (docs, _) => gi(docs),
-        fold = Some(_.repartition(col("g")).sortWithinPartitions("g", "i")))),
-      Seq(MergePiece("edges", Seq("a", "b"),
-        buildFull = (docs, _) => pairCounts(gi(docs)),
-        advance = { ctx =>
-          val inc = gi(ctx.newDocs)
-          val affected = inc.select("g").distinct()
-          // pre-increment rows of the affected groups only — the
-          // stored view excludes the generations being written
-          val pre = ctx.stored("gi")
-            .join(affected, Seq("g"), "left_semi")
-          val preN = pairCounts(pre)
-            .withColumnRenamed("n", "pre_n")
-          val postN = pairCounts(pre.unionByName(inc))
-          // appends only grow distinct (g,i): post covers pre's keys
-          val delta = postN.join(preN, Seq("a", "b"), "left")
-            .where(col("pre_n").isNull || col("n") > col("pre_n"))
-            .select(col("a"), col("b"),
-              (col("n") - coalesce(col("pre_n"), lit(0L))).as("dn"))
-          delta.join(ctx.stored("edges")
-              .select(col("a"), col("b"), col("n").as("old_n")),
-              Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
-              (coalesce(col("old_n"), lit(0L)) + col("dn")).as("n"))
-        })),
+    IncrementalDocArtifact(corpusPath, s"cooc_${groupCol}_$itemCol", Seq(
+      Piece("gi", (docs, _) => gi(docs),
+        fold = Some(_.repartition(col("g")).sortWithinPartitions("g", "i"))),
+      Piece("pairparts",
+        build = { (docs, ctx) =>
+          val inc = gi(docs)
+          if (ctx.isRebuild) pairCounts(inc)
+          else {
+            val incC = inc.localCheckpoint()
+            val affected = incC.select("g").distinct()
+            // pre-increment rows of the affected groups only — the
+            // stored view excludes the generation being written. For
+            // a bounded affected set the filter goes in as an In
+            // predicate (PushedFilters on the g-clustered fold layout
+            // → row-group skipping, so the scan is O(affected)); an
+            // oversized set degrades to the distributed semi join —
+            // the capped-gate discipline of `HashedTfIdf`
+            val cap = 10000
+            val gs = affected.limit(cap + 1).collect().map(_.get(0))
+            val pre0 = ctx.stored("gi")
+            val pre = (if (gs.length <= cap)
+                pre0.where(col("g").isInCollection(gs.toSeq))
+              else pre0.join(affected, Seq("g"), "left_semi"))
+              .localCheckpoint() // both pair passes read it; scan once
+            val preN = pairCounts(pre).withColumnRenamed("n", "pre_n")
+            // appends only grow distinct (g,i): post covers pre's keys
+            pairCounts(pre.unionByName(incC))
+              .join(preN, Seq("a", "b"), "left")
+              .where(col("pre_n").isNull || col("n") > col("pre_n"))
+              .select(col("a"), col("b"),
+                (col("n") - coalesce(col("pre_n"), lit(0L))).as("n"))
+          }
+        },
+        fold = Some(_.groupBy("a", "b").agg(sum("n").as("n"))))),
       compactEvery = 8)
   }
 
@@ -91,12 +111,15 @@ object CoOccurStore {
       .select("a", "b")
 
   /** As [[edges]] but keeping the co-occurrence count `n` — the edge
-    * weight for the weighted-distance family.
+    * weight for the weighted-distance family. The sum folds the delta
+    * partials at read (map-side combinable; one row per key after a
+    * compaction fold).
     */
   def weightedEdges(spark: SparkSession, sfDir: String, table: String,
       groupCol: String, itemCol: String, minCount: Long): DataFrame =
     handle(s"$sfDir/$table.parquet", groupCol, itemCol)
-      .serve(spark, "edges")
+      .serve(spark, "pairparts")
+      .groupBy("a", "b").agg(sum("n").as("n"))
       .where(col("n") >= minCount)
 
   /** Offline compaction hook. */

@@ -424,7 +424,14 @@ object IncrementalDocArtifact {
   final class AdvanceCtx private[IncrementalDocArtifact] (
       val spark: SparkSession,
       val newDocs: DataFrame,
-      view: String => DataFrame) {
+      view: String => DataFrame,
+      /** true when `newDocs` IS the whole corpus (full rebuild) —
+        * lets an additive piece whose partials derive from OTHER
+        * pieces' pre-increment views (e.g. delta counts vs the stored
+        * rows) distinguish "everything is new" from "these files are
+        * new", which the shape of `newDocs` alone cannot tell it.
+        */
+      val isRebuild: Boolean = false) {
     def stored(name: String): DataFrame = view(name)
   }
 
@@ -1011,7 +1018,8 @@ object IncrementalDocArtifact {
       allNames.foreach(n => deleteTree(deltaDir(n)))
       deleteTree(root.resolve("_gens"))
       val docs = spark.read.parquet(corpusPath)
-      val ctx = new AdvanceCtx(spark, docs, view(spark, Set.empty))
+      val ctx = new AdvanceCtx(spark, docs, view(spark, Set.empty),
+        isRebuild = true)
       pieces.foreach(p => baseIO(p.name).overwrite(p.build(docs, ctx)))
       merges.foreach(mp => baseIO(mp.name).overwrite(mp.buildFull(docs, ctx)))
       onAdvanceDone(ctx)
