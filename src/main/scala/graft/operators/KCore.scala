@@ -68,7 +68,33 @@ object KCore {
     degrees(e)
   }
 
-  /** The k-core itself: peel to the fixpoint. */
-  def core(edges: DataFrame, k: Int): DataFrame =
-    peelRounds(edges, k, rounds = Int.MaxValue)
+  /** The k-core itself: peel to the fixpoint — bounded, because
+    * peeling converges in O(diameter)-ish rounds on real graphs but
+    * O(n) on adversarial ones (a path graph peels ONE layer per
+    * round), and each round is a driver-synchronized O(E) job. Past
+    * `maxRounds` this fails loudly instead of silently burning a
+    * cluster — the [[PageRank.converged]] maxIters discipline; raise
+    * the bound deliberately or use [[peelRounds]] for a truncated
+    * result.
+    */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var n = e.count()
+    var r = 0
+    while (r < maxRounds) {
+      val next = peelOnce(e, k)
+      val m = next.count()
+      if (m == n) return degrees(next)
+      e = next
+      n = m
+      r += 1
+    }
+    if (n == 0) degrees(e) // empty is trivially the fixpoint
+    else throw new IllegalStateException(
+      s"k-core peel did not reach a fixpoint in $maxRounds rounds " +
+        s"($n edges still live) — raise maxRounds or use peelRounds " +
+        "for an explicitly truncated result")
+  }
 }

@@ -49,4 +49,15 @@ class KCoreSpec extends SparkSpec {
     degMap(KCore.peelRounds(e, k = 2, rounds = 50)) shouldBe
       degMap(KCore.core(e, k = 2))
   }
+
+  test("unconverged-by-maxRounds fails loudly instead of serving a non-core") {
+    // a path peels exactly one layer per round from each end — the
+    // adversarial O(n)-round shape the bound exists for
+    val path = (0 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("a", "b")
+    an[IllegalStateException] should be thrownBy
+      KCore.core(path, k = 2, maxRounds = 2)
+    // with the budget it converges (to empty: a path has no 2-core)
+    KCore.core(path, k = 2, maxRounds = 10).count() shouldBe 0L
+  }
 }
