@@ -439,7 +439,7 @@ object PartitionedLayout {
         val s = Files.list(historyDir(table))
         try s.toArray.toSeq.map(_.asInstanceOf[Path])
           .map(_.getFileName.toString)
-          .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+          .filter(_.matches("v\\d+")) // stray/tmp files are not versions
           .map(_.stripPrefix("v").toLong)
         finally s.close()
       }
