@@ -2767,8 +2767,11 @@ object RelationalQueries {
     // are cheaper, all-integer so the unrolled oracle is bit-equal.
     // 8 relaxation rounds = min cost over paths of <= 8 edges; unlike
     // q74's hop BFS a settled node can still improve (a long cheap
-    // path beats a short expensive one), which is exactly why this
-    // relaxes the full table per round instead of a frontier.
+    // path beats a short expensive one), so the settled-set frontier
+    // is unavailable — the loop instead feeds each round's edge join
+    // ONLY the rows whose dist improved in the prior round (exact;
+    // see ShortestPath.weighted), collapsing the E-sized term after
+    // the early rounds.
     GraftQuery("q77_weighted_sssp", ssspOracleSql(8)) { (s, dir) =>
       val co = graft.operators.CoOccurStore
         .weightedEdges(s, dir, "lineitem", "l_orderkey", "l_partkey", 2L)

@@ -33,20 +33,32 @@ object LabelPropagation {
     * dst)` — undirected graphs pass both orientations (a node's
     * neighbors are the dst's of its out-edges). Initial label =
     * the node's own id. Output: (node, lbl) for every node with at
-    * least one out-edge.
+    * least one out-edge — including, on general DIRECTED input, a
+    * node whose out-neighbors carry no labels that round (all pure
+    * sinks): it KEEPS its previous label instead of silently
+    * dropping out of the labeling (only labeled nodes — nodes with
+    * out-edges — propagate labels, so a sink contributes nothing to
+    * the plurality). On both-orientations input every neighbor is
+    * labeled and the coalesce is a no-op.
     */
   def labels(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var lbls = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      .localCheckpoint()
     val w = Window.partitionBy("src")
       .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
-      lbls = e.join(lbls.select(col("node").as("dst"), col("lbl")), "dst")
+      val upd = e.join(lbls.select(col("node").as("dst"), col("lbl")), "dst")
         .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("src").as("node"), col("lbl"))
+        .select(col("src").as("node"), col("lbl").as("new_lbl"))
+      // left-join back onto the full node set: a node with no labeled
+      // out-neighbor this round persists its label (node-keyed join,
+      // node-sized — no new exchange class)
+      lbls = lbls.join(upd, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
     }
     lbls

@@ -493,9 +493,17 @@ object PartitionedLayout {
   def vacuum(table: String, keepLast: Int): Int =
     lockFor(table).synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-      val live = readManifest(table).getOrElse(return 0)
-      graft.sources.WriterLease.withLease(Paths.get(loc(table)),
+      if (readManifest(table).isEmpty) 0
+      else graft.sources.WriterLease.withLease(Paths.get(loc(table)),
         s"layout vacuum $table") {
+        // the live manifest is read UNDER the lease: a foreign commit
+        // between a pre-lease read and the acquisition would make the
+        // floor computation stale — worst case deleting a history
+        // manifest inside the NEW live version's keepLast window. The
+        // pre-lease read above only short-circuits the no-table case
+        // (acquiring would create the root directory as a side effect).
+        val live = readManifest(table).getOrElse(
+          return 0) // manifest vanished between check and lease
         val floor = live.version - (keepLast - 1)
         versions(table).filter(v => v < floor && v != live.version)
           .foreach(v => Files.deleteIfExists(historyPath(table, v)))

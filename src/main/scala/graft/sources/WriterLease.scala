@@ -37,8 +37,11 @@ import java.util.concurrent.{Executors, TimeUnit}
   * The stale timeout bounds the takeover hazard: a holder paused
   * longer than [[staleMs]] (GC pause, SIGSTOP) can lose its lease
   * mid-mutation, the standard lease trade-off — the default 30 s is
-  * ~40 missed heartbeats. Tune via `graft.lease.staleMs` (tests use
-  * small values); keep it well above worst-case pause in production.
+  * ~40 missed heartbeats. Tune via `graft.lease.staleMs`; keep it
+  * well above worst-case pause in production. The floor is COUPLED
+  * to the heartbeat: acquisition refuses a horizon under 4 heartbeats
+  * (a live holder would look stale between refreshes — a silent
+  * two-writer config turned into a loud error).
   */
 object WriterLease {
 
@@ -58,6 +61,23 @@ object WriterLease {
       .getOrElse(30000L)
 
   private val heartbeatMs = 750L
+
+  /** The horizon must clear several heartbeats, or a LIVE holder's
+    * lease can look stale between refreshes and be stolen — a silent
+    * two-writer configuration. Enforced at every acquire (not at
+    * property read: [[staleMs]] also serves read-side staleness checks
+    * that must degrade, not throw): a mis-configured horizon refuses
+    * the mutation loudly instead of enabling the takeover of a live
+    * writer.
+    */
+  private def requireSafeHorizon(): Unit = {
+    val floor = 4 * heartbeatMs
+    require(staleMs >= floor,
+      s"graft.lease.staleMs=$staleMs is below $floor ms (4 heartbeats " +
+        s"of $heartbeatMs ms): a live holder's lease could look stale " +
+        "between refreshes and be stolen mid-mutation — raise the " +
+        "horizon; the engine refuses a config that permits two writers")
+  }
 
   private val jvmToken: String =
     s"${ProcessHandle.current().pid()}-" +
@@ -117,6 +137,7 @@ object WriterLease {
     * process holds it. Reentrant within this JVM.
     */
   def acquire(root: Path, what: String): Unit = {
+    requireSafeHorizon()
     val key = root.toString
     guardFor(key).synchronized { acquireLocked(root, key, what) }
   }

@@ -54,4 +54,19 @@ class LabelPropagationSpec extends SparkSpec {
     lblMap(LabelPropagation.labels(e, rounds = 0)) shouldBe
       Map("a" -> "a", "b" -> "b")
   }
+
+  test("directed input: a node whose out-neighbors are all pure sinks keeps its label") {
+    // a's only out-neighbors s1, s2 have no out-edges, so they carry
+    // no labels — a must persist label "a" every round, not silently
+    // drop out of the labeling (the output contract covers EVERY node
+    // with an out-edge); b <-> c propagate normally alongside
+    val e = Seq(("a", "s1"), ("a", "s2"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val l = lblMap(LabelPropagation.labels(e, rounds = 3))
+    l.keySet shouldBe Set("a", "b", "c")
+    l("a") shouldBe "a"
+    // b/c swap labels each round: after 3 rounds each carries the other
+    l("b") shouldBe "c"
+    l("c") shouldBe "b"
+  }
 }

@@ -87,4 +87,36 @@ class ShortestPathSpec extends SparkSpec {
     wDistMap(
       ShortestPath.weighted(e, Seq("a", "z").toDF("node"), 2))("m") shouldBe 2L
   }
+
+  test("weighted: round k's edge-join input is exactly the improved set, and it collapses") {
+    // a -> z direct costs 10; a -> x1 -> ... -> x4 -> z costs 5.
+    // Improved sets round by round (the EXACT frontier discipline):
+    //   r1: {a}            (seeds)         -> improves {z(10), x1(1)}
+    //   r2: {z, x1}                        -> improves {x2(2)}
+    //   r3: {x2}                           -> improves {x3(3)}
+    //   r4: {x3}                           -> improves {x4(4)}
+    //   r5: {x4}                           -> improves {z: 10 -> 5}
+    //   r6: {z}                            -> improves nothing: exit
+    // A naive full-table relax would feed ALL reached nodes (6 of
+    // them by r3) into every edge join; the instrumented sizes prove
+    // only the improved rows enter, while z's late re-improvement
+    // proves re-entry still happens (the settled-set form would miss
+    // the cheap 5-edge path entirely).
+    val e = Seq(("a", "z", 10L), ("a", "x1", 1L), ("x1", "x2", 1L),
+      ("x2", "x3", 1L), ("x3", "x4", 1L), ("x4", "z", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val (dist, sizes) = ShortestPath.weightedInstrumented(e, seeds, 20)
+    wDistMap(dist) shouldBe Map("a" -> 0L, "z" -> 5L, "x1" -> 1L,
+      "x2" -> 2L, "x3" -> 3L, "x4" -> 4L)
+    // 20 rounds requested; the empty improved set exits after round 6
+    sizes shouldBe Seq(1L, 2L, 1L, 1L, 1L, 1L)
+  }
+
+  test("weighted: zero-weight edges relax exactly (the structural frontier argument needs no positivity)") {
+    val e = Seq(("a", "b", 0L), ("b", "c", 0L), ("c", "d", 2L))
+      .toDF("src", "dst", "w")
+    wDistMap(ShortestPath.weighted(e, Seq("a").toDF("node"), 3)) shouldBe
+      Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 2L)
+  }
 }

@@ -154,6 +154,28 @@ class WriterLeaseSpec extends SparkSpec {
     Files.exists(root.resolve(WriterLease.LeaseName)) shouldBe false
   }
 
+  test("a staleness horizon below 4 heartbeats refuses acquisition loudly (no silent two-writer config)") {
+    // a horizon shorter than a few heartbeat intervals lets a LIVE
+    // holder's lease look stale between refreshes and be stolen —
+    // the engine must refuse the configuration, not honor it
+    val root = Files.createTempDirectory("graft-lease-horizon")
+    System.setProperty("graft.lease.staleMs", "1000") // < 4 × 750 ms
+    try {
+      val e = intercept[IllegalArgumentException] {
+        WriterLease.withLease(root, "misconfigured mutation") {
+          fail("must not run under an unsafe horizon")
+        }
+      }
+      e.getMessage should include("graft.lease.staleMs")
+      e.getMessage should include("two writers")
+      // nothing acquired: no lease file, and a corrected horizon works
+      Files.exists(root.resolve(WriterLease.LeaseName)) shouldBe false
+    } finally System.clearProperty("graft.lease.staleMs")
+    var ran = false
+    WriterLease.withLease(root, "default horizon") { ran = true }
+    ran shouldBe true
+  }
+
   test("layout mutations refuse under a live foreign lease; the fresh-manifest serve path does not") {
     val src = Files.createTempDirectory("graft-lease-layout")
       .resolve("src.parquet").toString
