@@ -92,7 +92,10 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * the generation being written, so a crashed half-write can never
   * leak into its own recomputation), advance the ledger by atomic
   * rename LAST; pure file REMOVAL retracting exactly whole live
-  * generations → BATCH ROLLBACK, O(dropped): the generations drop,
+  * generations — and only a contiguous SUFFIX of them in creation
+  * order (kept data computed after a dropped append can encode the
+  * dropped rows' influence; see [[Handle.rollback]]) → BATCH
+  * ROLLBACK, O(dropped): the generations drop,
   * additive rows die with them, merge rows' LWW resolves back to the
   * pre-increment values they were computed from, pinned pieces keep
   * their trained artifacts by contract (the bad-batch retract — see
@@ -539,19 +542,38 @@ object IncrementalDocArtifact {
     }
 
     // per-generation entry lists (root/_gens/<id>) — written before the
-    // ledger commit; an orphan file from a crashed advance is harmless
+    // ledger commit; an orphan file from a crashed advance is harmless.
+    // A `#seq:<n>` header records CREATION ORDER (the pre-advance
+    // covered-entry count, strictly increasing per advance): ledger
+    // entries sort lexicographically by random part-file names, so
+    // entry position cannot order generations — the suffix-only
+    // rollback check needs this header.
     private def genEntriesPath(g: String): Path = root.resolve("_gens").resolve(g)
 
-    private def writeGenEntries(g: String, entries: Seq[String]): Unit = {
+    private def writeGenEntries(g: String, entries: Seq[String],
+        seq: Long): Unit = {
       Files.createDirectories(root.resolve("_gens"))
-      Files.writeString(genEntriesPath(g), entries.mkString("\n"))
+      Files.writeString(genEntriesPath(g),
+        (s"#seq:$seq" +: entries).mkString("\n"))
     }
 
     private def genEntries(g: String): Option[Seq[String]] = {
       val p = genEntriesPath(g)
       if (!Files.exists(p)) None
       else Some(Files.readAllLines(p).toArray.toSeq.map(_.toString)
-        .filter(_.nonEmpty))
+        .filter(l => l.nonEmpty && !l.startsWith("#")))
+    }
+
+    /** Creation-order rank of a generation (the `#seq:` header); None
+      * for a pre-header generation — its order is unknowable, so the
+      * suffix check bails to the full rebuild.
+      */
+    private def genSeq(g: String): Option[Long] = {
+      val p = genEntriesPath(g)
+      if (!Files.exists(p)) None
+      else Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .find(_.startsWith("#seq:"))
+        .flatMap(l => scala.util.Try(l.stripPrefix("#seq:").toLong).toOption)
     }
 
     // merge-piece coverage ledger (lazy mode): the corpus entries the
@@ -880,7 +902,7 @@ object IncrementalDocArtifact {
             // increasing across appends, deterministic under replay
             val seq = st.entries.size.toLong
             val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
-            writeGenEntries(gen, newEntries)
+            writeGenEntries(gen, newEntries, seq)
             if (lazyMerges)
               // merge pieces stay behind; pin their coverage at the
               // pre-append ledger if this is their first lazy skip
@@ -934,7 +956,21 @@ object IncrementalDocArtifact {
       * differently, or not at all if never caught up): a removed
       * entry folded into any base, or interleaved inside a kept
       * generation, fails the check and the caller falls back to the
-      * full rebuild. Returns whether the rollback applied. Caller
+      * full rebuild. AND only when the dropped generations form a
+      * contiguous SUFFIX of the piece's live generations in creation
+      * order (no kept live generation may be NEWER than a dropped
+      * one): generation data can derive from the pre-increment stored
+      * state — a delta-partial piece encodes `post − pre` against
+      * base + ALL earlier generations, and a merge advance computes
+      * its changed rows FROM the earlier generations' view — so a
+      * kept generation created after a dropped one still encodes the
+      * dropped rows' influence (e.g. base {x}, gen1 adds y, gen2 adds
+      * z: gen2's pair delta contains (y,z); retracting gen1 alone
+      * would keep serving a (y,z) edge that no longer exists).
+      * Dropping only suffixes restores bit-exactly the state before
+      * the dropped appends, for EVERY builder shape, because no kept
+      * data was ever computed in their presence. Returns whether the
+      * rollback applied. Caller
       * holds `lock` + the writer lease; commit order drop-deltas →
       * coverage → ledger rename mirrors the orphan-sweep rollback
       * (crash mid-way leaves a ledger that still mismatches, so the
@@ -978,6 +1014,24 @@ object IncrementalDocArtifact {
         }
         if (keptTouchRemoved || (removed & dataBearing) != accounted)
           return None
+        // SUFFIX rule: no kept live gen may be newer (by the `#seq:`
+        // creation-order header) than a dropped one — kept data
+        // computed AFTER a dropped append can encode the dropped
+        // rows' influence (delta partials against stored state, merge
+        // advances against pre-increment views); only a clean suffix
+        // retract restores the exact prior state. An intermediate-
+        // generation retract — and any gen whose creation order is
+        // unknowable (pre-header) — falls back to full rebuild.
+        val dropIds = droppable.map(_._1).toSet
+        val liveSeqs = live.map(g => g -> genSeq(g))
+        if (liveSeqs.exists(_._2.isEmpty)) return None
+        val newestKept = liveSeqs
+          .collect { case (g, Some(s)) if !dropIds(g) => s }
+          .maxOption.getOrElse(Long.MinValue)
+        val oldestDropped = liveSeqs
+          .collect { case (g, Some(s)) if dropIds(g) => s }
+          .minOption.getOrElse(Long.MaxValue)
+        if (newestKept > oldestDropped) return None
         n -> droppable.map(_._1)
       }
       // apply: drop the generations, roll coverage back, commit
@@ -1133,7 +1187,7 @@ object IncrementalDocArtifact {
             viewWith(spark, exclude, committedOf(st)))
           IncrementalDocArtifact.registerInFlight(rootKey, gen)
           try {
-            writeGenEntries(gen, pending)
+            writeGenEntries(gen, pending, seq)
             mps.foreach(mp => writeDelta(
               mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
             onAdvanceDone(ctx)

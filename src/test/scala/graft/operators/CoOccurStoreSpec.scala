@@ -111,4 +111,46 @@ class CoOccurStoreSpec extends SparkSpec {
     CoOccurStore.edges(spark, sf, "baskets", "g", "i", 3L).count() shouldBe 0
     CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L).count() shouldBe 1
   }
+
+  test("retracting a NON-LATEST generation never serves phantom edges (suffix-only rollback)") {
+    // the r12 advisory scenario: group 7 holds {x}; gen 1 adds y,
+    // gen 2 adds z. Gen 2's delta partial was computed against
+    // base + gen 1, so it encodes (y,z) — dropping gen 1 alone while
+    // keeping gen 2 would keep serving a (y,z) edge of a corpus that
+    // no longer contains y. The suffix-only rollback rule must route
+    // this retract through the full rebuild instead.
+    val sf = newCorpus("midretract")
+    val corpus = s"$sf/baskets.parquet"
+    val x = 1L; val y = 2L; val z = 3L
+    def files() = {
+      val s = Files.list(java.nio.file.Paths.get(corpus))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          !(n.startsWith("_") || n.startsWith("."))
+        }.toSet
+      } finally s.close()
+    }
+    Seq((7L, x)).toDF("g", "i").coalesce(1).write.parquet(corpus)
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L).count() shouldBe 0
+    val base = files()
+    Seq((7L, y)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L).count() shouldBe 1
+    val gen1 = files() -- base
+    Seq((7L, z)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    // full triangle while everything is live
+    CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((x, y), (x, z), (y, z))
+
+    // retract gen 1 ONLY (gen 2 stays): the corpus is {x, z}
+    gen1.foreach(Files.delete)
+    val got = CoOccurStore.edges(spark, sf, "baskets", "g", "i", 1L)
+    got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((x, z)) // no phantom (y,z), no phantom (x,y)
+    assertSameRows(got, direct(spark.read.parquet(corpus), 1L))
+  }
 }

@@ -137,6 +137,42 @@ class IncrementalRollbackSpec extends SparkSpec {
     deleteTree(Paths.get(sf))
   }
 
+  test("retracting an INTERMEDIATE generation (keeping a later one) falls back to rebuild and stays exact") {
+    // the round-12 advisory hole: a generation's data can derive from
+    // the pre-increment stored state (delta partials, merge advances
+    // computed against earlier generations' views), so dropping gen 1
+    // while keeping gen 2 would leave gen 2 encoding gen 1's rows'
+    // influence. Rollback must therefore only retract a contiguous
+    // SUFFIX in creation order — an intermediate retract rebuilds.
+    val sf = Files.createTempDirectory("graft-rollback-mid").toString
+    val corpus = s"$sf/documents.parquet"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    serveAll(corpus)
+    val baseFiles = dataFiles(corpus)
+    val stamps = Seq("rows", "cnt", "gmax").map(p => p -> baseStamp(corpus, p))
+
+    Seq((7L, "d")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val b1 = dataFiles(corpus) -- baseFiles
+    serveAll(corpus)
+    Seq((11L, "e"), (12L, "f")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    serveAll(corpus)._1 shouldBe Set(1L, 2L, 3L, 7L, 11L, 12L)
+
+    // retract batch 1 while batch 2 stays: NOT a suffix → rebuild
+    b1.foreach(Files.delete)
+    serveAll(corpus) shouldBe ((Set(1L, 2L, 3L, 11L, 12L), 5L,
+      Map(0L -> 12L, 1L -> 1L, 2L -> 11L)))
+    // proof it was the rebuild path, not a gen drop: bases republished
+    stamps.foreach { case (p, before) =>
+      withClue(s"piece $p base unchanged — intermediate retract took the drop path: ") {
+        baseStamp(corpus, p) should not be before
+      }
+    }
+    deleteTree(Paths.get(sf))
+  }
+
   test("lazy merges: a retract before any merge read leaves the never-advanced merge exact") {
     val sf = Files.createTempDirectory("graft-rollback-lazy").toString
     val corpus = s"$sf/documents.parquet"
