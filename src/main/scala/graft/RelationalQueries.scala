@@ -2285,12 +2285,17 @@ object RelationalQueries {
     // TPC-H Q11 shape — HAVING against a GLOBAL-SHARE scalar: parts
     // whose value (held by one nation's suppliers) exceeds a fraction
     // of the nation's total. Spark-first: the per-part value view is
-    // checkpointed (one fact scan), its global total re-enters as a
-    // broadcast 1-row aggregate — never a driver collect, never a
-    // partition-less window. Values fold as integer cents inside a
-    // double sum (exact: every partial is an integer < 2^53, so
-    // summation order cannot matter), making the share threshold
-    // deterministic across engines.
+    // consumed twice (the rows and their global total) as IDENTICAL
+    // aggregate subtrees, so exchange reuse dedups the fact scan —
+    // one lineitem pass at any SF, with the supplier join VISIBLE in
+    // the serve plan (the scale-degradation sweep asserts it flips to
+    // a shuffle join under a small broadcast threshold; the previous
+    // build-time localCheckpoint hid the join from every plan spec).
+    // The global total re-enters as a broadcast 1-row aggregate —
+    // never a driver collect, never a partition-less window. Values
+    // fold as integer cents inside a double sum (exact: every partial
+    // is an integer < 2^53, so summation order cannot matter), making
+    // the share threshold deterministic across engines.
     GraftQuery(
       "q63_value_share",
       """WITH v AS (
@@ -2315,7 +2320,6 @@ object RelationalQueries {
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * col("l_quantity") * 100
           + 0.5)).as("val_cents"))
-        .localCheckpoint()
       v.crossJoin(broadcast(v.agg((sum("val_cents") * 0.002).as("thr"))))
         .where(col("val_cents") > col("thr"))
         .select("l_partkey", "val_cents")

@@ -111,16 +111,23 @@ object CoOccurStore {
       .select("a", "b")
 
   /** As [[edges]] but keeping the co-occurrence count `n` — the edge
-    * weight for the weighted-distance family. The sum folds the delta
-    * partials at read (map-side combinable; one row per key after a
-    * compaction fold).
+    * weight for the weighted-distance family. Live delta partials sum
+    * at read (map-side combinable); a FULLY-FOLDED artifact skips the
+    * sum entirely — the base is one row per key both at rebuild
+    * (`pairCounts` aggregates) and at fold (the sum collapse), so
+    * re-aggregating a folded base is a pure exchange with no effect.
+    * At 100 TB that skip is one avoided full-edge-list shuffle per
+    * warm graph query (q74/q76/q77 each re-serve these edges).
     */
   def weightedEdges(spark: SparkSession, sfDir: String, table: String,
-      groupCol: String, itemCol: String, minCount: Long): DataFrame =
-    handle(s"$sfDir/$table.parquet", groupCol, itemCol)
-      .serve(spark, "pairparts")
-      .groupBy("a", "b").agg(sum("n").as("n"))
-      .where(col("n") >= minCount)
+      groupCol: String, itemCol: String, minCount: Long): DataFrame = {
+    val (parts, baseOnly) = handle(s"$sfDir/$table.parquet", groupCol, itemCol)
+      .serveWithFoldState(spark, "pairparts")
+    val counts =
+      if (baseOnly) parts
+      else parts.groupBy("a", "b").agg(sum("n").as("n"))
+    counts.where(col("n") >= minCount)
+  }
 
   /** Offline compaction hook. */
   def compact(spark: SparkSession, corpusPath: String,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-pinning for the engine's iterative graph loops (PageRank,
+  * ShortestPath, KCore, LabelPropagation): every round's state is
+  * pinned so lineage stays flat (the q34 UnionLoop lesson — an
+  * unpinned loop's plan doubles per round).
+  *
+  * Default pin = `localCheckpoint`, the right local-mode choice (no
+  * reliable-storage round trip). But localCheckpoint blocks live in
+  * EXECUTOR storage with lineage truncated and no copy in reliable
+  * storage: on a real cluster a lost executor mid-loop loses blocks
+  * that can no longer be recomputed, killing the whole job — the
+  * standard iterative-Spark hazard. The knob
+  * `graft.graph.reliableCheckpointEvery=N` switches every N-th pin of
+  * each loop to a RELIABLE `checkpoint()` (requires
+  * `SparkContext.setCheckpointDir` on fault-tolerant storage; refused
+  * loudly when unset — a "reliable" checkpoint that silently could
+  * not be taken is worse than none). Pins in between still
+  * localCheckpoint, so a lost executor costs at most N rounds of
+  * replay from the last reliable cut instead of the job. N=1 pins
+  * every round reliably; unset (the default) keeps today's local
+  * behavior.
+  */
+final class IterPin private[operators] () {
+  private var i = -1
+
+  def apply(df: DataFrame): DataFrame = {
+    i += 1
+    IterPin.pinAt(df, i)
+  }
+}
+
+object IterPin {
+
+  /** One pin sequence per operator invocation: pin index 0 is the
+    * loop's input (edge list / initial state), then one per round.
+    */
+  def loop(): IterPin = new IterPin
+
+  /** 0 = disabled (localCheckpoint only). A malformed property
+    * degrades to disabled — config misreads must not kill the graph
+    * family.
+    */
+  private def every: Int =
+    sys.props.get("graft.graph.reliableCheckpointEvery")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(0)
+
+  private[operators] def pinAt(df: DataFrame, idx: Int): DataFrame = {
+    val n = every
+    if (n > 0 && idx % n == 0) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "graft.graph.reliableCheckpointEvery is set but no Spark " +
+          "checkpoint directory is configured — call " +
+          "SparkContext.setCheckpointDir on reliable storage, or unset " +
+          "the knob; a silently-skipped reliable checkpoint would " +
+          "defeat the lost-executor protection it exists to provide")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

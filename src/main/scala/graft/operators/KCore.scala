@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * Plan shape per round: one degree aggregate (two map-side projected
   * unions of the edge list, keyed on node) and two semi joins filtering
   * the edge list by the surviving node set — all keyed exchanges, no
-  * cartesians, no driver-side graph state; localCheckpoint pins each
-  * round (the q34 UnionLoop lesson). Rounds cost O(|surviving E|) and
+  * cartesians, no driver-side graph state; [[IterPin]] pins each
+  * round (the q34 UnionLoop lesson) — localCheckpoint by default,
+  * periodic RELIABLE checkpoints under
+  * `graft.graph.reliableCheckpointEvery` (executor-local blocks die
+  * with a lost executor on a real cluster, killing the loop's
+  * lineage). Rounds cost O(|surviving E|) and
   * the edge list only shrinks, so total work is bounded by
   * rounds × |E| with the usual few-round convergence in practice.
   *
@@ -36,11 +40,10 @@ object KCore {
     * Nodes disappear implicitly — a node exists only through its
     * edges (an isolated node is in no k-core for k >= 1).
     */
-  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+  private def peelOnce(e: DataFrame, k: Int, pin: IterPin): DataFrame = {
     val keep = degrees(e).where(col("deg") >= k).select("node")
-    e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-      .localCheckpoint()
+    pin(e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
   }
 
   /** `rounds` fixed peel rounds over CANONICAL undirected edges
@@ -51,12 +54,13 @@ object KCore {
     */
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val pin = IterPin.loop()
+    var e = pin(edges.select(col("a"), col("b")).distinct())
     var n = e.count()
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
-      val next = peelOnce(e, k)
+      val next = peelOnce(e, k, pin)
       val m = next.count()
       // a round that deletes nothing is the fixpoint — every later
       // round is a no-op, so skipping them never changes the result
@@ -80,11 +84,12 @@ object KCore {
   def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val pin = IterPin.loop()
+    var e = pin(edges.select(col("a"), col("b")).distinct())
     var n = e.count()
     var r = 0
     while (r < maxRounds) {
-      val next = peelOnce(e, k)
+      val next = peelOnce(e, k, pin)
       val m = next.count()
       if (m == n) return degrees(next)
       e = next

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * Plan shape per round: one edge⋈labels join keyed on dst (label
   * lookup), one (src, lbl) count aggregate, one row_number window
   * PARTITIONED by src (bounded per-group sort — never a global
-  * sort); localCheckpoint pins each round's lineage flat (the q34
-  * UnionLoop lesson). Per-round cost is O(E) with all exchanges
-  * keyed — no cartesians, no driver-side graph state.
+  * sort); [[IterPin]] pins each round's lineage flat (the q34
+  * UnionLoop lesson) — localCheckpoint by default, periodic RELIABLE
+  * checkpoints under `graft.graph.reliableCheckpointEvery` (a lost
+  * executor on a real cluster loses executor-local blocks and the
+  * loop's lineage with them). Per-round cost is O(E) with all
+  * exchanges keyed — no cartesians, no driver-side graph state.
   */
 object LabelPropagation {
 
@@ -43,10 +46,10 @@ object LabelPropagation {
     */
   def labels(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var lbls = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    val pin = IterPin.loop()
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    var lbls = pin(e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     val w = Window.partitionBy("src")
       .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
@@ -57,9 +60,8 @@ object LabelPropagation {
       // left-join back onto the full node set: a node with no labeled
       // out-neighbor this round persists its label (node-keyed join,
       // node-sized — no new exchange class)
-      lbls = lbls.join(upd, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      lbls = pin(lbls.join(upd, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
     }
     lbls
   }

@@ -24,17 +24,20 @@ import org.apache.spark.sql.functions._
   * Scale: per iteration the only corpus-sized exchanges are the
   * edge join (keyed on src) and the contribution aggregate (keyed on
   * dst, map-side combined); rank state is |nodes| rows. The loop is
-  * the cost — localCheckpoint pins each iteration so lineage stays
-  * flat (the q34 UnionLoop lesson).
+  * the cost — [[IterPin]] pins each iteration so lineage stays
+  * flat (the q34 UnionLoop lesson): localCheckpoint by default,
+  * periodic RELIABLE checkpoints under
+  * `graft.graph.reliableCheckpointEvery` for cluster mode, where a
+  * lost executor's localCheckpoint blocks would kill the loop.
   */
 object PageRank {
 
   /** (distinct edges, nodes, out-degrees, 1-row node count). */
-  private def graphTables(edges: DataFrame)
+  private def graphTables(edges: DataFrame, pin: IterPin)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
     (e, nodes, outDeg, nRow)
@@ -42,7 +45,8 @@ object PageRank {
 
   /** One damped iteration (see class doc for the plan shape). */
   private def step(pr: DataFrame, e: DataFrame, nodes: DataFrame,
-      outDeg: DataFrame, nRow: DataFrame, d: Double): DataFrame = {
+      outDeg: DataFrame, nRow: DataFrame, d: Double,
+      pin: IterPin): DataFrame = {
     val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left")
     // dangling mass: ranks of nodes with no out-edges
     val dm = withDeg.where(col("deg").isNull)
@@ -52,15 +56,14 @@ object PageRank {
       .join(outDeg, "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(col("pr") / col("deg")).as("c"))
-    nodes
+    pin(nodes
       .join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dm))
       .crossJoin(broadcast(nRow))
       .select(col("node"),
         ((lit(1.0) - d) / col("n") +
           lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
-          .as("pr"))
-      .localCheckpoint()
+          .as("pr")))
   }
 
   /** Ranks after `iters` iterations with damping `d` over directed
@@ -73,11 +76,11 @@ object PageRank {
     */
   def ranks(spark: SparkSession, edges: DataFrame,
       iters: Int = 5, d: Double = 0.85): DataFrame = {
-    val (e, nodes, outDeg, nRow) = graphTables(edges)
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d)
+    val pin = IterPin.loop()
+    val (e, nodes, outDeg, nRow) = graphTables(edges, pin)
+    var pr = pin(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr")))
+    for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d, pin)
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
@@ -98,24 +101,22 @@ object PageRank {
   def converged(spark: SparkSession, edges: DataFrame,
       init: Option[DataFrame] = None, tol: Double = 1e-9,
       maxIters: Int = 60, d: Double = 0.85): (DataFrame, Int) = {
-    val (e, nodes, outDeg, nRow) = graphTables(edges)
+    val pin = IterPin.loop()
+    val (e, nodes, outDeg, nRow) = graphTables(edges, pin)
     var pr = init match {
       case None =>
-        nodes.crossJoin(broadcast(nRow))
-          .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-          .localCheckpoint()
+        pin(nodes.crossJoin(broadcast(nRow))
+          .select(col("node"), (lit(1.0) / col("n")).as("pr")))
       case Some(prev) =>
-        val joined = nodes
+        val joined = pin(nodes
           .join(prev.select(col("node"), col("pr").as("_prev")), Seq("node"),
             "left")
           .crossJoin(broadcast(nRow))
           .select(col("node"),
-            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr"))
-          .localCheckpoint()
+            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr")))
         val mass = joined.agg(sum("pr").as("m"))
-        joined.crossJoin(broadcast(mass))
-          .select(col("node"), (col("pr") / col("m")).as("pr"))
-          .localCheckpoint()
+        pin(joined.crossJoin(broadcast(mass))
+          .select(col("node"), (col("pr") / col("m")).as("pr")))
     }
     var iters = 0
     var delta = Double.MaxValue
@@ -123,7 +124,7 @@ object PageRank {
       if (iters >= maxIters) throw new IllegalStateException(
         s"PageRank did not reach tol=$tol in $maxIters iterations " +
           s"(last L1 delta $delta) — raise maxIters or loosen tol")
-      val next = step(pr, e, nodes, outDeg, nRow, d)
+      val next = step(pr, e, nodes, outDeg, nRow, d, pin)
       delta = next.join(pr.withColumnRenamed("pr", "_old"), "node")
         .agg(coalesce(sum(abs(col("pr") - col("_old"))), lit(0.0)))
         .head.getDouble(0)

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * Per iteration: ONE edge join keyed on src (the frontier is the
   * small side — broadcastable early on, AQE's call), one distinct on
   * the discovered set, one anti join against settled (both keyed on
-  * node). localCheckpoint pins each round so lineage stays flat (the
-  * q34 UnionLoop lesson); the loop exits early when a frontier is
+  * node). Rounds are pinned through [[IterPin]] so lineage stays
+  * flat (the q34 UnionLoop lesson): localCheckpoint by default, with
+  * `graft.graph.reliableCheckpointEvery` switching periodic pins to
+  * reliable checkpoints — localCheckpoint blocks are executor-local,
+  * so a lost executor on a real cluster would otherwise kill the
+  * lineage mid-loop. The loop exits early when a frontier is
   * empty, which never changes the result — it only skips provably
   * empty rounds.
   *
@@ -70,10 +74,10 @@ object ShortestPath {
   private[graft] def weightedInstrumented(edges: DataFrame, seeds: DataFrame,
       rounds: Int): (DataFrame, Seq[Long]) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .distinct().localCheckpoint()
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    val pin = IterPin.loop()
+    val e = pin(edges.select(col("src"), col("dst"), col("w")).distinct())
+    var dist = pin(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
     // round 0: every seed just "improved" (from unreachable to 0)
     var improved = dist
     val sizes = Seq.newBuilder[Long]
@@ -86,15 +90,13 @@ object ShortestPath {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min("dist").as("cand"))
       // strict improvements over the current table (or first sightings)
-      val imp = cand.join(dist, Seq("node"), "left")
+      val imp = pin(cand.join(dist, Seq("node"), "left")
         .where(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
+        .select(col("node"), col("cand").as("dist")))
       if (imp.isEmpty) exhausted = true
       else {
-        dist = dist.unionByName(imp)
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
+        dist = pin(dist.unionByName(imp)
+          .groupBy("node").agg(min("dist").as("dist")))
         improved = imp
       }
       r += 1
@@ -110,21 +112,22 @@ object ShortestPath {
     */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var settled = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint()
+    val pin = IterPin.loop()
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    var settled = pin(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)))
     var frontier = settled.select("node")
     var h = 1
     var exhausted = frontier.isEmpty
     while (h <= maxHops && !exhausted) {
-      val discovered = e.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-        .localCheckpoint()
+      val discovered = pin(
+        e.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .withColumn("dist", lit(h)))
       if (discovered.isEmpty) exhausted = true
       else {
-        settled = settled.unionAll(discovered).localCheckpoint()
+        settled = pin(settled.unionAll(discovered))
         frontier = discovered.select("node")
       }
       h += 1

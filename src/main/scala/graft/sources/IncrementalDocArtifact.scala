@@ -1355,8 +1355,29 @@ object IncrementalDocArtifact {
       * catch-up can push the live-gen count past the fold threshold,
       * so it re-checks the detached trigger).
       */
-    def serve(spark: SparkSession, piece: String): DataFrame = {
+    def serve(spark: SparkSession, piece: String): DataFrame =
+      serveWithFoldState(spark, piece)._1
+
+    /** [[serve]] plus whether the served view is BASE-ONLY (zero live
+      * delta generations behind it). Bases are key-unique for any
+      * piece whose rebuild and fold both collapse partials (the
+      * rebuild writes one exact partial, the fold re-aggregates), so
+      * an additive consumer can SKIP its fold-at-read aggregation on
+      * a fully-folded artifact — at 100 TB that is one avoided
+      * full-artifact exchange per warm serve (the CoOccurStore case:
+      * the graph family re-serves the same edge list per query).
+      */
+    def serveWithFoldState(spark: SparkSession,
+        piece: String): (DataFrame, Boolean) = {
       val stamp = reconcile(spark)
+      def fresh(): (DataFrame, Boolean) = {
+        // one ledger read for both the committed cut and the fold state
+        val gens = liveGens(piece, Set.empty, committedOf(readLedger()))
+        (merges.find(_.name == piece) match {
+          case Some(mp) => readMergeGens(spark, mp, gens)
+          case None => readPieceGens(spark, piece, gens)
+        }, gens.isEmpty)
+      }
       if (lazyMerges && merges.exists(_.name == piece)) {
         catchUpMerges(spark, Some(stamp))
         if (stamp.mutCount == counter.get()) {
@@ -1364,14 +1385,15 @@ object IncrementalDocArtifact {
           // since the stamp (a committing catch-up bumps the counter):
           // the stamped view is the fresh view, and the fold trigger
           // already ran in reconcile over these same generations
-          readMergeGens(spark, merges.find(_.name == piece).get,
-            stamp.liveGens(piece))
+          val gens = stamp.liveGens(piece)
+          (readMergeGens(spark, merges.find(_.name == piece).get, gens),
+            gens.isEmpty)
         } else {
           // a catch-up committed a new generation — serve fresh, and
           // re-check the fold trigger (the catch-up may have pushed
           // the live-gen count past compactEvery)
           maybeCompactDetached(spark)
-          view(spark, Set.empty)(piece)
+          fresh()
         }
       } else if (stamp.mutCount == counter.get()) {
         // stamped view: committed cut + live gens from the validated
@@ -1379,11 +1401,12 @@ object IncrementalDocArtifact {
         // narrows the stamp's age to the same commit-vs-read race the
         // fresh path has between its listing and its base-pointer
         // resolution (grace windows cover in-flight readers either way)
-        merges.find(_.name == piece) match {
-          case Some(mp) => readMergeGens(spark, mp, stamp.liveGens(mp.name))
-          case None => readPieceGens(spark, piece, stamp.liveGens(piece))
-        }
-      } else view(spark, Set.empty)(piece)
+        val gens = stamp.liveGens(piece)
+        (merges.find(_.name == piece) match {
+          case Some(mp) => readMergeGens(spark, mp, gens)
+          case None => readPieceGens(spark, piece, gens)
+        }, gens.isEmpty)
+      } else fresh()
     }
 
     private def deleteTree(dir: Path): Unit =

@@ -112,6 +112,38 @@ class CoOccurStoreSpec extends SparkSpec {
     CoOccurStore.edges(spark, sf, "baskets", "g", "i", 2L).count() shouldBe 1
   }
 
+  test("a fully-folded warm serve has no aggregate exchange over the edge artifact") {
+    val sf = newCorpus("foldskip")
+    val corpus = s"$sf/baskets.parquet"
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L))
+      .toDF("g", "i").coalesce(1).write.parquet(corpus)
+    // first build is a rebuild: base only, no delta generations — the
+    // serve plan must be scan + filter, no fold-at-read aggregation
+    val builtPlan = CoOccurStore.weightedEdges(spark, sf, "baskets", "g", "i", 1L)
+      .queryExecution.executedPlan.toString
+    withClue(s"freshly-built plan: $builtPlan")(
+      builtPlan should not include "HashAggregate")
+
+    // live delta generations DO need the sum (partials per gen)
+    Seq((3L, 10L), (3L, 11L)).toDF("g", "i")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val unfolded = CoOccurStore.weightedEdges(spark, sf, "baskets", "g", "i", 1L)
+    unfolded.queryExecution.executedPlan.toString should
+      include("HashAggregate")
+    val want = unfolded.collect().map(_.toString).sorted.toSeq
+
+    // after the fold the base is key-unique again: aggregation-free
+    // warm serve, identical answer
+    CoOccurStore.compact(spark, corpus, "g", "i")
+    val folded = CoOccurStore.weightedEdges(spark, sf, "baskets", "g", "i", 1L)
+    val foldedPlan = folded.queryExecution.executedPlan.toString
+    withClue(s"folded warm-serve plan: $foldedPlan") {
+      foldedPlan should not include "HashAggregate"
+      foldedPlan should not include "Exchange hashpartitioning"
+    }
+    folded.collect().map(_.toString).sorted.toSeq shouldBe want
+  }
+
   test("retracting a NON-LATEST generation never serves phantom edges (suffix-only rollback)") {
     // the r12 advisory scenario: group 7 holds {x}; gen 1 adds y,
     // gen 2 adds z. Gen 2's delta partial was computed against

@@ -584,11 +584,9 @@ class PlanShapeSpec extends SparkSpec {
     // region, 1-row aggregates) may stay broadcast regardless.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
-    // q63_value_share is de-hinted too but not assertable here: its
-    // growing-side join runs inside the localCheckpoint at query
-    // build, so the serve plan shows only the checkpoint scan
     for (q <- Seq("q54_nation_volume", "q61_returned_revenue",
-        "q62_regional_min_offer", "q66_disjunctive_promo",
+        "q62_regional_min_offer", "q63_value_share",
+        "q66_disjunctive_promo",
         "q67_shipping_priority", "q68_local_supplier_volume",
         "q70_market_share", "q71_product_profit", "q73_promo_share")) {
       val df2 = graft.SparkEntry.queries(q)(s2, dir)
@@ -604,6 +602,21 @@ class PlanShapeSpec extends SparkSpec {
       withClue(s"$q values under shuffle plan: ")(
         df2.collect().map(_.toString).sorted.toSeq shouldBe want)
     }
+  }
+
+  test("q63 value-share: the twice-consumed aggregate reuses one exchange (one fact scan)") {
+    // the per-part value view feeds both the result rows and the
+    // global-total broadcast as IDENTICAL aggregate subtrees; AQE's
+    // runtime stage reuse must dedup the shuffle so lineitem is
+    // scanned once. Asserted on the FINAL adaptive plan (reuse is a
+    // runtime property) at sf0.01 — sf0.001's empty result collapses
+    // to EmptyRelation before any stage materializes.
+    val df = graft.SparkEntry.queries("q63_value_share")(
+      spark, "/root/testdata/sf0.01")
+    df.collect().length should be > 0
+    val p = df.queryExecution.executedPlan.toString
+    withClue(s"final adaptive plan: ${p.linesIterator.take(30).mkString("\n")}")(
+      p should include("ReusedExchange"))
   }
 
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
