@@ -108,18 +108,23 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
   * pointer flip as the folded data, so absorbed partitions are dead
   * by marker even if their physical deletion (mere GC) never ran.
   *
-  * DELIBERATELY NO TIME TRAVEL (contrast `PartitionedLayout`, which
-  * has `readVersion`): the store's whole contract is that a serve
-  * equals a full rebuild over the CURRENT corpus — a derived artifact
-  * has no independent history worth addressing, only the corpus does,
-  * and corpus history belongs to the source/layout layer. The two
-  * needs read-at-version would serve are covered by dedicated
-  * mechanisms instead: reproducing yesterday's artifact = time-travel
-  * the SOURCE and rebuild (or read yesterday's pinned artifact
-  * version, which already rides the base-version pointer); undoing a
-  * bad batch = [[Handle.rollback]]. Retaining pre-fold bases for
-  * arbitrary replay would fight compaction — the one maintenance
-  * pressure this store exists to manage.
+  * TIME TRAVEL (round 13 — mirrors `PartitionedLayout.readVersion`):
+  * every ledger commit carries a monotone `#ver:` and lands an
+  * immutable copy under `_history/v<n>`; [[Handle.serveVersion]]
+  * serves any piece exactly as that version committed it — the
+  * reproducible-training-data hook ("which corpus view built the
+  * artifacts that trained model X"). The LIVE serve contract is
+  * unchanged (a serve equals a full rebuild over the current corpus);
+  * history is addressed only through the explicit door. Reach:
+  * appends are travelable for free (they only add generation dirs);
+  * folds / rollbacks / rebuilds reclaim data with the mutation at the
+  * default `graft.store.retainVersions=1` (modulo the absorbed dirs'
+  * standing one-fold grace window) — a raised knob RETIRES outgoing
+  * generation dirs to `_retired/` (invisible to live reads) and keeps
+  * superseded base snapshots until they age out of the newest-N
+  * window or [[Handle.vacuumVersions]] reclaims them, so retention
+  * never fights compaction: the fold itself stays the same, only the
+  * GC of what it absorbed is deferred, bounded by N.
   *
   * Concurrency contract (per JVM): mutation is serialized by a
   * JVM-wide lock per artifact ROOT (handles are created per call, so
@@ -469,8 +474,16 @@ object IncrementalDocArtifact {
     private def counter: java.util.concurrent.atomic.AtomicLong =
       IncrementalDocArtifact.counterFor(rootKey)
     private def statePath: Path = root.resolve("state")
-    private def baseIO(piece: String): ParquetTableIO =
-      new ParquetTableIO(root.resolve(piece).resolve("base").toString)
+    private def baseIO(piece: String): ParquetTableIO = {
+      // retention: base snapshots a retained history ledger still
+      // names survive the pointer cleanup (computed lazily — the
+      // predicate only runs during a commit's cleanup listing)
+      lazy val protectedMarkers: Set[String] =
+        if (retainVersions <= 1) Set.empty
+        else retainedHistory().flatMap(_.baseVersions.get(piece)).toSet
+      new ParquetTableIO(root.resolve(piece).resolve("base").toString,
+        keepVersionDir = n => protectedMarkers(n))
+    }
     private def deltaDir(piece: String): Path =
       root.resolve(piece).resolve("delta")
 
@@ -484,7 +497,8 @@ object IncrementalDocArtifact {
     // -----------------------------------------------------------------
 
     private final case class LedgerState(entries: Seq[String],
-        gens: Set[String], baseVersions: Map[String, String], v2: Boolean)
+        gens: Set[String], baseVersions: Map[String, String], v2: Boolean,
+        ver: Long)
 
     /** Ledger entries track DATA files only: writers rewrite `_SUCCESS`
       * / `.crc` markers on every append, which would make a pure file
@@ -497,21 +511,33 @@ object IncrementalDocArtifact {
     }
 
     private def readLedger(): LedgerState =
-      if (!Files.exists(statePath)) LedgerState(Nil, Set.empty, Map.empty, v2 = true)
+      if (!Files.exists(statePath))
+        LedgerState(Nil, Set.empty, Map.empty, v2 = true, ver = 0L)
       else {
         IncrementalDocArtifact.fsRead(rootKey)
-        val lines = Files.readAllLines(statePath).toArray.toSeq.map(_.toString)
-          .filter(_.nonEmpty)
-        val (meta, entries) = lines.partition(_.startsWith("#"))
-        val gens = meta.filter(_.startsWith("#gen:"))
-          .map(_.stripPrefix("#gen:")).toSet
-        val bases = meta.filter(_.startsWith("#base:")).map { l =>
-          val body = l.stripPrefix("#base:")
-          val i = body.indexOf(':')
-          body.substring(0, i) -> body.substring(i + 1)
-        }.toMap
-        LedgerState(entries, gens, bases, v2 = meta.contains("#v2"))
+        parseLedger(statePath)
       }
+
+    /** Parse one ledger file (the live `state` or an immutable
+      * `_history/v<n>` copy) — the shared reader of the serve path
+      * and the time-travel path.
+      */
+    private def parseLedger(p: Path): LedgerState = {
+      val lines = Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .filter(_.nonEmpty)
+      val (meta, entries) = lines.partition(_.startsWith("#"))
+      val gens = meta.filter(_.startsWith("#gen:"))
+        .map(_.stripPrefix("#gen:")).toSet
+      val bases = meta.filter(_.startsWith("#base:")).map { l =>
+        val body = l.stripPrefix("#base:")
+        val i = body.indexOf(':')
+        body.substring(0, i) -> body.substring(i + 1)
+      }.toMap
+      val ver = meta.find(_.startsWith("#ver:"))
+        .flatMap(l => scala.util.Try(l.stripPrefix("#ver:").toLong).toOption)
+        .getOrElse(0L)
+      LedgerState(entries, gens, bases, v2 = meta.contains("#v2"), ver)
+    }
 
     /** Current base snapshot version marker per piece ("-" when the
       * piece has no published base).
@@ -528,18 +554,108 @@ object IncrementalDocArtifact {
       * write time. Bumps the mutation counter (and drops the
       * reconcile stamp) BEFORE the rename — the serve-cache belt on
       * top of the per-path invalidate-at-mutation-start bumps.
+      *
+      * Every commit gets a monotone `#ver:` number and an immutable
+      * copy under `_history/v<n>` — the time-travel surface (see
+      * [[Handle.serveVersion]]). The history copy lands AFTER the
+      * rename: the rename is the commit point, and a crash in between
+      * only costs that version its history entry (the live ledger
+      * still serves it until the next commit).
       */
     private def writeLedger(entries: Seq[String], gens: Set[String]): Unit = {
       counter.incrementAndGet()
       IncrementalDocArtifact.reconcileStamps.remove(rootKey)
-      val footer = Seq("#v2") ++
+      val ver =
+        (if (Files.exists(statePath)) parseLedger(statePath).ver else 0L) + 1L
+      val footer = Seq("#v2", s"#ver:$ver") ++
         gens.toSeq.sorted.map("#gen:" + _) ++
         baseMarkers().toSeq.sortBy(_._1).map { case (p, v) => s"#base:$p:$v" }
       val tmp = statePath.resolveSibling("state.tmp")
-      Files.writeString(tmp, (entries ++ footer).mkString("\n"))
+      val content = (entries ++ footer).mkString("\n")
+      Files.writeString(tmp, content)
       Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      Files.createDirectories(historyDir)
+      Files.writeString(historyDir.resolve(s"v$ver"), content)
     }
+
+    private def historyDir: Path = root.resolve("_history")
+
+    private def historyVersionNums(): Seq[Long] =
+      if (!Files.exists(historyDir)) Nil
+      else {
+        val s = Files.list(historyDir)
+        try s.toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+          .filter(_.matches("v\\d+")) // stray/tmp files are not versions
+          .map(_.stripPrefix("v").toLong)
+        finally s.close()
+      }
+
+    /** Time-travel DATA retention: 1 (default) = only the live
+      * version's data is protected — appends stay travelable for free
+      * (nothing deletes their generations until a fold) but folds,
+      * rollbacks and rebuilds reclaim immediately (absorbed dirs keep
+      * their one-fold grace window). N>1 protects the data of the
+      * newest N versions: generation dirs a mutation would delete
+      * move to `_retired/` (invisible to live reads — only `delta/`
+      * is listed) and superseded base snapshots survive the pointer
+      * cleanup, until they age out of the window or
+      * [[vacuumVersions]] reclaims them.
+      */
+    private def retainVersions: Int =
+      sys.props.get("graft.store.retainVersions")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .filter(_ >= 1).getOrElse(1)
+
+    /** Ledgers the retention knob protects at a mutation: the newest
+      * retainVersions−1 EXISTING versions (the newest history copy is
+      * normally the live version itself — after the mutation commits
+      * version V+1, the retained window is exactly these plus the new
+      * live, so anything they reference must survive the mutation's
+      * GC).
+      */
+    private def retainedHistory(): Seq[LedgerState] = {
+      val n = retainVersions - 1
+      if (n <= 0) Nil
+      else historyVersionNums().sorted(Ordering[Long].reverse).take(n)
+        .map(v => parseLedger(historyDir.resolve(s"v$v")))
+    }
+
+    private def retiredDir(piece: String): Path =
+      root.resolve(piece).resolve("_retired")
+
+    /** Retire-or-delete a generation dir of `piece` that is leaving
+      * the live set: a gen referenced by a retained history ledger
+      * moves to `_retired/` (atomic rename — O(1), still invisible to
+      * every live read), anything else deletes. A same-id dir already
+      * retired means a deterministic replay re-produced identical
+      * data — the fresh copy is redundant and deletes.
+      */
+    private def retireGen(piece: String, genDir: String,
+        protectedGens: Set[String]): Unit = {
+      val g = genDir.stripPrefix("_gen=")
+      val src = deltaDir(piece).resolve("_gen=" + g)
+      if (!Files.exists(src)) return
+      if (protectedGens(g)) {
+        Files.createDirectories(retiredDir(piece))
+        val dst = retiredDir(piece).resolve("_gen=" + g)
+        if (Files.exists(dst)) deleteTree(src)
+        else Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      } else deleteTree(src)
+    }
+
+    /** GC retired generation dirs of `piece` that no retained history
+      * ledger references anymore.
+      */
+    private def gcRetired(piece: String, protectedGens: Set[String]): Unit =
+      if (Files.exists(retiredDir(piece))) {
+        val s = Files.list(retiredDir(piece))
+        try s.toArray.toSeq.map(_.asInstanceOf[Path])
+          .filter(d => d.getFileName.toString.startsWith("_gen=") &&
+            !protectedGens(d.getFileName.toString.stripPrefix("_gen=")))
+          .foreach(deleteTree)
+        finally s.close()
+      }
 
     // per-generation entry lists (root/_gens/<id>) — written before the
     // ledger commit; an orphan file from a crashed advance is harmless.
@@ -547,14 +663,31 @@ object IncrementalDocArtifact {
     // covered-entry count, strictly increasing per advance): ledger
     // entries sort lexicographically by random part-file names, so
     // entry position cannot order generations — the suffix-only
-    // rollback check needs this header.
+    // rollback check needs this header. A `#pieces:` header names the
+    // pieces the generation wrote delta dirs for (lazy appends write
+    // only additive pieces; catch-ups only merge pieces) — the
+    // time-travel reader needs it to distinguish "this piece never
+    // had this gen" from "this piece's gen dir was GC'd".
     private def genEntriesPath(g: String): Path = root.resolve("_gens").resolve(g)
 
     private def writeGenEntries(g: String, entries: Seq[String],
-        seq: Long): Unit = {
+        seq: Long, piecesWritten: Seq[String]): Unit = {
       Files.createDirectories(root.resolve("_gens"))
       Files.writeString(genEntriesPath(g),
-        (s"#seq:$seq" +: entries).mkString("\n"))
+        (Seq(s"#seq:$seq", s"#pieces:${piecesWritten.mkString(",")}") ++
+          entries).mkString("\n"))
+    }
+
+    /** Pieces a generation wrote delta dirs for (the `#pieces:`
+      * header); None for a pre-header generation.
+      */
+    private def genPieces(g: String): Option[Seq[String]] = {
+      val p = genEntriesPath(g)
+      if (!Files.exists(p)) None
+      else Files.readAllLines(p).toArray.toSeq.map(_.toString)
+        .find(_.startsWith("#pieces:"))
+        .map(_.stripPrefix("#pieces:").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty))
     }
 
     private def genEntries(g: String): Option[Seq[String]] = {
@@ -739,11 +872,18 @@ object IncrementalDocArtifact {
             if (base.exists)
               base.read(spark).withColumn("_seq", lit(-1L)).unionByName(deltas)
             else deltas
-          val w = Window.partitionBy(mp.keyCols.map(col): _*)
-            .orderBy(col("_seq").desc)
-          all.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn", "_seq")
+          lww(all, mp)
       }
+    }
+
+    /** Last-writer-wins per key by `_seq` — the merge-piece resolve,
+      * shared by the live serve and the time-travel reader.
+      */
+    private def lww(all: DataFrame, mp: MergePiece): DataFrame = {
+      val w = Window.partitionBy(mp.keyCols.map(col): _*)
+        .orderBy(col("_seq").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_seq")
     }
 
     /** Reader factory: the committed-gen set is read ONCE from the
@@ -891,7 +1031,7 @@ object IncrementalDocArtifact {
           if (st.entries == current) {
             // only the base-version check failed → heal by full rebuild
             rebuildAll(spark, current)
-            LedgerState(current, Set.empty, Map.empty, v2 = true)
+            LedgerState(current, Set.empty, Map.empty, v2 = true, ver = 0L)
           } else if (appendOnly) {
             val corpusRoot = Paths.get(corpusPath)
             val newFiles = newEntries.map(e =>
@@ -902,7 +1042,10 @@ object IncrementalDocArtifact {
             // increasing across appends, deterministic under replay
             val seq = st.entries.size.toLong
             val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
-            writeGenEntries(gen, newEntries, seq)
+            val written =
+              (if (lazyMerges) Nil else merges.map(_.name)) ++
+                pieces.filterNot(_.pinned).map(_.name)
+            writeGenEntries(gen, newEntries, seq, written)
             if (lazyMerges)
               // merge pieces stay behind; pin their coverage at the
               // pre-append ledger if this is their first lazy skip
@@ -918,16 +1061,16 @@ object IncrementalDocArtifact {
             writeLedger(current, carriedGens + gen)
             if (!lazyMerges)
               merges.foreach(mp => writeCovered(mp.name, current))
-            LedgerState(current, carriedGens + gen, Map.empty, v2 = true)
+            LedgerState(current, carriedGens + gen, Map.empty, v2 = true, ver = 0L)
           } else {
             val rolled =
               if (removalOnly) rollback(st, current) else None
             rolled match {
               case Some(dropped) =>
-                LedgerState(current, st.gens -- dropped, Map.empty, v2 = true)
+                LedgerState(current, st.gens -- dropped, Map.empty, v2 = true, ver = 0L)
               case None =>
                 rebuildAll(spark, current)
-                LedgerState(current, Set.empty, Map.empty, v2 = true)
+                LedgerState(current, Set.empty, Map.empty, v2 = true, ver = 0L)
             }
           }
         }
@@ -1034,16 +1177,19 @@ object IncrementalDocArtifact {
         if (newestKept > oldestDropped) return None
         n -> droppable.map(_._1)
       }
-      // apply: drop the generations, roll coverage back, commit
+      // apply: drop the generations (retiring what retained history
+      // still serves — the pre-rollback version is the newest
+      // retained ledger, so under retention the bad batch stays
+      // travelable until it ages out), roll coverage back, commit
+      val protectedG = retainedHistory().flatMap(_.gens).toSet
       plan.foreach { case (n, gens) =>
-        gens.foreach { g =>
-          deleteTree(deltaDir(n).resolve("_gen=" + g))
-        }
+        gens.foreach(g => retireGen(n, g, protectedG))
         if (merges.exists(_.name == n)) coveredEntries(n).foreach(cov =>
           writeCovered(n, cov.filterNot(removed)))
       }
       val droppedAll = plan.iterator.flatMap(_._2).toSet
-      droppedAll.foreach(g => Files.deleteIfExists(genEntriesPath(g)))
+      droppedAll.filterNot(protectedG).foreach(g =>
+        Files.deleteIfExists(genEntriesPath(g)))
       writeLedger(current, st.gens -- droppedAll)
       Some(droppedAll)
     }
@@ -1068,9 +1214,28 @@ object IncrementalDocArtifact {
       counter.incrementAndGet() // invalidate before the first delete
       IncrementalDocArtifact.reconcileStamps.remove(rootKey)
       // stale deltas go FIRST so rebuild-order reads (a later piece
-      // reading an earlier one through ctx) see only rebuilt bases
-      allNames.foreach(n => deleteTree(deltaDir(n)))
-      deleteTree(root.resolve("_gens"))
+      // reading an earlier one through ctx) see only rebuilt bases.
+      // Under retention, gens a retained history version serves retire
+      // instead of dying (their metadata survives with them).
+      val protectedG = retainedHistory().flatMap(_.gens).toSet
+      allNames.foreach { n =>
+        if (Files.exists(deltaDir(n))) {
+          val s = Files.list(deltaDir(n))
+          try s.toArray.toSeq.map(_.asInstanceOf[Path])
+            .map(_.getFileName.toString).filter(_.startsWith("_gen="))
+            .foreach(g => retireGen(n, g, protectedG))
+          finally s.close()
+        }
+        deleteTree(deltaDir(n))
+      }
+      if (protectedG.isEmpty) deleteTree(root.resolve("_gens"))
+      else if (Files.exists(root.resolve("_gens"))) {
+        val s = Files.list(root.resolve("_gens"))
+        try s.toArray.toSeq.map(_.asInstanceOf[Path])
+          .filterNot(f => protectedG(f.getFileName.toString))
+          .foreach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
       val docs = spark.read.parquet(corpusPath)
       val ctx = new AdvanceCtx(spark, docs, view(spark, Set.empty),
         isRebuild = true)
@@ -1187,7 +1352,7 @@ object IncrementalDocArtifact {
             viewWith(spark, exclude, committedOf(st)))
           IncrementalDocArtifact.registerInFlight(rootKey, gen)
           try {
-            writeGenEntries(gen, pending, seq)
+            writeGenEntries(gen, pending, seq, mps.map(_.name))
             mps.foreach(mp => writeDelta(
               mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
             onAdvanceDone(ctx)
@@ -1263,8 +1428,13 @@ object IncrementalDocArtifact {
       val snap = lock.synchronized {
         val st0 = readLedger()
         dropUncommittedGens(st0)
+        val protectedG = retainedHistory().flatMap(_.gens).toSet
         allNames.foreach { n =>
-          foldedGens(n).foreach(g => deleteTree(deltaDir(n).resolve(g)))
+          // absorbed dirs past their grace window: retire the ones a
+          // retained history version still serves, delete the rest;
+          // previously-retired dirs that aged out of the window GC too
+          foldedGens(n).foreach(g => retireGen(n, g, protectedG))
+          gcRetired(n, protectedG)
         }
         val allowed = committedOf(st0)
         val byPiece = allNames.map(n =>
@@ -1325,7 +1495,10 @@ object IncrementalDocArtifact {
             if (st.entries.nonEmpty) {
               val live = deltaGens().map(_.stripPrefix("_gen=")).toSet
               writeLedger(st.entries, st.gens.intersect(live))
-              st.gens.diff(live).foreach(g =>
+              // gen metadata of absorbed gens: keep what a retained
+              // history version (or a retired dir) still describes
+              val keep = retainedHistory().flatMap(_.gens).toSet
+              st.gens.diff(live).filterNot(keep).foreach(g =>
                 Files.deleteIfExists(genEntriesPath(g)))
             }
           }
@@ -1348,6 +1521,183 @@ object IncrementalDocArtifact {
     def rebuild(spark: SparkSession): Unit = {
       val current = ArtifactStore.entries(corpusPath).filter(isDataEntry)
       rebuildAll(spark, current)
+    }
+
+    /** Every version addressable by [[serveVersion]], ascending —
+      * history copies plus the live ledger (their data may or may not
+      * still exist; serveVersion checks at serve time).
+      */
+    def versions(): Seq[Long] = {
+      val live =
+        if (Files.exists(statePath)) Some(parseLedger(statePath).ver)
+        else None
+      (historyVersionNums() ++ live).distinct.sorted.filter(_ > 0)
+    }
+
+    /** TIME TRAVEL: serve `piece` exactly as ledger version `version`
+      * committed it — the reproducible-training-data hook ("which
+      * corpus view built the artifacts that trained model X"). Lock-
+      * and lease-free like [[serve]]'s read path: history ledgers are
+      * immutable and the dirs they reference are either live,
+      * retired, or gone (refused with the actual cause).
+      *
+      * Reach mirrors `PartitionedLayout.readVersion`: across APPENDS
+      * travel is free until a fold absorbs the generations (appends
+      * only add generation dirs and never move a base pointer);
+      * across folds / rollbacks / rebuilds the reach is
+      * `graft.store.retainVersions` (default 1 — data leaves with the
+      * mutation, modulo the absorbed dirs' standing one-fold grace
+      * window), reclaimed early by [[vacuumVersions]]. A version
+      * whose base snapshot or generation dirs were garbage-collected
+      * refuses with the cause rather than failing the scan. Pinned
+      * pieces serve the base snapshot that version's ledger recorded
+      * — the trained-artifact version the corpus view was paired
+      * with.
+      */
+    def serveVersion(spark: SparkSession, piece: String,
+        version: Long): DataFrame = {
+      require(allNames.contains(piece), s"unknown piece $piece")
+      val histPath = historyDir.resolve(s"v$version")
+      val st =
+        if (Files.exists(histPath)) parseLedger(histPath)
+        else if (Files.exists(statePath) &&
+            parseLedger(statePath).ver == version)
+          parseLedger(statePath)
+        else throw new IllegalArgumentException(
+          s"artifact $rootKey has no version $version " +
+            s"(available: ${versions().mkString(", ")})")
+      def gone(what: String): Nothing = throw new IllegalStateException(
+        s"artifact version $version of $rootKey/$piece is no longer " +
+          s"servable: $what was garbage-collected past retention " +
+          "(raise -Dgraft.store.retainVersions before the " +
+          "fold/rollback/rebuild that dropped it, or vacuum less " +
+          "aggressively)")
+      val marker = st.baseVersions.getOrElse(piece, "-")
+      val baseDir =
+        if (marker == "-") None
+        else {
+          val d = root.resolve(piece).resolve("base").resolve(marker)
+          if (!Files.exists(d)) gone(s"base snapshot $marker")
+          Some(d)
+        }
+      val folded: Set[String] = baseDir
+        .map(_.resolve("_folded_gens")).filter(Files.exists(_))
+        .map(m => Files.readAllLines(m).toArray.toSeq.map(_.toString)
+          .filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      // the version's live gens that carried THIS piece: the #pieces
+      // header knows; a pre-header gen falls back to dir existence
+      // (it cannot distinguish never-written from GC'd — a missing
+      // pre-header dir refuses)
+      val gens = st.gens.toSeq.sorted.filterNot(folded).filter { g =>
+        genPieces(g) match {
+          case Some(ps) => ps.contains(piece)
+          case None =>
+            Files.exists(deltaDir(piece).resolve("_gen=" + g)) ||
+              Files.exists(retiredDir(piece).resolve("_gen=" + g))
+        }
+      }
+      val genDirs = gens.map { g =>
+        val liveD = deltaDir(piece).resolve("_gen=" + g)
+        val retD = retiredDir(piece).resolve("_gen=" + g)
+        if (Files.exists(liveD)) liveD
+        else if (Files.exists(retD)) retD
+        else gone(s"generation $g")
+      }
+      val baseDf = baseDir.map(d => spark.read.parquet(d.toString))
+      val deltaDf =
+        if (genDirs.isEmpty) None
+        else Some(genDirs.map(d => spark.read.parquet(d.toString))
+          .reduce(_.unionByName(_)).drop("_gen"))
+      merges.find(_.name == piece) match {
+        case Some(mp) =>
+          deltaDf match {
+            case None => baseDf.getOrElse(
+              throw new IllegalStateException(
+                s"version $version of $piece has no data"))
+            case Some(ds) =>
+              lww(baseDf.map(_.withColumn("_seq", lit(-1L))
+                .unionByName(ds)).getOrElse(ds), mp)
+          }
+        case None =>
+          Seq(baseDf, deltaDf).flatten.reduceOption(_.unionByName(_))
+            .getOrElse(throw new IllegalStateException(
+              s"version $version of $piece has no data"))
+      }
+    }
+
+    /** Reclaim the space a raised retention deferred: drop history
+      * ledgers older than the newest `keepLast` versions (the live
+      * one always survives), then GC every retired generation dir,
+      * gen metadata file and superseded base snapshot no remaining
+      * ledger references. An OPERATOR action like the layout's
+      * vacuum: a time-travel read mid-scan of a version being
+      * vacuumed may fail — live serves and still-retained versions
+      * stay untouched. Returns the number of data files deleted.
+      */
+    def vacuumVersions(keepLast: Int): Int = lock.synchronized {
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      if (!Files.exists(statePath)) 0
+      else WriterLease.withLease(root, "artifact version vacuum") {
+        counter.incrementAndGet()
+        IncrementalDocArtifact.reconcileStamps.remove(rootKey)
+        val live = parseLedger(statePath)
+        val floor = live.ver - (keepLast - 1)
+        historyVersionNums().filter(_ < floor)
+          .foreach(v => Files.deleteIfExists(historyDir.resolve(s"v$v")))
+        val kept = historyVersionNums()
+          .map(v => parseLedger(historyDir.resolve(s"v$v"))) :+ live
+        val keptGens = kept.flatMap(_.gens).toSet
+        var deleted = 0
+        def countFiles(d: Path): Int = {
+          val s = Files.walk(d)
+          try s.filter(Files.isRegularFile(_)).count().toInt
+          finally s.close()
+        }
+        allNames.foreach { n =>
+          if (Files.exists(retiredDir(n))) {
+            val s = Files.list(retiredDir(n))
+            val victims =
+              try s.toArray.toSeq.map(_.asInstanceOf[Path])
+                .filter(d => d.getFileName.toString.startsWith("_gen=") &&
+                  !keptGens(d.getFileName.toString.stripPrefix("_gen=")))
+              finally s.close()
+            victims.foreach { d => deleted += countFiles(d); deleteTree(d) }
+          }
+          // superseded base snapshots: keep the live pointer target
+          // and every marker a kept ledger names
+          val keptMarkers = kept.flatMap(_.baseVersions.get(n)).toSet
+          val io = baseIO(n)
+          val curName = io.currentDir
+            .map(d => Paths.get(d).getFileName.toString)
+          val baseRoot = root.resolve(n).resolve("base")
+          if (Files.exists(baseRoot)) {
+            val s = Files.list(baseRoot)
+            val victims =
+              try s.toArray.toSeq.map(_.asInstanceOf[Path])
+                .filter { d =>
+                  val nm = d.getFileName.toString
+                  nm.startsWith("v-") && Files.isDirectory(d) &&
+                    !curName.contains(nm) && !keptMarkers(nm)
+                }
+              finally s.close()
+            victims.foreach { d => deleted += countFiles(d); deleteTree(d) }
+          }
+        }
+        // gen metadata no kept ledger references and no live dir needs
+        val liveGenIds = deltaGens().map(_.stripPrefix("_gen=")).toSet
+        if (Files.exists(root.resolve("_gens"))) {
+          val s = Files.list(root.resolve("_gens"))
+          try s.toArray.toSeq.map(_.asInstanceOf[Path])
+            .filter { f =>
+              val g = f.getFileName.toString
+              !keptGens(g) && !liveGenIds(g)
+            }
+            .foreach(f => Files.deleteIfExists(f))
+          finally s.close()
+        }
+        deleted
+      }
     }
 
     /** Reconcile, then serve `piece` (additive: base ∪ delta; merge:

@@ -52,8 +52,16 @@ object TableIO {
   * reference README.md:21,77). At 100 TB this is the difference
   * between a full scan and reading one day's partitions.
   */
+/** @param keepVersionDir retention hook: a superseded snapshot dir
+  *   whose NAME this predicate accepts survives the commit-time
+  *   cleanup (beyond the standard one-commit grace window) — the
+  *   artifact store passes the base versions its retained history
+  *   ledgers still reference (time travel). Default keeps nothing
+  *   extra.
+  */
 final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
-    derive: DataFrame => DataFrame = identity)
+    derive: DataFrame => DataFrame = identity,
+    keepVersionDir: String => Boolean = _ => false)
     extends TableIO {
 
   private def root: Path = Paths.get(path)
@@ -154,7 +162,7 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
       val ls = Files.list(root)
       try ls.forEach { f =>
         val n = f.getFileName.toString
-        if (n.startsWith("v-") && versionOf(n) < s.prev)
+        if (n.startsWith("v-") && versionOf(n) < s.prev && !keepVersionDir(n))
           deleteTree(f)
         else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
           Files.deleteIfExists(f)
