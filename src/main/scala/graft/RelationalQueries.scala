@@ -2736,18 +2736,22 @@ object RelationalQueries {
         .orderBy("node")
     },
 
-    // k-core of the part co-purchase graph (k = 3): iterative peel to
-    // the degree->=k fixpoint — the dense-subgraph screen next to CC /
-    // PageRank / triangles. The oracle unrolls 16 peel stages with
-    // identical literals; the sf0.01 fixpoint lands at round 11, the
-    // Spark loop exits there, and every stage past a fixpoint is a
-    // provable no-op — so a fixed unroll >= the fixpoint round agrees
-    // exactly at ANY scale factor without tuning. Output: the
-    // surviving (node, deg) — every deg is >= 3 by definition.
+    // k-core of the part co-purchase graph (k = 3), served from the
+    // STORED graph-state piece (round 13): the coreness artifact is
+    // incrementally advanced on corpus appends (affected-subgraph
+    // expansion + protected peel, full-recompute fallback past the
+    // caps — CoOccurStore.coreAdvance), so a warm serve is one
+    // artifact read instead of an iterative peel per query. The
+    // stored result is the peel FIXPOINT; the oracle unrolls 16
+    // stages and every stage past the fixpoint is a provable no-op
+    // (sf0.01 fixpoint lands at round 11), so the unroll agrees with
+    // the fixpoint wherever the fixpoint lands within it — and the
+    // oracle recomputes from raw lineitem, hash-checking the whole
+    // store path end-to-end. Output: (node, deg), every deg >= 3.
     GraftQuery("q75_kcore", kCoreOracleSql(k = 3, rounds = 16)) {
       (s, dir) =>
-        graft.operators.KCore
-          .peelRounds(partCoPurchaseEdges(s, dir), k = 3, rounds = 16)
+        graft.operators.CoOccurStore
+          .coreness(s, dir, "lineitem", "l_orderkey", "l_partkey")
           .orderBy("node")
     },
 
@@ -2755,14 +2759,15 @@ object RelationalQueries {
     // part co-purchase graph — 4 FIXED rounds (synchronous LPA can
     // oscillate on bipartite structure, so fixed rounds IS the
     // contract, not a fixpoint), plurality label with smallest-label
-    // tie-break so every engine lands the identical labeling. Window
-    // is partitioned by src (bounded per-group sort); the oracle
-    // unrolls the same rounds with the same tie-break.
+    // tie-break so every engine lands the identical labeling. Served
+    // from the STORED community piece (round 13), incrementally
+    // advanced by exact ball recomputation of radius 2*rounds-1
+    // around the edge delta (CoOccurStore.lpaAdvance; full-recompute
+    // fallback past the caps); the oracle unrolls the same rounds
+    // from raw lineitem, hash-checking the store path end-to-end.
     GraftQuery("q76_label_propagation", lpaOracleSql(4)) { (s, dir) =>
-      val co = partCoPurchaseEdges(s, dir)
-      val edges = co.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(co.select(col("b").as("src"), col("a").as("dst")))
-      graft.operators.LabelPropagation.labels(edges, rounds = 4)
+      graft.operators.CoOccurStore
+        .communities(s, dir, "lineitem", "l_orderkey", "l_partkey")
         .orderBy("node")
     },
 

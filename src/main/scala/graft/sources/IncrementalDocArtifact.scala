@@ -1056,6 +1056,13 @@ object IncrementalDocArtifact {
                 mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
             pieces.filterNot(_.pinned)
               .foreach(p => writeDelta(p.build(newDocs, ctx), p.name, gen))
+            // refresh #pieces to what actually materialized: an EMPTY
+            // delta writes no partition dir (partitionBy writes
+            // nothing for zero rows), and the time-travel reader must
+            // not mistake "never had rows" for "GC'd past retention"
+            writeGenEntries(gen, newEntries, seq,
+              written.filter(n =>
+                Files.exists(deltaDir(n).resolve("_gen=" + gen))))
             onAdvanceDone(ctx)
             // ledger advance is the commit point — atomic rename, last
             writeLedger(current, carriedGens + gen)
@@ -1355,6 +1362,11 @@ object IncrementalDocArtifact {
             writeGenEntries(gen, pending, seq, mps.map(_.name))
             mps.foreach(mp => writeDelta(
               mp.advance(ctx).withColumn("_seq", lit(seq)), mp.name, gen))
+            // refresh #pieces to what actually materialized (an empty
+            // advance writes no dir — see the append-path note)
+            writeGenEntries(gen, pending, seq,
+              mps.map(_.name).filter(n =>
+                Files.exists(deltaDir(n).resolve("_gen=" + gen))))
             onAdvanceDone(ctx)
             val committed = lock.synchronized {
               val cur = readLedger()
