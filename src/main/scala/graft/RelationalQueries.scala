@@ -2793,6 +2793,44 @@ object RelationalQueries {
         .select(col("p_partkey").as("node"))
       graft.operators.ShortestPath.weighted(edges, seeds, rounds = 8)
         .orderBy("node")
+    },
+
+    // Link prediction over the SAME stored co-purchase graph: open
+    // wedges — non-adjacent part pairs sharing >= 2 neighbors — with
+    // common-neighbor count and both degrees (integer-exact; any
+    // Jaccard cut is a cross-multiplication downstream, no doubles in
+    // the hash path). One shared-node-keyed wedge self-join + one
+    // (u,w) aggregate + broadcast degree joins + a keyed anti vs the
+    // edge list; the hub-wedge blowup knob (degreeCap) is documented
+    // on the operator. Oracle recomputes the graph from raw lineitem.
+    GraftQuery(
+      "q78_link_prediction",
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM op x JOIN op y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+        |                   UNION ALL SELECT b, a FROM co),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS d
+        |                     FROM e GROUP BY 1),
+        |wedge AS MATERIALIZED (
+        |  SELECT e1.dst AS u, e2.dst AS w, count(*) AS cn
+        |  FROM e e1 JOIN e e2
+        |    ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY u, w HAVING count(*) >= 2)
+        |SELECT wg.u, wg.w, wg.cn, du.d AS du, dw.d AS dw
+        |FROM wedge wg
+        |JOIN deg du ON du.node = wg.u
+        |JOIN deg dw ON dw.node = wg.w
+        |LEFT JOIN co ON co.a = wg.u AND co.b = wg.w
+        |WHERE co.a IS NULL
+        |ORDER BY wg.cn DESC, wg.u, wg.w""".stripMargin) { (s, dir) =>
+      graft.operators.LinkPrediction
+        .commonNeighbors(partCoPurchaseEdges(s, dir), minCommon = 2L)
+        .orderBy(col("cn").desc, col("u"), col("w"))
     }
   )
 

@@ -133,6 +133,7 @@ object CoOccurStore {
     // ---------------------------------------------------------------
     var deltaCache: Option[(AnyRef, DataFrame)] = None
     var newEdgeCache: Option[(AnyRef, Option[Seq[(Any, Any)]])] = None
+    var edgesCache: Option[(AnyRef, DataFrame)] = None
 
     /** The increment's pair DELTA PARTIAL (`post − pre` per touched
       * canonical edge) — the affected-groups recomputation against
@@ -166,65 +167,71 @@ object CoOccurStore {
         df
     }
 
+    /** Post-increment WEIGHTED cut edges, materialized ONCE per
+      * advance (localCheckpoint) and shared by both graph advances:
+      * one map-side-combinable aggregate over the partials with a
+      * graph-sized result — the same edge list every warm q74/q77
+      * serve scans. A per-query capped-In scan of the raw partials
+      * would be O(affected) only on the fold-clustered layout; a
+      * freshly-rebuilt base is not clustered, and the first probe of
+      * this family measured ~10 unclustered artifact scans per
+      * advance (11.5 s at 12 M rows) — one pinned aggregate beats
+      * them all.
+      */
+    def weightedAll(ctx: AdvanceCtx): DataFrame = edgesCache match {
+      case Some((k, df)) if k eq ctx => df
+      case _ =>
+        val parts =
+          if (ctx.isRebuild) ctx.stored("pairparts")
+          else ctx.stored("pairparts").unionByName(pairDelta(ctx))
+        val df = sumPairs(parts).where(col("n") >= GraphMinCount)
+          .localCheckpoint()
+        edgesCache = Some((ctx, df))
+        df
+    }
+
+    /** All post-increment edges at the cut (the fallback / rebuild
+      * input).
+      */
+    def allEdges(ctx: AdvanceCtx): DataFrame =
+      weightedAll(ctx).select("a", "b")
+
     /** Edges newly crossing [[GraphMinCount]] in this advance —
       * collected to the driver under [[edgeCap]] (None = over cap,
-      * caller falls back to the full recompute). Pre-cut counts come
-      * from the stored pairparts restricted to the touched keys
-      * (capped-In on the a-clustered fold layout), so the lookup is
-      * O(touched), not O(artifact).
+      * caller falls back to the full recompute). An edge is new iff
+      * its post count clears the cut and `post − delta` does not —
+      * both read from the pinned [[weightedAll]] joined with the
+      * delta partial, no extra artifact pass.
       */
     def collectNewEdges(ctx: AdvanceCtx): Option[Seq[(Any, Any)]] =
       newEdgeCache match {
         case Some((k, v)) if k eq ctx => v
         case _ =>
           val dp = pairDelta(ctx)
-          val as = dp.select("a").distinct()
-            .limit(nodeCap + 1).collect().map(_.get(0)).toSeq
+          val rows = weightedAll(ctx)
+            .join(dp.withColumnRenamed("n", "dn"), Seq("a", "b"))
+            .where(col("n") - col("dn") < GraphMinCount)
+            .select("a", "b")
+            .limit(edgeCap + 1).collect()
           val v: Option[Seq[(Any, Any)]] =
-            if (as.length > nodeCap) None
-            else {
-              val pre = sumPairs(
-                ctx.stored("pairparts").where(col("a").isInCollection(as)))
-                .withColumnRenamed("n", "pre_n")
-              val rows = dp.withColumnRenamed("n", "dn")
-                .join(pre, Seq("a", "b"), "left")
-                .where(coalesce(col("pre_n"), lit(0L)) < GraphMinCount &&
-                  coalesce(col("pre_n"), lit(0L)) + col("dn") >= GraphMinCount)
-                .select("a", "b")
-                .limit(edgeCap + 1).collect()
-              if (rows.length > edgeCap) None
-              else Some(rows.toSeq.map(r => (r.get(0), r.get(1))))
-            }
+            if (rows.length > edgeCap) None
+            else Some(rows.toSeq.map(r => (r.get(0), r.get(1))))
           newEdgeCache = Some((ctx, v))
           v
       }
 
-    /** Post-increment edges (count ≥ the cut) incident to `nodes` —
-      * one capped-In filtered scan of stored partials + this
-      * advance's delta.
+    /** Post-increment cut edges incident to `nodes` — an in-memory
+      * filter over the pinned [[weightedAll]] blocks.
       */
     def incidentEdges(ctx: AdvanceCtx,
         nodes: Seq[Any]): Option[Seq[(Any, Any)]] = {
       if (nodes.isEmpty) return Some(Nil)
       val cond = col("a").isInCollection(nodes) ||
         col("b").isInCollection(nodes)
-      val rows = sumPairs(ctx.stored("pairparts").where(cond)
-          .unionByName(pairDelta(ctx).where(cond)))
-        .where(col("n") >= GraphMinCount).select("a", "b")
+      val rows = weightedAll(ctx).where(cond).select("a", "b")
         .limit(edgeCap + 1).collect()
       if (rows.length > edgeCap) None
       else Some(rows.toSeq.map(r => (r.get(0), r.get(1))))
-    }
-
-    /** All post-increment edges at the cut (the fallback / rebuild
-      * input). At rebuild the stored partials are the freshly-built
-      * exact base and there is no delta.
-      */
-    def allEdges(ctx: AdvanceCtx): DataFrame = {
-      val parts =
-        if (ctx.isRebuild) ctx.stored("pairparts")
-        else ctx.stored("pairparts").unionByName(pairDelta(ctx))
-      sumPairs(parts).where(col("n") >= GraphMinCount).select("a", "b")
     }
 
     /** Stored rows of a keyed (node, value) piece for the given node
