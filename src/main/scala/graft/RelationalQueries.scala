@@ -2742,13 +2742,17 @@ object RelationalQueries {
     // expansion + protected peel, full-recompute fallback past the
     // caps — CoOccurStore.coreAdvance), so a warm serve is one
     // artifact read instead of an iterative peel per query. The
-    // stored result is the peel FIXPOINT; the oracle unrolls 16
-    // stages and every stage past the fixpoint is a provable no-op
-    // (sf0.01 fixpoint lands at round 11), so the unroll agrees with
-    // the fixpoint wherever the fixpoint lands within it — and the
-    // oracle recomputes from raw lineitem, hash-checking the whole
-    // store path end-to-end. Output: (node, deg), every deg >= 3.
-    GraftQuery("q75_kcore", kCoreOracleSql(k = 3, rounds = 16)) {
+    // stored result is the peel FIXPOINT; the oracle unroll matches
+    // the store's loud bound (KCore.core maxRounds = 64): every
+    // stage past the fixpoint is a provable no-op, so fixpoint and
+    // unroll agree for EVERY dataset the store can serve — any
+    // deeper cascade fails the build loudly instead of hash-
+    // mismatching (sf0.01's fixpoint lands at round 11; the 16-round
+    // unroll of r12 would have silently diverged on a 17-64-round
+    // dataset). The oracle recomputes from raw lineitem,
+    // hash-checking the whole store path end-to-end. Output:
+    // (node, deg), every deg >= 3.
+    GraftQuery("q75_kcore", kCoreOracleSql(k = 3, rounds = 64)) {
       (s, dir) =>
         graft.operators.CoOccurStore
           .coreness(s, dir, "lineitem", "l_orderkey", "l_partkey")

@@ -109,16 +109,36 @@ object CoOccurStore {
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
 
   /** "Smallest label" for the LPA tie-break, matching Spark's
-    * ascending ordering for the engine's label types (integral ids,
-    * strings — binary/ASCII order).
+    * ascending ordering for the engine's label types. Strings compare
+    * as UNSIGNED UTF-8 BYTES — Spark's UTF8String binary order —
+    * not Java's UTF-16 `compareTo`, which disagrees on
+    * supplementary-plane characters (surrogate units sort below
+    * U+E000..U+FFFF); a divergence here would make the incremental
+    * advance and the distributed fallback land different tie-broken
+    * labels, breaking the exact-post-graph-values invariant the lazy
+    * catch-up relies on.
     */
   private def lblLt(x: Any, y: Any): Boolean = (x, y) match {
     case (a: Long, b: Long) => a < b
     case (a: Int, b: Int) => a < b
-    case (a: String, b: String) => a.compareTo(b) < 0
+    case (a: String, b: String) => utf8Lt(a, b)
     case (a: Comparable[_], _) =>
       a.asInstanceOf[Comparable[Any]].compareTo(y) < 0
-    case _ => x.toString.compareTo(y.toString) < 0
+    case _ => utf8Lt(x.toString, y.toString)
+  }
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xa.length, xb.length)
+    while (i < n) {
+      val ca = xa(i) & 0xff
+      val cb = xb(i) & 0xff
+      if (ca != cb) return ca < cb
+      i += 1
+    }
+    xa.length < xb.length
   }
 
   private def handle(corpusPath: String, groupCol: String, itemCol: String) = {

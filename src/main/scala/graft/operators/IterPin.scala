@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Round-pinning for the engine's iterative graph loops (PageRank,
   * ShortestPath, KCore, LabelPropagation): every round's state is
@@ -17,11 +18,15 @@ import org.apache.spark.sql.DataFrame
   * each loop to a RELIABLE `checkpoint()` (requires
   * `SparkContext.setCheckpointDir` on fault-tolerant storage; refused
   * loudly when unset — a "reliable" checkpoint that silently could
-  * not be taken is worse than none). Pins in between still
-  * localCheckpoint, so a lost executor costs at most N rounds of
-  * replay from the last reliable cut instead of the job. N=1 pins
-  * every round reliably; unset (the default) keeps today's local
-  * behavior.
+  * not be taken is worse than none). The pins BETWEEN reliable cuts
+  * deliberately do NOT truncate lineage — they `persist`
+  * (MEMORY_AND_DISK) instead of localCheckpoint, because a truncated
+  * executor-local block is unrecoverable and would void the reliable
+  * cut's protection: with persist, a lost executor's partitions
+  * recompute through at most N rounds of retained lineage back to
+  * the last reliable checkpoint. The trade is bounded plan depth
+  * (≤ N rounds) between cuts; N=1 pins every round reliably with
+  * flat lineage; unset (the default) keeps today's local behavior.
   */
 final class IterPin private[operators] () {
   private var i = -1
@@ -50,14 +55,17 @@ object IterPin {
 
   private[operators] def pinAt(df: DataFrame, idx: Int): DataFrame = {
     val n = every
-    if (n > 0 && idx % n == 0) {
+    if (n > 0) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "graft.graph.reliableCheckpointEvery is set but no Spark " +
           "checkpoint directory is configured — call " +
           "SparkContext.setCheckpointDir on reliable storage, or unset " +
           "the knob; a silently-skipped reliable checkpoint would " +
           "defeat the lost-executor protection it exists to provide")
-      df.checkpoint()
+      if (idx % n == 0) df.checkpoint()
+      // between cuts: cache WITHOUT truncating lineage — a lost block
+      // recomputes from the last reliable checkpoint (≤ N rounds)
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
     } else df.localCheckpoint()
   }
 }

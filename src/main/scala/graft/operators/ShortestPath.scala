@@ -65,14 +65,21 @@ object ShortestPath {
     * no-op.
     */
   def weighted(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    weightedInstrumented(edges, seeds, rounds)._1
+    weightedImpl(edges, seeds, rounds, collectSizes = false)._1
 
   /** [[weighted]] exposing the per-round improved-set sizes — the
     * spec hook pinning that round k's edge-join input IS the improved
-    * set (and that it collapses). Not part of the public surface.
+    * set (and that it collapses). Not part of the public surface; the
+    * production path ([[weighted]]) runs ONE action per round (the
+    * emptiness check on the fresh improvements) — the size counts are
+    * spec-only.
     */
   private[graft] def weightedInstrumented(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): (DataFrame, Seq[Long]) = {
+      rounds: Int): (DataFrame, Seq[Long]) =
+    weightedImpl(edges, seeds, rounds, collectSizes = true)
+
+  private def weightedImpl(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, collectSizes: Boolean): (DataFrame, Seq[Long]) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val pin = IterPin.loop()
     val e = pin(edges.select(col("src"), col("dst"), col("w")).distinct())
@@ -84,7 +91,7 @@ object ShortestPath {
     var r = 1
     var exhausted = improved.isEmpty
     while (r <= rounds && !exhausted) {
-      sizes += improved.count()
+      if (collectSizes) sizes += improved.count()
       // candidates reachable through an improved node, one min per dst
       val cand = e.join(improved.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))

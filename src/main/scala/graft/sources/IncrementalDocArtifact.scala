@@ -575,8 +575,27 @@ object IncrementalDocArtifact {
       Files.writeString(tmp, content)
       Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // the history copy is atomic too: a crash mid-write must not
+      // leave a TRUNCATED v<n> that still parses as a smaller ledger
+      // (retention would under-protect and serveVersion under-serve)
       Files.createDirectories(historyDir)
-      Files.writeString(historyDir.resolve(s"v$ver"), content)
+      val htmp = historyDir.resolve(s"v$ver.tmp")
+      Files.writeString(htmp, content)
+      Files.move(htmp, historyDir.resolve(s"v$ver"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // optional ops bound on history metadata (default: keep all,
+      // mirroring PartitionedLayout — append-only artifacts stay
+      // travelable to v1; vacuumVersions is the explicit reclaim):
+      // graft.store.historyKeep=N prunes copies older than the newest
+      // N at commit time, for long-running ingest loops where
+      // O(commits x entries) ledger copies would accumulate unbounded
+      sys.props.get("graft.store.historyKeep")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .filter(_ >= 1).foreach { keep =>
+          val floor = ver - (math.max(keep, retainVersions.toLong) - 1)
+          historyVersionNums().filter(_ < floor).foreach(v =>
+            Files.deleteIfExists(historyDir.resolve(s"v$v")))
+        }
     }
 
     private def historyDir: Path = root.resolve("_history")
@@ -1598,15 +1617,22 @@ object IncrementalDocArtifact {
           .filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
       // the version's live gens that carried THIS piece: the #pieces
-      // header knows; a pre-header gen falls back to dir existence
-      // (it cannot distinguish never-written from GC'd — a missing
-      // pre-header dir refuses)
+      // header knows; a gen whose header is gone cannot distinguish
+      // never-written from GC'd — if a dir exists it serves, and if
+      // NEITHER metadata nor dir survives the gen REFUSES rather than
+      // silently dropping out (serving v_n minus a generation labeled
+      // as v_n would be partial data presented as a committed version
+      // — conservative refusal even when the gen might never have
+      // carried this piece)
       val gens = st.gens.toSeq.sorted.filterNot(folded).filter { g =>
         genPieces(g) match {
           case Some(ps) => ps.contains(piece)
           case None =>
-            Files.exists(deltaDir(piece).resolve("_gen=" + g)) ||
-              Files.exists(retiredDir(piece).resolve("_gen=" + g))
+            val present =
+              Files.exists(deltaDir(piece).resolve("_gen=" + g)) ||
+                Files.exists(retiredDir(piece).resolve("_gen=" + g))
+            if (!present) gone(s"generation $g (its metadata and data)")
+            present
         }
       }
       val genDirs = gens.map { g =>
@@ -1676,12 +1702,20 @@ object IncrementalDocArtifact {
               finally s.close()
             victims.foreach { d => deleted += countFiles(d); deleteTree(d) }
           }
-          // superseded base snapshots: keep the live pointer target
-          // and every marker a kept ledger names
+          // superseded base snapshots: keep the live pointer target,
+          // every marker a kept ledger names, AND the one-commit
+          // grace window (an in-flight LIVE reader that resolved the
+          // pointer just before the last flip may still be scanning
+          // the previous version — only time-travel reads may fail
+          // under vacuum, never live serves)
           val keptMarkers = kept.flatMap(_.baseVersions.get(n)).toSet
           val io = baseIO(n)
           val curName = io.currentDir
             .map(d => Paths.get(d).getFileName.toString)
+          val curVer = io.currentVersion
+          def verOf(nm: String): Long =
+            scala.util.Try(
+              nm.stripPrefix("v-").takeWhile(_.isDigit).toLong).getOrElse(0L)
           val baseRoot = root.resolve(n).resolve("base")
           if (Files.exists(baseRoot)) {
             val s = Files.list(baseRoot)
@@ -1690,7 +1724,8 @@ object IncrementalDocArtifact {
                 .filter { d =>
                   val nm = d.getFileName.toString
                   nm.startsWith("v-") && Files.isDirectory(d) &&
-                    !curName.contains(nm) && !keptMarkers(nm)
+                    !curName.contains(nm) && !keptMarkers(nm) &&
+                    verOf(nm) < curVer - 1 // grace window survives
                 }
               finally s.close()
             victims.foreach { d => deleted += countFiles(d); deleteTree(d) }

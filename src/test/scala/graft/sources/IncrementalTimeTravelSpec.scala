@@ -154,6 +154,48 @@ class IncrementalTimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("graft.store.historyKeep bounds the history metadata at commit time") {
+    System.setProperty("graft.store.historyKeep", "2")
+    try {
+      val corpus = newCorpus("histkeep")
+      Seq((1L, "a")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
+      val h = handle(corpus)
+      h.serve(spark, "rows").count() shouldBe 1 // v1
+      for (i <- 2 to 4) {
+        Seq((i.toLong * 10, s"x$i")).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(corpus)
+        h.serve(spark, "rows").count() shouldBe i.toLong
+      }
+      // commits pruned history to the newest 2 (v3's copy + live v4)
+      h.versions() shouldBe Seq(3L, 4L)
+      ids(h.serveVersion(spark, "rows", 3)) shouldBe Set(1L, 20L, 30L)
+      intercept[IllegalArgumentException](h.serveVersion(spark, "rows", 1))
+    } finally System.clearProperty("graft.store.historyKeep")
+  }
+
+  test("default retention: a retracted version REFUSES rather than serving partial data as that version") {
+    // the round-13 review scenario: rollback at retain=1 deletes the
+    // dropped generation's dir AND metadata, but _history/v2 remains
+    // addressable — serveVersion(2) must refuse with the cause, never
+    // silently serve v1's base-only content labeled as version 2
+    val corpus = newCorpus("refuse")
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(corpus)
+    val h = handle(corpus)
+    h.serve(spark, "rows").count() shouldBe 2 // v1
+    val base = dataFiles(corpus)
+    Seq((7L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    h.serve(spark, "rows").count() shouldBe 3 // v2
+    (dataFiles(corpus) -- base).foreach(Files.delete)
+    ids(h.serve(spark, "rows")) shouldBe Set(1L, 2L) // v3: rollback
+    val e = intercept[IllegalStateException](
+      h.serveVersion(spark, "rows", 2))
+    e.getMessage should include("garbage-collected past retention")
+    // v1 is still complete and servable
+    ids(h.serveVersion(spark, "rows", 1)) shouldBe Set(1L, 2L)
+  }
+
   test("vacuum on an append-only artifact deletes nothing; history prunes to keepLast") {
     val corpus = newCorpus("noop")
     Seq((1L, "a")).toDF("doc_id", "text").coalesce(1).write.parquet(corpus)
