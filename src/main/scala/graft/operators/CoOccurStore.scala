@@ -201,11 +201,55 @@ object CoOccurStore {
     def weightedAll(ctx: AdvanceCtx): DataFrame = edgesCache match {
       case Some((k, df)) if k eq ctx => df
       case _ =>
-        val parts =
-          if (ctx.isRebuild) ctx.stored("pairparts")
-          else ctx.stored("pairparts").unionByName(pairDelta(ctx))
-        val df = sumPairs(parts).where(col("n") >= GraphMinCount)
-          .localCheckpoint()
+        val stored = ctx.stored("pairparts")
+        val df =
+          if (ctx.isRebuild)
+            // the freshly-rebuilt base is key-unique (pairCounts
+            // aggregates) — a plain cut, no re-aggregation
+            stored.where(col("n") >= GraphMinCount).localCheckpoint()
+          else if (ctx.storedBaseOnly("pairparts")) {
+            // post-fold steady state: the base is key-unique, so the
+            // delta merges in with SCAN-ONLY broadcast joins — no
+            // full exchange of the pair artifact per advance (the
+            // advance-side sibling of the serve's fold-skip). Cap
+            // discipline: an oversized delta falls back to the
+            // aggregate.
+            val dp = pairDelta(ctx)
+            val collected = dp.limit(edgeCap + 1).collect()
+            if (collected.length > edgeCap)
+              sumPairs(stored.unionByName(dp))
+                .where(col("n") >= GraphMinCount).localCheckpoint()
+            else {
+              // dp keys already present in the base merge via a
+              // broadcast left join; brand-new keys append. The
+              // membership lookup prunes by In(a) on the a-clustered
+              // fold layout when the touched-a set is bounded —
+              // row-group skipping instead of a second full scan.
+              val dpAs = collected.map(_.get(0)).distinct.toSeq
+              val probe =
+                if (dpAs.length <= nodeCap)
+                  stored.where(col("a").isInCollection(dpAs))
+                else stored
+              val matched = probe
+                .join(broadcast(dp.select("a", "b")), Seq("a", "b"),
+                  "left_semi")
+                .collect().map(r => (r.get(0), r.get(1))).toSet
+              val dpOnly = collected.filterNot(r =>
+                matched((r.get(0), r.get(1))))
+              val dpOnlyDF = ctx.spark.createDataFrame(
+                dpOnly.toSeq.asJava, dp.schema)
+              stored
+                .join(broadcast(dp.withColumnRenamed("n", "dn")),
+                  Seq("a", "b"), "left")
+                .select(col("a"), col("b"),
+                  (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
+                .unionByName(dpOnlyDF)
+                .where(col("n") >= GraphMinCount)
+                .localCheckpoint()
+            }
+          } else
+            sumPairs(stored.unionByName(pairDelta(ctx)))
+              .where(col("n") >= GraphMinCount).localCheckpoint()
         edgesCache = Some((ctx, df))
         df
     }

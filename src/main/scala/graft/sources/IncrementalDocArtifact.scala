@@ -439,8 +439,20 @@ object IncrementalDocArtifact {
         * rows) distinguish "everything is new" from "these files are
         * new", which the shape of `newDocs` alone cannot tell it.
         */
-      val isRebuild: Boolean = false) {
+      val isRebuild: Boolean = false,
+      baseOnlyCheck: String => Boolean = _ => false) {
     def stored(name: String): DataFrame = view(name)
+
+    /** Whether `stored(name)` resolves to the BASE snapshot alone
+      * (zero live delta generations in this ctx's pre-increment cut)
+      * — the advance-side sibling of [[Handle.serveWithFoldState]]:
+      * a builder whose piece is key-unique post-fold can replace its
+      * re-aggregation of the stored view with scan-only merges.
+      * Always true during a rebuild (deltas are cleared before the
+      * builders run).
+      */
+    def storedBaseOnly(name: String): Boolean =
+      isRebuild || baseOnlyCheck(name)
   }
 
   /** `compactEvery = 8` is the measured default (SURVEY §9.20: serve
@@ -1060,7 +1072,11 @@ object IncrementalDocArtifact {
             // seq = covered-file count before this increment: strictly
             // increasing across appends, deterministic under replay
             val seq = st.entries.size.toLong
-            val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)))
+            val allowed0 = committedOf(st)
+            val ctx = new AdvanceCtx(spark, newDocs, view(spark, Set(gen)),
+              isRebuild = false,
+              baseOnlyCheck =
+                n => liveGens(n, Set(gen), allowed0).isEmpty)
             val written =
               (if (lazyMerges) Nil else merges.map(_.name)) ++
                 pieces.filterNot(_.pinned).map(_.name)
@@ -1375,7 +1391,10 @@ object IncrementalDocArtifact {
           // live ledger: gens committed concurrently with this staging
           // stay invisible to the pre-increment views
           val ctx = new AdvanceCtx(spark, newDocs,
-            viewWith(spark, exclude, committedOf(st)))
+            viewWith(spark, exclude, committedOf(st)),
+            isRebuild = false,
+            baseOnlyCheck =
+              n => liveGens(n, exclude, committedOf(st)).isEmpty)
           IncrementalDocArtifact.registerInFlight(rootKey, gen)
           try {
             writeGenEntries(gen, pending, seq, mps.map(_.name))

@@ -619,6 +619,17 @@ class PlanShapeSpec extends SparkSpec {
       p should include("ReusedExchange"))
   }
 
+  test("q78 link prediction: keyed wedge self-join, broadcast degree joins, anti vs edges") {
+    val p = plan("q78_link_prediction")
+    // the wedge join is KEYED on the shared node (the dst inequality
+    // rides as a post-condition, never a cartesian); degrees and the
+    // adjacency-exclusion anti join stay keyed/broadcast
+    p should include regex "(BroadcastHashJoin|SortMergeJoin) \\[src#\\d+L?\\], \\[src#\\d+L?\\]"
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tfidf retrieval: query features broadcast, dot agg combines map-side") {
     val p = plan("v22_tfidf_knn")
     // both query-side joins (features on bucket, norms on query_id)
