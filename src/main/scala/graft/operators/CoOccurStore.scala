@@ -97,9 +97,42 @@ object CoOccurStore {
       .filter(_ >= 1).getOrElse(4000)
   private def edgeCap: Int = nodeCap * 5
 
-  private def pairCounts(gi: DataFrame): DataFrame =
+  /** Canonical (a < b) pair counts of a (g, i) frame — shared with
+    * the streaming ingest ([[graft.streaming.StreamingCoOccur]]).
+    */
+  private[graft] def pairCounts(gi: DataFrame): DataFrame =
     graft.dedup.PairGen.pairsWithin(gi.distinct(), Seq("g"), col("i"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
+
+  /** THE cross-generation co-occurrence delta algebra: the
+    * `post − pre over affected groups` DELTA PARTIAL of increment
+    * `inc` against the prior rows `prior` (both (g, i) frames). One
+    * copy shared by the batch store's advance and the streaming
+    * sink — a future fix to the algebra or the cap discipline
+    * reaches both. For a bounded affected set the filter goes in as
+    * an In predicate (PushedFilters → row-group skipping on a
+    * g-clustered layout); an oversized set degrades to the
+    * distributed semi join — the capped-gate discipline of
+    * `HashedTfIdf`.
+    */
+  private[graft] def pairDeltaOf(inc: DataFrame,
+      prior: DataFrame): DataFrame = {
+    val incC = inc.localCheckpoint()
+    val affected = incC.select("g").distinct()
+    val cap = 10000
+    val gs = affected.limit(cap + 1).collect().map(_.get(0))
+    val pre = (if (gs.length <= cap)
+        prior.where(col("g").isInCollection(gs.toSeq))
+      else prior.join(affected, Seq("g"), "left_semi"))
+      .localCheckpoint() // both pair passes read it; scan once
+    val preN = pairCounts(pre).withColumnRenamed("n", "pre_n")
+    // appends only grow distinct (g,i): post covers pre's keys
+    pairCounts(pre.unionByName(incC))
+      .join(preN, Seq("a", "b"), "left")
+      .where(col("pre_n").isNull || col("n") > col("pre_n"))
+      .select(col("a"), col("b"),
+        (col("n") - coalesce(col("pre_n"), lit(0L))).as("n"))
+  }
 
   private def sumPairs(parts: DataFrame): DataFrame =
     parts.groupBy("a", "b").agg(sum("n").as("n"))
@@ -156,32 +189,14 @@ object CoOccurStore {
     var edgesCache: Option[(AnyRef, DataFrame)] = None
 
     /** The increment's pair DELTA PARTIAL (`post − pre` per touched
-      * canonical edge) — the affected-groups recomputation against
-      * the pre-increment stored rows. For a bounded affected set the
-      * filter goes in as an In predicate (PushedFilters on the
-      * g-clustered fold layout → row-group skipping, so the scan is
-      * O(affected)); an oversized set degrades to the distributed
-      * semi join — the capped-gate discipline of `HashedTfIdf`.
+      * canonical edge) — [[pairDeltaOf]] against the pre-increment
+      * stored rows, cached per ctx (the additive build and both graph
+      * merges consume it within one advance).
       */
     def pairDelta(ctx: AdvanceCtx): DataFrame = deltaCache match {
       case Some((k, df)) if k eq ctx => df
       case _ =>
-        val incC = gi(ctx.newDocs).localCheckpoint()
-        val affected = incC.select("g").distinct()
-        val cap = 10000
-        val gs = affected.limit(cap + 1).collect().map(_.get(0))
-        val pre0 = ctx.stored("gi")
-        val pre = (if (gs.length <= cap)
-            pre0.where(col("g").isInCollection(gs.toSeq))
-          else pre0.join(affected, Seq("g"), "left_semi"))
-          .localCheckpoint() // both pair passes read it; scan once
-        val preN = pairCounts(pre).withColumnRenamed("n", "pre_n")
-        // appends only grow distinct (g,i): post covers pre's keys
-        val df = pairCounts(pre.unionByName(incC))
-          .join(preN, Seq("a", "b"), "left")
-          .where(col("pre_n").isNull || col("n") > col("pre_n"))
-          .select(col("a"), col("b"),
-            (col("n") - coalesce(col("pre_n"), lit(0L))).as("n"))
+        val df = pairDeltaOf(gi(ctx.newDocs), ctx.stored("gi"))
           .localCheckpoint()
         deltaCache = Some((ctx, df))
         df

@@ -27,14 +27,47 @@ import org.apache.spark.storage.StorageLevel
   * the last reliable checkpoint. The trade is bounded plan depth
   * (≤ N rounds) between cuts; N=1 pins every round reliably with
   * flat lineage; unset (the default) keeps today's local behavior.
+  *
+  * CACHE DISCIPLINE (knob-on mode): persist registers the frame in
+  * Spark's CacheManager, which holds it until an explicit unpersist —
+  * unlike localCheckpoint blocks, it is NOT freed when the DataFrame
+  * is garbage-collected. The pin sequence therefore keeps only the
+  * latest two persisted frames live (the round being built reads the
+  * previous one; older rounds are recovery-only and lineage covers
+  * them) and the loop MUST end with [[IterPin.seal]]: seal reliably
+  * checkpoints the final state, unpersists every tracked frame, and
+  * returns the sealed result — a long-lived session leaks nothing.
+  * Knob-off, seal is the identity.
   */
 final class IterPin private[operators] () {
   private var i = -1
+  private val cached = scala.collection.mutable.Queue[DataFrame]()
 
   def apply(df: DataFrame): DataFrame = {
     i += 1
-    IterPin.pinAt(df, i)
+    val pinned = IterPin.pinAt(df, i)
+    if (IterPin.reliableMode) {
+      // track persisted (between-cut) frames; reliable cuts need no
+      // release. Keep the latest two: the in-flight round still reads
+      // its predecessor; anything older is recoverable via lineage.
+      if (pinned.storageLevel != StorageLevel.NONE) cached.enqueue(pinned)
+      while (cached.size > 2) cached.dequeue().unpersist(blocking = false)
+    }
+    pinned
   }
+
+  /** End-of-loop cleanup for knob-on mode: reliably checkpoint the
+    * result (so unpersisting its cached ancestors cannot leave an
+    * unprotected tail), release every tracked frame, return the
+    * sealed result. Identity when the knob is off.
+    */
+  def seal(result: DataFrame): DataFrame =
+    if (!IterPin.reliableMode) result
+    else {
+      val out = result.checkpoint()
+      cached.dequeueAll(_ => true).foreach(_.unpersist(blocking = false))
+      out
+    }
 }
 
 object IterPin {
@@ -52,6 +85,8 @@ object IterPin {
     sys.props.get("graft.graph.reliableCheckpointEvery")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(0)
+
+  private[operators] def reliableMode: Boolean = every > 0
 
   private[operators] def pinAt(df: DataFrame, idx: Int): DataFrame = {
     val n = every

@@ -69,7 +69,7 @@ object KCore {
       n = m
       r += 1
     }
-    degrees(e)
+    pin.seal(degrees(e))
   }
 
   /** The k-core itself: peel to the fixpoint — bounded, because
@@ -91,12 +91,12 @@ object KCore {
     while (r < maxRounds) {
       val next = peelOnce(e, k, pin)
       val m = next.count()
-      if (m == n) return degrees(next)
+      if (m == n) return pin.seal(degrees(next))
       e = next
       n = m
       r += 1
     }
-    if (n == 0) degrees(e) // empty is trivially the fixpoint
+    if (n == 0) pin.seal(degrees(e)) // empty is trivially the fixpoint
     else throw new IllegalStateException(
       s"k-core peel did not reach a fixpoint in $maxRounds rounds " +
         s"($n edges still live) — raise maxRounds or use peelRounds " +

@@ -63,6 +63,6 @@ object LabelPropagation {
       lbls = pin(lbls.join(upd, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
     }
-    lbls
+    pin.seal(lbls)
   }
 }

@@ -81,7 +81,7 @@ object PageRank {
     var pr = pin(nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).as("pr")))
     for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d, pin)
-    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+    pin.seal(pr.select(col("node"), round(col("pr"), 6).as("pr")))
   }
 
   /** Iterate to CONVERGENCE (L1 delta ≤ `tol`), optionally
@@ -131,6 +131,6 @@ object PageRank {
       pr = next
       iters += 1
     }
-    (pr, iters)
+    (pin.seal(pr), iters)
   }
 }

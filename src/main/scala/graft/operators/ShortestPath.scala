@@ -108,7 +108,7 @@ object ShortestPath {
       }
       r += 1
     }
-    (dist, sizes.result())
+    (pin.seal(dist), sizes.result())
   }
 
   /** Min hop distance from any node in `seeds(node)` along DIRECTED
@@ -139,6 +139,6 @@ object ShortestPath {
       }
       h += 1
     }
-    settled
+    pin.seal(settled)
   }
 }

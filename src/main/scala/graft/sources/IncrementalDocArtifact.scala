@@ -1732,9 +1732,7 @@ object IncrementalDocArtifact {
           val curName = io.currentDir
             .map(d => Paths.get(d).getFileName.toString)
           val curVer = io.currentVersion
-          def verOf(nm: String): Long =
-            scala.util.Try(
-              nm.stripPrefix("v-").takeWhile(_.isDigit).toLong).getOrElse(0L)
+          def verOf(nm: String): Long = ParquetTableIO.versionOfDir(nm)
           val baseRoot = root.resolve(n).resolve("base")
           if (Files.exists(baseRoot)) {
             val s = Files.list(baseRoot)

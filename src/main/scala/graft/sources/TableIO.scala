@@ -86,7 +86,7 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
   // snapshot dirs are "v-<n>" or "v-<n>-<uid>" (the uid disambiguates
   // concurrent writers); the numeric prefix is the version
   private def versionOf(dirName: String): Long =
-    dirName.stripPrefix("v-").takeWhile(_.isDigit).toLong
+    ParquetTableIO.versionOfDir(dirName)
 
   /** Version number of the live snapshot (0 when nothing is published
     * or the layout was adopted from a plain parquet dir).
@@ -225,6 +225,17 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
 }
 
 object ParquetTableIO {
+
+  /** Version number of a "v-<n>[-uid]" snapshot dir name — THE parser
+    * for that naming contract (the artifact store's vacuum uses it
+    * too; a second hand-rolled parser could drift). A malformed name
+    * parses as 0 (older than everything real — conservatively
+    * reclaimable, never mistaken for live).
+    */
+  private[graft] def versionOfDir(dirName: String): Long = {
+    val digits = dirName.stripPrefix("v-").takeWhile(_.isDigit)
+    if (digits.isEmpty) 0L else digits.toLong
+  }
 
   /** Day-partitioned layout — the reference's acknowledged redesign
     * ("partition the data by day", reference README.md:21,77) made

@@ -1,17 +1,20 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.operators.CoOccurStore
+
 /** The stored co-occurrence graph's INGEST as a stream — the
   * streaming sibling of `operators/CoOccurStore`: (group, item) rows
   * arrive continuously and every micro-batch lands its pair-count
-  * DELTA PARTIAL (the same `post − pre over affected groups` algebra)
-  * as an immutable `_batch=<id>` partition; the served edge counts
-  * are the running sum. No streaming state store — like the other
+  * DELTA PARTIAL (the same `post − pre over affected groups` algebra
+  * — [[CoOccurStore.pairDeltaOf]], ONE shared implementation) as an
+  * immutable `_batch=<id>` partition; the served edge counts are the
+  * running sum. No streaming state store — like the other
   * screen/ingest streams, the SINK is the state, which is what keeps
   * restart semantics trivial:
   *
@@ -29,13 +32,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Serving reads `sumPairs(partials) >= cut` — fold-at-read, the
   * house discipline; an offline compaction can collapse partials
-  * exactly like the batch store's fold (partials are additive).
+  * exactly like the batch store's fold (partials are additive). All
+  * path existence checks go through the Hadoop FileSystem of the
+  * session (`outDir` may be hdfs://, s3a://, … — a java.nio check
+  * would silently report false there and break the pre-view).
   */
 object StreamingCoOccur {
 
-  private def pairCounts(gi: DataFrame): DataFrame =
-    graft.dedup.PairGen.pairsWithin(gi.distinct(), Seq("g"), col("i"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+  private def fsExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether a written sink dir holds any parquet DATA (a batch whose
+    * delta was empty writes only markers — `partitionBy` emits no
+    * partition dir for zero rows).
+    */
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
 
   /** One micro-batch's delta against the prior batches — exposed for
     * the spec's replay-determinism checks.
@@ -46,28 +69,12 @@ object StreamingCoOccur {
     val gi = batch.select(col(gCol).as("g"), col(iCol).as("i"))
       .localCheckpoint()
     val giDir = s"$outDir/gi"
-    val pre0: Option[DataFrame] =
-      if (Files.exists(Paths.get(giDir)))
-        Some(s.read.parquet(giDir).where(col("_batch") < batchId)
-          .select("g", "i"))
-      else None
-    val delta = pre0 match {
-      case None => pairCounts(gi)
-      case Some(prior) =>
-        val affected = gi.select("g").distinct()
-        val cap = 10000
-        val gs = affected.limit(cap + 1).collect().map(_.get(0))
-        val pre = (if (gs.length <= cap)
-            prior.where(col("g").isInCollection(gs.toSeq))
-          else prior.join(affected, Seq("g"), "left_semi"))
-          .localCheckpoint()
-        val preN = pairCounts(pre).withColumnRenamed("n", "pre_n")
-        pairCounts(pre.unionByName(gi))
-          .join(preN, Seq("a", "b"), "left")
-          .where(col("pre_n").isNull || col("n") > col("pre_n"))
-          .select(col("a"), col("b"),
-            (col("n") - coalesce(col("pre_n"), lit(0L))).as("n"))
-    }
+    val delta =
+      if (hasParquet(s, giDir)) {
+        val prior = s.read.parquet(giDir)
+          .where(col("_batch") < batchId).select("g", "i")
+        CoOccurStore.pairDeltaOf(gi, prior)
+      } else CoOccurStore.pairCounts(gi)
     // delta first, rows second: a crash between the two replays the
     // batch and dynamic overwrite replaces both partitions
     delta.withColumn("_batch", lit(batchId))
@@ -95,10 +102,26 @@ object StreamingCoOccur {
 
   /** The served edge counts: running sum of the delta partials at the
     * caller's cut (serve-side threshold, one sink serves every cut).
+    * A sink whose batches produced no pairs yet serves EMPTY — typed
+    * from the ingested (g, i) rows — instead of failing schema
+    * inference on a data-less directory; with no ingested batch at
+    * all it refuses with the actual cause.
     */
   def weightedEdges(spark: SparkSession, outDir: String,
-      minCount: Long): DataFrame =
-    spark.read.parquet(s"$outDir/pairparts").drop("_batch")
-      .groupBy("a", "b").agg(sum("n").as("n"))
-      .where(col("n") >= minCount)
+      minCount: Long): DataFrame = {
+    val pp = s"$outDir/pairparts"
+    if (hasParquet(spark, pp))
+      spark.read.parquet(pp).drop("_batch")
+        .groupBy("a", "b").agg(sum("n").as("n"))
+        .where(col("n") >= minCount)
+    else if (hasParquet(spark, s"$outDir/gi")) {
+      // batches ingested, zero pairs so far (single-item groups):
+      // an empty edge set typed like the items
+      val i = spark.read.parquet(s"$outDir/gi").select("i")
+      i.select(col("i").as("a"), col("i").as("b"),
+        lit(0L).as("n")).limit(0)
+    } else throw new IllegalStateException(
+      s"no ingested co-occurrence batches under $outDir — start the " +
+        "stream (or point at its outDir) before serving edges")
+  }
 }
