@@ -2835,6 +2835,55 @@ object RelationalQueries {
       graft.operators.LinkPrediction
         .commonNeighbors(partCoPurchaseEdges(s, dir), minCommon = 2L)
         .orderBy(col("cn").desc, col("u"), col("w"))
+    },
+
+    // Local clustering coefficient per node over the stored graph —
+    // (node, tri, deg, wedges) all integer-exact (the coefficient
+    // tri/wedges stays a cross-multiplication downstream, no doubles
+    // in the hash path). Per-node triangle participation uses the
+    // same degree-ordered orientation as q57's global count (Suri &
+    // Vassilvitskii — the hub's wedges vanish under the orientation
+    // instead of melting one reducer), each closed triangle crediting
+    // its three corners; the oracle enumerates canonical x<y<z
+    // triples from raw lineitem.
+    GraftQuery(
+      "q79_clustering_coefficient",
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM op x JOIN op y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+        |                   UNION ALL SELECT b, a FROM co),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS d
+        |                     FROM e GROUP BY 1),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e3.b AS z
+        |  FROM co e1
+        |  JOIN co e2 ON e2.a = e1.b
+        |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS MATERIALIZED (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, coalesce(tn.tri, 0) AS tri, d.d AS deg,
+        |  (d.d * (d.d - 1)) // 2 AS wedges
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node
+        |WHERE d.d >= 2
+        |ORDER BY d.node""".stripMargin) { (s, dir) =>
+      val co = partCoPurchaseEdges(s, dir)
+      val deg = co.select(col("a").as("node"))
+        .unionAll(co.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.where(col("deg") >= 2)
+        .join(graft.operators.Triangles.perNode(co), Seq("node"), "left")
+        .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
+          col("deg"), expr("(deg * (deg - 1)) div 2").as("wedges"))
+        .orderBy("node")
     }
   )
 

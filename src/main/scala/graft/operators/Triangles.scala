@@ -48,4 +48,35 @@ object Triangles {
     wedges.join(co, Seq("a", "b"), "left_semi")
       .agg(F.count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-node triangle participation over the same CANONICAL edge
+    * input — each closed triangle credits all three corners. Same
+    * degree-ordered orientation and Σ outdeg² = O(m^1.5) wedge bound
+    * as [[count]]; the closure keeps the wedge anchor (an inner join
+    * against the edge set instead of the semi), then one explode +
+    * one node-keyed count. Output: (node, tri) for nodes in ≥ 1
+    * triangle — the numerator of the local clustering coefficient
+    * (the denominator, deg·(deg−1)/2, is the caller's one degree
+    * aggregate away, kept integer so coefficient cuts are
+    * cross-multiplications).
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val co = edges.select("a", "b")
+    val deg = co.select(col("a").as("node"))
+      .unionAll(co.select(col("b").as("node")))
+      .groupBy("node").agg(F.count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = co
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("a"), col("e2.v").as("b"))
+    wedges.join(co, Seq("a", "b"), "left_semi")
+      .select(F.explode(F.array(col("u"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(F.count(lit(1)).as("tri"))
+  }
 }

@@ -398,6 +398,16 @@ class RandomizedParitySpec extends SparkSpec {
         val got = graft.operators.Triangles.count(edges)
           .head.getLong(0)
         assert(got === brute)
+        // per-node participation: every triangle credits all three
+        // corners; brute recount per node against the operator
+        val bruteNode = (for {
+          (a, b) <- pairs; c <- (b + 1) until n
+          if pairs.contains((a, c.toLong)) && pairs.contains((b, c.toLong))
+          v <- Seq(a, b, c.toLong)
+        } yield v).groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        val gotNode = graft.operators.Triangles.perNode(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotNode === bruteNode)
       }
     }
   }
