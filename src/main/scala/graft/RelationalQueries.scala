@@ -2876,11 +2876,18 @@ object RelationalQueries {
         |WHERE d.d >= 2
         |ORDER BY d.node""".stripMargin) { (s, dir) =>
       val co = partCoPurchaseEdges(s, dir)
+      // ONE degree aggregate for the whole serve: it orients the
+      // wedge join inside perNode AND supplies the output's deg /
+      // wedges columns (plan-asserted in PlanShapeSpec — the operator
+      // would otherwise recompute the identical exchange). Pinned so
+      // both consumers read the computed frame, not re-run the union.
       val deg = co.select(col("a").as("node"))
         .unionAll(co.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       deg.where(col("deg") >= 2)
-        .join(graft.operators.Triangles.perNode(co), Seq("node"), "left")
+        .join(graft.operators.Triangles.perNode(co, Some(deg)),
+          Seq("node"), "left")
         .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
           col("deg"), expr("(deg * (deg - 1)) div 2").as("wedges"))
         .orderBy("node")

@@ -28,52 +28,74 @@ import org.apache.spark.storage.StorageLevel
   * (≤ N rounds) between cuts; N=1 pins every round reliably with
   * flat lineage; unset (the default) keeps today's local behavior.
   *
+  * PER-STREAM CADENCE: a loop may evolve more than one logical state
+  * stream (ShortestPath.weighted pins the improved set AND the dist
+  * table each round). The cut cadence is keyed per stream — each
+  * stream's pin index advances independently, so every stream lands a
+  * reliable cut every N of ITS OWN pins. A single shared index would
+  * let one stream's pins alias the cut slots (with an even N the dist
+  * stream would land on odd indices forever, its persisted plan
+  * growing one union+aggregate per round past the documented ≤ N
+  * bound). Callers name streams explicitly: `pin(df, "dist")`;
+  * frames pinned once (the edge list) get their own stream so their
+  * single pin IS a reliable cut.
+  *
   * CACHE DISCIPLINE (knob-on mode): persist registers the frame in
   * Spark's CacheManager, which holds it until an explicit unpersist —
   * unlike localCheckpoint blocks, it is NOT freed when the DataFrame
   * is garbage-collected. The pin sequence therefore keeps only the
-  * latest two persisted frames live (the round being built reads the
-  * previous one; older rounds are recovery-only and lineage covers
-  * them) and the loop MUST end with [[IterPin.seal]]: seal reliably
-  * checkpoints the final state, unpersists every tracked frame, and
-  * returns the sealed result — a long-lived session leaks nothing.
-  * Knob-off, seal is the identity.
+  * latest two persisted frames live PER STREAM (the round being built
+  * reads the stream's previous frame; older rounds are recovery-only
+  * and lineage covers them) and the loop MUST end with
+  * [[IterPin.seal]]: seal reliably checkpoints the final state,
+  * unpersists every tracked frame of every stream, and returns the
+  * sealed result — a long-lived session leaks nothing. Knob-off, seal
+  * is the identity.
   */
 final class IterPin private[operators] () {
-  private var i = -1
-  private val cached = scala.collection.mutable.Queue[DataFrame]()
+  private val idx = scala.collection.mutable.Map[String, Int]()
+  private val cached =
+    scala.collection.mutable.Map[String, scala.collection.mutable.Queue[DataFrame]]()
 
-  def apply(df: DataFrame): DataFrame = {
-    i += 1
-    val pinned = IterPin.pinAt(df, i)
+  def apply(df: DataFrame): DataFrame = apply(df, "")
+
+  def apply(df: DataFrame, stream: String): DataFrame = {
+    val i = idx.getOrElse(stream, -1) + 1
+    idx(stream) = i
+    val pinned = IterPin.pinAt(df, i, stream)
     if (IterPin.reliableMode) {
       // track persisted (between-cut) frames; reliable cuts need no
-      // release. Keep the latest two: the in-flight round still reads
-      // its predecessor; anything older is recoverable via lineage.
-      if (pinned.storageLevel != StorageLevel.NONE) cached.enqueue(pinned)
-      while (cached.size > 2) cached.dequeue().unpersist(blocking = false)
+      // release. Keep the latest two per stream: the in-flight round
+      // still reads the stream's predecessor; anything older is
+      // recoverable via lineage.
+      val q = cached.getOrElseUpdate(stream,
+        scala.collection.mutable.Queue[DataFrame]())
+      if (pinned.storageLevel != StorageLevel.NONE) q.enqueue(pinned)
+      while (q.size > 2) q.dequeue().unpersist(blocking = false)
     }
     pinned
   }
 
   /** End-of-loop cleanup for knob-on mode: reliably checkpoint the
     * result (so unpersisting its cached ancestors cannot leave an
-    * unprotected tail), release every tracked frame, return the
-    * sealed result. Identity when the knob is off.
+    * unprotected tail), release every tracked frame of every stream,
+    * return the sealed result. Identity when the knob is off.
     */
   def seal(result: DataFrame): DataFrame =
     if (!IterPin.reliableMode) result
     else {
       val out = result.checkpoint()
-      cached.dequeueAll(_ => true).foreach(_.unpersist(blocking = false))
+      cached.valuesIterator.foreach(
+        _.dequeueAll(_ => true).foreach(_.unpersist(blocking = false)))
       out
     }
 }
 
 object IterPin {
 
-  /** One pin sequence per operator invocation: pin index 0 is the
-    * loop's input (edge list / initial state), then one per round.
+  /** One pin sequence per operator invocation: per stream, pin index
+    * 0 is the stream's first frame (edge list / initial state), then
+    * one per round.
     */
   def loop(): IterPin = new IterPin
 
@@ -88,8 +110,16 @@ object IterPin {
 
   private[operators] def reliableMode: Boolean = every > 0
 
-  private[operators] def pinAt(df: DataFrame, idx: Int): DataFrame = {
+  /** Spec-only observation of pin decisions: (stream, in-stream idx,
+    * reliable cut?) per pin while non-null. Never set in production.
+    */
+  @volatile private[operators]
+  var trace: (String, Int, Boolean) => Unit = null
+
+  private[operators] def pinAt(df: DataFrame, idx: Int,
+      stream: String): DataFrame = {
     val n = every
+    val t = trace
     if (n > 0) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "graft.graph.reliableCheckpointEvery is set but no Spark " +
@@ -97,10 +127,15 @@ object IterPin {
           "SparkContext.setCheckpointDir on reliable storage, or unset " +
           "the knob; a silently-skipped reliable checkpoint would " +
           "defeat the lost-executor protection it exists to provide")
-      if (idx % n == 0) df.checkpoint()
+      val reliable = idx % n == 0
+      if (t != null) t(stream, idx, reliable)
+      if (reliable) df.checkpoint()
       // between cuts: cache WITHOUT truncating lineage — a lost block
       // recomputes from the last reliable checkpoint (≤ N rounds)
       else df.persist(StorageLevel.MEMORY_AND_DISK)
-    } else df.localCheckpoint()
+    } else {
+      if (t != null) t(stream, idx, false)
+      df.localCheckpoint()
+    }
   }
 }

@@ -43,7 +43,7 @@ object KCore {
   private def peelOnce(e: DataFrame, k: Int, pin: IterPin): DataFrame = {
     val keep = degrees(e).where(col("deg") >= k).select("node")
     pin(e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"), "e")
   }
 
   /** `rounds` fixed peel rounds over CANONICAL undirected edges
@@ -55,7 +55,7 @@ object KCore {
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pin = IterPin.loop()
-    var e = pin(edges.select(col("a"), col("b")).distinct())
+    var e = pin(edges.select(col("a"), col("b")).distinct(), "e")
     var n = e.count()
     var r = 0
     var stable = false
@@ -85,7 +85,7 @@ object KCore {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val pin = IterPin.loop()
-    var e = pin(edges.select(col("a"), col("b")).distinct())
+    var e = pin(edges.select(col("a"), col("b")).distinct(), "e")
     var n = e.count()
     var r = 0
     while (r < maxRounds) {

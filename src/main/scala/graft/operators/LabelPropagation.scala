@@ -47,9 +47,9 @@ object LabelPropagation {
   def labels(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val pin = IterPin.loop()
-    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
     var lbls = pin(e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")))
+      .withColumn("lbl", col("node")), "lbls")
     val w = Window.partitionBy("src")
       .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
@@ -61,7 +61,8 @@ object LabelPropagation {
       // out-neighbor this round persists its label (node-keyed join,
       // node-sized — no new exchange class)
       lbls = pin(lbls.join(upd, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")),
+        "lbls")
     }
     pin.seal(lbls)
   }

@@ -35,9 +35,9 @@ object PageRank {
   /** (distinct edges, nodes, out-degrees, 1-row node count). */
   private def graphTables(edges: DataFrame, pin: IterPin)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
     val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      .union(e.select(col("dst").as("node"))).distinct(), "nodes")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
     (e, nodes, outDeg, nRow)
@@ -63,7 +63,7 @@ object PageRank {
       .select(col("node"),
         ((lit(1.0) - d) / col("n") +
           lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
-          .as("pr")))
+          .as("pr")), "pr")
   }
 
   /** Ranks after `iters` iterations with damping `d` over directed
@@ -79,7 +79,7 @@ object PageRank {
     val pin = IterPin.loop()
     val (e, nodes, outDeg, nRow) = graphTables(edges, pin)
     var pr = pin(nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr")))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr")), "pr")
     for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d, pin)
     pin.seal(pr.select(col("node"), round(col("pr"), 6).as("pr")))
   }
@@ -106,17 +106,17 @@ object PageRank {
     var pr = init match {
       case None =>
         pin(nodes.crossJoin(broadcast(nRow))
-          .select(col("node"), (lit(1.0) / col("n")).as("pr")))
+          .select(col("node"), (lit(1.0) / col("n")).as("pr")), "pr")
       case Some(prev) =>
         val joined = pin(nodes
           .join(prev.select(col("node"), col("pr").as("_prev")), Seq("node"),
             "left")
           .crossJoin(broadcast(nRow))
           .select(col("node"),
-            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr")))
+            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr")), "pr")
         val mass = joined.agg(sum("pr").as("m"))
         pin(joined.crossJoin(broadcast(mass))
-          .select(col("node"), (col("pr") / col("m")).as("pr")))
+          .select(col("node"), (col("pr") / col("m")).as("pr")), "pr")
     }
     var iters = 0
     var delta = Double.MaxValue

@@ -82,9 +82,13 @@ object ShortestPath {
       rounds: Int, collectSizes: Boolean): (DataFrame, Seq[Long]) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val pin = IterPin.loop()
-    val e = pin(edges.select(col("src"), col("dst"), col("w")).distinct())
+    // per-stream cadence: imp and dist are SEPARATE state streams —
+    // each must land a reliable cut every N of its own pins (a shared
+    // index would let dist alias the between-cut slots forever)
+    val e = pin(edges.select(col("src"), col("dst"), col("w")).distinct(),
+      "edges")
     var dist = pin(seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)))
+      .withColumn("dist", lit(0L)), "dist")
     // round 0: every seed just "improved" (from unreachable to 0)
     var improved = dist
     val sizes = Seq.newBuilder[Long]
@@ -99,11 +103,11 @@ object ShortestPath {
       // strict improvements over the current table (or first sightings)
       val imp = pin(cand.join(dist, Seq("node"), "left")
         .where(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("node"), col("cand").as("dist")))
+        .select(col("node"), col("cand").as("dist")), "imp")
       if (imp.isEmpty) exhausted = true
       else {
         dist = pin(dist.unionByName(imp)
-          .groupBy("node").agg(min("dist").as("dist")))
+          .groupBy("node").agg(min("dist").as("dist")), "dist")
         improved = imp
       }
       r += 1
@@ -120,9 +124,9 @@ object ShortestPath {
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val pin = IterPin.loop()
-    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
     var settled = pin(seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)))
+      .withColumn("dist", lit(0)), "settled")
     var frontier = settled.select("node")
     var h = 1
     var exhausted = frontier.isEmpty
@@ -131,10 +135,10 @@ object ShortestPath {
         e.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
           .join(settled, Seq("node"), "left_anti")
-          .withColumn("dist", lit(h)))
+          .withColumn("dist", lit(h)), "frontier")
       if (discovered.isEmpty) exhausted = true
       else {
-        settled = pin(settled.unionAll(discovered))
+        settled = pin(settled.unionAll(discovered), "settled")
         frontier = discovered.select("node")
       }
       h += 1

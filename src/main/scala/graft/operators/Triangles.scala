@@ -56,15 +56,29 @@ object Triangles {
     * against the edge set instead of the semi), then one explode +
     * one node-keyed count. Output: (node, tri) for nodes in ≥ 1
     * triangle — the numerator of the local clustering coefficient
-    * (the denominator, deg·(deg−1)/2, is the caller's one degree
-    * aggregate away, kept integer so coefficient cuts are
-    * cross-multiplications).
+    * (the denominator, deg·(deg−1)/2, is one cross-multiplication
+    * away from the caller's degree frame, kept integer so coefficient
+    * cuts stay exact).
+    *
+    * `degrees`: the caller's precomputed (node, deg) of EXACTLY this
+    * edge set, when it already has one (the clustering-coefficient
+    * query aggregates degrees for its own output columns — without
+    * this hook the operator would recompute the identical aggregate,
+    * one redundant exchange per serve). Contract: one row per node of
+    * `edges` with its full degree — orientation joins INNER on it, so
+    * a frame missing nodes silently drops their edges, and wrong
+    * values change which corner anchors each wedge (the count stays
+    * exact under any consistent total order, but the Σ outdeg² bound
+    * is only the degree order's).
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame, degrees: Option[DataFrame] = None)
+      : DataFrame = {
     val co = edges.select("a", "b")
-    val deg = co.select(col("a").as("node"))
-      .unionAll(co.select(col("b").as("node")))
-      .groupBy("node").agg(F.count(lit(1)).as("deg"))
+    val deg = degrees.getOrElse(
+      co.select(col("a").as("node"))
+        .unionAll(co.select(col("b").as("node")))
+        .groupBy("node").agg(F.count(lit(1)).as("deg")))
+      .select("node", "deg")
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = co

@@ -1741,6 +1741,9 @@ object IncrementalDocArtifact {
                 .filter { d =>
                   val nm = d.getFileName.toString
                   nm.startsWith("v-") && Files.isDirectory(d) &&
+                    // digit-less v- names are foreign (every writer of
+                    // this contract stamps a number) — never vacuum them
+                    ParquetTableIO.hasVersionDigits(nm) &&
                     !curName.contains(nm) && !keptMarkers(nm) &&
                     verOf(nm) < curVer - 1 // grace window survives
                 }

@@ -158,11 +158,19 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
     // version — kept one commit as a grace window for readers
     // that resolved the pointer just before the swap. Adopted
     // plain-layout files (version 0) age out on the same schedule.
+    // A digit-less "v-" name is NOT ours (every writer here stamps a
+    // numeric version): versionOfDir parses it as 0 for ordering, but
+    // deleting a foreign directory on that reading would be silent
+    // data loss — skip it and leave a log line instead.
     if (Files.exists(root)) {
       val ls = Files.list(root)
       try ls.forEach { f =>
         val n = f.getFileName.toString
-        if (n.startsWith("v-") && versionOf(n) < s.prev && !keepVersionDir(n))
+        if (n.startsWith("v-") && !ParquetTableIO.hasVersionDigits(n))
+          System.err.println(s"graft table cleanup: skipping foreign " +
+            s"version-less dir $f (not a v-<n> snapshot)")
+        else if (n.startsWith("v-") && versionOf(n) < s.prev &&
+            !keepVersionDir(n))
           deleteTree(f)
         else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
           Files.deleteIfExists(f)
@@ -236,6 +244,14 @@ object ParquetTableIO {
     val digits = dirName.stripPrefix("v-").takeWhile(_.isDigit)
     if (digits.isEmpty) 0L else digits.toLong
   }
+
+  /** Whether a "v-" name actually carries a numeric version. Every
+    * writer of this naming contract stamps one, so a digit-less name
+    * is FOREIGN — cleanup skips it (deleting on the conservative
+    * parse-as-0 reading would silently destroy someone else's dir).
+    */
+  private[graft] def hasVersionDigits(dirName: String): Boolean =
+    dirName.stripPrefix("v-").takeWhile(_.isDigit).nonEmpty
 
   /** Day-partitioned layout — the reference's acknowledged redesign
     * ("partition the data by day", reference README.md:21,77) made

@@ -408,6 +408,15 @@ class RandomizedParitySpec extends SparkSpec {
         val gotNode = graft.operators.Triangles.perNode(edges)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(gotNode === bruteNode)
+        // caller-supplied degree frame (the q79 single-aggregate
+        // path): identical result to the self-computed one
+        val deg = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val gotNodePre = graft.operators.Triangles
+          .perNode(edges, Some(deg))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotNodePre === bruteNode)
       }
     }
   }

@@ -52,4 +52,34 @@ class IterPinSpec extends SparkSpec {
       files should be > 0L
     } finally System.clearProperty("graft.graph.reliableCheckpointEvery")
   }
+
+  test("cut cadence is per logical state stream: every stream of weighted SSSP lands reliable cuts every N of its OWN pins") {
+    val ew = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 5L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val dir = Files.createTempDirectory("graft-iterpin-streams")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    System.setProperty("graft.graph.reliableCheckpointEvery", "2")
+    val pins = scala.collection.mutable.ArrayBuffer[(String, Int, Boolean)]()
+    IterPin.trace = (s, i, r) => pins.synchronized { pins += ((s, i, r)) }
+    try {
+      ShortestPath.weighted(ew, seeds, 5).collect()
+      val byStream = pins.groupBy(_._1)
+      // weighted evolves THREE streams; each must follow idx % 2 == 0
+      byStream.keySet should contain allOf ("edges", "dist", "imp")
+      byStream.foreach { case (_, ps) =>
+        ps.foreach { case (_, i, reliable) => reliable shouldBe (i % 2 == 0) }
+        ps.map(_._2).sorted shouldBe (0 until ps.size)
+      }
+      // the advisory's failing case: dist advances past its initial
+      // pin, so with an even N it MUST still land a later reliable cut
+      // (the old shared index parked dist on odd slots forever)
+      val dist = byStream("dist")
+      dist.size should be > 2
+      dist.count { case (_, i, r) => r && i > 0 } should be > 0
+    } finally {
+      IterPin.trace = null
+      System.clearProperty("graft.graph.reliableCheckpointEvery")
+    }
+  }
 }

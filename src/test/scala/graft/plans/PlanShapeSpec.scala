@@ -96,6 +96,15 @@ class PlanShapeSpec extends SparkSpec {
     withClue(offenders.mkString("\n")) { offenders shouldBe empty }
   }
 
+  test("q79 clustering coefficient: ONE degree aggregate serves orientation and output") {
+    // the degree table is computed once (pinned) and passed into
+    // Triangles.perNode — the plan downstream of the pin must contain
+    // NO Union: a Union reappearing here means the operator went back
+    // to recomputing its own both-endpoints degree aggregate, one
+    // redundant full-edge-list exchange per serve
+    plan("q79_clustering_coefficient") should not include "Union"
+  }
+
   test("q1 pricing summary: map-side partial aggregation before the shuffle") {
     val p = plan("q1_pricing_summary")
     p should include("partial_sum")
