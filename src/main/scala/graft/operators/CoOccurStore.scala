@@ -74,6 +74,36 @@ import graft.sources.IncrementalDocArtifact.{AdvanceCtx, MergePiece, Piece}
   */
 object CoOccurStore {
 
+  /** Advance-side observability: the row count of the LAST pinned
+    * cut-edge frame ([[handle]]'s `weightedAll` localCheckpoint) and
+    * a monotone count of advances that pinned one. The pin is
+    * O(cut edges) of EXECUTOR STORAGE for the advance's duration —
+    * the measured right trade locally (it replaced ~10 unclustered
+    * artifact scans, §9.34), but at a 100 TB edge list the advance
+    * should instead stream its expansion queries against the
+    * a-clustered folded base; this gauge is what tells an operator
+    * which regime they are in (probe_graph_state_inc records it).
+    */
+  object AdvanceStats {
+    private[CoOccurStore] val lastPinnedEdges =
+      new java.util.concurrent.atomic.AtomicLong(-1L)
+    private[CoOccurStore] val pins =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    def snapshot: Map[String, Long] = Map(
+      "advance_pinned_edges_last" -> lastPinnedEdges.get(),
+      "advance_pins" -> pins.get())
+    def reset(): Unit = { lastPinnedEdges.set(-1L); pins.set(0L) }
+  }
+
+  private def recordPin(df: DataFrame): DataFrame = {
+    // count on a just-checkpointed frame scans its cached blocks —
+    // advances are per-corpus-append rare, so the extra action is
+    // observability-priced, not serve-path-priced
+    AdvanceStats.lastPinnedEdges.set(df.count())
+    AdvanceStats.pins.incrementAndGet()
+    df
+  }
+
   /** Registered graph-state parameters: the edge cut, core degree and
     * LPA round count the stored coreness/community pieces are built
     * at (q75/q76's contract). Piece names carry them, so a future
@@ -211,7 +241,11 @@ object CoOccurStore {
       * freshly-rebuilt base is not clustered, and the first probe of
       * this family measured ~10 unclustered artifact scans per
       * advance (11.5 s at 12 M rows) — one pinned aggregate beats
-      * them all.
+      * them all. COST: the pin holds O(cut edges) in executor
+      * storage for the advance's duration ([[AdvanceStats]] gauges
+      * it); at a 100 TB edge list, stream the expansion queries
+      * against the a-clustered folded base instead once the fold has
+      * landed — the clustered layout already exists.
       */
     def weightedAll(ctx: AdvanceCtx): DataFrame = edgesCache match {
       case Some((k, df)) if k eq ctx => df
@@ -221,7 +255,8 @@ object CoOccurStore {
           if (ctx.isRebuild)
             // the freshly-rebuilt base is key-unique (pairCounts
             // aggregates) — a plain cut, no re-aggregation
-            stored.where(col("n") >= GraphMinCount).localCheckpoint()
+            recordPin(
+              stored.where(col("n") >= GraphMinCount).localCheckpoint())
           else if (ctx.storedBaseOnly("pairparts")) {
             // post-fold steady state: the base is key-unique, so the
             // delta merges in with SCAN-ONLY broadcast joins — no
@@ -232,8 +267,8 @@ object CoOccurStore {
             val dp = pairDelta(ctx)
             val collected = dp.limit(edgeCap + 1).collect()
             if (collected.length > edgeCap)
-              sumPairs(stored.unionByName(dp))
-                .where(col("n") >= GraphMinCount).localCheckpoint()
+              recordPin(sumPairs(stored.unionByName(dp))
+                .where(col("n") >= GraphMinCount).localCheckpoint())
             else {
               // dp keys already present in the base merge via a
               // broadcast left join; brand-new keys append. The
@@ -253,18 +288,18 @@ object CoOccurStore {
                 matched((r.get(0), r.get(1))))
               val dpOnlyDF = ctx.spark.createDataFrame(
                 dpOnly.toSeq.asJava, dp.schema)
-              stored
+              recordPin(stored
                 .join(broadcast(dp.withColumnRenamed("n", "dn")),
                   Seq("a", "b"), "left")
                 .select(col("a"), col("b"),
                   (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
                 .unionByName(dpOnlyDF)
                 .where(col("n") >= GraphMinCount)
-                .localCheckpoint()
+                .localCheckpoint())
             }
           } else
-            sumPairs(stored.unionByName(pairDelta(ctx)))
-              .where(col("n") >= GraphMinCount).localCheckpoint()
+            recordPin(sumPairs(stored.unionByName(pairDelta(ctx)))
+              .where(col("n") >= GraphMinCount).localCheckpoint())
         edgesCache = Some((ctx, df))
         df
     }
@@ -604,8 +639,17 @@ object CoOccurStore {
     * warm graph query (q74/q76/q77 each re-serve these edges).
     */
   def weightedEdges(spark: SparkSession, sfDir: String, table: String,
+      groupCol: String, itemCol: String, minCount: Long): DataFrame =
+    weightedEdgesAt(spark, s"$sfDir/$table.parquet", groupCol, itemCol,
+      minCount)
+
+  /** [[weightedEdges]] addressed by corpus PATH — the entry the
+    * streaming ingest serves through (its corpus is a directory of
+    * landed micro-batch files, not an sfDir table).
+    */
+  def weightedEdgesAt(spark: SparkSession, corpusPath: String,
       groupCol: String, itemCol: String, minCount: Long): DataFrame = {
-    val (parts, baseOnly) = handle(s"$sfDir/$table.parquet", groupCol, itemCol)
+    val (parts, baseOnly) = handle(corpusPath, groupCol, itemCol)
       .serveWithFoldState(spark, "pairparts")
     val counts =
       if (baseOnly) parts
@@ -624,8 +668,12 @@ object CoOccurStore {
     */
   def coreness(spark: SparkSession, sfDir: String, table: String,
       groupCol: String, itemCol: String): DataFrame =
-    handle(s"$sfDir/$table.parquet", groupCol, itemCol)
-      .serve(spark, CoreName)
+    corenessAt(spark, s"$sfDir/$table.parquet", groupCol, itemCol)
+
+  /** [[coreness]] addressed by corpus path (streamed corpora). */
+  def corenessAt(spark: SparkSession, corpusPath: String,
+      groupCol: String, itemCol: String): DataFrame =
+    handle(corpusPath, groupCol, itemCol).serve(spark, CoreName)
 
   /** The stored community labels — (node, lbl) of [[LpaRounds]]-round
     * synchronous label propagation over both orientations of the
@@ -635,8 +683,34 @@ object CoOccurStore {
     */
   def communities(spark: SparkSession, sfDir: String, table: String,
       groupCol: String, itemCol: String): DataFrame =
-    handle(s"$sfDir/$table.parquet", groupCol, itemCol)
-      .serve(spark, LpaName)
+    communitiesAt(spark, s"$sfDir/$table.parquet", groupCol, itemCol)
+
+  /** [[communities]] addressed by corpus path (streamed corpora). */
+  def communitiesAt(spark: SparkSession, corpusPath: String,
+      groupCol: String, itemCol: String): DataFrame =
+    handle(corpusPath, groupCol, itemCol).serve(spark, LpaName)
+
+  /** Ingest tick: reconcile the stored artifact against the corpus
+    * NOW — advance the additive pieces (gi, pair delta partials) over
+    * any new corpus files and schedule the detached fold when the
+    * live-generation count crosses the cadence. The streaming sink
+    * calls this once per landed micro-batch so per-batch cost is paid
+    * at ingest (O(batch + affected groups), the advance's contract)
+    * instead of surprising the first serve. Graph-state pieces stay
+    * lazy (they catch up on first graph serve or at the fold).
+    */
+  def ingestTick(spark: SparkSession, corpusPath: String,
+      groupCol: String, itemCol: String): Unit = {
+    handle(corpusPath, groupCol, itemCol).serve(spark, "gi")
+    ()
+  }
+
+  /** Block until any in-flight detached fold of this artifact
+    * finishes — determinism hook for specs/probes.
+    */
+  def awaitMaintenance(corpusPath: String,
+      groupCol: String, itemCol: String): Unit =
+    handle(corpusPath, groupCol, itemCol).awaitMaintenance()
 
   /** Offline compaction hook. */
   def compact(spark: SparkSession, corpusPath: String,

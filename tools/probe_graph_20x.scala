@@ -44,7 +44,14 @@ plog.println(s"rows: lineitem=${spark.read.parquet(s"$bigDir/lineitem.parquet").
 
 val shapes =
   Seq("q74_shortest_path", "q75_kcore", "q76_label_propagation",
-    "q77_weighted_sssp", "q43_pagerank")
+    "q77_weighted_sssp", "q43_pagerank",
+    // round 14: the two new graph operators. q78's wedge volume is
+    // Sum d_v^2 over shared-neighbor mediators -- the 20x run is what
+    // decides whether the registered query needs the degreeCap knob
+    // (key-consistent replication: 20 disjoint isomorphic copies, so
+    // per-replica degrees are UNCHANGED and volume scales linearly;
+    // the hub-degree growth regime is probed separately below).
+    "q78_link_prediction", "q79_clustering_coefficient")
 Seq(("sf0.1", srcDir, 1), ("20x", bigDir, 2)).foreach { case (tag, dir, reps) =>
   plog.println(s"--- $tag pass ($dir)")
   shapes.foreach { name =>

@@ -88,6 +88,12 @@ timed("advance+serve communities after second localized append") {
   graft.operators.CoOccurStore
     .communities(spark, bigDir, "lineitem", "l_orderkey", "l_partkey").count()
 }
+// advance-side memory gauge (round-14 verdict item 4): the pinned
+// cut-edge frame is O(cut edges) of executor storage per advance --
+// record its size so the 100-TB regime decision is a number, not a
+// guess (class doc names the steady-state alternative).
+plog.println("advance stats: " +
+  graft.operators.CoOccurStore.AdvanceStats.snapshot)
 plog.println("=== done")
 plog.close()
 System.exit(0)
