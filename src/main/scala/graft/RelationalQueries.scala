@@ -2891,6 +2891,52 @@ object RelationalQueries {
         .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
           col("deg"), expr("(deg * (deg - 1)) div 2").as("wedges"))
         .orderBy("node")
+    },
+
+    // DEGREE-CAPPED link prediction — the copyable shape for graphs
+    // with hubs. q78 keeps the classic uncapped semantics (measured
+    // headroom on this corpus: co-purchase degrees max 13 at sf0.01
+    // and SHRINK with SF — §9.35); on a power-law graph the wedge
+    // volume's hub term Σ_hub d² is quadratic in hub degree, and the
+    // mediator cap is the standard mitigation. The cap is SEMANTIC
+    // (it changes which wedges exist), so the oracle takes the same
+    // cap — the capped path is hash-checked end-to-end, not just
+    // unit-tested. Cap 8 deliberately BINDS at sf0.01 (excludes 50
+    // hub mediators) so the gate exercises the capped algebra; full
+    // degrees du/dw are still reported (computed before the cap —
+    // the operator's documented contract).
+    GraftQuery(
+      "q80_link_prediction_capped",
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM op x JOIN op y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+        |                   UNION ALL SELECT b, a FROM co),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS d
+        |                     FROM e GROUP BY 1),
+        |em AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN deg ON deg.node = e.src WHERE deg.d <= 8),
+        |wedge AS MATERIALIZED (
+        |  SELECT e1.dst AS u, e2.dst AS w, count(*) AS cn
+        |  FROM em e1 JOIN em e2
+        |    ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY u, w HAVING count(*) >= 2)
+        |SELECT wg.u, wg.w, wg.cn, du.d AS du, dw.d AS dw
+        |FROM wedge wg
+        |JOIN deg du ON du.node = wg.u
+        |JOIN deg dw ON dw.node = wg.w
+        |LEFT JOIN co ON co.a = wg.u AND co.b = wg.w
+        |WHERE co.a IS NULL
+        |ORDER BY wg.cn DESC, wg.u, wg.w""".stripMargin) { (s, dir) =>
+      graft.operators.LinkPrediction
+        .commonNeighbors(partCoPurchaseEdges(s, dir), minCommon = 2L,
+          degreeCap = Some(8L))
+        .orderBy(col("cn").desc, col("u"), col("w"))
     }
   )
 

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * documented semantic knob, not a silent truncation: a hub shared by
   * everything predicts nothing anyway (its wedges are noise by the
   * same argument tf-idf down-weights stop-words).
+  *
+  * Measured headroom on the engine's co-purchase corpus (SURVEY
+  * §9.35): degrees are tiny and SHRINK with scale factor (max 13 /
+  * Σd² = 33.7k at sf0.01; max 6 / Σd² = 9.9k at sf0.1), and the 20×
+  * probe runs the uncapped query flat (0.90 → 0.96 s) — so the
+  * registered `q78` keeps the classic uncapped semantics there. On a
+  * power-law graph the hub term is real and quadratic in hub degree:
+  * `q80_link_prediction_capped` is the copyable capped shape, its
+  * oracle mirroring the cap so the capped algebra is hash-checked
+  * end-to-end.
   */
 object LinkPrediction {
 

@@ -105,6 +105,9 @@ object StreamingCoOccur {
     */
   def applyBatch(batch: DataFrame, batchId: Long,
       gCol: String, iCol: String, outDir: String, parts: Int = 1): Unit = {
+    // an empty batch lands nothing — and on a FRESH sink must not
+    // create an empty corpus dir whose first tick has no schema
+    if (batch.isEmpty) return
     landBatch(batch, batchId, gCol, iCol, outDir, parts)
     CoOccurStore.ingestTick(batch.sparkSession, corpusDir(outDir), G, I)
   }
