@@ -85,22 +85,29 @@ object CoOccurStore {
     * which regime they are in (probe_graph_state_inc records it).
     */
   object AdvanceStats {
-    private[CoOccurStore] val lastPinnedEdges =
-      new java.util.concurrent.atomic.AtomicLong(-1L)
-    private[CoOccurStore] val pins =
-      new java.util.concurrent.atomic.AtomicLong(0L)
-    def snapshot: Map[String, Long] = Map(
-      "advance_pinned_edges_last" -> lastPinnedEdges.get(),
-      "advance_pins" -> pins.get())
-    def reset(): Unit = { lastPinnedEdges.set(-1L); pins.set(0L) }
+    // keyed per artifact (corpus path): interleaved advances of two
+    // stores — a streaming sink ticking next to a batch advance —
+    // must not overwrite each other's reading, or the regime decision
+    // the gauge exists for is made on the wrong store's number
+    private[CoOccurStore] val byArtifact =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def snapshot: Map[String, Map[String, Long]] = {
+      import scala.jdk.CollectionConverters._
+      byArtifact.asScala.toMap.map { case (k, (last, pins)) =>
+        k -> Map("advance_pinned_edges_last" -> last,
+          "advance_pins" -> pins)
+      }
+    }
+    def reset(): Unit = byArtifact.clear()
   }
 
-  private def recordPin(df: DataFrame): DataFrame = {
+  private def recordPin(corpusPath: String, df: DataFrame): DataFrame = {
     // count on a just-checkpointed frame scans its cached blocks —
     // advances are per-corpus-append rare, so the extra action is
     // observability-priced, not serve-path-priced
-    AdvanceStats.lastPinnedEdges.set(df.count())
-    AdvanceStats.pins.incrementAndGet()
+    val n = df.count()
+    AdvanceStats.byArtifact.compute(corpusPath,
+      (_, prev) => (n, (if (prev == null) 0L else prev._2) + 1L))
     df
   }
 
@@ -255,7 +262,7 @@ object CoOccurStore {
           if (ctx.isRebuild)
             // the freshly-rebuilt base is key-unique (pairCounts
             // aggregates) — a plain cut, no re-aggregation
-            recordPin(
+            recordPin(corpusPath,
               stored.where(col("n") >= GraphMinCount).localCheckpoint())
           else if (ctx.storedBaseOnly("pairparts")) {
             // post-fold steady state: the base is key-unique, so the
@@ -267,7 +274,7 @@ object CoOccurStore {
             val dp = pairDelta(ctx)
             val collected = dp.limit(edgeCap + 1).collect()
             if (collected.length > edgeCap)
-              recordPin(sumPairs(stored.unionByName(dp))
+              recordPin(corpusPath, sumPairs(stored.unionByName(dp))
                 .where(col("n") >= GraphMinCount).localCheckpoint())
             else {
               // dp keys already present in the base merge via a
@@ -288,7 +295,7 @@ object CoOccurStore {
                 matched((r.get(0), r.get(1))))
               val dpOnlyDF = ctx.spark.createDataFrame(
                 dpOnly.toSeq.asJava, dp.schema)
-              recordPin(stored
+              recordPin(corpusPath, stored
                 .join(broadcast(dp.withColumnRenamed("n", "dn")),
                   Seq("a", "b"), "left")
                 .select(col("a"), col("b"),
@@ -298,7 +305,7 @@ object CoOccurStore {
                 .localCheckpoint())
             }
           } else
-            recordPin(sumPairs(stored.unionByName(pairDelta(ctx)))
+            recordPin(corpusPath, sumPairs(stored.unionByName(pairDelta(ctx)))
               .where(col("n") >= GraphMinCount).localCheckpoint())
         edgesCache = Some((ctx, df))
         df

@@ -1740,10 +1740,18 @@ object IncrementalDocArtifact {
               try s.toArray.toSeq.map(_.asInstanceOf[Path])
                 .filter { d =>
                   val nm = d.getFileName.toString
+                  // digit-less v- names are foreign (every writer of
+                  // this contract stamps a number) — never vacuum
+                  // them, and say so (same skip+log contract as the
+                  // TableIO commit cleanup, §8.15)
+                  val foreign = nm.startsWith("v-") &&
+                    !ParquetTableIO.hasVersionDigits(nm)
+                  if (foreign)
+                    System.err.println("graft artifact vacuum: " +
+                      s"skipping foreign version-less entry $d " +
+                      "(not a v-<n> snapshot)")
                   nm.startsWith("v-") && Files.isDirectory(d) &&
-                    // digit-less v- names are foreign (every writer of
-                    // this contract stamps a number) — never vacuum them
-                    ParquetTableIO.hasVersionDigits(nm) &&
+                    !foreign &&
                     !curName.contains(nm) && !keptMarkers(nm) &&
                     verOf(nm) < curVer - 1 // grace window survives
                 }

@@ -168,7 +168,7 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
         val n = f.getFileName.toString
         if (n.startsWith("v-") && !ParquetTableIO.hasVersionDigits(n))
           System.err.println(s"graft table cleanup: skipping foreign " +
-            s"version-less dir $f (not a v-<n> snapshot)")
+            s"version-less entry $f (not a v-<n> snapshot)")
         else if (n.startsWith("v-") && versionOf(n) < s.prev &&
             !keepVersionDir(n))
           deleteTree(f)
@@ -236,9 +236,12 @@ object ParquetTableIO {
 
   /** Version number of a "v-<n>[-uid]" snapshot dir name — THE parser
     * for that naming contract (the artifact store's vacuum uses it
-    * too; a second hand-rolled parser could drift). A malformed name
-    * parses as 0 (older than everything real — conservatively
-    * reclaimable, never mistaken for live).
+    * too; a second hand-rolled parser could drift). A digit-less name
+    * parses as 0 for ORDERING only (older than everything real, never
+    * mistaken for live); reclamation paths must additionally check
+    * [[hasVersionDigits]] — a digit-less "v-" name is a foreign
+    * entry, and deleting it on the parse-as-0 reading would be silent
+    * data loss (the cleanup/vacuum sites skip-and-log instead).
     */
   private[graft] def versionOfDir(dirName: String): Long = {
     val digits = dirName.stripPrefix("v-").takeWhile(_.isDigit)

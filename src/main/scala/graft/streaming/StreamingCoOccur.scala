@@ -1,13 +1,13 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.CoOccurStore
+import graft.sources.CorpusLanding
 
 /** The stored co-occurrence graph's INGEST as a stream — the
   * streaming front door of `operators/CoOccurStore`: (group, item)
@@ -28,25 +28,13 @@ import graft.operators.CoOccurStore
   * stored GRAPH STATE (coreness / community labels) serves over a
   * streamed corpus exactly as over a batch one.
   *
-  * Landing protocol (exactly-once at the FILE level under
-  * at-least-once batch delivery):
-  *
-  *  - the batch stages under `outDir/_staging/b<id>/` (OUTSIDE the
-  *    corpus directory — the artifact's ledger walks the corpus, and
-  *    a half-staged file must never look like a corpus entry), hash-
-  *    partitioned by `g` into a FIXED part count — deterministic
-  *    row→file assignment for the same batch content;
-  *  - each staged part renames (atomic, same filesystem) to the
-  *    deterministic corpus name `b<batchId>_p<partIdx>.parquet`,
-  *    SKIPPING names that already exist: a replayed batch re-stages
-  *    (cheap, batch-sized) and lands only what a crash left missing —
-  *    per name the content is identical, so counts can never inflate;
-  *  - the corpus file's appearance is what commits the rows: the
-  *    artifact's reconcile sees a pure file append and advances
-  *    O(batch + affected groups), the ledger rename being the real
-  *    commit point (a crash mid-advance replays deterministically —
-  *    the artifact's own contract).
-  *
+  * Landing is [[graft.sources.CorpusLanding]] — the shared
+  * micro-batch → corpus-generation protocol (deterministic
+  * `b<id>_p<k>of<parts>.parquet` names hash-partitioned by `g`,
+  * rename-if-absent, parts-mismatch refusal): exactly-once at the
+  * file level under at-least-once delivery, and the corpus file's
+  * appearance is what commits the rows (the artifact's reconcile
+  * sees a pure file append and advances O(batch + affected groups)).
   * A reconcile that races a multi-part landing sees a PREFIX of the
   * batch's files — just a smaller generation; the rest lands as the
   * next one. That is the cross-generation group problem the store's
@@ -65,31 +53,35 @@ object StreamingCoOccur {
   private val G = "g"
   private val I = "i"
 
+
+  /** Refuse an outDir written by the pre-round-14 sink format (its
+    * own `gi/` + `pairparts/` `_batch=` partitions): silently serving
+    * only post-upgrade corpus batches would drop the legacy history.
+    */
+  private def requireNotLegacy(outDir: String): Unit =
+    if (Files.exists(Paths.get(outDir, "gi")) ||
+        Files.exists(Paths.get(outDir, "pairparts")))
+      throw new IllegalStateException(
+        s"$outDir holds a legacy _batch-partitioned co-occurrence " +
+          "sink (pre-corpus-landing format); serving or ingesting " +
+          "through the new path would silently exclude its history — " +
+          "re-ingest the legacy rows as corpus batches (read gi/, " +
+          "applyBatch them) into a fresh outDir, or keep the old tree " +
+          "read-only and point new ingest elsewhere")
+
   private def corpusDir(outDir: String): String = s"$outDir/corpus"
 
-  private def hasCorpus(outDir: String): Boolean = {
-    val p = Paths.get(corpusDir(outDir))
-    Files.exists(p) && {
-      val s = Files.list(p)
-      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
-  }
+  private def hasCorpus(outDir: String): Boolean =
+    CorpusLanding.hasData(corpusDir(outDir))
 
   private def requireCorpus(outDir: String): String = {
+    CorpusLanding.requireLocal(outDir)
+    requireNotLegacy(outDir)
     if (!hasCorpus(outDir)) throw new IllegalStateException(
       s"no ingested co-occurrence batches under $outDir — start the " +
         "stream (or point at its outDir) before serving")
     corpusDir(outDir)
   }
-
-  private def deleteTree(dir: Path): Unit =
-    if (Files.exists(dir)) {
-      val s = Files.walk(dir)
-      try s.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
 
   /** Land one batch as corpus files + run the ingest tick. This is
     * the micro-batch body of [[start]] and ALSO the manual-ingest
@@ -120,32 +112,12 @@ object StreamingCoOccur {
   private[streaming] def landBatch(batch: DataFrame, batchId: Long,
       gCol: String, iCol: String, outDir: String, parts: Int,
       keepParts: Int = Int.MaxValue): Unit = {
-    require(parts >= 1, s"parts must be >= 1, got $parts")
-    val corpus = Paths.get(corpusDir(outDir))
-    Files.createDirectories(corpus)
-    val staging = Paths.get(outDir, "_staging", s"b$batchId")
-    deleteTree(staging) // stale debris from a crashed attempt
-    batch.select(col(gCol).as(G), col(iCol).as(I))
-      .repartition(parts, col(G))
-      .write.mode("overwrite").parquet(staging.toString)
-    // deterministic names by SPARK part index (parsed from the task's
-    // own part-NNNNN prefix — empty partitions write no file, and the
-    // index, not the listing position, is what replay reproduces)
-    val s = Files.list(staging)
-    val staged =
-      try s.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .sortBy(_.getFileName.toString)
-      finally s.close()
-    staged.take(keepParts).foreach { f =>
-      val idx = f.getFileName.toString.stripPrefix("part-")
-        .takeWhile(_.isDigit)
-      require(idx.nonEmpty, s"unexpected staged file name $f")
-      val target = corpus.resolve(f"b$batchId%09d_p${idx.toInt}%d.parquet")
-      if (!Files.exists(target))
-        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    deleteTree(staging)
+    CorpusLanding.requireLocal(outDir)
+    requireNotLegacy(outDir)
+    CorpusLanding.land(
+      batch.select(col(gCol).as(G), col(iCol).as(I)),
+      batchId, corpusDir(outDir), hashCol = G, parts = parts,
+      keepParts = keepParts)
   }
 
   def start(rows: DataFrame, gCol: String, iCol: String,
@@ -154,8 +126,8 @@ object StreamingCoOccur {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyBatch(batch, batchId, gCol, iCol, outDir)
-        ()
+        // applyBatch owns the emptiness check — one action per batch
+        applyBatch(batch, batchId, gCol, iCol, outDir)
       }
       .start()
 

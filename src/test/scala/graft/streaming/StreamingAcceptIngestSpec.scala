@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The self-referential accept-ingest loop: each micro-batch is
+  * exact-deduped against everything previously ACCEPTED, survivors
+  * land as corpus generations, and the stored digest screen advances
+  * over them. Pins: global first-wins semantics across batches,
+  * all-duplicate batches accept nothing, the `_ib` replay anchor
+  * (a crash mid-landing whose partial files the digest artifact
+  * already absorbed must NOT change the replay's survivor set), and
+  * the accepted corpus being a first-class corpus for OTHER stores
+  * (the co-occurrence graph maintains itself over it).
+  */
+class StreamingAcceptIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def acceptedIds(outDir: String): Set[Long] =
+    StreamingAcceptIngest.accepted(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("global first-wins dedup across batches; all-duplicate batches accept nothing") {
+    val out = Files.createTempDirectory("graft-accept").toString
+    val ckpt = Files.createTempDirectory("graft-accept-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAcceptIngest.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      out, ckpt, Trigger.ProcessingTime(0))
+    // batch 0: two copies of "alpha" in-batch (min id 1 wins) + one
+    // unique
+    mem.addData((1L, "alpha"), (5L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    // batch 1: "alpha" again (cross-batch dup — dropped), "gamma" new
+    mem.addData((7L, "alpha"), (8L, "gamma"))
+    q.processAllAvailable()
+    // batch 2: ALL duplicates — nothing accepted
+    mem.addData((9L, "beta"), (10L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    acceptedIds(out) shouldBe Set(1L, 2L, 8L)
+    // the digest screen reflects exactly the accepted rows
+    StreamingAcceptIngest.digests(spark, out, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 8L)
+  }
+
+  test("the _ib anchor: a crash mid-landing absorbed by the screen does not change the replay's survivor set") {
+    val out = Files.createTempDirectory("graft-accept-crash").toString
+    StreamingAcceptIngest.applyBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", out)
+    // batch 1: two NEW docs, landed in two parts; the writer dies
+    // after ONE part landed — and the digest artifact advances over
+    // the partial generation (a concurrent serve), so a naive replay
+    // would see part of its own batch as "already accepted"
+    val b1 = Seq((3L, "gamma"), (4L, "delta"), (5L, "epsilon"),
+      (6L, "zeta")).toDF("doc_id", "text")
+    val withFp = b1.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(
+        graft.functions.TextFunctions.normalize(col("text"))))
+      .withColumn("_ib", lit(1L))
+    graft.sources.CorpusLanding.land(withFp, 1L,
+      StreamingAcceptIngest.acceptedCorpusPath(out), hashCol = "fp",
+      parts = 2, keepParts = 1)
+    // the concurrent serve that absorbs the partial landing
+    StreamingAcceptIngest.digests(spark, out, "doc_id", "text").count()
+    // replay of the full batch through the real door
+    StreamingAcceptIngest.applyBatch(b1, 1L, "doc_id", "text", out,
+      parts = 2)
+    acceptedIds(out) shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
+    // no doubled fingerprints anywhere
+    val fps = StreamingAcceptIngest.accepted(spark, out)
+      .select("fp").collect().map(_.getString(0)).toSeq
+    fps.distinct.size shouldBe fps.size
+  }
+
+  test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {
+    val out = Files.createTempDirectory("graft-accept-cooc").toString
+    // docs whose (doc_id % 3) plays the "group": land docs, then ask
+    // the co-occurrence store for (group=fp-prefix, item=doc_id)…
+    // simpler: group = _ib, item = doc_id — two docs accepted in the
+    // same batch co-occur
+    StreamingAcceptIngest.applyBatch(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", out)
+    StreamingAcceptIngest.applyBatch(
+      Seq((4L, "a"), (5L, "d"), (6L, "e")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", out) // (4,"a") is a dup — dropped
+    val corpus = StreamingAcceptIngest.acceptedCorpusPath(out)
+    val edges = graft.operators.CoOccurStore
+      .weightedEdgesAt(spark, corpus, "_ib", "doc_id", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // batch 0 accepted {1,2,3}; batch 1 accepted {5,6}
+    edges shouldBe Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (5L, 6L, 1L))
+  }
+}

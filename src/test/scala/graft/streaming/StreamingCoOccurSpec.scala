@@ -134,6 +134,53 @@ class StreamingCoOccurSpec extends SparkSpec {
       direct((Seq((1L, 10L), (2L, 10L)) ++ b1).toDF("g", "i"), 1L))
   }
 
+  test("a replay with a DIFFERENT parts split refuses loudly instead of losing or doubling rows") {
+    val out = Files.createTempDirectory("graft-stream-cooc-parts").toString
+    val sink = s"$out/cooc"
+    val b = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+    StreamingCoOccur.applyBatch(b.toDF("g", "i"), 0L, "g", "i", sink,
+      parts = 2)
+    val want = StreamingCoOccur.weightedEdges(spark, sink, 1L)
+      .collect().map(_.toString).sorted.toSeq
+    // parts=1 splits the same rows differently: skip-if-exists would
+    // double the rows of the old p-files — the name carries the parts
+    // count, so the mismatch is a loud error, not silent corruption
+    val ex = intercept[IllegalStateException] {
+      StreamingCoOccur.applyBatch(b.toDF("g", "i"), 0L, "g", "i", sink,
+        parts = 1)
+    }
+    ex.getMessage should include("DIFFERENT parts split")
+    // the sink is untouched by the refused attempt
+    StreamingCoOccur.weightedEdges(spark, sink, 1L)
+      .collect().map(_.toString).sorted.toSeq shouldBe want
+    // same-parts replay remains a no-op
+    StreamingCoOccur.applyBatch(b.toDF("g", "i"), 0L, "g", "i", sink,
+      parts = 2)
+    StreamingCoOccur.weightedEdges(spark, sink, 1L)
+      .collect().map(_.toString).sorted.toSeq shouldBe want
+  }
+
+  test("a legacy pre-corpus sink refuses with a migration message instead of silently dropping history") {
+    val out = Files.createTempDirectory("graft-stream-cooc-legacy").toString
+    val sink = s"$out/cooc"
+    Files.createDirectories(java.nio.file.Paths.get(sink, "gi"))
+    val ex = intercept[IllegalStateException] {
+      StreamingCoOccur.applyBatch(
+        Seq((1L, 10L)).toDF("g", "i"), 0L, "g", "i", sink)
+    }
+    ex.getMessage should include("legacy")
+    val ex2 = intercept[IllegalStateException] {
+      StreamingCoOccur.weightedEdges(spark, sink, 1L)
+    }
+    ex2.getMessage should include("legacy")
+    // a remote-scheme outDir refuses up front (java.nio landing)
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamingCoOccur.applyBatch(
+        Seq((1L, 10L)).toDF("g", "i"), 0L, "g", "i", "s3a://bucket/x")
+    }
+    ex3.getMessage should include("local-filesystem")
+  }
+
   test("stored graph state serves over a streamed corpus: coreness and communities equal the direct operators") {
     val out = Files.createTempDirectory("graft-stream-cooc-graph").toString
     val sink = s"$out/cooc"

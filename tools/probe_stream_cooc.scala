@@ -23,17 +23,19 @@ val sink = s"$out/cooc"
 
 // 80 equal batches -> the sink's ingested volume grows 80x over the
 // run (10x is crossed at batch 10 vs batch 1, and again at 80 vs 8).
-// Each batch: 200 groups x 40 items; 10% of groups repeat the
-// previous batch's ids (cross-batch baskets -- the affected-groups
-// path), items zipf-ish over 30k ids so popular pairs cross the cut.
+// Each batch: 200 groups x 40 items; the group id STRIDE is 20 less
+// than the group count, so each batch's first 20 groups ARE the
+// previous batch's last 20 (cross-batch baskets -- the
+// affected-groups pre-view path actually matches prior rows); items
+// zipf-ish over 30k ids so popular pairs cross the cut.
 val nBatches = 80
 val groupsPer = 200
 val itemsPer = 40
 
 def batchDF(id: Int) = {
-  val base = id.toLong * groupsPer
+  val base = id.toLong * (groupsPer - groupsPer / 10)
   spark.range(groupsPer).select(
-      (col("id") + base - (groupsPer / 10)).as("g"),
+      (col("id") + base).as("g"),
       explode(sequence(lit(1), lit(itemsPer))).as("k"))
     .select(col("g"),
       (pmod(hash(col("g") * lit(31) + col("k")), lit(30000)) +
