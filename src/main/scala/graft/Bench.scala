@@ -261,6 +261,53 @@ object Bench {
       finally if (q != null) q.stop()
     }
 
+    // the self-referential accept loop: every batch exact-deduped
+    // against everything previously ACCEPTED (stored digest screen +
+    // bloom prefilter), survivors landed as corpus generations — the
+    // rate is per OFFERED doc, with 25% cross-batch duplicates so the
+    // screen actually drops rows (an all-unique stream never exercises
+    // the residue join)
+    val (accept, acceptWalls) = {
+      try {
+        val base = Files.createTempDirectory("bench_accept")
+        val out = base.resolve("loop").toString
+        val target = 30000
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text"))
+          .limit(target)
+          .as[(Long, String)].collect()
+        val reps = math.max(1, target / math.max(1, corpus.length))
+        val uniq = (0 until reps).flatMap(r => corpus.map { case (id, t) =>
+          (id + r.toLong * 100000000L, if (r == 0) t else s"$t r$r") })
+        // 25% re-offers of already-seen text under fresh ids
+        val docs = uniq ++ uniq.take(uniq.length / 4).map { case (id, t) =>
+          (id + 900000000L, t) }
+        val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq
+        val r = timed(slices.map(_.length.toLong)) { b =>
+          graft.streaming.StreamingAcceptIngest.applyBatch(
+            spark.createDataFrame(slices(b)).toDF("doc_id", "text"),
+            b.toLong, "doc_id", "text", out)
+        }
+        try {
+          val corpusPath = graft.streaming.StreamingAcceptIngest
+            .acceptedCorpusPath(out)
+          val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
+            graft.sources.ArtifactStore.pathKey(corpusPath) +
+              "_accept_doc_id_text")
+          Seq(art, base).foreach { d =>
+            if (java.nio.file.Files.exists(d)) {
+              val s = java.nio.file.Files.walk(d)
+              try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.delete(f))
+              finally s.close()
+            }
+          }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"bench accept cleanup: $e") }
+        r
+      } catch { case NonFatal(_) => (-1L, Seq.empty[Double]) }
+    }
+
     // ingest-tick latency ACROSS FOLD BOUNDARIES: a two-piece screen
     // store advanced 12 ticks with compactEvery = 4, so three
     // auto-folds land inside the loop. The r11 detached-compaction
@@ -330,6 +377,7 @@ object Bench {
       s""""lsh_docs_per_s":$lsh,"lsh_batch_p50_s":${ms3(pct(lshWalls, 0.5))},"lsh_batch_p95_s":${ms3(pct(lshWalls, 0.95))},""" +
       s""""ingest_docs_per_s":$ingest,"ingest_batch_p50_s":${ms3(pct(ingestWalls, 0.5))},"ingest_batch_p95_s":${ms3(pct(ingestWalls, 0.95))},""" +
       s""""vec_ingest_per_s":$vec,"vec_batch_p50_s":${ms3(pct(vecWalls, 0.5))},"vec_batch_p95_s":${ms3(pct(vecWalls, 0.95))},""" +
+      s""""accept_docs_per_s":$accept,"accept_batch_p50_s":${ms3(pct(acceptWalls, 0.5))},"accept_batch_p95_s":${ms3(pct(acceptWalls, 0.95))},""" +
       s""""tick_p50_s":${ms3(pct(tickWalls, 0.5))},"tick_p95_s":${ms3(pct(tickWalls, 0.95))},"tick_max_s":${ms3(if (tickWalls.isEmpty) -1.0 else tickWalls.last)},""" + {
         // the maintenance plane the tick latencies deliberately exclude
         // (folds are detached): completions, failures, durations and the
