@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
-import graft.dedup.BloomDedup
 import graft.functions.TextFunctions
 import graft.sources.{CorpusLanding, IncrementalDocArtifact}
 import graft.sources.IncrementalDocArtifact.Piece
@@ -16,18 +16,35 @@ import graft.sources.IncrementalDocArtifact.Piece
   * ACCEPTED (not just a watermarked window — [[StreamingPipeline]]'s
   * `dropDuplicatesWithinWatermark` bounds state by forgetting; a
   * corpus builder cannot forget), and the survivors LAND as corpus
-  * generations ([[CorpusLanding]]) of the accepted corpus itself. The
-  * stored digest screen the next batch reads is a derived artifact of
-  * that same corpus, advanced O(batch) per landing — so the loop's
-  * only growing cost is the Bloom build over the compact stored
-  * fingerprints (one map-side-combinable aggregate; 16-byte rows),
-  * never a rescan or reshuffle of the corpus text.
+  * generations ([[CorpusLanding]]) of the accepted corpus itself.
+  *
+  * THE SCREEN IS CORPUS-SIZE-FREE. Exact global dedup needs the full
+  * seen set somewhere, but the per-batch TICK must not re-read it —
+  * at 100 TB an O(accepted) scan per micro-batch is the whole budget.
+  * Two stored pieces of the accepted corpus make the tick O(batch):
+  *
+  *  - `bloomparts`: ONE mergeable Bloom binary per landed generation
+  *    (Spark's own `BloomFilterAggregate` bytes — merge-compatible
+  *    because every partial is sized identically from
+  *    `expectedItems`, which is baked into the artifact key). The
+  *    tick reads ≤ compactEvery+1 small binary rows, merges them
+  *    driver-side, and probes the batch with `might_contain` — no
+  *    scan of the digest table at all. The fold collapses partials
+  *    into one binary (bit-OR, associative — chunking-invariant by
+  *    construction).
+  *  - `digests` (doc id, fp, _ib), fold-clustered BY FINGERPRINT:
+  *    only the Bloom's maybe-hits (true duplicates + ~fpp of the
+  *    uniques) pay the exact residue anti-join, and their fps go in
+  *    as a capped In predicate — row-group pruning on the
+  *    fp-clustered layout instead of a full-table join build. Past
+  *    the cap the residue degrades to the plain anti-join (the
+  *    engine's capped-gate discipline).
   *
   * Per batch: (1) in-batch first-wins dedup (min id per fingerprint
   * — the [[graft.dedup.ExactDedup]] convention, deterministic under
-  * replay); (2) Bloom-prefiltered exact screen against the stored
-  * digests of STRICTLY EARLIER batches; (3) survivors land with
-  * their fingerprint and an `_ib` (ingest-batch) column.
+  * replay); (2) Bloom probe + capped exact residue against the
+  * stored digests of STRICTLY EARLIER batches; (3) survivors land
+  * with their fingerprint and an `_ib` (ingest-batch) column.
   *
   * THE `_ib` ANCHOR is what makes replay exact. A crash mid-landing
   * can leave a prefix of batch k's files, and a concurrent serve may
@@ -35,9 +52,12 @@ import graft.sources.IncrementalDocArtifact.Piece
   * replay would see its own survivors as "already accepted", screen
   * them out, and land a DIFFERENT survivor set under the same
   * deterministic names (silent corruption: the parts guard only
-  * protects same-content replays). Screening against `_ib < k`
-  * excludes the batch's own partial landing, so the replay computes
-  * the IDENTICAL survivor set and lands exactly the missing files.
+  * protects same-content replays). The EXACT side screens against
+  * `_ib < k`, excluding the batch's own partial landing, so the
+  * replay computes the IDENTICAL survivor set and lands exactly the
+  * missing files. (The Bloom may contain the partial landing's fps —
+  * bits cannot be subtracted — but a Bloom hit only routes a row to
+  * the exact residue, which the anchor keeps correct.)
   *
   * At-least-once in, exactly-once accepted corpus out; every store
   * keyed by the accepted-corpus path (co-occurrence, TF-IDF, bands,
@@ -45,28 +65,78 @@ import graft.sources.IncrementalDocArtifact.Piece
   */
 object StreamingAcceptIngest {
 
+  /** Residue fps above this collect cap fall back to the full
+    * anti-join (overridable for specs via
+    * `graft.accept.residueCap`).
+    */
+  private def residueCap: Int =
+    sys.props.get("graft.accept.residueCap")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(100000)
+
   private def corpusDir(outDir: String): String = s"$outDir/corpus"
 
-  /** Stored (doc id, fp, _ib) digests of the accepted corpus — the
-    * loop's own screen artifact. Column names are whatever the
-    * caller ingests with; the artifact key carries them.
+  /** Standard optimal bit count for n items at fpp p. */
+  private def bloomBits(n: Long, p: Double = 0.01): Long =
+    math.max(64L, math.ceil(
+      -n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong)
+
+  private def bloomAggCol(fp: org.apache.spark.sql.Column,
+      expectedItems: Long) =
+    call_function("graft_bloom_agg", xxhash64(fp),
+      lit(expectedItems), lit(bloomBits(expectedItems)))
+
+  /** Driver-side bit-OR of same-sized Bloom binaries. */
+  private def mergeBlooms(parts: Seq[Array[Byte]]): Option[Array[Byte]] =
+    parts.filter(_ != null) match {
+      case Seq() => None
+      case head +: tail =>
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(head))
+        tail.foreach { b =>
+          f.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b)))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        Some(bos.toByteArray)
+    }
+
+  /** Stored screen artifact of the accepted corpus: (id, fp, _ib)
+    * digests fold-clustered by fp, plus one mergeable Bloom binary
+    * per generation. `expectedItems` is part of the key — partials
+    * merge only at identical sizing, so changing it keys a fresh
+    * build instead of corrupting the merge.
     */
   private def digestHandle(corpusPath: String, idCol: String,
-      textCol: String) =
-    IncrementalDocArtifact(corpusPath, s"accept_${idCol}_$textCol", Seq(
+      textCol: String, expectedItems: Long) =
+    IncrementalDocArtifact(corpusPath,
+      s"accept_${idCol}_${textCol}_e$expectedItems", Seq(
       Piece("digests", (docs, _) =>
         docs.select(col(idCol), col("fp"), col("_ib")),
-        // cluster by fp: the residue anti-join and any exact lookup
-        // probe by fingerprint; _ib rides along for the replay anchor
+        // cluster by fp: the capped-In residue probe prunes row groups
         fold = Some(_.repartition(col("fp"))
-          .sortWithinPartitions("fp", "_ib")))))
+          .sortWithinPartitions("fp", "_ib"))),
+      Piece("bloomparts", (docs, _) => {
+        graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+        docs.agg(bloomAggCol(col("fp"), expectedItems).as("bf"))
+      },
+        fold = Some { df =>
+          import scala.jdk.CollectionConverters._
+          val merged = mergeBlooms(
+            df.collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
+          df.sparkSession.createDataFrame(
+            merged.toSeq.map(Row(_)).asJava,
+            StructType(Seq(StructField("bf", BinaryType))))
+        })))
 
   /** Accept one batch: in-batch dedup, screen vs earlier batches,
-    * land survivors, advance the digest artifact. The manual /
+    * land survivors, advance the screen artifact. The manual /
     * backfill door, and the micro-batch body of [[start]].
     *
     * @param expectedItems Bloom sizing for the seen side — the
     *   accepted-corpus cardinality this loop is provisioned for
+    *   (part of the artifact key; change = fresh screen build)
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, outDir: String, parts: Int = 1,
@@ -76,6 +146,7 @@ object StreamingAcceptIngest {
       "the ingested frame must not carry 'fp' or '_ib' columns — the " +
         "accept loop owns them (they land with the rows)")
     val spark = batch.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(spark)
     val corpus = corpusDir(outDir)
     CorpusLanding.requireLocal(outDir)
     val withFp = batch.withColumn("fp",
@@ -85,16 +156,38 @@ object StreamingAcceptIngest {
     val w = Window.partitionBy("fp").orderBy(col(idCol))
     val inBatch = withFp.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
+      .localCheckpoint() // bloom probe + residue both read it
     val fresh =
       if (CorpusLanding.hasData(corpus)) {
+        val h = digestHandle(corpus, idCol, textCol, expectedItems)
+        val bloom = mergeBlooms(h.serve(spark, "bloomparts")
+          .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
+        // a null/absent filter must claim "maybe" (exactness first)
+        val might = bloom match {
+          case Some(bytes) => coalesce(
+            call_function("graft_might_contain", lit(bytes),
+              xxhash64(col("fp"))), lit(true))
+          case None => lit(true)
+        }
+        val definitelyNew = inBatch.filter(!might)
+        val maybe = inBatch.filter(might)
         // the replay anchor: strictly-earlier batches only (class doc)
-        val seen = digestHandle(corpus, idCol, textCol)
-          .serve(spark, "digests")
-          .where(col("_ib") < batchId).select("fp")
-        BloomDedup.newRows(inBatch, seen, "fp", expectedItems)
+        val seen = h.serve(spark, "digests")
+          .where(col("_ib") < batchId)
+        val cap = residueCap
+        val fps = maybe.select("fp").distinct()
+          .limit(cap + 1).collect().map(_.getString(0))
+        val seenSide =
+          (if (fps.length <= cap)
+            // capped-In probe: row-group pruning on the fp-clustered
+            // fold layout — the residue never pays a full join build
+            seen.where(col("fp").isInCollection(fps.toSeq))
+          else seen).select("fp").distinct()
+        definitelyNew.unionByName(
+          maybe.join(seenSide, Seq("fp"), "left_anti"))
       } else inBatch
     // pinned: the emptiness check and the landing must read ONE
-    // evaluation of the screen (not re-run the bloom + residue join)
+    // evaluation of the screen (not re-run the probe + residue join)
     val survivors = fresh.withColumn("_ib", lit(batchId))
       .localCheckpoint()
     // survivors can be empty (an all-duplicate batch): nothing lands,
@@ -103,8 +196,9 @@ object StreamingAcceptIngest {
     if (!survivors.isEmpty) {
       CorpusLanding.land(survivors, batchId, corpus, hashCol = "fp",
         parts = parts)
-      // tick: advance the digest artifact over the landed generation
-      digestHandle(corpus, idCol, textCol).serve(spark, "digests")
+      // tick: advance the screen artifact over the landed generation
+      digestHandle(corpus, idCol, textCol, expectedItems)
+        .serve(spark, "digests")
       ()
     }
   }
@@ -134,6 +228,18 @@ object StreamingAcceptIngest {
     spark.read.parquet(corpus)
   }
 
+  /** The accepted corpus AS OF ingest batch `batchId` — the
+    * reproducible-training-data read ("which documents had been
+    * accepted when shard build k ran"). Free and exact: landings are
+    * append-only and every row carries its `_ib`, so the as-of view
+    * is one pushed-down filter — no snapshot machinery needed (the
+    * screen ARTIFACT's versions travel through the store's own
+    * `serveVersion` door).
+    */
+  def acceptedAsOf(spark: SparkSession, outDir: String,
+      batchId: Long): DataFrame =
+    accepted(spark, outDir).where(col("_ib") <= batchId)
+
   /** The corpus directory path of this loop's accepted set — the
     * address to hand other corpus-keyed stores.
     */
@@ -141,12 +247,13 @@ object StreamingAcceptIngest {
 
   /** Stored digest view (id, fp, _ib) — the screen artifact. */
   def digests(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String): DataFrame =
-    digestHandle(corpusDir(outDir), idCol, textCol)
+      textCol: String, expectedItems: Long = 4000000L): DataFrame =
+    digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .serve(spark, "digests")
 
-  /** Fold the digest artifact now (also runs on the store cadence). */
+  /** Fold the screen artifact now (also runs on the store cadence). */
   def compact(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String): Unit =
-    digestHandle(corpusDir(outDir), idCol, textCol).compact(spark)
+      textCol: String, expectedItems: Long = 4000000L): Unit =
+    digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .compact(spark)
 }

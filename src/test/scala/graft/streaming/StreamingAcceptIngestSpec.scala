@@ -49,6 +49,10 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     StreamingAcceptIngest.digests(spark, out, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
       Set(1L, 2L, 8L)
+    // reproducibility: the corpus as of batch 0 is batch 0's survivors
+    StreamingAcceptIngest.acceptedAsOf(spark, out, 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
   }
 
   test("the _ib anchor: a crash mid-landing absorbed by the screen does not change the replay's survivor set") {
@@ -79,6 +83,42 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     val fps = StreamingAcceptIngest.accepted(spark, out)
       .select("fp").collect().map(_.getString(0)).toSeq
     fps.distinct.size shouldBe fps.size
+  }
+
+  test("the screen stays exact across a bloomparts fold, and with the residue cap forced to the fallback") {
+    val out = Files.createTempDirectory("graft-accept-bloom").toString
+    StreamingAcceptIngest.applyBatch(
+      (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", out)
+    StreamingAcceptIngest.applyBatch(
+      (40L to 90L).map(i => (i + 1000L, s"text $i")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", out) // 40..50 are dups by text
+    // fold: the per-generation bloom partials merge into one binary
+    StreamingAcceptIngest.compact(spark, out, "doc_id", "text")
+    // post-fold batch: dups against BOTH folded generations must drop
+    StreamingAcceptIngest.applyBatch(
+      (80L to 120L).map(i => (i + 2000L, s"text $i")).toDF("doc_id", "text"),
+      2L, "doc_id", "text", out) // 80..90 dup
+    val texts = StreamingAcceptIngest.accepted(spark, out)
+      .select("text").collect().map(_.getString(0)).toSeq
+    texts.distinct.size shouldBe texts.size
+    texts.toSet shouldBe (1L to 120L).map(i => s"text $i").toSet
+
+    // forced-tiny residue cap: the capped-In probe degrades to the
+    // full anti-join — identical accepted set on the same sequence
+    System.setProperty("graft.accept.residueCap", "1")
+    try {
+      val out2 = Files.createTempDirectory("graft-accept-cap").toString
+      Seq((0L, 1L to 50L), (1L, 40L to 90L), (2L, 80L to 120L))
+        .foreach { case (b, range) =>
+          StreamingAcceptIngest.applyBatch(
+            range.map(i => (i + b * 1000L, s"text $i")).toDF("doc_id", "text"),
+            b, "doc_id", "text", out2)
+        }
+      StreamingAcceptIngest.accepted(spark, out2)
+        .select("text").collect().map(_.getString(0)).toSet shouldBe
+        (1L to 120L).map(i => s"text $i").toSet
+    } finally System.clearProperty("graft.accept.residueCap")
   }
 
   test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {

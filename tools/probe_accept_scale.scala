@@ -1,0 +1,71 @@
+// S9.35 input: the accept-ingest loop's per-batch cost as the
+// ACCEPTED CORPUS grows. Exact global dedup needs the full seen set,
+// but the per-batch tick must not re-read it: the screen is a stored
+// mergeable Bloom (<= compactEvery+1 small binary rows per tick,
+// merged driver-side) plus a capped-In exact residue on the
+// fp-clustered digest fold. Per-batch cost must be FLAT in accepted
+// size; the naive form (rebuild the bloom from the digest table +
+// full anti-join build per batch) is O(accepted) per tick by
+// construction. Run:
+//   /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --driver-class-path /root/repo/target/scala-2.13/classes \
+//     --driver-memory 16g -i tools/probe_accept_scale.scala
+import java.io.{PrintWriter, FileWriter}
+import org.apache.spark.sql.functions._
+
+val plog = new PrintWriter(new FileWriter("/root/repo/target/probe_accept_scale.plog", true), true)
+plog.println("=== accept-loop scale probe " + java.time.Instant.now)
+spark.conf.set("spark.sql.shuffle.partitions", 32)
+
+val out = "/tmp/accept_scale_probe"
+new java.lang.ProcessBuilder("rm", "-rf", out).start().waitFor()
+
+// 60 batches x 8k offered docs: 75% globally-new texts, 25% re-offers
+// of texts from EARLIER batches (uniform over the whole accepted
+// history, so the residue join's seen-side pruning is what's probed,
+// not a lucky recent-only pattern). Accepted corpus grows ~60x.
+val nBatches = 60
+val perBatch = 8000
+val newPer = perBatch * 3 / 4
+
+// dup texts must reproduce an EARLIER batch's exact text, so they
+// are sampled from the accepted corpus itself (deterministic
+// hash-order sample, uniform over the whole history -- probing the
+// residue's seen-side pruning, not a lucky recent-only pattern).
+def dupsFrom(b: Int) = {
+  val n = perBatch - newPer
+  graft.streaming.StreamingAcceptIngest.accepted(spark, out)
+    .select(col("text"), col("fp"))
+    .orderBy(pmod(hash(col("fp"), lit(b)), lit(1000000)), col("fp"))
+    .limit(n)
+    .withColumn("doc_id", monotonically_increasing_id()
+      + b.toLong * perBatch + 600000000L)
+    .select("doc_id", "text")
+}
+
+val walls = new Array[Double](nBatches)
+for (b <- 0 until nBatches) {
+  val fresh = spark.range(newPer).select(
+    (col("id") + b.toLong * newPer + 1000000L).as("doc_id"),
+    concat(lit("doc "), col("id") + b.toLong * newPer, lit(" body "),
+      pmod(hash(col("id") + b * 7919), lit(1000))).as("text"))
+  val df = (if (b == 0) fresh
+    else fresh.unionByName(dupsFrom(b))).localCheckpoint()
+  val t0 = System.nanoTime
+  graft.streaming.StreamingAcceptIngest.applyBatch(
+    df, b.toLong, "doc_id", "text", out, expectedItems = 1000000L)
+  walls(b) = (System.nanoTime - t0) / 1e9
+}
+for (d <- 0 until nBatches / 10) {
+  val w = walls.slice(d * 10, d * 10 + 10)
+  plog.println(f"decade $d batches ${d*10}-${d*10+9}: mean=${w.sum / w.length}%.2f s max=${w.max}%.2f s")
+}
+plog.println(f"batch0 (bootstrap)=${walls(0)}%.2f s; batch1=${walls(1)}%.2f s")
+val acc = graft.streaming.StreamingAcceptIngest.accepted(spark, out)
+val nAcc = acc.count()
+val nDistinct = acc.select("fp").distinct().count()
+plog.println(s"accepted=$nAcc distinct_fp=$nDistinct (must be equal)")
+plog.println("maint: " + graft.sources.IncrementalDocArtifact.Maintenance.snapshot)
+plog.println("=== done")
+plog.close()
+System.exit(0)
