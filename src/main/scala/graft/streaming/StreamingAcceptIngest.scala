@@ -215,6 +215,206 @@ object StreamingAcceptIngest {
       }
       .start()
 
+  // -----------------------------------------------------------------
+  // NEAR-DUP accept mode: exact screen + MinHash near-dup screen
+  // against everything previously accepted. Its own artifact family
+  // (`acceptnear_…`) — an exact-only sink never pays band/signature
+  // maintenance; one mode per outDir.
+  // -----------------------------------------------------------------
+
+  /** Screen artifact for the near mode: the exact pieces (digests +
+    * bloomparts) PLUS per-doc MinHash signatures (id-clustered — the
+    * verification lookup pushes a capped In) and the banded LSH index
+    * ((band, bucket)-clustered — the probe pushes the batch's bucket
+    * set). All additive: bands/signatures derive per doc from the
+    * landed text.
+    */
+  private def nearHandle(corpusPath: String, idCol: String,
+      textCol: String, expectedItems: Long) = {
+    val norm = TextFunctions.normalize(col(textCol))
+    val sigArr = array((0 until graft.dedup.MinHashLSH.defaultK)
+      .map(i => col(s"h$i")): _*)
+    IncrementalDocArtifact(corpusPath,
+      s"acceptnear_${idCol}_${textCol}_e$expectedItems", Seq(
+      Piece("digests", (docs, _) =>
+        docs.select(col(idCol), col("fp"), col("_ib")),
+        fold = Some(_.repartition(col("fp"))
+          .sortWithinPartitions("fp", "_ib"))),
+      Piece("bloomparts", (docs, _) => {
+        graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+        docs.agg(bloomAggCol(col("fp"), expectedItems).as("bf"))
+      },
+        fold = Some { df =>
+          import scala.jdk.CollectionConverters._
+          val merged = mergeBlooms(
+            df.collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
+          df.sparkSession.createDataFrame(
+            merged.toSeq.map(Row(_)).asJava,
+            StructType(Seq(StructField("bf", BinaryType))))
+        }),
+      Piece("sigs", (docs, _) =>
+        graft.dedup.MinHashLSH.signatureTable(docs, idCol, norm)
+          .select(col(idCol), sigArr.as("sig"))
+          .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
+        fold = Some(df => df.repartition(col(idCol))
+          .sortWithinPartitions(idCol))),
+      Piece("bands", (docs, _) =>
+        graft.dedup.MinHashLSH.bandedIndex(docs, idCol, norm)
+          .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
+        fold = Some(df => df.repartition(col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket")))))
+  }
+
+  /** [[applyBatch]] with a SECOND screen: a doc is rejected if its
+    * ESTIMATED Jaccard (matching MinHash components / k — the
+    * standard MinHash estimator; k = [[graft.dedup.MinHashLSH.defaultK]])
+    * against ANY previously-accepted doc, or any surviving smaller-id
+    * doc of its own batch, reaches `threshold`. Candidates come from
+    * the stored banded index (probe pushes the batch's bucket set as
+    * a capped In on the (band, bucket)-clustered fold; verification
+    * pushes candidate ids on the id-clustered signature fold — the
+    * tick never scans the stored index). `maxIndexPerBucket` is the
+    * candidate-volume knob ([[StreamingLshDedup]]'s): hot buckets
+    * keep their earliest witnesses, so a genuinely-new doc colliding
+    * with a crowd still verifies against the crowd's representatives;
+    * a near-dup whose only similar witness was capped out can slip
+    * through (documented trade, raise the cap for exactness).
+    *
+    * Replay discipline is [[applyBatch]]'s: the exact residue AND the
+    * near-dup screen anchor on `_ib < batchId`, so a crashed
+    * attempt's own partial landing never changes the replay's
+    * survivor set; in-batch near-dups resolve deterministically
+    * (a doc drops iff it estimates ≥ threshold against a SMALLER-id
+    * surviving-exact doc of the batch — id order, not arrival order).
+    */
+  def applyBatchNear(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, outDir: String, threshold: Double,
+      parts: Int = 1, expectedItems: Long = 4000000L,
+      maxIndexPerBucket: Int = 64): Unit = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    if (batch.isEmpty) return
+    require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
+      "the ingested frame must not carry 'fp' or '_ib' columns — the " +
+        "accept loop owns them (they land with the rows)")
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val corpus = corpusDir(outDir)
+    CorpusLanding.requireLocal(outDir)
+    val h = nearHandle(corpus, idCol, textCol, expectedItems)
+    val withFp = batch.withColumn("fp",
+      TextFunctions.fingerprint(TextFunctions.normalize(col(textCol))))
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    val inBatch = withFp.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
+    val hasPrior = CorpusLanding.hasData(corpus)
+    // ---- exact screen (identical to applyBatch, same artifact) ----
+    val exactFresh =
+      if (hasPrior) {
+        val bloom = mergeBlooms(h.serve(spark, "bloomparts")
+          .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
+        val might = bloom match {
+          case Some(bytes) => coalesce(
+            call_function("graft_might_contain", lit(bytes),
+              xxhash64(col("fp"))), lit(true))
+          case None => lit(true)
+        }
+        val definitelyNew = inBatch.filter(!might)
+        val maybe = inBatch.filter(might)
+        val seen = h.serve(spark, "digests").where(col("_ib") < batchId)
+        val cap = residueCap
+        val fps = maybe.select("fp").distinct()
+          .limit(cap + 1).collect().map(_.getString(0))
+        val seenSide =
+          (if (fps.length <= cap)
+            seen.where(col("fp").isInCollection(fps.toSeq))
+          else seen).select("fp").distinct()
+        definitelyNew.unionByName(
+          maybe.join(seenSide, Seq("fp"), "left_anti"))
+      } else inBatch
+    // ---- near screen over the exact survivors ----
+    val norm = TextFunctions.normalize(col(textCol))
+    val k = graft.dedup.MinHashLSH.defaultK
+    val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
+    val batchSigs = graft.dedup.MinHashLSH
+      .signatureTable(exactFresh, idCol, norm)
+      .select(col(idCol), sigArr.as("sig"))
+      .localCheckpoint()
+    val batchBands = batchSigs.select(col(idCol),
+      posexplode(graft.dedup.MinHashLSH.bandDigests(col("sig"), k))
+        .as(Seq("band", "bucket")))
+      .localCheckpoint()
+    def estimate(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble)
+    // vs the ACCEPTED index (anchored): capped bucket-set probe, then
+    // capped id lookup on the signature fold, then the estimator
+    val dupVsAccepted: DataFrame =
+      if (hasPrior) {
+        val buckets = batchBands.select("bucket").distinct()
+          .limit(residueCap + 1).collect().map(_.getString(0))
+        val storedBands0 = h.serve(spark, "bands")
+          .where(col("_ib") < batchId)
+        val storedBands =
+          if (buckets.length <= residueCap)
+            storedBands0.where(col("bucket").isInCollection(buckets.toSeq))
+          else storedBands0
+        val cands = graft.dedup.MinHashLSH.probeCandidatesBanded(
+          storedBands.select(col(idCol), col("band"), col("bucket")),
+          batchBands, idCol, maxIndexPerBucket)
+          .localCheckpoint()
+        val candIds = cands.select("id_index").distinct()
+          .limit(residueCap + 1).collect().map(_.get(0))
+        val sigs0 = h.serve(spark, "sigs").where(col("_ib") < batchId)
+        val storedSigs =
+          (if (candIds.length <= residueCap)
+            sigs0.where(col(idCol).isInCollection(candIds.toSeq))
+          else sigs0).select(col(idCol).as("id_index"),
+            col("sig").as("sig_a"))
+        cands.join(storedSigs, "id_index")
+          .join(batchSigs.select(col(idCol).as("id_probe"),
+            col("sig").as("sig_b")), "id_probe")
+          .where(estimate(col("sig_a"), col("sig_b")) >= threshold)
+          .select(col("id_probe").as(idCol)).distinct()
+      } else exactFresh.limit(0).select(col(idCol))
+    // vs SMALLER-ID batch peers (deterministic in-batch resolution)
+    val peerPairs = graft.dedup.PairGen.pairsWithin(
+        batchBands.select(col("band"), col("bucket"), col(idCol)),
+        Seq("band", "bucket"), col(idCol))
+      .select(col("a"), col("b")).distinct()
+    val dupVsPeers = peerPairs
+      .join(batchSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
+      .join(batchSigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      .where(estimate(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("b").as(idCol)).distinct() // b is the larger id
+    val fresh = exactFresh
+      .join(dupVsAccepted.unionByName(dupVsPeers).distinct(),
+        Seq(idCol), "left_anti")
+    val survivors = fresh.withColumn("_ib", lit(batchId))
+      .localCheckpoint()
+    if (!survivors.isEmpty) {
+      CorpusLanding.land(survivors, batchId, corpus, hashCol = "fp",
+        parts = parts)
+      h.serve(spark, "digests")
+      ()
+    }
+  }
+
+  /** [[start]] in near-dup mode. */
+  def startNear(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpoint: String, trigger: Trigger,
+      threshold: Double, expectedItems: Long = 4000000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchNear(batch, batchId, idCol, textCol, outDir,
+          threshold, expectedItems = expectedItems)
+      }
+      .start()
+
   /** The accepted corpus — every surviving document row (original
     * columns + `fp` + `_ib`). This IS a corpus directory: any
     * corpus-keyed store pointed at it maintains itself over the

@@ -121,6 +121,45 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     } finally System.clearProperty("graft.accept.residueCap")
   }
 
+  test("near mode: estimated-Jaccard near-dups of accepted docs and of smaller-id batch peers are rejected") {
+    val out = Files.createTempDirectory("graft-accept-near").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away across the wide green field toward the river "
+    val t = base * 3
+    val tNear = (base * 3).replace("lazy", "hazy") // tiny edit
+    val tOther = "completely different content about spark physical " +
+      "plans and shuffle exchanges nothing shared with the fox text " * 3
+    val tPeer = "a third unrelated passage describing parquet row " +
+      "groups bloom filters and column statistics in great detail " * 3
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((1L, t)).toDF("doc_id", "text"), 0L, "doc_id", "text", out,
+      threshold = 0.7)
+    // batch 1: exact dup (4), near dup of accepted (2), genuinely new
+    // (3), and an in-batch near pair on a THIRD text (5 survives,
+    // 6 drops — larger id)
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((4L, t), (2L, tNear), (3L, tOther),
+        (5L, tPeer), (6L, tPeer.replace("great", "grand")))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", out, threshold = 0.7)
+    val ids = StreamingAcceptIngest.accepted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    ids should contain(1L)
+    ids should contain(3L)
+    (ids should not).contain(4L) // exact dup
+    (ids should not).contain(2L) // near dup of accepted
+    ids should contain(5L)
+    (ids should not).contain(6L) // near dup of smaller-id peer
+    // replay of batch 1 is a no-op (same screens, same survivor set)
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((4L, t), (2L, tNear), (3L, tOther),
+        (5L, tPeer), (6L, tPeer.replace("great", "grand")))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", out, threshold = 0.7)
+    StreamingAcceptIngest.accepted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ids
+  }
+
   test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {
     val out = Files.createTempDirectory("graft-accept-cooc").toString
     // docs whose (doc_id % 3) plays the "group": land docs, then ask
