@@ -293,7 +293,7 @@ object Bench {
             .acceptedCorpusPath(out)
           val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
             graft.sources.ArtifactStore.pathKey(corpusPath) +
-              "_accept_doc_id_text")
+              "_accept_doc_id_text_e4000000")
           Seq(art, base).foreach { d =>
             if (java.nio.file.Files.exists(d)) {
               val s = java.nio.file.Files.walk(d)

@@ -45,7 +45,7 @@ object BloomDedup {
   /** optimal bit count for n items at false-positive rate p (the
     * standard -n·ln p / ln²2 formula the sketch library itself uses).
     */
-  private def optimalNumBits(n: Long, p: Double): Long =
+  private[graft] def optimalNumBits(n: Long, p: Double): Long =
     math.max(64L, math.ceil(-n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong)
 
   /** Rows of `batch` whose `fpCol` value does not occur in

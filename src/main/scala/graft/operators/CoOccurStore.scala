@@ -85,10 +85,11 @@ object CoOccurStore {
     * which regime they are in (probe_graph_state_inc records it).
     */
   object AdvanceStats {
-    // keyed per artifact (corpus path): interleaved advances of two
-    // stores — a streaming sink ticking next to a batch advance —
-    // must not overwrite each other's reading, or the regime decision
-    // the gauge exists for is made on the wrong store's number
+    // keyed per artifact IDENTITY (corpus path + column pair):
+    // interleaved advances of two stores — even two pairings over the
+    // SAME corpus — must not overwrite each other's reading, or the
+    // regime decision the gauge exists for is made on the wrong
+    // store's number
     private[CoOccurStore] val byArtifact =
       new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     def snapshot: Map[String, Map[String, Long]] = {
@@ -101,12 +102,12 @@ object CoOccurStore {
     def reset(): Unit = byArtifact.clear()
   }
 
-  private def recordPin(corpusPath: String, df: DataFrame): DataFrame = {
+  private def recordPin(statsKey: String, df: DataFrame): DataFrame = {
     // count on a just-checkpointed frame scans its cached blocks —
     // advances are per-corpus-append rare, so the extra action is
     // observability-priced, not serve-path-priced
     val n = df.count()
-    AdvanceStats.byArtifact.compute(corpusPath,
+    AdvanceStats.byArtifact.compute(statsKey,
       (_, prev) => (n, (if (prev == null) 0L else prev._2) + 1L))
     df
   }
@@ -212,6 +213,9 @@ object CoOccurStore {
   }
 
   private def handle(corpusPath: String, groupCol: String, itemCol: String) = {
+    // gauge key = the artifact identity (corpus AND column pair): two
+    // stores over the same corpus must not overwrite each other
+    val statsKey = s"${corpusPath}#cooc_${groupCol}_$itemCol"
     def gi(docs: DataFrame): DataFrame =
       docs.select(col(groupCol).as("g"), col(itemCol).as("i"))
 
@@ -262,7 +266,7 @@ object CoOccurStore {
           if (ctx.isRebuild)
             // the freshly-rebuilt base is key-unique (pairCounts
             // aggregates) — a plain cut, no re-aggregation
-            recordPin(corpusPath,
+            recordPin(statsKey,
               stored.where(col("n") >= GraphMinCount).localCheckpoint())
           else if (ctx.storedBaseOnly("pairparts")) {
             // post-fold steady state: the base is key-unique, so the
@@ -274,7 +278,7 @@ object CoOccurStore {
             val dp = pairDelta(ctx)
             val collected = dp.limit(edgeCap + 1).collect()
             if (collected.length > edgeCap)
-              recordPin(corpusPath, sumPairs(stored.unionByName(dp))
+              recordPin(statsKey, sumPairs(stored.unionByName(dp))
                 .where(col("n") >= GraphMinCount).localCheckpoint())
             else {
               // dp keys already present in the base merge via a
@@ -295,7 +299,7 @@ object CoOccurStore {
                 matched((r.get(0), r.get(1))))
               val dpOnlyDF = ctx.spark.createDataFrame(
                 dpOnly.toSeq.asJava, dp.schema)
-              recordPin(corpusPath, stored
+              recordPin(statsKey, stored
                 .join(broadcast(dp.withColumnRenamed("n", "dn")),
                   Seq("a", "b"), "left")
                 .select(col("a"), col("b"),
@@ -305,7 +309,7 @@ object CoOccurStore {
                 .localCheckpoint())
             }
           } else
-            recordPin(corpusPath, sumPairs(stored.unionByName(pairDelta(ctx)))
+            recordPin(statsKey, sumPairs(stored.unionByName(pairDelta(ctx)))
               .where(col("n") >= GraphMinCount).localCheckpoint())
         edgesCache = Some((ctx, df))
         df

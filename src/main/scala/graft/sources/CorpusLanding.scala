@@ -112,6 +112,16 @@ object CorpusLanding {
     val foreign = landedOfBatch.filterNot(_.endsWith(s"of$parts.parquet"))
     if (foreign.nonEmpty) {
       deleteTree(staging)
+      // a landed name with no "of<parts>" suffix at all predates this
+      // protocol — no parts value can ever match it, so "retry with
+      // the original parts" would be impossible advice
+      val preOf = foreign.filterNot(_.contains("of"))
+      if (preOf.nonEmpty) throw new IllegalStateException(
+        s"batch $batchId has landed files from a pre-parts-naming " +
+          s"landing (${preOf.mkString(", ")}) — this corpus was " +
+          "written by an older landing protocol; re-land its batches " +
+          "into a fresh corpus directory (no parts value can match " +
+          "the old names)")
       throw new IllegalStateException(
         s"batch $batchId was previously landed with a DIFFERENT " +
           s"parts split (existing ${foreign.mkString(", ")} vs this " +

@@ -76,15 +76,43 @@ object StreamingAcceptIngest {
 
   private def corpusDir(outDir: String): String = s"$outDir/corpus"
 
-  /** Standard optimal bit count for n items at fpp p. */
-  private def bloomBits(n: Long, p: Double = 0.01): Long =
-    math.max(64L, math.ceil(
-      -n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong)
+  private def bloomBits(n: Long): Long =
+    graft.dedup.BloomDedup.optimalNumBits(n, 0.01)
+
+  /** BloomFilterAggregate SILENTLY clamps to the runtime-bloom-filter
+    * confs — a clamped screen filter degrades fpp toward 1 and every
+    * tick falls back to the O(accepted) exact join the design exists
+    * to avoid, while the `_e<n>` artifact key claims the provisioning
+    * took effect. Refuse loudly instead.
+    */
+  private def requireBloomCapacity(spark: SparkSession,
+      expectedItems: Long): Unit = {
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && bloomBits(expectedItems) <= maxBits,
+      s"expectedItems=$expectedItems needs ${bloomBits(expectedItems)} " +
+        s"bloom bits, past the runtime-bloom-filter caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits) — Spark would " +
+        "clamp the filter SILENTLY and the screen would degrade to " +
+        "O(accepted) per tick; raise the two confs to provision this " +
+        "loop, or lower expectedItems")
+  }
 
   private def bloomAggCol(fp: org.apache.spark.sql.Column,
       expectedItems: Long) =
     call_function("graft_bloom_agg", xxhash64(fp),
       lit(expectedItems), lit(bloomBits(expectedItems)))
+
+  /** Content fingerprint with NULL-TEXT discipline: a null text
+    * fingerprints as the empty document (one such doc is ever
+    * accepted) — a null fp would silently escape every anti-join and
+    * land one null doc per batch forever.
+    */
+  private def fpCol(textCol: String) =
+    TextFunctions.fingerprint(
+      coalesce(TextFunctions.normalize(col(textCol)), lit("")))
 
   /** Driver-side bit-OR of same-sized Bloom binaries. */
   private def mergeBlooms(parts: Seq[Array[Byte]]): Option[Array[Byte]] =
@@ -102,16 +130,12 @@ object StreamingAcceptIngest {
         Some(bos.toByteArray)
     }
 
-  /** Stored screen artifact of the accepted corpus: (id, fp, _ib)
-    * digests fold-clustered by fp, plus one mergeable Bloom binary
-    * per generation. `expectedItems` is part of the key — partials
-    * merge only at identical sizing, so changing it keys a fresh
-    * build instead of corrupting the merge.
+  /** The exact-screen pieces, shared by both artifact families:
+    * (id, fp, _ib) digests fold-clustered by fp, plus one mergeable
+    * Bloom binary per generation.
     */
-  private def digestHandle(corpusPath: String, idCol: String,
-      textCol: String, expectedItems: Long) =
-    IncrementalDocArtifact(corpusPath,
-      s"accept_${idCol}_${textCol}_e$expectedItems", Seq(
+  private def exactPieces(idCol: String, expectedItems: Long): Seq[Piece] =
+    Seq(
       Piece("digests", (docs, _) =>
         docs.select(col(idCol), col("fp"), col("_ib")),
         // cluster by fp: the capped-In residue probe prunes row groups
@@ -128,7 +152,70 @@ object StreamingAcceptIngest {
           df.sparkSession.createDataFrame(
             merged.toSeq.map(Row(_)).asJava,
             StructType(Seq(StructField("bf", BinaryType))))
-        })))
+        }))
+
+  /** Stored screen artifact of the accepted corpus (exact mode).
+    * `expectedItems` is part of the key — partials merge only at
+    * identical sizing, so changing it keys a fresh build instead of
+    * corrupting the merge.
+    */
+  private def digestHandle(corpusPath: String, idCol: String,
+      textCol: String, expectedItems: Long) =
+    IncrementalDocArtifact(corpusPath,
+      s"accept_${idCol}_${textCol}_e$expectedItems",
+      exactPieces(idCol, expectedItems))
+
+  /** THE exact screen: rows of `inBatch` (already in-batch-deduped,
+    * fp attached) whose fingerprint no STRICTLY-EARLIER batch
+    * accepted. One implementation for both modes — Bloom probe from
+    * the stored partials, capped-In exact residue on the
+    * fp-clustered digest fold, `_ib < batchId` anchor.
+    */
+  private def exactScreen(h: IncrementalDocArtifact.Handle,
+      spark: SparkSession, inBatch: DataFrame, batchId: Long): DataFrame = {
+    val bloom = mergeBlooms(h.serve(spark, "bloomparts")
+      .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
+    // a null/absent filter must claim "maybe" (exactness first)
+    val might = bloom match {
+      case Some(bytes) => coalesce(
+        call_function("graft_might_contain", lit(bytes),
+          xxhash64(col("fp"))), lit(true))
+      case None => lit(true)
+    }
+    val definitelyNew = inBatch.filter(!might)
+    val maybe = inBatch.filter(might)
+    // the replay anchor: strictly-earlier batches only (class doc)
+    val seen = h.serve(spark, "digests").where(col("_ib") < batchId)
+    val cap = residueCap
+    val fps = maybe.select("fp").distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    val seenSide =
+      (if (fps.length <= cap)
+        // capped-In probe: row-group pruning on the fp-clustered
+        // fold layout — the residue never pays a full join build
+        seen.where(col("fp").isInCollection(fps.toSeq))
+      else seen).select("fp").distinct()
+    definitelyNew.unionByName(
+      maybe.join(seenSide, Seq("fp"), "left_anti"))
+  }
+
+  /** In-batch first-wins dedup (min id per fingerprint — the
+    * [[graft.dedup.ExactDedup]] convention, deterministic under
+    * replay), fp attached; pinned (the screen reads it twice).
+    */
+  private def inBatchDedup(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    batch.withColumn("fp", fpCol(textCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
+  }
+
+  private def requireCleanColumns(batch: DataFrame): Unit =
+    require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
+      "the ingested frame must not carry 'fp' or '_ib' columns — the " +
+        "accept loop owns them (they land with the rows)")
 
   /** Accept one batch: in-batch dedup, screen vs earlier batches,
     * land survivors, advance the screen artifact. The manual /
@@ -142,50 +229,18 @@ object StreamingAcceptIngest {
       textCol: String, outDir: String, parts: Int = 1,
       expectedItems: Long = 4000000L): Unit = {
     if (batch.isEmpty) return
-    require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
-      "the ingested frame must not carry 'fp' or '_ib' columns — the " +
-        "accept loop owns them (they land with the rows)")
+    requireCleanColumns(batch)
     val spark = batch.sparkSession
     graft.plans.GraftFunctions.ensureRegistered(spark)
+    requireBloomCapacity(spark, expectedItems)
     val corpus = corpusDir(outDir)
     CorpusLanding.requireLocal(outDir)
-    val withFp = batch.withColumn("fp",
-      TextFunctions.fingerprint(TextFunctions.normalize(col(textCol))))
-    // in-batch first-wins: min id per fingerprint — deterministic
-    // under replay (no dependence on arrival order inside the batch)
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
-    val inBatch = withFp.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-      .localCheckpoint() // bloom probe + residue both read it
+    val inBatch = inBatchDedup(batch, idCol, textCol)
     val fresh =
-      if (CorpusLanding.hasData(corpus)) {
-        val h = digestHandle(corpus, idCol, textCol, expectedItems)
-        val bloom = mergeBlooms(h.serve(spark, "bloomparts")
-          .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
-        // a null/absent filter must claim "maybe" (exactness first)
-        val might = bloom match {
-          case Some(bytes) => coalesce(
-            call_function("graft_might_contain", lit(bytes),
-              xxhash64(col("fp"))), lit(true))
-          case None => lit(true)
-        }
-        val definitelyNew = inBatch.filter(!might)
-        val maybe = inBatch.filter(might)
-        // the replay anchor: strictly-earlier batches only (class doc)
-        val seen = h.serve(spark, "digests")
-          .where(col("_ib") < batchId)
-        val cap = residueCap
-        val fps = maybe.select("fp").distinct()
-          .limit(cap + 1).collect().map(_.getString(0))
-        val seenSide =
-          (if (fps.length <= cap)
-            // capped-In probe: row-group pruning on the fp-clustered
-            // fold layout — the residue never pays a full join build
-            seen.where(col("fp").isInCollection(fps.toSeq))
-          else seen).select("fp").distinct()
-        definitelyNew.unionByName(
-          maybe.join(seenSide, Seq("fp"), "left_anti"))
-      } else inBatch
+      if (CorpusLanding.hasData(corpus))
+        exactScreen(digestHandle(corpus, idCol, textCol, expectedItems),
+          spark, inBatch, batchId)
+      else inBatch
     // pinned: the emptiness check and the landing must read ONE
     // evaluation of the screen (not re-run the probe + residue join)
     val survivors = fresh.withColumn("_ib", lit(batchId))
@@ -235,23 +290,8 @@ object StreamingAcceptIngest {
     val sigArr = array((0 until graft.dedup.MinHashLSH.defaultK)
       .map(i => col(s"h$i")): _*)
     IncrementalDocArtifact(corpusPath,
-      s"acceptnear_${idCol}_${textCol}_e$expectedItems", Seq(
-      Piece("digests", (docs, _) =>
-        docs.select(col(idCol), col("fp"), col("_ib")),
-        fold = Some(_.repartition(col("fp"))
-          .sortWithinPartitions("fp", "_ib"))),
-      Piece("bloomparts", (docs, _) => {
-        graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-        docs.agg(bloomAggCol(col("fp"), expectedItems).as("bf"))
-      },
-        fold = Some { df =>
-          import scala.jdk.CollectionConverters._
-          val merged = mergeBlooms(
-            df.collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
-          df.sparkSession.createDataFrame(
-            merged.toSeq.map(Row(_)).asJava,
-            StructType(Seq(StructField("bf", BinaryType))))
-        }),
+      s"acceptnear_${idCol}_${textCol}_e$expectedItems",
+      exactPieces(idCol, expectedItems) ++ Seq(
       Piece("sigs", (docs, _) =>
         graft.dedup.MinHashLSH.signatureTable(docs, idCol, norm)
           .select(col(idCol), sigArr.as("sig"))
@@ -294,45 +334,21 @@ object StreamingAcceptIngest {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     if (batch.isEmpty) return
-    require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
-      "the ingested frame must not carry 'fp' or '_ib' columns — the " +
-        "accept loop owns them (they land with the rows)")
+    requireCleanColumns(batch)
     val spark = batch.sparkSession
     graft.plans.GraftFunctions.ensureRegistered(spark)
+    requireBloomCapacity(spark, expectedItems)
     val corpus = corpusDir(outDir)
     CorpusLanding.requireLocal(outDir)
     val h = nearHandle(corpus, idCol, textCol, expectedItems)
-    val withFp = batch.withColumn("fp",
-      TextFunctions.fingerprint(TextFunctions.normalize(col(textCol))))
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
-    val inBatch = withFp.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-      .localCheckpoint()
+    val inBatch = inBatchDedup(batch, idCol, textCol)
     val hasPrior = CorpusLanding.hasData(corpus)
-    // ---- exact screen (identical to applyBatch, same artifact) ----
+    // exact screen first (ONE implementation with applyBatch), pinned:
+    // the signature table AND the final anti-join both read it — an
+    // unpinned frame would re-run the bloom probe + residue join
     val exactFresh =
-      if (hasPrior) {
-        val bloom = mergeBlooms(h.serve(spark, "bloomparts")
-          .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
-        val might = bloom match {
-          case Some(bytes) => coalesce(
-            call_function("graft_might_contain", lit(bytes),
-              xxhash64(col("fp"))), lit(true))
-          case None => lit(true)
-        }
-        val definitelyNew = inBatch.filter(!might)
-        val maybe = inBatch.filter(might)
-        val seen = h.serve(spark, "digests").where(col("_ib") < batchId)
-        val cap = residueCap
-        val fps = maybe.select("fp").distinct()
-          .limit(cap + 1).collect().map(_.getString(0))
-        val seenSide =
-          (if (fps.length <= cap)
-            seen.where(col("fp").isInCollection(fps.toSeq))
-          else seen).select("fp").distinct()
-        definitelyNew.unionByName(
-          maybe.join(seenSide, Seq("fp"), "left_anti"))
-      } else inBatch
+      (if (hasPrior) exactScreen(h, spark, inBatch, batchId)
+      else inBatch).localCheckpoint()
     // ---- near screen over the exact survivors ----
     val norm = TextFunctions.normalize(col(textCol))
     val k = graft.dedup.MinHashLSH.defaultK
@@ -380,9 +396,13 @@ object StreamingAcceptIngest {
           .select(col("id_probe").as(idCol)).distinct()
       } else exactFresh.limit(0).select(col(idCol))
     // vs SMALLER-ID batch peers (deterministic in-batch resolution)
+    // capped like the stored-index probe: a boilerplate-heavy batch
+    // colliding in one bucket must not expand quadratically — the
+    // kept witnesses are the smallest ids (same deterministic
+    // truncation semantics as maxIndexPerBucket)
     val peerPairs = graft.dedup.PairGen.pairsWithin(
         batchBands.select(col("band"), col("bucket"), col(idCol)),
-        Seq("band", "bucket"), col(idCol))
+        Seq("band", "bucket"), col(idCol), maxIndexPerBucket)
       .select(col("a"), col("b")).distinct()
     val dupVsPeers = peerPairs
       .join(batchSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
@@ -445,15 +465,35 @@ object StreamingAcceptIngest {
     */
   def acceptedCorpusPath(outDir: String): String = corpusDir(outDir)
 
-  /** Stored digest view (id, fp, _ib) — the screen artifact. */
+  /** Stored digest view (id, fp, _ib) of the EXACT-mode screen
+    * artifact (near-mode sinks: [[digestsNear]] — the families are
+    * separate, and serving the wrong one would build a redundant
+    * second screen over the whole corpus).
+    */
   def digests(spark: SparkSession, outDir: String, idCol: String,
       textCol: String, expectedItems: Long = 4000000L): DataFrame =
     digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .serve(spark, "digests")
 
-  /** Fold the screen artifact now (also runs on the store cadence). */
+  /** [[digests]] for a near-mode sink. */
+  def digestsNear(spark: SparkSession, outDir: String, idCol: String,
+      textCol: String, expectedItems: Long = 4000000L): DataFrame =
+    nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .serve(spark, "digests")
+
+  /** Fold the EXACT-mode screen artifact now (also runs on the store
+    * cadence); near-mode sinks: [[compactNear]].
+    */
   def compact(spark: SparkSession, outDir: String, idCol: String,
       textCol: String, expectedItems: Long = 4000000L): Unit =
     digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .compact(spark)
+
+  /** [[compact]] for a near-mode sink (folds digests, bloom partials,
+    * signatures and the banded index together).
+    */
+  def compactNear(spark: SparkSession, outDir: String, idCol: String,
+      textCol: String, expectedItems: Long = 4000000L): Unit =
+    nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .compact(spark)
 }

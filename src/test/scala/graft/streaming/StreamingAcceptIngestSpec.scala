@@ -85,6 +85,21 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     fps.distinct.size shouldBe fps.size
   }
 
+  test("null-text docs fingerprint as the empty document: exactly one is ever accepted") {
+    val out = Files.createTempDirectory("graft-accept-null").toString
+    StreamingAcceptIngest.applyBatch(
+      Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", out)
+    // a null fp would escape every anti-join and land one null doc
+    // per batch forever — the coalesce-to-empty fingerprint pins it
+    StreamingAcceptIngest.applyBatch(
+      Seq((3L, null.asInstanceOf[String]), (4L, ""), (5L, "y"))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", out)
+    acceptedIds(out) shouldBe Set(1L, 2L, 5L)
+  }
+
   test("the screen stays exact across a bloomparts fold, and with the residue cap forced to the fallback") {
     val out = Files.createTempDirectory("graft-accept-bloom").toString
     StreamingAcceptIngest.applyBatch(
