@@ -212,6 +212,29 @@ object StreamingAcceptIngest {
       .localCheckpoint()
   }
 
+  /** Verification signature: 32 INDEPENDENT-seed MinHash components
+    * (min over shingles of xxhash64(shingle ++ seed)). The banding
+    * signature's linear seeded family (b1 + s*b2 over one base pair)
+    * is fine for CANDIDATE generation but unusable as an estimator:
+    * one globally-small shingle attains the min for every seed at
+    * once, so components correlate heavily and random pairs estimate
+    * high (measured: ~40% of bucket-colliding J~0 pairs at est >=
+    * 0.75, 10% at 1.0). Independent seeds make the components i.i.d.
+    * Bernoulli(J) — the textbook estimator — so a threshold actually
+    * separates near-dups from collisions.
+    */
+  private val VerK = 32
+
+  private def verSig(docs: DataFrame, idCol: String,
+      norm: org.apache.spark.sql.Column): DataFrame = {
+    val sh = graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
+    val aggs = (0 until VerK).map(v =>
+      min(xxhash64(concat(col("shingle"), lit(s"#$v")))).as(s"v$v"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until VerK).map(v => col(s"v$v")): _*).as("sig"))
+  }
+
   private def requireCleanColumns(batch: DataFrame): Unit =
     require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
       "the ingested frame must not carry 'fp' or '_ib' columns — the " +
@@ -287,14 +310,11 @@ object StreamingAcceptIngest {
   private def nearHandle(corpusPath: String, idCol: String,
       textCol: String, expectedItems: Long) = {
     val norm = TextFunctions.normalize(col(textCol))
-    val sigArr = array((0 until graft.dedup.MinHashLSH.defaultK)
-      .map(i => col(s"h$i")): _*)
     IncrementalDocArtifact(corpusPath,
       s"acceptnear_${idCol}_${textCol}_e$expectedItems",
       exactPieces(idCol, expectedItems) ++ Seq(
       Piece("sigs", (docs, _) =>
-        graft.dedup.MinHashLSH.signatureTable(docs, idCol, norm)
-          .select(col(idCol), sigArr.as("sig"))
+        verSig(docs, idCol, norm)
           .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
         fold = Some(df => df.repartition(col(idCol))
           .sortWithinPartitions(idCol))),
@@ -306,10 +326,11 @@ object StreamingAcceptIngest {
   }
 
   /** [[applyBatch]] with a SECOND screen: a doc is rejected if its
-    * ESTIMATED Jaccard (matching MinHash components / k — the
-    * standard MinHash estimator; k = [[graft.dedup.MinHashLSH.defaultK]])
-    * against ANY previously-accepted doc, or any surviving smaller-id
-    * doc of its own batch, reaches `threshold`. Candidates come from
+    * ESTIMATED Jaccard (matching INDEPENDENT-SEED MinHash components
+    * / 32 — the textbook estimator, see [[verSig]] for why the
+    * banding signature cannot be used here) against ANY
+    * previously-accepted doc, or any surviving smaller-id doc of its
+    * own batch, reaches `threshold`. Candidates come from
     * the stored banded index (probe pushes the batch's bucket set as
     * a capped In on the (band, bucket)-clustered fold; verification
     * pushes candidate ids on the id-clustered signature fold — the
@@ -350,21 +371,17 @@ object StreamingAcceptIngest {
       (if (hasPrior) exactScreen(h, spark, inBatch, batchId)
       else inBatch).localCheckpoint()
     // ---- near screen over the exact survivors ----
+    // candidates from the engine's standard banding; VERIFICATION by
+    // the independent-seed signature (see [[verSig]])
     val norm = TextFunctions.normalize(col(textCol))
-    val k = graft.dedup.MinHashLSH.defaultK
-    val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
-    val batchSigs = graft.dedup.MinHashLSH
-      .signatureTable(exactFresh, idCol, norm)
-      .select(col(idCol), sigArr.as("sig"))
-      .localCheckpoint()
-    val batchBands = batchSigs.select(col(idCol),
-      posexplode(graft.dedup.MinHashLSH.bandDigests(col("sig"), k))
-        .as(Seq("band", "bucket")))
+    val batchSigs = verSig(exactFresh, idCol, norm).localCheckpoint()
+    val batchBands = graft.dedup.MinHashLSH
+      .bandedIndex(exactFresh, idCol, norm)
       .localCheckpoint()
     def estimate(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble)
+        lit(0), (acc, v) => acc + v).cast("double") / lit(VerK.toDouble)
     // vs the ACCEPTED index (anchored): capped bucket-set probe, then
     // capped id lookup on the signature fold, then the estimator
     val dupVsAccepted: DataFrame =

@@ -66,6 +66,61 @@ val nAcc = acc.count()
 val nDistinct = acc.select("fp").distinct().count()
 plog.println(s"accepted=$nAcc distinct_fp=$nDistinct (must be equal)")
 plog.println("maint: " + graft.sources.IncrementalDocArtifact.Maintenance.snapshot)
+
+// ---- NEAR mode: per-batch cost as the accepted corpus grows ----
+// smaller batches (signature + banding work per doc is heavier), 30
+// batches, ~20% near-dup re-offers (sampled accepted texts with a
+// tail perturbation) + a few exact re-offers. Cost must stay flat:
+// the probe pushes the batch bucket set as a capped In and the
+// verification fetches signatures by capped-In id lookup.
+val outN = "/tmp/accept_scale_probe_near"
+new java.lang.ProcessBuilder("rm", "-rf", outN).start().waitFor()
+val nBatchesN = 30
+val perBatchN = 3000
+val newPerN = perBatchN * 4 / 5
+
+def nearDupsFrom(b: Int) = {
+  val n = perBatchN - newPerN
+  graft.streaming.StreamingAcceptIngest.accepted(spark, outN)
+    .select(col("text"), col("fp"))
+    .orderBy(pmod(hash(col("fp"), lit(b)), lit(1000000)), col("fp"))
+    .limit(n)
+    .withColumn("text", concat(col("text"), lit(" zz"), lit(b)))
+    .withColumn("doc_id", monotonically_increasing_id()
+      + b.toLong * perBatchN + 700000000L)
+    .select("doc_id", "text")
+}
+
+// fresh docs must NOT near-dup each other, at SHINGLE level (three
+// earlier cuts of this probe failed that, each visible in the
+// accepted count: shared boilerplate; "w<digits>" words whose tiny
+// character alphabet shared most 5-char shingles; and a LINEAR word
+// hash xxhash64(gid + i*7919) that put docs on a stride-7919 lattice
+// sharing 19/20 words with their stride siblings): 20 hex words per
+// doc from a NON-LINEAR (gid, i) hash.
+val wallsN = new Array[Double](nBatchesN)
+for (b <- 0 until nBatchesN) {
+  val gid = col("id") + b.toLong * newPerN
+  val fresh = spark.range(newPerN).select(
+    (gid + 2000000L).as("doc_id"),
+    concat_ws(" ", (0 until 20).map(i =>
+      lower(hex(xxhash64(concat(gid.cast("string"),
+        lit(s"_$i")))))): _*)
+      .as("text"))
+  val df = (if (b == 0) fresh
+    else fresh.unionByName(nearDupsFrom(b))).localCheckpoint()
+  val t0 = System.nanoTime
+  graft.streaming.StreamingAcceptIngest.applyBatchNear(
+    df, b.toLong, "doc_id", "text", outN, threshold = 0.7,
+    expectedItems = 1000000L)
+  wallsN(b) = (System.nanoTime - t0) / 1e9
+}
+for (d <- 0 until nBatchesN / 10) {
+  val w = wallsN.slice(d * 10, d * 10 + 10)
+  plog.println(f"NEAR decade $d batches ${d*10}-${d*10+9}: mean=${w.sum / w.length}%.2f s max=${w.max}%.2f s")
+}
+val accN = graft.streaming.StreamingAcceptIngest.accepted(spark, outN)
+plog.println(s"NEAR accepted=${accN.count()} of offered=${nBatchesN.toLong * perBatchN - (perBatchN - newPerN)}")
 plog.println("=== done")
 plog.close()
 System.exit(0)
