@@ -289,11 +289,12 @@ object Bench {
             b.toLong, "doc_id", "text", out)
         }
         try {
-          val corpusPath = graft.streaming.StreamingAcceptIngest
-            .acceptedCorpusPath(out)
-          val art = java.nio.file.Paths.get(graft.sources.ArtifactStore.root,
-            graft.sources.ArtifactStore.pathKey(corpusPath) +
-              "_accept_doc_id_text_e4000000")
+          // the loop's own address for its screen artifact — never
+          // reconstruct the store key by hand (a key-format drift
+          // would silently miss and per-run artifacts would pile up)
+          val art = java.nio.file.Paths.get(
+            graft.streaming.StreamingAcceptIngest
+              .screenArtifactDir(out, "doc_id", "text"))
           Seq(art, base).foreach { d =>
             if (java.nio.file.Files.exists(d)) {
               val s = java.nio.file.Files.walk(d)

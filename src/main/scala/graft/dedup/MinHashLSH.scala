@@ -135,13 +135,26 @@ object MinHashLSH {
     * signature as a single hash aggregate over exploded shingles.
     */
   def signatureTable(df: DataFrame, idCol: String, normTextCol: Column,
-      n: Int = 5, k: Int = defaultK): DataFrame = {
+      n: Int = 5, k: Int = defaultK): DataFrame =
+    signatureTableFromShingles(shingleRows(df, idCol, normTextCol, n),
+      idCol, k)
+
+  /** [[signatureTable]] over a caller-provided (id, shingle) frame —
+    * the shared-shingle entry point: a caller that needs the banded
+    * index AND another shingle-derived aggregate over the same
+    * documents (the near-mode accept tick's verification signature)
+    * computes and pins the exploded shingle frame ONCE and feeds it
+    * to both, instead of paying the normalize/fan-out/explode stage
+    * per consumer.
+    */
+  def signatureTableFromShingles(sh: DataFrame, idCol: String,
+      k: Int = defaultK): DataFrame = {
     // one md5 per shingle ROW (not per seed): the k seeded hashes are
     // long arithmetic over the shared base pair inside the partial
     // aggregate
     val aggs = (0 until k).map(s =>
       min(seeded(col("_hb"), col("_hb2"), s)).as(s"h$s"))
-    shingleRows(df, idCol, normTextCol, n)
+    sh
       .withColumn("_md5", md5(col("shingle")))
       .withColumn("_hb", conv(substring(col("_md5"), 1, 15), 16, 10).cast("long") % P)
       .withColumn("_hb2", conv(substring(col("_md5"), 16, 15), 16, 10).cast("long") % P)
@@ -151,9 +164,17 @@ object MinHashLSH {
 
   /** doc_id → (band, bucket) exploded table, the LSH index. */
   def bandedIndex(df: DataFrame, idCol: String, normTextCol: Column,
-      n: Int = 5, k: Int = defaultK, bands: Int = defaultBands): DataFrame = {
+      n: Int = 5, k: Int = defaultK, bands: Int = defaultBands): DataFrame =
+    bandedIndexFromShingles(shingleRows(df, idCol, normTextCol, n),
+      idCol, k, bands)
+
+  /** [[bandedIndex]] over a caller-provided (id, shingle) frame (see
+    * [[signatureTableFromShingles]] for when).
+    */
+  def bandedIndexFromShingles(sh: DataFrame, idCol: String,
+      k: Int = defaultK, bands: Int = defaultBands): DataFrame = {
     val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
-    signatureTable(df, idCol, normTextCol, n, k)
+    signatureTableFromShingles(sh, idCol, k)
       .select(col(idCol),
         posexplode(bandDigests(sigArr, k, bands)).as(Seq("band", "bucket")))
   }

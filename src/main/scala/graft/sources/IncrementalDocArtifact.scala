@@ -1783,6 +1783,40 @@ object IncrementalDocArtifact {
     def serve(spark: SparkSession, piece: String): DataFrame =
       serveWithFoldState(spark, piece)._1
 
+    /** This artifact's storage directory under the global store root
+      * — the address an operator (or a bench teardown) needs to
+      * inspect or drop the artifact without reconstructing the
+      * root/pathKey/key composition by hand.
+      */
+    def artifactDir: String = rootKey
+
+    /** Reconcile, then serve an ADDITIVE piece split into its base
+      * snapshot and its live delta, with the base's published
+      * snapshot dir as a stable identity. This is the driver-side-
+      * cache hook: a consumer that derives an expensive driver
+      * structure from the base half (the accept loop's merged
+      * per-slice Bloom filters) re-derives it only when a fold or
+      * rebuild publishes a new snapshot, and re-reads only the
+      * (small) delta half per tick. base ∪ delta ≡ [[serve]]'s view;
+      * the snapshot dir is resolved ONCE and the base frame reads
+      * that dir directly, so the identity and the data cannot
+      * disagree (the same commit-vs-read grace windows as [[serve]]
+      * cover a concurrent fold). Merge pieces are refused — their
+      * halves only mean anything LWW-resolved together.
+      */
+    def serveBaseDelta(spark: SparkSession, piece: String)
+        : (Option[(String, DataFrame)], Option[DataFrame]) = {
+      require(pieces.exists(_.name == piece),
+        s"serveBaseDelta serves additive pieces only; $piece is not one")
+      reconcile(spark)
+      val gens = liveGens(piece, Set.empty, committedOf(readLedger()))
+      val base = baseIO(piece)
+      val baseHalf = base.currentDir.map(d => (d, spark.read.parquet(d)))
+      if (baseHalf.isEmpty && gens.isEmpty)
+        throw new IllegalStateException(s"no $piece artifact for $corpusPath")
+      (baseHalf, deltaOfGens(spark, piece, gens))
+    }
+
     /** [[serve]] plus whether the served view is BASE-ONLY (zero live
       * delta generations behind it). Bases are key-unique for any
       * piece whose rebuild and fold both collapse partials (the

@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType, StructField, StructType}
 
 import graft.functions.TextFunctions
 import graft.sources.{CorpusLanding, IncrementalDocArtifact}
@@ -23,17 +25,26 @@ import graft.sources.IncrementalDocArtifact.Piece
   * at 100 TB an O(accepted) scan per micro-batch is the whole budget.
   * Two stored pieces of the accepted corpus make the tick O(batch):
   *
-  *  - `bloomparts`: ONE mergeable Bloom binary per landed generation
-  *    (Spark's own `BloomFilterAggregate` bytes — merge-compatible
-  *    because every partial is sized identically from
-  *    `expectedItems`, which is baked into the artifact key). The
-  *    tick reads ≤ compactEvery+1 small binary rows, merges them
-  *    driver-side, and probes the batch with `might_contain` — no
-  *    scan of the digest table at all. The fold collapses partials
-  *    into one binary (bit-OR, associative — chunking-invariant by
-  *    construction).
+  *  - `bloomparts`: the seen-fingerprint Bloom screen, HASH-SLICED so
+  *    capacity scales horizontally (the [[graft.dedup.BloomDedup]]
+  *    `newRowsStacked` discipline): fingerprints are partitioned by
+  *    `xxhash64(fp) mod slices` and ONE filter is kept per slice,
+  *    each sized for `expectedItems / slices` items — always inside a
+  *    single filter's byte budget, so a multi-billion-document loop
+  *    provisions by slice count instead of hitting one filter's cap.
+  *    The BASE snapshot holds the per-slice filters (built
+  *    DISTRIBUTED at rebuild — one slice-keyed Bloom aggregate);
+  *    per-generation advances write only the generation's raw
+  *    fingerprint hashes (batch-sized — writing slice-capacity-sized
+  *    bitmaps per generation would write ~the full provisioned bits
+  *    EVERY tick), and the fold promotes accumulated hashes into the
+  *    slice filters. The tick probes each row against ONLY its own
+  *    slice's filter plus the (small) unfolded recent-hash set; the
+  *    merged slice filters are CACHED driver-side keyed by the base
+  *    snapshot's published dir, so a steady-state tick collects only
+  *    the delta half — never the provisioned bitmap bytes.
   *  - `digests` (doc id, fp, _ib), fold-clustered BY FINGERPRINT:
-  *    only the Bloom's maybe-hits (true duplicates + ~fpp of the
+  *    only the screen's maybe-hits (true duplicates + ~fpp of the
   *    uniques) pay the exact residue anti-join, and their fps go in
   *    as a capped In predicate — row-group pruning on the
   *    fp-clustered layout instead of a full-table join build. Past
@@ -42,9 +53,14 @@ import graft.sources.IncrementalDocArtifact.Piece
   *
   * Per batch: (1) in-batch first-wins dedup (min id per fingerprint
   * — the [[graft.dedup.ExactDedup]] convention, deterministic under
-  * replay); (2) Bloom probe + capped exact residue against the
-  * stored digests of STRICTLY EARLIER batches; (3) survivors land
-  * with their fingerprint and an `_ib` (ingest-batch) column.
+  * replay); (2) sliced-Bloom probe + capped exact residue against
+  * the stored digests of STRICTLY EARLIER batches; (3) survivors
+  * land with their fingerprint and an `_ib` (ingest-batch) column.
+  * The probe flag is evaluated ONCE per tick (the probed frame is
+  * pinned), so the filter literals embed once per serialized plan,
+  * not once per branch. [[AcceptStats]] gauges each tick's
+  * cap/fallback posture — the operator's early warning BEFORE a
+  * drifting loop degrades to O(accepted) ticks.
   *
   * THE `_ib` ANCHOR is what makes replay exact. A crash mid-landing
   * can leave a prefix of batch k's files, and a concurrent serve may
@@ -58,6 +74,12 @@ import graft.sources.IncrementalDocArtifact.Piece
   * missing files. (The Bloom may contain the partial landing's fps —
   * bits cannot be subtracted — but a Bloom hit only routes a row to
   * the exact residue, which the anchor keeps correct.)
+  *
+  * ONE MODE PER outDir, enforced: the first batch stamps a
+  * `_accept_mode` marker and every later entry point (either mode's
+  * door, and the mode-specific accessors) refuses a mismatch —
+  * interleaving modes would silently build and maintain a second
+  * full screen-artifact family over the whole corpus.
   *
   * At-least-once in, exactly-once accepted corpus out; every store
   * keyed by the accepted-corpus path (co-occurrence, TF-IDF, bands,
@@ -74,16 +96,47 @@ object StreamingAcceptIngest {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(100000)
 
+  /** Per-slice Bloom capacity: `expectedItems` is split over
+    * `ceil(expectedItems / sliceItems)` slices. The default matches
+    * Spark's runtime-bloom-filter `maxNumItems` default, so ANY
+    * `expectedItems` provisions without touching the two confs.
+    * Spec knob: `graft.accept.sliceItems`.
+    */
+  private def sliceItems: Long =
+    sys.props.get("graft.accept.sliceItems")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ >= 1).getOrElse(4000000L)
+
+  /** Unfolded recent-hash sets above this size probe through an
+    * ephemeral tick-local Bloom instead of an exact In literal.
+    * Spec knob: `graft.accept.recentCap`.
+    */
+  private def recentCap: Int =
+    sys.props.get("graft.accept.recentCap")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(100000)
+
+  private def slicesFor(expectedItems: Long): Int =
+    math.max(1L, (expectedItems + sliceItems - 1) / sliceItems).toInt
+
+  private def perSliceFor(expectedItems: Long): Long = {
+    val s = slicesFor(expectedItems)
+    (expectedItems + s - 1) / s
+  }
+
   private def corpusDir(outDir: String): String = s"$outDir/corpus"
 
   private def bloomBits(n: Long): Long =
     graft.dedup.BloomDedup.optimalNumBits(n, 0.01)
 
   /** BloomFilterAggregate SILENTLY clamps to the runtime-bloom-filter
-    * confs — a clamped screen filter degrades fpp toward 1 and every
-    * tick falls back to the O(accepted) exact join the design exists
-    * to avoid, while the `_e<n>` artifact key claims the provisioning
-    * took effect. Refuse loudly instead.
+    * confs — a clamped filter degrades fpp toward 1 and every tick
+    * falls back toward the O(accepted) exact join the design exists
+    * to avoid, while the `_e<n>_s<m>` artifact key claims the
+    * provisioning took effect. The guard is PER SLICE (that is what
+    * slicing buys: any total provisions at the default confs as long
+    * as each slice fits); refuse loudly if a raised `sliceItems`
+    * pushes one slice past the caps.
     */
   private def requireBloomCapacity(spark: SparkSession,
       expectedItems: Long): Unit = {
@@ -91,19 +144,37 @@ object StreamingAcceptIngest {
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
     val maxBits = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
-    require(expectedItems <= maxItems && bloomBits(expectedItems) <= maxBits,
-      s"expectedItems=$expectedItems needs ${bloomBits(expectedItems)} " +
+    val per = perSliceFor(expectedItems)
+    require(per <= maxItems && bloomBits(per) <= maxBits,
+      s"per-slice sizing $per (expectedItems=$expectedItems over " +
+        s"${slicesFor(expectedItems)} slices of " +
+        s"graft.accept.sliceItems=$sliceItems) needs ${bloomBits(per)} " +
         s"bloom bits, past the runtime-bloom-filter caps " +
         s"(maxNumItems=$maxItems, maxNumBits=$maxBits) — Spark would " +
-        "clamp the filter SILENTLY and the screen would degrade to " +
-        "O(accepted) per tick; raise the two confs to provision this " +
-        "loop, or lower expectedItems")
+        "clamp the filter SILENTLY and the screen would degrade " +
+        "toward O(accepted) per tick; lower graft.accept.sliceItems " +
+        "(more, smaller slices) or raise the two confs")
   }
 
-  private def bloomAggCol(fp: org.apache.spark.sql.Column,
-      expectedItems: Long) =
-    call_function("graft_bloom_agg", xxhash64(fp),
-      lit(expectedItems), lit(bloomBits(expectedItems)))
+  private val partsSchema = StructType(Seq(
+    StructField("slice", LongType),
+    StructField("bf", BinaryType),
+    StructField("hs", ArrayType(LongType))))
+
+  private def newSliceFilter(expectedItems: Long) =
+    org.apache.spark.util.sketch.BloomFilter.create(
+      perSliceFor(expectedItems), bloomBits(perSliceFor(expectedItems)))
+
+  private def filterBytes(
+      f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def readFilter(b: Array[Byte]) =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))
 
   /** Content fingerprint with NULL-TEXT discipline: a null text
     * fingerprints as the empty document (one such doc is ever
@@ -114,76 +185,229 @@ object StreamingAcceptIngest {
     TextFunctions.fingerprint(
       coalesce(TextFunctions.normalize(col(textCol)), lit("")))
 
-  /** Driver-side bit-OR of same-sized Bloom binaries. */
-  private def mergeBlooms(parts: Seq[Array[Byte]]): Option[Array[Byte]] =
-    parts.filter(_ != null) match {
-      case Seq() => None
-      case head +: tail =>
-        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(head))
-        tail.foreach { b =>
-          f.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(b)))
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        f.writeTo(bos)
-        Some(bos.toByteArray)
+  /** Per-loop tick gauge (counts, not timings) — the accept-side
+    * sibling of [[graft.operators.CoOccurStore.AdvanceStats]]: every
+    * capped gate in the tick records whether it stayed inside its cap,
+    * so an operator sees a loop DRIFTING toward the O(accepted)
+    * fallbacks before a tick ever pays one. Keyed by the screen
+    * artifact's storage dir; `sum_*` keys accumulate across ticks
+    * (`sum_ticks`, `sum_residue_fallbacks`, `sum_recent_over_caps`,
+    * near mode adds `sum_band_over_caps` / `sum_cand_over_caps`),
+    * `last_*` keys are the latest tick's posture (`last_base_slices`,
+    * `last_base_cache_hit`, `last_recent_hashes`, `last_residue_fps`,
+    * near mode adds `last_band_pairs` / `last_cand_ids`). Every value
+    * is driver-known already — recording costs no extra action.
+    */
+  object AcceptStats {
+    private val byLoop =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+    private[streaming] def record(key: String, sums: Map[String, Long],
+        lasts: Map[String, Long]): Unit = {
+      byLoop.compute(key, (_, prev) => {
+        val p = Option(prev).getOrElse(Map.empty[String, Long])
+        p ++ sums.map { case (k, v) => k -> (p.getOrElse(k, 0L) + v) } ++ lasts
+      })
+      ()
     }
+    def snapshot: Map[String, Map[String, Long]] = {
+      import scala.jdk.CollectionConverters._
+      byLoop.asScala.toMap
+    }
+    def reset(): Unit = byLoop.clear()
+  }
+
+  /** Driver-side cache of the merged per-slice base filters, keyed by
+    * the base snapshot's published dir (changes iff a fold or rebuild
+    * commits): a steady-state tick re-reads only the delta hashes —
+    * at full provisioning the base bitmaps are the provisioned bytes,
+    * and collecting them per tick would dwarf the tick itself. One
+    * entry per artifact (the newest base wins); a stale entry is never
+    * served because the snapshot dir is compared first, and a racing
+    * fold at worst re-derives once. Memory: the provisioned filter
+    * bytes per live loop, held by the driver that runs the loop
+    * anyway.
+    */
+  private object BloomCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Map[Long, Array[Byte]])]()
+    def get(artifactDir: String, snapDir: String, frame: => DataFrame)
+        : (Map[Long, Array[Byte]], Boolean) = {
+      val cur = cache.get(artifactDir)
+      if (cur != null && cur._1 == snapDir) (cur._2, true)
+      else {
+        val merged = scala.collection.mutable.Map[
+          Long, org.apache.spark.util.sketch.BloomFilter]()
+        frame.collect().foreach { r =>
+          val bf = r.getAs[Array[Byte]]("bf")
+          require(bf != null,
+            "bloomparts base snapshot holds a non-filter row — the " +
+              "rebuild and fold both emit per-slice filters; a hash " +
+              "row in base means the artifact was written by " +
+              "incompatible code")
+          val f = readFilter(bf)
+          merged.get(r.getLong(0)) match {
+            case Some(e) => e.mergeInPlace(f); ()
+            case None => merged(r.getLong(0)) = f
+          }
+        }
+        val m = merged.toMap.map { case (s, f) => s -> filterBytes(f) }
+        cache.put(artifactDir, (snapDir, m))
+        (m, false)
+      }
+    }
+    private[streaming] def reset(): Unit = cache.clear()
+  }
 
   /** The exact-screen pieces, shared by both artifact families:
-    * (id, fp, _ib) digests fold-clustered by fp, plus one mergeable
-    * Bloom binary per generation.
+    * (id, fp, _ib) digests fold-clustered by fp, plus the sliced
+    * Bloom screen (per-slice filters in base, raw per-generation
+    * fingerprint hashes in delta; the fold promotes hashes into the
+    * filters — see the class doc).
     */
-  private def exactPieces(idCol: String, expectedItems: Long): Seq[Piece] =
+  private def exactPieces(idCol: String, expectedItems: Long): Seq[Piece] = {
+    val slices = slicesFor(expectedItems)
+    val per = perSliceFor(expectedItems)
     Seq(
       Piece("digests", (docs, _) =>
         docs.select(col(idCol), col("fp"), col("_ib")),
         // cluster by fp: the capped-In residue probe prunes row groups
         fold = Some(_.repartition(col("fp"))
           .sortWithinPartitions("fp", "_ib"))),
-      Piece("bloomparts", (docs, _) => {
+      Piece("bloomparts", (docs, ctx) => {
         graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-        docs.agg(bloomAggCol(col("fp"), expectedItems).as("bf"))
+        val h = xxhash64(col("fp"))
+        val bySlice = docs.groupBy(pmod(h, lit(slices.toLong)).as("slice"))
+        if (ctx.isRebuild)
+          // whole corpus: build the per-slice filters DISTRIBUTED —
+          // one slice-keyed Bloom aggregate, never a driver-side
+          // corpus-sized putLong loop
+          bySlice.agg(call_function("graft_bloom_agg", h,
+              lit(per), lit(bloomBits(per))).as("bf"))
+            .select(col("slice"), col("bf"),
+              lit(null).cast(ArrayType(LongType)).as("hs"))
+        else
+          // one generation: raw hashes only (batch-sized); emitting
+          // slice-capacity bitmaps here would write ~the provisioned
+          // bits per tick
+          bySlice.agg(collect_list(h).as("hs"))
+            .select(col("slice"), lit(null).cast(BinaryType).as("bf"),
+              col("hs"))
       },
         fold = Some { df =>
+          // promote accumulated hashes into the per-slice filters
+          // (driver-side: ≤ compactEvery generations of batch-sized
+          // hash lists + the existing slice filters)
+          val rows = df.collect()
+          val filters = scala.collection.mutable.Map[
+            Long, org.apache.spark.util.sketch.BloomFilter]()
+          rows.foreach { r =>
+            val bf = r.getAs[Array[Byte]]("bf")
+            if (bf != null) {
+              val f = readFilter(bf)
+              filters.get(r.getLong(0)) match {
+                case Some(e) => e.mergeInPlace(f); ()
+                case None => filters(r.getLong(0)) = f
+              }
+            }
+          }
+          rows.foreach { r =>
+            val hs = r.getAs[scala.collection.Seq[Long]]("hs")
+            if (hs != null) {
+              val f = filters.getOrElseUpdate(r.getLong(0),
+                newSliceFilter(expectedItems))
+              hs.foreach(f.putLong)
+            }
+          }
           import scala.jdk.CollectionConverters._
-          val merged = mergeBlooms(
-            df.collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
-          df.sparkSession.createDataFrame(
-            merged.toSeq.map(Row(_)).asJava,
-            StructType(Seq(StructField("bf", BinaryType))))
+          val out = filters.toSeq.sortBy(_._1).map { case (s, f) =>
+            Row(s, filterBytes(f), null)
+          }
+          df.sparkSession.createDataFrame(out.asJava, partsSchema)
         }))
+  }
 
   /** Stored screen artifact of the accepted corpus (exact mode).
-    * `expectedItems` is part of the key — partials merge only at
-    * identical sizing, so changing it keys a fresh build instead of
-    * corrupting the merge.
+    * `expectedItems` AND the derived slice count are part of the key
+    * — partials merge only at identical sizing, so changing either
+    * keys a fresh build instead of corrupting the merge.
     */
   private def digestHandle(corpusPath: String, idCol: String,
       textCol: String, expectedItems: Long) =
     IncrementalDocArtifact(corpusPath,
-      s"accept_${idCol}_${textCol}_e$expectedItems",
+      s"accept_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}",
       exactPieces(idCol, expectedItems))
 
   /** THE exact screen: rows of `inBatch` (already in-batch-deduped,
     * fp attached) whose fingerprint no STRICTLY-EARLIER batch
-    * accepted. One implementation for both modes — Bloom probe from
-    * the stored partials, capped-In exact residue on the
-    * fp-clustered digest fold, `_ib < batchId` anchor.
+    * accepted. One implementation for both modes — per-slice Bloom
+    * probe (cached base filters + unfolded recent hashes), capped-In
+    * exact residue on the fp-clustered digest fold, `_ib < batchId`
+    * anchor. The probe flag evaluates ONCE (pinned), so the filter
+    * literals embed once per serialized plan.
     */
   private def exactScreen(h: IncrementalDocArtifact.Handle,
-      spark: SparkSession, inBatch: DataFrame, batchId: Long): DataFrame = {
-    val bloom = mergeBlooms(h.serve(spark, "bloomparts")
-      .collect().map(_.getAs[Array[Byte]]("bf")).toSeq)
-    // a null/absent filter must claim "maybe" (exactness first)
-    val might = bloom match {
-      case Some(bytes) => coalesce(
-        call_function("graft_might_contain", lit(bytes),
-          xxhash64(col("fp"))), lit(true))
-      case None => lit(true)
+      spark: SparkSession, inBatch: DataFrame, batchId: Long,
+      expectedItems: Long): DataFrame = {
+    val slices = slicesFor(expectedItems)
+    val (baseHalf, deltaHalf) = h.serveBaseDelta(spark, "bloomparts")
+    val (baseFilters, cacheHit) = baseHalf match {
+      case Some((snap, frame)) => BloomCache.get(h.artifactDir, snap, frame)
+      case None => (Map.empty[Long, Array[Byte]], false)
     }
-    val definitelyNew = inBatch.filter(!might)
-    val maybe = inBatch.filter(might)
+    val recent: Array[Long] = deltaHalf match {
+      case Some(d) => d.collect().flatMap { r =>
+        require(r.getAs[Array[Byte]]("bf") == null,
+          "bloomparts delta holds a filter row — generations emit raw " +
+            "hashes; a filter in delta means the artifact was written " +
+            "by incompatible code")
+        val hs = r.getAs[scala.collection.Seq[Long]]("hs")
+        if (hs == null) Seq.empty[Long] else hs
+      }
+      case None => Array.empty[Long]
+    }
+    val h64 = xxhash64(col("fp"))
+    val recentOverCap = recent.length > recentCap
+    val might =
+      if (baseFilters.isEmpty && recent.isEmpty)
+        // pathological (screen piece present but empty): claim "maybe"
+        // for every row — exactness first, the residue join decides
+        lit(true)
+      else {
+        val sliceProbe = baseFilters.foldLeft(lit(false)) {
+          case (acc, (i, bytes)) =>
+            when(pmod(h64, lit(slices.toLong)) === lit(i),
+              // a null probe result must claim "maybe" (exactness
+              // first); an ABSENT slice proves novelty (no seen fp
+              // hashes there — the empty-slice lemma), hence the
+              // lit(false) chain base
+              coalesce(call_function("graft_might_contain", lit(bytes),
+                h64), lit(true)))
+              .otherwise(acc)
+        }
+        val recentProbe =
+          if (recent.isEmpty) lit(false)
+          else if (!recentOverCap)
+            // exact membership literal — small by the fold cadence
+            // (≤ compactEvery generations of batch-sized hash sets)
+            h64.isInCollection(recent.toSeq)
+          else {
+            // backfill-sized unfolded tail: an ephemeral tick-local
+            // filter sized to the actual count (probe-only — never
+            // merged, so its sizing is free)
+            val f = org.apache.spark.util.sketch.BloomFilter.create(
+              recent.length.toLong, bloomBits(recent.length.toLong))
+            recent.foreach(f.putLong)
+            coalesce(call_function("graft_might_contain",
+              lit(filterBytes(f)), h64), lit(true))
+          }
+        sliceProbe || recentProbe
+      }
+    // ONE evaluation of the probe (and ONE embedding of the filter
+    // literals in a serialized plan): the probed frame is pinned and
+    // both branches read the precomputed flag
+    val probed = inBatch.withColumn("_might", might).localCheckpoint()
+    val definitelyNew = probed.filter(!col("_might")).drop("_might")
+    val maybe = probed.filter(col("_might")).drop("_might")
     // the replay anchor: strictly-earlier batches only (class doc)
     val seen = h.serve(spark, "digests").where(col("_ib") < batchId)
     val cap = residueCap
@@ -195,13 +419,23 @@ object StreamingAcceptIngest {
         // fold layout — the residue never pays a full join build
         seen.where(col("fp").isInCollection(fps.toSeq))
       else seen).select("fp").distinct()
+    AcceptStats.record(h.artifactDir,
+      sums = Map("sum_ticks" -> 1L,
+        "sum_residue_fallbacks" -> (if (fps.length > cap) 1L else 0L),
+        "sum_recent_over_caps" -> (if (recentOverCap) 1L else 0L)),
+      lasts = Map("last_base_slices" -> baseFilters.size.toLong,
+        "last_base_cache_hit" -> (if (cacheHit) 1L else 0L),
+        "last_recent_hashes" -> recent.length.toLong,
+        "last_residue_fps" -> fps.length.toLong))
     definitelyNew.unionByName(
       maybe.join(seenSide, Seq("fp"), "left_anti"))
   }
 
   /** In-batch first-wins dedup (min id per fingerprint — the
     * [[graft.dedup.ExactDedup]] convention, deterministic under
-    * replay), fp attached; pinned (the screen reads it twice).
+    * replay), fp attached. NOT pinned here: every tick path evaluates
+    * it exactly once into a downstream pin (the probed frame, or the
+    * survivor/exact-fresh checkpoint on a fresh corpus).
     */
   private def inBatchDedup(batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -209,7 +443,6 @@ object StreamingAcceptIngest {
     batch.withColumn("fp", fpCol(textCol))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
-      .localCheckpoint()
   }
 
   /** Verification signature: 32 INDEPENDENT-seed MinHash components
@@ -225,9 +458,7 @@ object StreamingAcceptIngest {
     */
   private val VerK = 32
 
-  private def verSig(docs: DataFrame, idCol: String,
-      norm: org.apache.spark.sql.Column): DataFrame = {
-    val sh = graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
+  private def verSigFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val aggs = (0 until VerK).map(v =>
       min(xxhash64(concat(col("shingle"), lit(s"#$v")))).as(s"v$v"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -235,10 +466,61 @@ object StreamingAcceptIngest {
         array((0 until VerK).map(v => col(s"v$v")): _*).as("sig"))
   }
 
-  private def requireCleanColumns(batch: DataFrame): Unit =
-    require(!batch.columns.contains("fp") && !batch.columns.contains("_ib"),
-      "the ingested frame must not carry 'fp' or '_ib' columns — the " +
-        "accept loop owns them (they land with the rows)")
+  private def verSig(docs: DataFrame, idCol: String,
+      norm: Column): DataFrame =
+    verSigFromShingles(
+      graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm), idCol)
+
+  /** Columns the loop owns or uses as tick-internal scratch. */
+  private val Reserved = Seq("fp", "_ib", "_rn", "_might")
+
+  private def requireCleanColumns(batch: DataFrame): Unit = {
+    val hit = Reserved.filter(batch.columns.contains)
+    require(hit.isEmpty,
+      s"the ingested frame must not carry ${hit.mkString("/")} — the " +
+        s"accept loop owns ${Reserved.mkString("/")} (fp and _ib land " +
+        "with the rows; the rest are tick-internal)")
+  }
+
+  // ---- one mode per outDir, enforced (see class doc) ----
+
+  private def modePath(outDir: String) = Paths.get(outDir, "_accept_mode")
+
+  private def modeOf(outDir: String): Option[String] = {
+    val p = modePath(outDir)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  private def refuseMode(outDir: String, cur: String, mode: String): Nothing =
+    throw new IllegalStateException(
+      s"$outDir is a $cur-mode accept sink — refusing the $mode-mode " +
+        "entry point: interleaving modes would silently build and " +
+        "maintain a second full screen-artifact family over the whole " +
+        s"corpus; use one mode per outDir (marker: ${modePath(outDir)})")
+
+  private def stampOrRequireMode(outDir: String, mode: String): Unit =
+    modeOf(outDir) match {
+      case Some(cur) => if (cur != mode) refuseMode(outDir, cur, mode)
+      case None =>
+        Files.createDirectories(Paths.get(outDir))
+        try {
+          Files.write(modePath(outDir),
+            mode.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW)
+          ()
+        } catch {
+          // lost a concurrent stamp race — re-check against the winner
+          case _: java.nio.file.FileAlreadyExistsException =>
+            stampOrRequireMode(outDir, mode)
+        }
+    }
+
+  /** Accessor-side check: refuse a marked mismatch; a pre-marker
+    * corpus (stamped by an older build) is served as addressed.
+    */
+  private def requireModeIfMarked(outDir: String, mode: String): Unit =
+    modeOf(outDir).foreach(cur => if (cur != mode)
+      refuseMode(outDir, cur, mode))
 
   /** Accept one batch: in-batch dedup, screen vs earlier batches,
     * land survivors, advance the screen artifact. The manual /
@@ -246,7 +528,9 @@ object StreamingAcceptIngest {
     *
     * @param expectedItems Bloom sizing for the seen side — the
     *   accepted-corpus cardinality this loop is provisioned for
-    *   (part of the artifact key; change = fresh screen build)
+    *   (part of the artifact key; change = fresh screen build).
+    *   Capacity scales by slice count, so any value provisions at
+    *   the default runtime-bloom confs.
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, outDir: String, parts: Int = 1,
@@ -258,11 +542,12 @@ object StreamingAcceptIngest {
     requireBloomCapacity(spark, expectedItems)
     val corpus = corpusDir(outDir)
     CorpusLanding.requireLocal(outDir)
+    stampOrRequireMode(outDir, "exact")
     val inBatch = inBatchDedup(batch, idCol, textCol)
     val fresh =
       if (CorpusLanding.hasData(corpus))
         exactScreen(digestHandle(corpus, idCol, textCol, expectedItems),
-          spark, inBatch, batchId)
+          spark, inBatch, batchId, expectedItems)
       else inBatch
     // pinned: the emptiness check and the landing must read ONE
     // evaluation of the screen (not re-run the probe + residue join)
@@ -297,29 +582,52 @@ object StreamingAcceptIngest {
   // NEAR-DUP accept mode: exact screen + MinHash near-dup screen
   // against everything previously accepted. Its own artifact family
   // (`acceptnear_…`) — an exact-only sink never pays band/signature
-  // maintenance; one mode per outDir.
+  // maintenance; one mode per outDir (marker-enforced).
   // -----------------------------------------------------------------
 
   /** Screen artifact for the near mode: the exact pieces (digests +
     * bloomparts) PLUS per-doc MinHash signatures (id-clustered — the
     * verification lookup pushes a capped In) and the banded LSH index
-    * ((band, bucket)-clustered — the probe pushes the batch's bucket
-    * set). All additive: bands/signatures derive per doc from the
-    * landed text.
+    * ((band, bucket)-clustered — the probe pushes the batch's
+    * (band, bucket) pairs). All additive: bands/signatures derive per
+    * doc from the landed text — and from ONE shared shingle pass per
+    * advanced generation: the artifact invokes both builders with the
+    * same newDocs frame, so an identity-keyed cache of the pinned
+    * shingle frame collapses the two passes (a miss just restores the
+    * two-pass behavior; entries free with the frame). Rebuilds skip
+    * the pin — a whole-corpus shingle materialization is exactly the
+    * thing a streamed rebuild must not hold.
     */
   private def nearHandle(corpusPath: String, idCol: String,
       textCol: String, expectedItems: Long) = {
     val norm = TextFunctions.normalize(col(textCol))
+    val shCache = new java.util.WeakHashMap[DataFrame, DataFrame]()
+    def sharedShingles(docs: DataFrame): DataFrame = shCache.synchronized {
+      val c = shCache.get(docs)
+      if (c != null) c
+      else {
+        val sh = graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
+          .localCheckpoint()
+        shCache.put(docs, sh)
+        sh
+      }
+    }
+    def shinglesOf(docs: DataFrame,
+        ctx: IncrementalDocArtifact.AdvanceCtx): DataFrame =
+      if (ctx.isRebuild)
+        graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
+      else sharedShingles(docs)
     IncrementalDocArtifact(corpusPath,
-      s"acceptnear_${idCol}_${textCol}_e$expectedItems",
+      s"acceptnear_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}",
       exactPieces(idCol, expectedItems) ++ Seq(
-      Piece("sigs", (docs, _) =>
-        verSig(docs, idCol, norm)
+      Piece("sigs", (docs, ctx) =>
+        verSigFromShingles(shinglesOf(docs, ctx), idCol)
           .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
         fold = Some(df => df.repartition(col(idCol))
           .sortWithinPartitions(idCol))),
-      Piece("bands", (docs, _) =>
-        graft.dedup.MinHashLSH.bandedIndex(docs, idCol, norm)
+      Piece("bands", (docs, ctx) =>
+        graft.dedup.MinHashLSH
+          .bandedIndexFromShingles(shinglesOf(docs, ctx), idCol)
           .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
         fold = Some(df => df.repartition(col("band"), col("bucket"))
           .sortWithinPartitions("band", "bucket")))))
@@ -327,19 +635,31 @@ object StreamingAcceptIngest {
 
   /** [[applyBatch]] with a SECOND screen: a doc is rejected if its
     * ESTIMATED Jaccard (matching INDEPENDENT-SEED MinHash components
-    * / 32 — the textbook estimator, see [[verSig]] for why the
-    * banding signature cannot be used here) against ANY
+    * / 32 — the textbook estimator, see [[verSigFromShingles]] for
+    * why the banding signature cannot be used here) against ANY
     * previously-accepted doc, or any surviving smaller-id doc of its
     * own batch, reaches `threshold`. Candidates come from
-    * the stored banded index (probe pushes the batch's bucket set as
-    * a capped In on the (band, bucket)-clustered fold; verification
-    * pushes candidate ids on the id-clustered signature fold — the
-    * tick never scans the stored index). `maxIndexPerBucket` is the
-    * candidate-volume knob ([[StreamingLshDedup]]'s): hot buckets
-    * keep their earliest witnesses, so a genuinely-new doc colliding
-    * with a crowd still verifies against the crowd's representatives;
-    * a near-dup whose only similar witness was capped out can slip
-    * through (documented trade, raise the cap for exactness).
+    * the stored banded index (probe pushes the batch's (band, bucket)
+    * pairs as a capped per-band In on the (band, bucket)-clustered
+    * fold — the probe key, so the prune matches the clustering;
+    * verification pushes candidate ids on the id-clustered signature
+    * fold — the tick never scans the stored index). The batch's
+    * signature and banding derive from ONE pinned shingle frame (the
+    * near tick's dominant constant was paying that explode twice).
+    * `maxIndexPerBucket` is the candidate-volume knob
+    * ([[StreamingLshDedup]]'s): hot buckets keep their earliest
+    * witnesses, so a genuinely-new doc colliding with a crowd still
+    * verifies against the crowd's representatives; a near-dup whose
+    * only similar witness was capped out can slip through (documented
+    * trade, raise the cap for exactness).
+    *
+    * IDS MUST BE UNIQUE per batch (refused loudly): the per-doc
+    * signature groups shingles by `idCol`, so duplicate ids would
+    * merge into one bogus signature, and the id-keyed candidate joins
+    * plus the final anti-join would drop or keep the shared rows
+    * together. Across batches a re-used id is harmless — each
+    * accepted instance keeps its own (id, _ib)-keyed signature and
+    * band rows and verifies independently.
     *
     * Replay discipline is [[applyBatch]]'s: the exact residue AND the
     * near-dup screen anchor on `_ib < batchId`, so a crashed
@@ -361,6 +681,7 @@ object StreamingAcceptIngest {
     requireBloomCapacity(spark, expectedItems)
     val corpus = corpusDir(outDir)
     CorpusLanding.requireLocal(outDir)
+    stampOrRequireMode(outDir, "near")
     val h = nearHandle(corpus, idCol, textCol, expectedItems)
     val inBatch = inBatchDedup(batch, idCol, textCol)
     val hasPrior = CorpusLanding.hasData(corpus)
@@ -368,32 +689,51 @@ object StreamingAcceptIngest {
     // the signature table AND the final anti-join both read it — an
     // unpinned frame would re-run the bloom probe + residue join
     val exactFresh =
-      (if (hasPrior) exactScreen(h, spark, inBatch, batchId)
+      (if (hasPrior) exactScreen(h, spark, inBatch, batchId, expectedItems)
       else inBatch).localCheckpoint()
+    val dupId = exactFresh.groupBy(col(idCol)).count()
+      .where(col("count") > 1).limit(1).collect()
+    if (dupId.nonEmpty) throw new IllegalArgumentException(
+      s"near-mode accept requires unique $idCol values per batch " +
+        s"(duplicate: ${dupId.head.get(0)}) — duplicate ids would merge " +
+        "into one bogus MinHash signature and the id-keyed joins would " +
+        "drop or keep the shared rows together; re-key the batch")
     // ---- near screen over the exact survivors ----
     // candidates from the engine's standard banding; VERIFICATION by
-    // the independent-seed signature (see [[verSig]])
+    // the independent-seed signature — both from ONE shingle pass
     val norm = TextFunctions.normalize(col(textCol))
-    val batchSigs = verSig(exactFresh, idCol, norm).localCheckpoint()
-    val batchBands = graft.dedup.MinHashLSH
-      .bandedIndex(exactFresh, idCol, norm)
+    val sh = graft.dedup.MinHashLSH.shingleRows(exactFresh, idCol, norm)
       .localCheckpoint()
-    def estimate(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) =
+    val batchSigs = verSigFromShingles(sh, idCol).localCheckpoint()
+    val batchBands = graft.dedup.MinHashLSH
+      .bandedIndexFromShingles(sh, idCol)
+      .localCheckpoint()
+    def estimate(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(VerK.toDouble)
-    // vs the ACCEPTED index (anchored): capped bucket-set probe, then
-    // capped id lookup on the signature fold, then the estimator
+    // vs the ACCEPTED index (anchored): capped (band, bucket)-pair
+    // probe, then capped id lookup on the signature fold, then the
+    // estimator
     val dupVsAccepted: DataFrame =
       if (hasPrior) {
-        val buckets = batchBands.select("bucket").distinct()
-          .limit(residueCap + 1).collect().map(_.getString(0))
+        val pairRows = batchBands.select(col("band"), col("bucket"))
+          .distinct().limit(residueCap + 1).collect()
         val storedBands0 = h.serve(spark, "bands")
           .where(col("_ib") < batchId)
+        val pairsOverCap = pairRows.length > residueCap
         val storedBands =
-          if (buckets.length <= residueCap)
-            storedBands0.where(col("bucket").isInCollection(buckets.toSeq))
-          else storedBands0
+          if (!pairsOverCap && pairRows.nonEmpty) {
+            // per-band bucket In, OR'd: the fold clusters by
+            // (band, bucket), so pruning on the composite probe key
+            // skips row groups a bucket-only In would still read
+            // (identical bucket digests occur across bands)
+            val pred = pairRows.groupBy(_.getInt(0)).map { case (b, rs) =>
+              col("band") === lit(b) &&
+                col("bucket").isInCollection(
+                  rs.map(_.getString(1)).toSeq)
+            }.reduce(_ || _)
+            storedBands0.where(pred)
+          } else storedBands0
         val cands = graft.dedup.MinHashLSH.probeCandidatesBanded(
           storedBands.select(col(idCol), col("band"), col("bucket")),
           batchBands, idCol, maxIndexPerBucket)
@@ -406,6 +746,13 @@ object StreamingAcceptIngest {
             sigs0.where(col(idCol).isInCollection(candIds.toSeq))
           else sigs0).select(col(idCol).as("id_index"),
             col("sig").as("sig_a"))
+        AcceptStats.record(h.artifactDir,
+          sums = Map(
+            "sum_band_over_caps" -> (if (pairsOverCap) 1L else 0L),
+            "sum_cand_over_caps" ->
+              (if (candIds.length > residueCap) 1L else 0L)),
+          lasts = Map("last_band_pairs" -> pairRows.length.toLong,
+            "last_cand_ids" -> candIds.length.toLong))
         cands.join(storedSigs, "id_index")
           .join(batchSigs.select(col(idCol).as("id_probe"),
             col("sig").as("sig_b")), "id_probe")
@@ -482,35 +829,58 @@ object StreamingAcceptIngest {
     */
   def acceptedCorpusPath(outDir: String): String = corpusDir(outDir)
 
+  /** The EXACT-mode screen artifact's storage directory — the
+    * address for inspection ([[AcceptStats]] keys on it) and teardown
+    * (drop it to force a fresh screen build from the corpus).
+    */
+  def screenArtifactDir(outDir: String, idCol: String, textCol: String,
+      expectedItems: Long = 4000000L): String =
+    digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .artifactDir
+
+  /** [[screenArtifactDir]] for a near-mode sink. */
+  def screenArtifactDirNear(outDir: String, idCol: String,
+      textCol: String, expectedItems: Long = 4000000L): String =
+    nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .artifactDir
+
   /** Stored digest view (id, fp, _ib) of the EXACT-mode screen
     * artifact (near-mode sinks: [[digestsNear]] — the families are
-    * separate, and serving the wrong one would build a redundant
-    * second screen over the whole corpus).
+    * separate, and the mode marker refuses the wrong accessor
+    * before it would build a redundant second screen).
     */
   def digests(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String, expectedItems: Long = 4000000L): DataFrame =
+      textCol: String, expectedItems: Long = 4000000L): DataFrame = {
+    requireModeIfMarked(outDir, "exact")
     digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .serve(spark, "digests")
+  }
 
   /** [[digests]] for a near-mode sink. */
   def digestsNear(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String, expectedItems: Long = 4000000L): DataFrame =
+      textCol: String, expectedItems: Long = 4000000L): DataFrame = {
+    requireModeIfMarked(outDir, "near")
     nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .serve(spark, "digests")
+  }
 
   /** Fold the EXACT-mode screen artifact now (also runs on the store
     * cadence); near-mode sinks: [[compactNear]].
     */
   def compact(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String, expectedItems: Long = 4000000L): Unit =
+      textCol: String, expectedItems: Long = 4000000L): Unit = {
+    requireModeIfMarked(outDir, "exact")
     digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .compact(spark)
+  }
 
   /** [[compact]] for a near-mode sink (folds digests, bloom partials,
     * signatures and the banded index together).
     */
   def compactNear(spark: SparkSession, outDir: String, idCol: String,
-      textCol: String, expectedItems: Long = 4000000L): Unit =
+      textCol: String, expectedItems: Long = 4000000L): Unit = {
+    requireModeIfMarked(outDir, "near")
     nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .compact(spark)
+  }
 }

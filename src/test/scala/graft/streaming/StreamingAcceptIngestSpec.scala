@@ -175,6 +175,143 @@ class StreamingAcceptIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ids
   }
 
+  test("sliced bloom screen ≡ single-filter screen row-for-row (fold and recent-over-cap paths exercised); slice count provisions past one filter's cap") {
+    // batch 0 → rebuild (base filters); batch 1 screens off base
+    // alone; the fold after batch 1 promotes its hashes into the
+    // filters; batch 2 screens off the NEW base (cache refresh);
+    // batch 3 screens off base + batch 2's unfolded recent hashes
+    val seqs = Seq(0L -> (1L to 60L), 1L -> (40L to 110L),
+      2L -> (90L to 160L), 3L -> (140L to 200L))
+    def run(out: String, e: Long): Set[String] = {
+      seqs.foreach { case (b, range) =>
+        StreamingAcceptIngest.applyBatch(
+          range.map(i => (i + b * 10000L, s"text $i")).toDF("doc_id", "text"),
+          b, "doc_id", "text", out, expectedItems = e)
+        if (b == 1L)
+          StreamingAcceptIngest.compact(spark, out, "doc_id", "text",
+            expectedItems = e)
+      }
+      StreamingAcceptIngest.accepted(spark, out)
+        .select("text").collect().map(_.getString(0)).toSet
+    }
+    val single = run(
+      Files.createTempDirectory("graft-accept-s1").toString, 4000000L)
+    single shouldBe (1L to 200L).map(i => s"text $i").toSet
+    // 4 tiny slices + the ephemeral-filter recent path (cap forced to
+    // 1): the severely-undersized filters degrade fpp, never exactness
+    System.setProperty("graft.accept.sliceItems", "16")
+    System.setProperty("graft.accept.recentCap", "1")
+    try {
+      StreamingAcceptIngest.AcceptStats.reset()
+      val out = Files.createTempDirectory("graft-accept-s4").toString
+      run(out, 64L) shouldBe single
+      val stats = StreamingAcceptIngest.AcceptStats.snapshot(
+        StreamingAcceptIngest.screenArtifactDir(out, "doc_id", "text",
+          expectedItems = 64L))
+      stats("sum_ticks") should be >= 3L // batches 1-3 screened
+      stats("last_base_slices") should be >= 2L // sliced base in play
+      stats("sum_recent_over_caps") should be >= 1L // ephemeral path hit
+      stats("last_base_cache_hit") shouldBe 1L // steady state reads no base bytes
+    } finally {
+      System.clearProperty("graft.accept.sliceItems")
+      System.clearProperty("graft.accept.recentCap")
+    }
+    // provisioning by slice count: 100 M items pass the capacity guard
+    // at the DEFAULT runtime-bloom confs (25 slices of 4 M), where the
+    // single-filter form refused — a tiny batch runs end-to-end
+    val big = Files.createTempDirectory("graft-accept-100m").toString
+    StreamingAcceptIngest.applyBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", big, expectedItems = 100000000L)
+    StreamingAcceptIngest.applyBatch(
+      Seq((3L, "a"), (4L, "c")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", big, expectedItems = 100000000L)
+    StreamingAcceptIngest.accepted(spark, big)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 4L)
+  }
+
+  test("one mode per outDir: the marker refuses the other mode's doors and accessors") {
+    val out = Files.createTempDirectory("graft-accept-mode-e").toString
+    StreamingAcceptIngest.applyBatch(
+      Seq((1L, "a")).toDF("doc_id", "text"), 0L, "doc_id", "text", out)
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.applyBatchNear(
+        Seq((2L, "b")).toDF("doc_id", "text"), 1L, "doc_id", "text",
+        out, threshold = 0.7)
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.digestsNear(spark, out, "doc_id", "text")
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.compactNear(spark, out, "doc_id", "text")
+    val outN = Files.createTempDirectory("graft-accept-mode-n").toString
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((1L, "a")).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      outN, threshold = 0.7)
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.applyBatch(
+        Seq((2L, "b")).toDF("doc_id", "text"), 1L, "doc_id", "text", outN)
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.digests(spark, outN, "doc_id", "text")
+    an[IllegalStateException] should be thrownBy
+      StreamingAcceptIngest.compact(spark, outN, "doc_id", "text")
+    // the exact sink still serves through its own doors after the
+    // refused attempts (no partial second family was created)
+    acceptedIds(out) shouldBe Set(1L)
+    StreamingAcceptIngest.digests(spark, out, "doc_id", "text")
+      .count() shouldBe 1L
+  }
+
+  test("reserved columns are refused, including the tick-internal _rn/_might") {
+    val out = Files.createTempDirectory("graft-accept-cols").toString
+    Seq("fp", "_ib", "_rn", "_might").foreach { c =>
+      an[IllegalArgumentException] should be thrownBy
+        StreamingAcceptIngest.applyBatch(
+          Seq((1L, "a")).toDF("doc_id", "text").withColumn(c, lit(1)),
+          0L, "doc_id", "text", out)
+    }
+  }
+
+  test("near mode refuses duplicate ids per batch (signatures are id-keyed)") {
+    val out = Files.createTempDirectory("graft-accept-dupid").toString
+    an[IllegalArgumentException] should be thrownBy
+      StreamingAcceptIngest.applyBatchNear(
+        Seq((1L, "first text"), (1L, "second text"))
+          .toDF("doc_id", "text"),
+        0L, "doc_id", "text", out, threshold = 0.7)
+    // re-keyed, the same rows accept fine
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((1L, "first text"), (2L, "second text")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", out, threshold = 0.7)
+    acceptedIds(out) shouldBe Set(1L, 2L)
+  }
+
+  test("shared-shingle entry points drop the shingle explode: the tick shingles once") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    def generates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.size
+    val docs = Seq((1L, "some document text here"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val norm = graft.functions.TextFunctions.normalize(col("text"))
+    // from raw docs: shingle explode + band posexplode
+    generates(graft.dedup.MinHashLSH.bandedIndex(
+      docs, "doc_id", norm)) shouldBe 2
+    // from a pinned shingle frame: the band posexplode only — the
+    // shingle stage ran once, in the pin
+    val sh = graft.dedup.MinHashLSH.shingleRows(docs, "doc_id", norm)
+      .localCheckpoint()
+    generates(graft.dedup.MinHashLSH.bandedIndexFromShingles(
+      sh, "doc_id")) shouldBe 1
+    // the signature aggregate adds no explode of its own
+    generates(graft.dedup.MinHashLSH.signatureTableFromShingles(
+      sh, "doc_id")) shouldBe 0
+    // and the two entry points agree with their from-raw forms
+    val a = graft.dedup.MinHashLSH.bandedIndexFromShingles(sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val b = graft.dedup.MinHashLSH.bandedIndex(docs, "doc_id", norm)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    a shouldBe b
+  }
+
   test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {
     val out = Files.createTempDirectory("graft-accept-cooc").toString
     // docs whose (doc_id % 3) plays the "group": land docs, then ask
