@@ -91,10 +91,14 @@ object BloomDedup {
     * Capacity scales linearly in `stacks` while each aggregation
     * buffer stays inside the runtime-bloom-filter byte cap — at 10⁹
     * seen items and 1 % fpp, 150 slices of ~8 MB replace the ~1.2 GB
-    * monolith no single buffer may hold. The probe side carries the
-    * m filter binaries into the task closure (same bytes the monolith
-    * would have broadcast); `stacks` in the tens-to-hundreds keeps
-    * that identical to the single-filter footprint.
+    * monolith no single buffer may hold. The probe side ships the
+    * filters as ONE BROADCAST behind a native expression
+    * ([[graft.plans.SlicedBloomProbe]]) — NOT as per-slice byte
+    * literals: a binary literal hex-renders in full on every
+    * plan-string pass (a 16 GB driver OOM'd rendering a 25-slice /
+    * 120 MB probe plan, SURVEY §9.37) and re-ships with every task
+    * binary, where the broadcast renders as its id and executors
+    * fetch and deserialize the filters once.
     *
     * Exactness argument is [[newRows]]'s, per slice: no false
     * negatives within a slice, false positives refined by the same
@@ -111,22 +115,26 @@ object BloomDedup {
     graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
     val perFilter = math.max(1L, (expectedItems + stacks - 1) / stacks)
     val numBits = optimalNumBits(perFilter, fpp)
-    def slice(c: Column): Column = pmod(xxhash64(c), lit(stacks.toLong))
     // one pass over seen builds every slice's filter; each filter is
     // driver-collected (that is the contract: individually they fit)
-    val blooms: Seq[(Long, Array[Byte])] = seen
-      .groupBy(slice(col(fpCol)).as("_slice"))
+    val filters = new Array[org.apache.spark.util.sketch.BloomFilter](stacks)
+    seen
+      .groupBy(pmod(xxhash64(col(fpCol)), lit(stacks.toLong)).as("_slice"))
       .agg(call_function("graft_bloom_agg", xxhash64(col(fpCol)),
         lit(perFilter), lit(numBits)).as("_bf"))
       .collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+      .foreach { r =>
+        filters(r.getLong(0).toInt) =
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      }
+    val bc = batch.sparkSession.sparkContext.broadcast(filters)
     // probe only the row's own slice; absent slice => definitely new
-    val might: Column = blooms.foldLeft(lit(false)) { case (acc, (i, bytes)) =>
-      when(slice(col(fpCol)) === lit(i),
-        coalesce(call_function("graft_might_contain", lit(bytes),
-          xxhash64(col(fpCol))), lit(true)))
-        .otherwise(acc)
-    }
+    // (null fp => "maybe", routed to the residue join, which keeps
+    // null-keyed rows — same output as the old fall-through-to-new)
+    val might: Column = coalesce(
+      graft.plans.SlicedBloomProbe.column(xxhash64(col(fpCol)), stacks, bc),
+      lit(true))
     val definitelyNew = batch.filter(!might)
     val residue = batch.filter(might)
       .join(seen.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")

@@ -141,19 +141,22 @@ object MinHashLSH {
 
   /** [[signatureTable]] over a caller-provided (id, shingle) frame —
     * the shared-shingle entry point: a caller that needs the banded
-    * index AND another shingle-derived aggregate over the same
+    * index AND other shingle-derived aggregates over the same
     * documents (the near-mode accept tick's verification signature)
-    * computes and pins the exploded shingle frame ONCE and feeds it
-    * to both, instead of paying the normalize/fan-out/explode stage
-    * per consumer.
+    * passes them as `extra` and gets everything from ONE explode and
+    * ONE per-id aggregate — the doc-sized result is cheap to pin,
+    * where pinning the exploded shingle frame itself is NOT (measured
+    * §9.37: materializing ~chars-of-the-batch rows per tick cost more
+    * than the second explode it saved). `extra` aggregates may
+    * reference `shingle`.
     */
   def signatureTableFromShingles(sh: DataFrame, idCol: String,
-      k: Int = defaultK): DataFrame = {
+      k: Int = defaultK, extra: Seq[Column] = Nil): DataFrame = {
     // one md5 per shingle ROW (not per seed): the k seeded hashes are
     // long arithmetic over the shared base pair inside the partial
     // aggregate
     val aggs = (0 until k).map(s =>
-      min(seeded(col("_hb"), col("_hb2"), s)).as(s"h$s"))
+      min(seeded(col("_hb"), col("_hb2"), s)).as(s"h$s")) ++ extra
     sh
       .withColumn("_md5", md5(col("shingle")))
       .withColumn("_hb", conv(substring(col("_md5"), 1, 15), 16, 10).cast("long") % P)
@@ -172,11 +175,55 @@ object MinHashLSH {
     * [[signatureTableFromShingles]] for when).
     */
   def bandedIndexFromShingles(sh: DataFrame, idCol: String,
+      k: Int = defaultK, bands: Int = defaultBands): DataFrame =
+    bandedIndexFromSignatures(
+      signatureTableFromShingles(sh, idCol, k), idCol, k, bands)
+
+  /** The banding step alone, over an already-computed signature table
+    * (h0..h{k-1} columns + whatever else rides along) — lets a caller
+    * pin the doc-sized signature table once and derive both the index
+    * and its other signature consumers from the pin.
+    */
+  def bandedIndexFromSignatures(sig: DataFrame, idCol: String,
       k: Int = defaultK, bands: Int = defaultBands): DataFrame = {
     val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
-    signatureTableFromShingles(sh, idCol, k)
-      .select(col(idCol),
-        posexplode(bandDigests(sigArr, k, bands)).as(Seq("band", "bucket")))
+    sig.select(col(idCol),
+      posexplode(bandDigests(sigArr, k, bands)).as(Seq("band", "bucket")))
+  }
+
+  /** The SEEDED-MIX signature family: ONE `xxhash64` per shingle row
+    * and k (+verK) seeded splitmix64-avalanche mixes
+    * ([[graft.plans.Mix64]]) — for stores that need MinHash
+    * signatures WITHOUT DuckDB-oracle parity (the md5/conv base pair
+    * above exists because DuckDB can mirror it; the accept loop's
+    * artifact is its own oracle). Measured §9.37: the per-seed
+    * `xxhash64(concat(shingle, "#s"))` verification family allocated
+    * a UTF8String per seed per shingle row and was the near tick's
+    * single largest stage; this family is pure long arithmetic fused
+    * into whole-stage codegen.
+    *
+    * h0..h{k-1} are banding components (band exactly like
+    * [[signatureTable]]'s via [[bandedIndexFromSignatures]]);
+    * v0..v{verK-1} are ESTIMATOR components. Per-seed independence is
+    * a REQUIREMENT for the estimator columns (the r14 lesson: the
+    * linear seeded family correlates across seeds and estimates J≈0
+    * pairs high) — XOR-with-seed + full avalanche has no linear
+    * structure, and the quality is MEASURED, not assumed
+    * (`probe_mix_estimator`: J≈0 pairs estimate ≈0, near-dup pairs
+    * estimate their exact Jaccard, side by side with the concat
+    * family).
+    */
+  def mixedSignatureTableFromShingles(sh: DataFrame, idCol: String,
+      k: Int = defaultK, verK: Int = 0): DataFrame = {
+    val gamma = 0x9e3779b97f4a7c15L // SplitMix64's own stream constant
+    val base = sh.withColumn("_h3", xxhash64(col("shingle")))
+    val aggs = (0 until k).map(i =>
+        min(graft.plans.Mix64.column(col("_h3"), gamma * (i + 101)))
+          .as(s"h$i")) ++
+      (0 until verK).map(v =>
+        min(graft.plans.Mix64.column(col("_h3"), gamma * (v + 1)))
+          .as(s"v$v"))
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Distinct candidate pairs (idA < idB) that share at least one LSH

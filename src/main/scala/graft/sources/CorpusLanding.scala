@@ -137,6 +137,32 @@ object CorpusLanding {
     deleteTree(staging)
   }
 
+  /** Atomically publish a small marker file WITH its content (write a
+    * temp sibling, hard-link it into place): the marker either does
+    * not exist or holds complete content — never the empty file a
+    * crash inside create-then-write exposes. Create-if-absent; on a
+    * lost race the winner's content is returned. Local filesystems
+    * only (the protocol's standing constraint), where link creation
+    * is the atomic fail-if-exists publish.
+    */
+  def stampMarker(path: Path, content: String): String = {
+    require(content.trim.nonEmpty, "marker content must be non-empty")
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.tmp.${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, content)
+    try {
+      try { Files.createLink(path, tmp); content }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.readString(path).trim
+      }
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
+  }
+
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
       val s = Files.walk(dir)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,9 +40,12 @@ import graft.sources.IncrementalDocArtifact.Piece
   *    EVERY tick), and the fold promotes accumulated hashes into the
   *    slice filters. The tick probes each row against ONLY its own
   *    slice's filter plus the (small) unfolded recent-hash set; the
-  *    merged slice filters are CACHED driver-side keyed by the base
-  *    snapshot's published dir, so a steady-state tick collects only
-  *    the delta half — never the provisioned bitmap bytes.
+  *    filters ride a BROADCAST behind a native probe expression
+  *    ([[graft.plans.SlicedBloomProbe]] — at full provisioning a
+  *    byte literal of the bitmaps OOMs plan rendering and re-ships
+  *    per tick, measured §9.37), cached driver-side keyed by the
+  *    base snapshot's published dir, so a steady-state tick collects
+  *    only the delta half — never the provisioned bitmap bytes.
   *  - `digests` (doc id, fp, _ib), fold-clustered BY FINGERPRINT:
   *    only the screen's maybe-hits (true duplicates + ~fpp of the
   *    uniques) pay the exact residue anti-join, and their fps go in
@@ -161,9 +164,14 @@ object StreamingAcceptIngest {
     StructField("bf", BinaryType),
     StructField("hs", ArrayType(LongType))))
 
-  private def newSliceFilter(expectedItems: Long) =
+  /** Takes the CAPTURED per-slice sizing, never re-derives it from
+    * the live sliceItems property: a fold can run detached long after
+    * handle construction, and a property change in between would
+    * create merge-incompatible filters mid-compaction.
+    */
+  private def newSliceFilter(perSlice: Long) =
     org.apache.spark.util.sketch.BloomFilter.create(
-      perSliceFor(expectedItems), bloomBits(perSliceFor(expectedItems)))
+      perSlice, bloomBits(perSlice))
 
   private def filterBytes(
       f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
@@ -216,27 +224,54 @@ object StreamingAcceptIngest {
     def reset(): Unit = byLoop.clear()
   }
 
-  /** Driver-side cache of the merged per-slice base filters, keyed by
-    * the base snapshot's published dir (changes iff a fold or rebuild
-    * commits): a steady-state tick re-reads only the delta hashes —
-    * at full provisioning the base bitmaps are the provisioned bytes,
-    * and collecting them per tick would dwarf the tick itself. One
-    * entry per artifact (the newest base wins); a stale entry is never
-    * served because the snapshot dir is compared first, and a racing
-    * fold at worst re-derives once. Memory: the provisioned filter
-    * bytes per live loop, held by the driver that runs the loop
-    * anyway.
+  /** Driver-side cache of the BROADCAST per-slice base filters, keyed
+    * by the base snapshot's published dir (changes iff a fold or
+    * rebuild commits): a steady-state tick re-reads only the delta
+    * hashes — at full provisioning the base bitmaps ARE the
+    * provisioned bytes, and collecting (or re-broadcasting) them per
+    * tick would dwarf the tick itself. The filters live behind ONE
+    * broadcast per base version ([[graft.plans.SlicedBloomProbe]]'s
+    * contract: plan renders the id, executors fetch the blocks once
+    * and keep them across ticks). One entry per artifact (the newest
+    * base wins); a stale entry is never served because the snapshot
+    * dir is compared first, and a racing fold at worst re-derives
+    * once. Superseded and LRU-evicted broadcasts are released by
+    * dropping the reference — Spark's ContextCleaner reclaims
+    * unreachable broadcasts. Memory: the provisioned filter bytes per
+    * RECENTLY-ACTIVE loop (the cache is LRU-bounded — a driver that
+    * touches many loops over its lifetime does not pin every loop's
+    * bitmaps forever; an evicted live loop just re-derives on its
+    * next tick). A hit additionally requires the entry's
+    * SparkContext to be THIS session's and still alive — a broadcast
+    * survives in the map across a session restart in the same JVM,
+    * but its blocks do not.
     */
   private object BloomCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Map[Long, Array[Byte]])]()
-    def get(artifactDir: String, snapDir: String, frame: => DataFrame)
-        : (Map[Long, Array[Byte]], Boolean) = {
+    private final case class Entry(snapDir: String,
+        ctx: org.apache.spark.SparkContext,
+        bc: org.apache.spark.broadcast.Broadcast[
+          Array[org.apache.spark.util.sketch.BloomFilter]],
+        slices: Long)
+    private val MaxEntries = 8
+    private val cache =
+      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Entry]): Boolean =
+          size() > MaxEntries
+      }
+    /** (broadcast, non-empty-slice count, cache hit?) */
+    def get(spark: SparkSession, artifactDir: String, snapDir: String,
+        slices: Int, frame: => DataFrame)
+        : (org.apache.spark.broadcast.Broadcast[
+            Array[org.apache.spark.util.sketch.BloomFilter]],
+          Long, Boolean) = cache.synchronized {
       val cur = cache.get(artifactDir)
-      if (cur != null && cur._1 == snapDir) (cur._2, true)
+      if (cur != null && cur.snapDir == snapDir &&
+          (cur.ctx eq spark.sparkContext) && !cur.ctx.isStopped)
+        (cur.bc, cur.slices, true)
       else {
-        val merged = scala.collection.mutable.Map[
-          Long, org.apache.spark.util.sketch.BloomFilter]()
+        val arr =
+          new Array[org.apache.spark.util.sketch.BloomFilter](slices)
         frame.collect().foreach { r =>
           val bf = r.getAs[Array[Byte]]("bf")
           require(bf != null,
@@ -244,18 +279,22 @@ object StreamingAcceptIngest {
               "rebuild and fold both emit per-slice filters; a hash " +
               "row in base means the artifact was written by " +
               "incompatible code")
+          val s = r.getLong(0).toInt
+          require(s >= 0 && s < slices,
+            s"bloomparts base holds slice $s outside 0..${slices - 1}" +
+              " — the artifact was written with different slicing")
           val f = readFilter(bf)
-          merged.get(r.getLong(0)) match {
-            case Some(e) => e.mergeInPlace(f); ()
-            case None => merged(r.getLong(0)) = f
-          }
+          if (arr(s) == null) arr(s) = f else arr(s).mergeInPlace(f)
         }
-        val m = merged.toMap.map { case (s, f) => s -> filterBytes(f) }
-        cache.put(artifactDir, (snapDir, m))
-        (m, false)
+        val n = arr.count(_ != null).toLong
+        val bc = spark.sparkContext.broadcast(arr)
+        cache.put(artifactDir,
+          Entry(snapDir, spark.sparkContext, bc, n))
+        (bc, n, false)
       }
     }
-    private[streaming] def reset(): Unit = cache.clear()
+    private[streaming] def reset(): Unit =
+      cache.synchronized(cache.clear())
   }
 
   /** The exact-screen pieces, shared by both artifact families:
@@ -314,7 +353,7 @@ object StreamingAcceptIngest {
             val hs = r.getAs[scala.collection.Seq[Long]]("hs")
             if (hs != null) {
               val f = filters.getOrElseUpdate(r.getLong(0),
-                newSliceFilter(expectedItems))
+                newSliceFilter(per))
               hs.foreach(f.putLong)
             }
           }
@@ -350,9 +389,10 @@ object StreamingAcceptIngest {
       expectedItems: Long): DataFrame = {
     val slices = slicesFor(expectedItems)
     val (baseHalf, deltaHalf) = h.serveBaseDelta(spark, "bloomparts")
-    val (baseFilters, cacheHit) = baseHalf match {
-      case Some((snap, frame)) => BloomCache.get(h.artifactDir, snap, frame)
-      case None => (Map.empty[Long, Array[Byte]], false)
+    val (baseBc, baseSlices, cacheHit) = baseHalf match {
+      case Some((snap, frame)) =>
+        BloomCache.get(spark, h.artifactDir, snap, slices, frame)
+      case None => (null, 0L, false)
     }
     val recent: Array[Long] = deltaHalf match {
       case Some(d) => d.collect().flatMap { r =>
@@ -368,22 +408,22 @@ object StreamingAcceptIngest {
     val h64 = xxhash64(col("fp"))
     val recentOverCap = recent.length > recentCap
     val might =
-      if (baseFilters.isEmpty && recent.isEmpty)
+      if (baseSlices == 0L && recent.isEmpty)
         // pathological (screen piece present but empty): claim "maybe"
         // for every row — exactness first, the residue join decides
         lit(true)
       else {
-        val sliceProbe = baseFilters.foldLeft(lit(false)) {
-          case (acc, (i, bytes)) =>
-            when(pmod(h64, lit(slices.toLong)) === lit(i),
-              // a null probe result must claim "maybe" (exactness
-              // first); an ABSENT slice proves novelty (no seen fp
-              // hashes there — the empty-slice lemma), hence the
-              // lit(false) chain base
-              coalesce(call_function("graft_might_contain", lit(bytes),
-                h64), lit(true)))
-              .otherwise(acc)
-        }
+        // a null hash must claim "maybe" (exactness first); an ABSENT
+        // slice proves novelty (no seen fp hashes there — the
+        // empty-slice lemma). The probe expression holds the filters
+        // behind a BROADCAST ([[graft.plans.SlicedBloomProbe]] — a
+        // byte literal of the provisioned bitmap is untenable in the
+        // plan, measured §9.37)
+        val sliceProbe =
+          if (baseSlices == 0L) lit(false)
+          else coalesce(
+            graft.plans.SlicedBloomProbe.column(h64, slices, baseBc),
+            lit(true))
         val recentProbe =
           if (recent.isEmpty) lit(false)
           else if (!recentOverCap)
@@ -393,12 +433,14 @@ object StreamingAcceptIngest {
           else {
             // backfill-sized unfolded tail: an ephemeral tick-local
             // filter sized to the actual count (probe-only — never
-            // merged, so its sizing is free)
+            // merged, so its sizing is free); per-tick broadcast,
+            // reclaimed by the ContextCleaner when the tick's plan
+            // becomes unreachable
             val f = org.apache.spark.util.sketch.BloomFilter.create(
               recent.length.toLong, bloomBits(recent.length.toLong))
             recent.foreach(f.putLong)
-            coalesce(call_function("graft_might_contain",
-              lit(filterBytes(f)), h64), lit(true))
+            coalesce(graft.plans.SlicedBloomProbe.column(h64, 1,
+              spark.sparkContext.broadcast(Array(f))), lit(true))
           }
         sliceProbe || recentProbe
       }
@@ -423,7 +465,7 @@ object StreamingAcceptIngest {
       sums = Map("sum_ticks" -> 1L,
         "sum_residue_fallbacks" -> (if (fps.length > cap) 1L else 0L),
         "sum_recent_over_caps" -> (if (recentOverCap) 1L else 0L)),
-      lasts = Map("last_base_slices" -> baseFilters.size.toLong,
+      lasts = Map("last_base_slices" -> baseSlices,
         "last_base_cache_hit" -> (if (cacheHit) 1L else 0L),
         "last_recent_hashes" -> recent.length.toLong,
         "last_residue_fps" -> fps.length.toLong))
@@ -445,31 +487,56 @@ object StreamingAcceptIngest {
       .where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Verification signature: 32 INDEPENDENT-seed MinHash components
-    * (min over shingles of xxhash64(shingle ++ seed)). The banding
-    * signature's linear seeded family (b1 + s*b2 over one base pair)
-    * is fine for CANDIDATE generation but unusable as an estimator:
-    * one globally-small shingle attains the min for every seed at
-    * once, so components correlate heavily and random pairs estimate
-    * high (measured: ~40% of bucket-colliding J~0 pairs at est >=
-    * 0.75, 10% at 1.0). Independent seeds make the components i.i.d.
+  /** Verification signature: 32 INDEPENDENT-seed MinHash components.
+    * Independence is the REQUIREMENT (r14 finding: the banding
+    * signature's linear seeded family — b1 + s*b2 over one base pair
+    * — correlates across seeds: one globally-small shingle attains
+    * the min for every seed at once, and ~40% of bucket-colliding
+    * J~0 pairs estimated >= 0.75). The FAMILY is the seeded-mix one
+    * (min over shingles of splitmix64(xxhash64(shingle) ^ seed_v)):
+    * the r14 per-seed concat+xxhash64 form was estimator-sound but
+    * measured as the near tick's single largest stage (a UTF8String
+    * allocation per seed per shingle row, §9.37); the mix family is
+    * pure codegen long arithmetic with MEASURED estimator quality
+    * (`probe_mix_estimator`). Independent components are i.i.d.
     * Bernoulli(J) — the textbook estimator — so a threshold actually
     * separates near-dups from collisions.
     */
   private val VerK = 32
 
-  private def verSigFromShingles(sh: DataFrame, idCol: String): DataFrame = {
-    val aggs = (0 until VerK).map(v =>
-      min(xxhash64(concat(col("shingle"), lit(s"#$v")))).as(s"v$v"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array((0 until VerK).map(v => col(s"v$v")): _*).as("sig"))
-  }
+  private def verSigCol: Column =
+    array((0 until VerK).map(v => col(s"v$v")): _*).as("sig")
 
-  private def verSig(docs: DataFrame, idCol: String,
+  /** Both signature families (banding h0..h7 + verification v0..v31)
+    * from ONE explode, ONE xxhash64 per shingle row and ONE per-id
+    * aggregate — the doc-sized fused table is what gets pinned, never
+    * the exploded shingle frame (measured trade, §9.37).
+    */
+  private def fusedSigTable(docs: DataFrame, idCol: String,
       norm: Column): DataFrame =
-    verSigFromShingles(
-      graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm), idCol)
+    graft.dedup.MinHashLSH.mixedSignatureTableFromShingles(
+      graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm),
+      idCol, verK = VerK)
+
+  /** Optional per-stage tick tracing (`graft.accept.tickTrace=1`):
+    * wall ms per stage lands as `last_ms_*` gauge values. OFF by
+    * default — the standing gauge stays counts-only; a probe flips
+    * this on to LOCATE a tick's constant instead of guessing at it
+    * (§9.37: the "obvious" double-shingle fix measured ~0).
+    */
+  private def traceTick: Boolean =
+    sys.props.get("graft.accept.tickTrace").contains("1")
+
+  private def traced[A](key: String, stage: String)(a: => A): A =
+    if (!traceTick) a
+    else {
+      val t0 = System.nanoTime
+      val r = a
+      AcceptStats.record(key, sums = Map.empty,
+        lasts = Map(s"last_ms_$stage" ->
+          ((System.nanoTime - t0) / 1000000L)))
+      r
+    }
 
   /** Columns the loop owns or uses as tick-internal scratch. */
   private val Reserved = Seq("fp", "_ib", "_rn", "_might")
@@ -488,7 +555,17 @@ object StreamingAcceptIngest {
 
   private def modeOf(outDir: String): Option[String] = {
     val p = modePath(outDir)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    if (!Files.exists(p)) None
+    else {
+      val m = Files.readString(p).trim
+      // cannot happen through the atomic stamp below — an empty
+      // marker means hand-editing or a foreign writer; refusing BOTH
+      // modes forever with no explanation would brick the sink
+      if (m.isEmpty) throw new IllegalStateException(
+        s"corrupt (empty) accept-mode marker at $p — delete it and " +
+          "re-run the intended mode's door to re-stamp")
+      Some(m)
+    }
   }
 
   private def refuseMode(outDir: String, cur: String, mode: String): Nothing =
@@ -502,17 +579,10 @@ object StreamingAcceptIngest {
     modeOf(outDir) match {
       case Some(cur) => if (cur != mode) refuseMode(outDir, cur, mode)
       case None =>
-        Files.createDirectories(Paths.get(outDir))
-        try {
-          Files.write(modePath(outDir),
-            mode.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE_NEW)
-          ()
-        } catch {
-          // lost a concurrent stamp race — re-check against the winner
-          case _: java.nio.file.FileAlreadyExistsException =>
-            stampOrRequireMode(outDir, mode)
-        }
+        // atomic publish (content never observable half-written); a
+        // lost race returns the winner's mode — re-check against it
+        val won = CorpusLanding.stampMarker(modePath(outDir), mode)
+        if (won != mode) refuseMode(outDir, won, mode)
     }
 
   /** Accessor-side check: refuse a marked mismatch; a pre-marker
@@ -601,33 +671,41 @@ object StreamingAcceptIngest {
   private def nearHandle(corpusPath: String, idCol: String,
       textCol: String, expectedItems: Long) = {
     val norm = TextFunctions.normalize(col(textCol))
-    val shCache = new java.util.WeakHashMap[DataFrame, DataFrame]()
-    def sharedShingles(docs: DataFrame): DataFrame = shCache.synchronized {
-      val c = shCache.get(docs)
-      if (c != null) c
-      else {
-        val sh = graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
-          .localCheckpoint()
-        shCache.put(docs, sh)
-        sh
-      }
-    }
-    def shinglesOf(docs: DataFrame,
+    // ONE shingle pass per advanced generation, shared by the sigs
+    // and bands builders: the artifact invokes both with the same
+    // newDocs frame, so an identity-keyed cache of the PINNED FUSED
+    // SIGNATURE TABLE (doc-sized — never the exploded shingle frame,
+    // measured trade §9.37) collapses the two passes into one; a miss
+    // just restores the two-pass behavior, entries free with the
+    // frame. Rebuilds skip the pin — each piece streams its own pass
+    // over the whole corpus instead of materializing any of it.
+    val fusedCache = new java.util.WeakHashMap[DataFrame, DataFrame]()
+    def fusedOf(docs: DataFrame,
         ctx: IncrementalDocArtifact.AdvanceCtx): DataFrame =
-      if (ctx.isRebuild)
-        graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm)
-      else sharedShingles(docs)
+      if (ctx.isRebuild) fusedSigTable(docs, idCol, norm)
+      else fusedCache.synchronized {
+        val c = fusedCache.get(docs)
+        if (c != null) c
+        else {
+          val f = fusedSigTable(docs, idCol, norm).localCheckpoint()
+          fusedCache.put(docs, f)
+          f
+        }
+      }
+    // _m1 = the seeded-mix signature family: a family change re-keys
+    // the artifact (stored sigs/bands from another family would
+    // estimate garbage against fresh batch signatures)
     IncrementalDocArtifact(corpusPath,
-      s"acceptnear_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}",
+      s"acceptnear_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}_m1",
       exactPieces(idCol, expectedItems) ++ Seq(
       Piece("sigs", (docs, ctx) =>
-        verSigFromShingles(shinglesOf(docs, ctx), idCol)
+        fusedOf(docs, ctx).select(col(idCol), verSigCol)
           .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
         fold = Some(df => df.repartition(col(idCol))
           .sortWithinPartitions(idCol))),
       Piece("bands", (docs, ctx) =>
         graft.dedup.MinHashLSH
-          .bandedIndexFromShingles(shinglesOf(docs, ctx), idCol)
+          .bandedIndexFromSignatures(fusedOf(docs, ctx), idCol)
           .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
         fold = Some(df => df.repartition(col("band"), col("bucket"))
           .sortWithinPartitions("band", "bucket")))))
@@ -635,8 +713,8 @@ object StreamingAcceptIngest {
 
   /** [[applyBatch]] with a SECOND screen: a doc is rejected if its
     * ESTIMATED Jaccard (matching INDEPENDENT-SEED MinHash components
-    * / 32 — the textbook estimator, see [[verSigFromShingles]] for
-    * why the banding signature cannot be used here) against ANY
+    * / 32 — the textbook estimator, see [[VerK]] for why the
+    * banding signature cannot be used here) against ANY
     * previously-accepted doc, or any surviving smaller-id doc of its
     * own batch, reaches `threshold`. Candidates come from
     * the stored banded index (probe pushes the batch's (band, bucket)
@@ -644,8 +722,11 @@ object StreamingAcceptIngest {
     * fold — the probe key, so the prune matches the clustering;
     * verification pushes candidate ids on the id-clustered signature
     * fold — the tick never scans the stored index). The batch's
-    * signature and banding derive from ONE pinned shingle frame (the
-    * near tick's dominant constant was paying that explode twice).
+    * banding signature AND verification signature come out of ONE
+    * explode + ONE per-id aggregate, pinned at doc granularity (the
+    * near tick's dominant constant was paying the shingle explode
+    * and its shuffle once per signature family — and pinning the
+    * EXPLODED rows instead measured WORSE than the recompute, §9.37).
     * `maxIndexPerBucket` is the candidate-volume knob
     * ([[StreamingLshDedup]]'s): hot buckets keep their earliest
     * witnesses, so a genuinely-new doc colliding with a crowd still
@@ -688,26 +769,33 @@ object StreamingAcceptIngest {
     // exact screen first (ONE implementation with applyBatch), pinned:
     // the signature table AND the final anti-join both read it — an
     // unpinned frame would re-run the bloom probe + residue join
-    val exactFresh =
+    val exactFresh = traced(h.artifactDir, "exact_screen") {
       (if (hasPrior) exactScreen(h, spark, inBatch, batchId, expectedItems)
       else inBatch).localCheckpoint()
-    val dupId = exactFresh.groupBy(col(idCol)).count()
-      .where(col("count") > 1).limit(1).collect()
+    }
+    val dupId = traced(h.artifactDir, "dup_id_check") {
+      exactFresh.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+    }
     if (dupId.nonEmpty) throw new IllegalArgumentException(
       s"near-mode accept requires unique $idCol values per batch " +
         s"(duplicate: ${dupId.head.get(0)}) — duplicate ids would merge " +
         "into one bogus MinHash signature and the id-keyed joins would " +
         "drop or keep the shared rows together; re-key the batch")
     // ---- near screen over the exact survivors ----
-    // candidates from the engine's standard banding; VERIFICATION by
-    // the independent-seed signature — both from ONE shingle pass
+    // candidates from the loop's seeded-mix banding (same k=8/r=2
+    // band structure as the engine default); VERIFICATION by the
+    // independent-seed signature — both signature families from
+    // ONE explode + ONE per-id aggregate, and the PIN is the
+    // doc-sized fused table (every consumer below re-derives its
+    // cheap projection/posexplode from it)
     val norm = TextFunctions.normalize(col(textCol))
-    val sh = graft.dedup.MinHashLSH.shingleRows(exactFresh, idCol, norm)
-      .localCheckpoint()
-    val batchSigs = verSigFromShingles(sh, idCol).localCheckpoint()
+    val sigTable = traced(h.artifactDir, "sig_table") {
+      fusedSigTable(exactFresh, idCol, norm).localCheckpoint()
+    }
+    val batchSigs = sigTable.select(col(idCol), verSigCol)
     val batchBands = graft.dedup.MinHashLSH
-      .bandedIndexFromShingles(sh, idCol)
-      .localCheckpoint()
+      .bandedIndexFromSignatures(sigTable, idCol)
     def estimate(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(VerK.toDouble)
@@ -716,30 +804,38 @@ object StreamingAcceptIngest {
     // estimator
     val dupVsAccepted: DataFrame =
       if (hasPrior) {
-        val pairRows = batchBands.select(col("band"), col("bucket"))
-          .distinct().limit(residueCap + 1).collect()
+        val pairRows = traced(h.artifactDir, "pair_collect") {
+          batchBands.select(col("band"), col("bucket"))
+            .distinct().limit(residueCap + 1).collect()
+        }
         val storedBands0 = h.serve(spark, "bands")
           .where(col("_ib") < batchId)
         val pairsOverCap = pairRows.length > residueCap
         val storedBands =
-          if (!pairsOverCap && pairRows.nonEmpty) {
+          if (!pairsOverCap) {
             // per-band bucket In, OR'd: the fold clusters by
             // (band, bucket), so pruning on the composite probe key
             // skips row groups a bucket-only In would still read
-            // (identical bucket digests occur across bands)
+            // (identical bucket digests occur across bands); an EMPTY
+            // probe (all-exact-dup batch) filters to nothing — never
+            // scan the stored index against no probes
             val pred = pairRows.groupBy(_.getInt(0)).map { case (b, rs) =>
               col("band") === lit(b) &&
                 col("bucket").isInCollection(
                   rs.map(_.getString(1)).toSeq)
-            }.reduce(_ || _)
+            }.reduceOption(_ || _).getOrElse(lit(false))
             storedBands0.where(pred)
           } else storedBands0
-        val cands = graft.dedup.MinHashLSH.probeCandidatesBanded(
-          storedBands.select(col(idCol), col("band"), col("bucket")),
-          batchBands, idCol, maxIndexPerBucket)
-          .localCheckpoint()
-        val candIds = cands.select("id_index").distinct()
-          .limit(residueCap + 1).collect().map(_.get(0))
+        val cands = traced(h.artifactDir, "cand_probe") {
+          graft.dedup.MinHashLSH.probeCandidatesBanded(
+            storedBands.select(col(idCol), col("band"), col("bucket")),
+            batchBands, idCol, maxIndexPerBucket)
+            .localCheckpoint()
+        }
+        val candIds = traced(h.artifactDir, "cand_ids") {
+          cands.select("id_index").distinct()
+            .limit(residueCap + 1).collect().map(_.get(0))
+        }
         val sigs0 = h.serve(spark, "sigs").where(col("_ib") < batchId)
         val storedSigs =
           (if (candIds.length <= residueCap)
@@ -776,12 +872,17 @@ object StreamingAcceptIngest {
     val fresh = exactFresh
       .join(dupVsAccepted.unionByName(dupVsPeers).distinct(),
         Seq(idCol), "left_anti")
-    val survivors = fresh.withColumn("_ib", lit(batchId))
-      .localCheckpoint()
+    val survivors = traced(h.artifactDir, "verify_and_pin") {
+      fresh.withColumn("_ib", lit(batchId)).localCheckpoint()
+    }
     if (!survivors.isEmpty) {
-      CorpusLanding.land(survivors, batchId, corpus, hashCol = "fp",
-        parts = parts)
-      h.serve(spark, "digests")
+      traced(h.artifactDir, "land") {
+        CorpusLanding.land(survivors, batchId, corpus, hashCol = "fp",
+          parts = parts)
+      }
+      traced(h.artifactDir, "advance") {
+        h.serve(spark, "digests")
+      }
       ()
     }
   }

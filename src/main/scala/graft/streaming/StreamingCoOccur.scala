@@ -65,9 +65,66 @@ object StreamingCoOccur {
         s"$outDir holds a legacy _batch-partitioned co-occurrence " +
           "sink (pre-corpus-landing format); serving or ingesting " +
           "through the new path would silently exclude its history — " +
-          "re-ingest the legacy rows as corpus batches (read gi/, " +
-          "applyBatch them) into a fresh outDir, or keep the old tree " +
-          "read-only and point new ingest elsewhere")
+          "run migrateLegacy(spark, legacyDir, freshDir) to replay it " +
+          "through the corpus-landing door into a fresh outDir, then " +
+          "point ingest and serves there (the old tree is left " +
+          "read-only)")
+
+  /** Replay a pre-round-14 `_batch=`-partitioned sink's history into
+    * a FRESH new-format sink, through the real door: each legacy
+    * batch's (g, i) rows go through [[applyBatch]] under its original
+    * batch id, in batch-id order — so the migrated corpus is exactly
+    * what the same stream ingested through the current protocol would
+    * have produced, and every serve (edges, coreness, communities,
+    * time travel, rollback) holds over it.
+    *
+    * Idempotent and resumable BY the landing protocol: a crashed or
+    * re-run migration re-lands only the files a previous attempt left
+    * missing (same ids, same content, same deterministic names), and
+    * the artifact ticks are replay-exact by the store's contract. The
+    * legacy tree is never written to.
+    *
+    * REFUSES a freshDir that already holds batches NOT from this
+    * migration (a `_migrated_from` marker, stamped before the first
+    * landing, is the proof): the landing protocol's skip-if-exists
+    * rule assumes same-content replays, so migrating into a sink that
+    * ingested its own batches under colliding ids would silently drop
+    * legacy rows in favor of whatever landed first. Post-migration
+    * ingest into the migrated sink is fine — batch ids must simply
+    * continue past the legacy ids, the sink's standing uniqueness
+    * contract.
+    */
+  def migrateLegacy(spark: SparkSession, legacyDir: String,
+      freshDir: String): Unit = {
+    CorpusLanding.requireLocal(legacyDir)
+    CorpusLanding.requireLocal(freshDir)
+    require(Files.exists(Paths.get(legacyDir, "gi")),
+      s"$legacyDir has no legacy gi/ table — nothing to migrate")
+    requireNotLegacy(freshDir)
+    val marker = Paths.get(freshDir, "_migrated_from")
+    if (CorpusLanding.hasData(corpusDir(freshDir)) &&
+        !Files.exists(marker))
+      throw new IllegalStateException(
+        s"$freshDir already holds landed batches that did not come " +
+          "from a migration (no _migrated_from marker) — replaying " +
+          "legacy batches into it could silently lose rows under " +
+          "colliding batch ids; migrate into an empty outDir")
+    val stamped = CorpusLanding.stampMarker(marker, legacyDir)
+    if (stamped != legacyDir) throw new IllegalStateException(
+      s"$freshDir was migrated from $stamped — refusing to interleave " +
+        s"a second migration from $legacyDir (colliding batch ids " +
+        "would silently drop rows); use a separate outDir")
+    val gi = spark.read.parquet(s"$legacyDir/gi")
+    // partition-column types are inferred (small ids read back as
+    // ints) — normalize before comparing against the landed batch ids
+    val batchIds = gi.select(col("_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    batchIds.foreach { b =>
+      applyBatch(
+        gi.where(col("_batch").cast("long") === b).select(G, I),
+        b, G, I, freshDir)
+    }
+  }
 
   private def corpusDir(outDir: String): String = s"$outDir/corpus"
 

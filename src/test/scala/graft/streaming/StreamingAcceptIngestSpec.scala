@@ -310,6 +310,21 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     val b = graft.dedup.MinHashLSH.bandedIndex(docs, "doc_id", norm)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     a shouldBe b
+    // the FUSED form (the near tick's shape): extra aggregates ride
+    // the same single explode + single per-id aggregate, and banding
+    // from the pinned doc-sized table adds only its own posexplode
+    val fused = graft.dedup.MinHashLSH.signatureTableFromShingles(
+      sh, "doc_id",
+      extra = Seq(min(xxhash64(concat(col("shingle"), lit("#0"))))
+        .as("v0")))
+    generates(fused) shouldBe 0
+    fused.columns should contain("v0")
+    val pinned = fused.localCheckpoint()
+    generates(graft.dedup.MinHashLSH.bandedIndexFromSignatures(
+      pinned, "doc_id")) shouldBe 1
+    graft.dedup.MinHashLSH.bandedIndexFromSignatures(pinned, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet shouldBe b
   }
 
   test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {

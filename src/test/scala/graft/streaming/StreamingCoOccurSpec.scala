@@ -181,6 +181,67 @@ class StreamingCoOccurSpec extends SparkSpec {
     ex3.getMessage should include("local-filesystem")
   }
 
+  test("migrateLegacy replays a pre-corpus sink's history through the real door; serves equal a direct-ingest sink; re-running is a no-op") {
+    val root = Files.createTempDirectory("graft-cooc-migrate").toString
+    val legacy = s"$root/legacy"
+    val fresh = s"$root/fresh"
+    val twin = s"$root/twin"
+    // three batches in the round-13 layout: gi/_batch=<id> partitions
+    // (plus a pairparts dir — presence alone marks the tree legacy)
+    val batches = Seq(
+      0L -> Seq((7L, 1L), (8L, 1L), (8L, 2L)),
+      1L -> Seq((7L, 2L), (7L, 3L), (9L, 5L)),
+      2L -> Seq((8L, 2L), (9L, 6L), (7L, 1L))) // dups within history OK
+    batches.foreach { case (b, rows) =>
+      rows.toDF("g", "i").withColumn("_batch", lit(b))
+        .write.mode("append").partitionBy("_batch")
+        .parquet(s"$legacy/gi")
+    }
+    Files.createDirectories(java.nio.file.Paths.get(legacy, "pairparts"))
+    // the legacy tree refuses to serve; the message names the tool
+    intercept[IllegalStateException] {
+      StreamingCoOccur.weightedEdges(spark, legacy, 1L)
+    }.getMessage should include("migrateLegacy")
+    StreamingCoOccur.migrateLegacy(spark, legacy, fresh)
+    // ground truth: the same batches ingested directly
+    batches.foreach { case (b, rows) =>
+      StreamingCoOccur.applyBatch(rows.toDF("g", "i"), b, "g", "i", twin)
+    }
+    def edges(dir: String) = StreamingCoOccur
+      .weightedEdges(spark, dir, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def coreness(dir: String) = StreamingCoOccur.coreness(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def communities(dir: String) = StreamingCoOccur.communities(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = edges(fresh)
+    e shouldBe edges(twin)
+    e should not be empty
+    coreness(fresh) shouldBe coreness(twin)
+    communities(fresh) shouldBe communities(twin)
+    // idempotent: a re-run (crash recovery) re-lands nothing
+    StreamingCoOccur.migrateLegacy(spark, legacy, fresh)
+    edges(fresh) shouldBe e
+    // the legacy tree was never written to
+    spark.read.parquet(s"$legacy/gi").count() shouldBe 9L
+    // a sink that already ingested its OWN batches refuses migration
+    // (colliding batch ids would silently drop legacy rows under the
+    // landing protocol's skip-if-exists rule)
+    intercept[IllegalStateException] {
+      StreamingCoOccur.migrateLegacy(spark, legacy, twin)
+    }.getMessage should include("_migrated_from")
+    // and a second migration from a DIFFERENT legacy tree refuses
+    val legacy2 = s"$root/legacy2"
+    Seq((0L, Seq((1L, 2L)))).foreach { case (b, rows) =>
+      rows.toDF("g", "i").withColumn("_batch", lit(b))
+        .write.mode("append").partitionBy("_batch")
+        .parquet(s"$legacy2/gi")
+    }
+    intercept[IllegalStateException] {
+      StreamingCoOccur.migrateLegacy(spark, legacy2, fresh)
+    }.getMessage should include("migrated from")
+  }
+
   test("stored graph state serves over a streamed corpus: coreness and communities equal the direct operators") {
     val out = Files.createTempDirectory("graft-stream-cooc-graph").toString
     val sink = s"$out/cooc"

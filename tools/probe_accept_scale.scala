@@ -1,12 +1,17 @@
 // S9.35 input: the accept-ingest loop's per-batch cost as the
 // ACCEPTED CORPUS grows. Exact global dedup needs the full seen set,
-// but the per-batch tick must not re-read it: the screen is a stored
-// mergeable Bloom (<= compactEvery+1 small binary rows per tick,
-// merged driver-side) plus a capped-In exact residue on the
-// fp-clustered digest fold. Per-batch cost must be FLAT in accepted
-// size; the naive form (rebuild the bloom from the digest table +
-// full anti-join build per batch) is O(accepted) per tick by
-// construction. Run:
+// but the per-batch tick must not re-read it: the screen is the
+// fp-hash-SLICED stored Bloom (per-slice filters in the base
+// snapshot, cached driver-side by snapshot identity; per-generation
+// raw-hash deltas; each row probes only its own slice) plus a
+// capped-In exact residue on the fp-clustered digest fold. Per-batch
+// cost must be FLAT in accepted size; the naive form (rebuild the
+// bloom from the digest table + full anti-join build per batch) is
+// O(accepted) per tick by construction. Phase 2 re-runs the exact
+// loop provisioned for 100M items (25 slices at the DEFAULT
+// runtime-bloom confs -- the provisioning the round-14 single-filter
+// design REFUSED) and prints the AcceptStats gauge; task-binary
+// sizes come from the console grep recorded next to this plog. Run:
 //   /opt/spark/bin/spark-shell --master 'local[32]' \
 //     --driver-class-path /root/repo/target/scala-2.13/classes \
 //     --driver-memory 16g -i tools/probe_accept_scale.scala
@@ -65,7 +70,53 @@ val acc = graft.streaming.StreamingAcceptIngest.accepted(spark, out)
 val nAcc = acc.count()
 val nDistinct = acc.select("fp").distinct().count()
 plog.println(s"accepted=$nAcc distinct_fp=$nDistinct (must be equal)")
+plog.println("accept stats (1M provisioning): " +
+  graft.streaming.StreamingAcceptIngest.AcceptStats.snapshot)
 plog.println("maint: " + graft.sources.IncrementalDocArtifact.Maintenance.snapshot)
+
+// ---- 100M provisioning: the sliced screen past one filter's cap ----
+// 25 slices of 4M at the DEFAULT runtime-bloom confs; same batch
+// shape, 30 batches. What must hold: the capacity guard ACCEPTS the
+// provisioning (the single-filter design refused it), per-batch cost
+// stays flat (the 120MB of base filter bitmaps are collected ONCE
+// into the driver cache, not per tick), and the gauge shows
+// base_slices=25 with steady-state cache hits.
+graft.streaming.StreamingAcceptIngest.AcceptStats.reset()
+val outB = "/tmp/accept_scale_probe_100m"
+new java.lang.ProcessBuilder("rm", "-rf", outB).start().waitFor()
+val nBatchesB = 30
+def dupsFromB(b: Int) = {
+  val n = perBatch - newPer
+  graft.streaming.StreamingAcceptIngest.accepted(spark, outB)
+    .select(col("text"), col("fp"))
+    .orderBy(pmod(hash(col("fp"), lit(b)), lit(1000000)), col("fp"))
+    .limit(n)
+    .withColumn("doc_id", monotonically_increasing_id()
+      + b.toLong * perBatch + 600000000L)
+    .select("doc_id", "text")
+}
+val wallsB = new Array[Double](nBatchesB)
+for (b <- 0 until nBatchesB) {
+  val fresh = spark.range(newPer).select(
+    (col("id") + b.toLong * newPer + 1000000L).as("doc_id"),
+    concat(lit("doc "), col("id") + b.toLong * newPer, lit(" body "),
+      pmod(hash(col("id") + b * 7919), lit(1000))).as("text"))
+  val df = (if (b == 0) fresh
+    else fresh.unionByName(dupsFromB(b))).localCheckpoint()
+  val t0 = System.nanoTime
+  graft.streaming.StreamingAcceptIngest.applyBatch(
+    df, b.toLong, "doc_id", "text", outB, expectedItems = 100000000L)
+  wallsB(b) = (System.nanoTime - t0) / 1e9
+}
+for (d <- 0 until nBatchesB / 10) {
+  val w = wallsB.slice(d * 10, d * 10 + 10)
+  plog.println(f"100M decade $d batches ${d*10}-${d*10+9}: mean=${w.sum / w.length}%.2f s max=${w.max}%.2f s")
+}
+val accB = graft.streaming.StreamingAcceptIngest.accepted(spark, outB)
+plog.println(s"100M accepted=${accB.count()} distinct_fp=" +
+  s"${accB.select("fp").distinct().count()} (must be equal)")
+plog.println("accept stats (100M provisioning): " +
+  graft.streaming.StreamingAcceptIngest.AcceptStats.snapshot)
 
 // ---- NEAR mode: per-batch cost as the accepted corpus grows ----
 // smaller batches (signature + banding work per doc is heavier), 30

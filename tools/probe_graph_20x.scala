@@ -71,6 +71,32 @@ Seq(("sf0.1", srcDir, 1), ("20x", bigDir, 2)).foreach { case (tag, dir, reps) =>
     else plog.println(f"$name wall=$best%.2f s rows=$rows")
   }
 }
+
+// q78/q80 OUTPUT-PATH variants with rows > 0 at BOTH scales: the
+// registered q78 (minCommon=2) predicts NOTHING on this corpus
+// (rows=0 above), so its flat walls evidence the wedge-join cost but
+// never exercise the aggregate/anti-join/output path at scale. The
+// minCommon=1 variant runs the identical plan with a nonempty result
+// (disjoint 20x copies => rows must scale exactly 20x); the capped
+// variant exercises q80's mediator-cap algebra the same way.
+Seq(("sf0.1", srcDir, 1), ("20x", bigDir, 2)).foreach { case (tag, dir, reps) =>
+  Seq(("q78var_minCommon1", None: Option[Long]),
+      ("q80var_cap8_minCommon1", Some(8L): Option[Long])).foreach {
+    case (name, cap) =>
+      var best = Double.MaxValue
+      var rows = -1L
+      (1 to reps).foreach { _ =>
+        val edges = graft.operators.CoOccurStore.edges(spark, dir,
+          "lineitem", "l_orderkey", "l_partkey", 2L).localCheckpoint()
+        val t0 = System.nanoTime
+        rows = graft.operators.LinkPrediction
+          .commonNeighbors(edges, minCommon = 1L, degreeCap = cap).count()
+        val wall = (System.nanoTime - t0) / 1e9
+        if (wall < best) best = wall
+      }
+      plog.println(f"$tag $name wall=$best%.2f s rows=$rows")
+  }
+}
 plog.println("=== done")
 plog.close()
 System.exit(0)
