@@ -1808,8 +1808,15 @@ object IncrementalDocArtifact {
         : (Option[(String, DataFrame)], Option[DataFrame]) = {
       require(pieces.exists(_.name == piece),
         s"serveBaseDelta serves additive pieces only; $piece is not one")
-      reconcile(spark)
-      val gens = liveGens(piece, Set.empty, committedOf(readLedger()))
+      val stamp = reconcile(spark)
+      // the stamped live-gen view when nothing moved since the stamp
+      // (the same fast path serveWithFoldState takes) — this entry
+      // point sits on the accept loop's per-batch path, which must
+      // not pay a ledger parse + delta-dir listings per tick when
+      // NOTHING moved
+      val gens =
+        if (stamp.mutCount == counter.get()) stamp.liveGens(piece)
+        else liveGens(piece, Set.empty, committedOf(readLedger()))
       val base = baseIO(piece)
       val baseHalf = base.currentDir.map(d => (d, spark.read.parquet(d)))
       if (baseHalf.isEmpty && gens.isEmpty)

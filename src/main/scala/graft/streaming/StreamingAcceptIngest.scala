@@ -510,13 +510,34 @@ object StreamingAcceptIngest {
   /** Both signature families (banding h0..h7 + verification v0..v31)
     * from ONE explode, ONE xxhash64 per shingle row and ONE per-id
     * aggregate — the doc-sized fused table is what gets pinned, never
-    * the exploded shingle frame (measured trade, §9.37).
+    * the exploded shingle frame (measured trade, §9.37). Batch-side
+    * form: keyed by id alone (per-batch id uniqueness is enforced
+    * before this runs).
     */
   private def fusedSigTable(docs: DataFrame, idCol: String,
       norm: Column): DataFrame =
     graft.dedup.MinHashLSH.mixedSignatureTableFromShingles(
       graft.dedup.MinHashLSH.shingleRows(docs, idCol, norm),
       idCol, verK = VerK)
+
+  /** Artifact-side form: keyed PER ACCEPTED INSTANCE (id, _ib). Ids
+    * are unique within a batch (enforced) but NOT across batches —
+    * and a REBUILD (or a multi-batch catch-up generation after
+    * crashes between landing and advance) hands every instance to one
+    * build, where grouping by id alone would merge two documents'
+    * shingles into one signature that matches neither text (silent
+    * near-screen corruption). The struct key keeps each instance's
+    * signature and band rows separate; the `_ib` the stored pieces
+    * need comes out of the key, so the builders no longer join back
+    * to docs for it.
+    */
+  private def fusedInstanceSigTable(docs: DataFrame, idCol: String,
+      norm: Column): DataFrame = {
+    val keyed = docs.withColumn("_iid", struct(col(idCol), col("_ib")))
+    graft.dedup.MinHashLSH.mixedSignatureTableFromShingles(
+      graft.dedup.MinHashLSH.shingleRows(keyed, "_iid", norm),
+      "_iid", verK = VerK)
+  }
 
   /** Optional per-stage tick tracing (`graft.accept.tickTrace=1`):
     * wall ms per stage lands as `last_ms_*` gauge values. OFF by
@@ -682,16 +703,23 @@ object StreamingAcceptIngest {
     val fusedCache = new java.util.WeakHashMap[DataFrame, DataFrame]()
     def fusedOf(docs: DataFrame,
         ctx: IncrementalDocArtifact.AdvanceCtx): DataFrame =
-      if (ctx.isRebuild) fusedSigTable(docs, idCol, norm)
+      if (ctx.isRebuild) fusedInstanceSigTable(docs, idCol, norm)
       else fusedCache.synchronized {
         val c = fusedCache.get(docs)
         if (c != null) c
         else {
-          val f = fusedSigTable(docs, idCol, norm).localCheckpoint()
+          val f = fusedInstanceSigTable(docs, idCol, norm)
+            .localCheckpoint()
           fusedCache.put(docs, f)
           f
         }
       }
+    // the stored rows carry (id, _ib) flattened back out of the
+    // instance key
+    def unkey(df: DataFrame): DataFrame =
+      df.select((df.columns.filterNot(_ == "_iid").map(col) ++ Seq(
+        col("_iid").getField(idCol).as(idCol),
+        col("_iid").getField("_ib").as("_ib"))): _*)
     // _m1 = the seeded-mix signature family: a family change re-keys
     // the artifact (stored sigs/bands from another family would
     // estimate garbage against fresh batch signatures)
@@ -699,14 +727,12 @@ object StreamingAcceptIngest {
       s"acceptnear_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}_m1",
       exactPieces(idCol, expectedItems) ++ Seq(
       Piece("sigs", (docs, ctx) =>
-        fusedOf(docs, ctx).select(col(idCol), verSigCol)
-          .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
+        unkey(fusedOf(docs, ctx).select(col("_iid"), verSigCol)),
         fold = Some(df => df.repartition(col(idCol))
           .sortWithinPartitions(idCol))),
       Piece("bands", (docs, ctx) =>
-        graft.dedup.MinHashLSH
-          .bandedIndexFromSignatures(fusedOf(docs, ctx), idCol)
-          .join(docs.select(col(idCol), col("_ib")), Seq(idCol)),
+        unkey(graft.dedup.MinHashLSH
+          .bandedIndexFromSignatures(fusedOf(docs, ctx), "_iid")),
         fold = Some(df => df.repartition(col("band"), col("bucket"))
           .sortWithinPartitions("band", "bucket")))))
   }
@@ -933,17 +959,25 @@ object StreamingAcceptIngest {
   /** The EXACT-mode screen artifact's storage directory — the
     * address for inspection ([[AcceptStats]] keys on it) and teardown
     * (drop it to force a fresh screen build from the corpus).
+    * Mode-checked like every mode-specific accessor: against a
+    * near-mode sink this would silently return a path that does not
+    * exist — a teardown script would delete nothing and gauge
+    * lookups would read as "no ticks ran".
     */
   def screenArtifactDir(outDir: String, idCol: String, textCol: String,
-      expectedItems: Long = 4000000L): String =
+      expectedItems: Long = 4000000L): String = {
+    requireModeIfMarked(outDir, "exact")
     digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .artifactDir
+  }
 
   /** [[screenArtifactDir]] for a near-mode sink. */
   def screenArtifactDirNear(outDir: String, idCol: String,
-      textCol: String, expectedItems: Long = 4000000L): String =
+      textCol: String, expectedItems: Long = 4000000L): String = {
+    requireModeIfMarked(outDir, "near")
     nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .artifactDir
+  }
 
   /** Stored digest view (id, fp, _ib) of the EXACT-mode screen
     * artifact (near-mode sinks: [[digestsNear]] — the families are

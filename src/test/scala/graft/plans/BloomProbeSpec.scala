@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.SparkSpec
+
+/** The two broadcast-era probe expressions: [[Mix64]] (seeded
+  * avalanche — the accept loop's signature family) and
+  * [[SlicedBloomProbe]] (filters behind a broadcast). Pins: codegen
+  * output ≡ the Scala reference, null propagation, the empty-slice
+  * lemma (absent slice → false), and membership exactness (no false
+  * negatives).
+  */
+class BloomProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Mix64 codegen matches the Scala reference mix; null propagates") {
+    val seed = 0x9e3779b97f4a7c15L * 7
+    val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      123456789L, -987654321L)
+    val got = vals.toDF("h")
+      .select(col("h"), Mix64.column(col("h"), seed).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vals.foreach { v => got(v) shouldBe Mix64.mix(v ^ seed) }
+    // distinct seeds give distinct streams
+    val m2 = vals.toDF("h")
+      .select(Mix64.column(col("h"), seed + 1).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    m2 should not be vals.map(v => Mix64.mix(v ^ seed))
+    // null in, null out
+    Seq(Some(1L), None).toDF("h")
+      .select(Mix64.column(col("h"), seed).as("m"))
+      .collect().map(r => r.isNullAt(0)).toSeq shouldBe Seq(false, true)
+  }
+
+  test("SlicedBloomProbe: membership per slice, absent slice proves novelty, null propagates") {
+    val slices = 4
+    // filters for slices 0 and 2 only; 1 and 3 absent
+    val arr = new Array[BloomFilter](slices)
+    val members = Seq(8L, 16L, -12L) // floorMod(h,4) in {0, 2}
+    members.foreach { h =>
+      val s = java.lang.Math.floorMod(h, slices.toLong).toInt
+      if (arr(s) == null) arr(s) = BloomFilter.create(100, 960L)
+      arr(s).putLong(h)
+    }
+    val bc = spark.sparkContext.broadcast(arr)
+    val probe = Seq[java.lang.Long](8L, 16L, -12L, // members: true
+      12L, 20L, // slice 0, not inserted: false (w.h.p.) or residue
+      9L, -3L, 11L, // slices 1/3: ABSENT -> definitely false
+      null).toDF("h")
+      .select(col("h"),
+        SlicedBloomProbe.column(col("h"), slices, bc).as("p"))
+      .collect().map(r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    // no false negatives
+    members.foreach { h => probe(Some(h)) shouldBe Some(true) }
+    // absent slices are definite novelty — never "maybe"
+    Seq(9L, -3L, 11L).foreach { h => probe(Some(h)) shouldBe Some(false) }
+    // null hash -> null (callers coalesce to "maybe")
+    probe(None) shouldBe None
+  }
+}

@@ -327,6 +327,46 @@ class StreamingAcceptIngestSpec extends SparkSpec {
       .toSet shouldBe b
   }
 
+  test("near mode survives a screen REBUILD with cross-batch re-used ids: signatures stay per accepted instance") {
+    val out = Files.createTempDirectory("graft-accept-rebuild").toString
+    val tA = "first long document about rivers and streams flowing " +
+      "down the mountain valley toward the quiet delta plain " * 3
+    val tB = "second unrelated text covering catalyst optimizer rules " +
+      "and physical plan selection strategies in great depth " * 3
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((7L, tA)).toDF("doc_id", "text"), 0L, "doc_id", "text", out,
+      threshold = 0.7)
+    // the SAME id under a different text in a later batch — the
+    // documented-harmless cross-batch reuse (each accepted instance
+    // keeps its own (id,_ib)-keyed signature)
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((7L, tB)).toDF("doc_id", "text"), 1L, "doc_id", "text", out,
+      threshold = 0.7)
+    StreamingAcceptIngest.accepted(spark, out).count() shouldBe 2L
+    // force a full rebuild: drop the screen artifact — the store
+    // heals from the corpus on the next serve, handing BOTH id-7
+    // instances to one build (the grouped-by-id-alone bug merged
+    // their shingles into a signature matching neither text)
+    val art = java.nio.file.Paths.get(
+      StreamingAcceptIngest.screenArtifactDirNear(out, "doc_id", "text"))
+    val s = java.nio.file.Files.walk(art)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally s.close()
+    // near-dups of EACH instance must still be rejected post-rebuild
+    StreamingAcceptIngest.applyBatchNear(
+      Seq((20L, tA.replace("quiet", "silent")),
+        (21L, tB.replace("depth", "detail")),
+        (22L, "a genuinely new passage describing bloom filter " +
+          "slicing and broadcast probe expressions at length " * 3))
+        .toDF("doc_id", "text"),
+      2L, "doc_id", "text", out, threshold = 0.7)
+    StreamingAcceptIngest.accepted(spark, out)
+      .where(col("_ib") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(22L)
+  }
+
   test("the accepted corpus is a first-class corpus: the co-occurrence store maintains itself over it") {
     val out = Files.createTempDirectory("graft-accept-cooc").toString
     // docs whose (doc_id % 3) plays the "group": land docs, then ask
