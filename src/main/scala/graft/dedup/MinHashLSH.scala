@@ -215,6 +215,16 @@ object MinHashLSH {
     */
   def mixedSignatureTableFromShingles(sh: DataFrame, idCol: String,
       k: Int = defaultK, verK: Int = 0): DataFrame = {
+    // the two seed streams are gamma*(i+101) (banding) and
+    // gamma*(v+1) (estimator): gamma is odd so distinct multipliers
+    // give distinct seeds, but the STREAMS overlap the moment
+    // v+1 reaches 101 — a verK past 100 would silently correlate
+    // estimator components with banding components (exactly the
+    // cross-seed correlation the estimator columns exist to avoid)
+    require(verK <= 100,
+      s"verK=$verK would overlap the banding seed stream (seeds " +
+        "gamma*(v+1) meet gamma*(i+101) at v=100) — estimator and " +
+        "banding components must come from disjoint seed spaces")
     val gamma = 0x9e3779b97f4a7c15L // SplitMix64's own stream constant
     val base = sh.withColumn("_h3", xxhash64(col("shingle")))
     val aggs = (0 until k).map(i =>

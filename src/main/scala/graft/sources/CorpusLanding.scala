@@ -145,17 +145,26 @@ object CorpusLanding {
     * only (the protocol's standing constraint), where link creation
     * is the atomic fail-if-exists publish.
     */
-  def stampMarker(path: Path, content: String): String = {
+  def stampMarker(path: Path, content: String): String =
+    stampMarkerCreated(path, content)._1
+
+  /** [[stampMarker]] plus whether THIS call created the marker — the
+    * caller-side race detector: created=true proves the marker did
+    * not exist when the link was attempted, so a precondition checked
+    * BEFORE the stamp (e.g. "the sink is empty") can be re-validated
+    * after winning it instead of trusting the check-then-stamp window.
+    */
+  def stampMarkerCreated(path: Path, content: String): (String, Boolean) = {
     require(content.trim.nonEmpty, "marker content must be non-empty")
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(
       s"${path.getFileName}.tmp.${java.util.UUID.randomUUID}")
     Files.writeString(tmp, content)
     try {
-      try { Files.createLink(path, tmp); content }
+      try { Files.createLink(path, tmp); (content, true) }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.readString(path).trim
+          (Files.readString(path).trim, false)
       }
     } finally {
       Files.deleteIfExists(tmp)

@@ -72,11 +72,24 @@ object StreamingCoOccur {
 
   /** Replay a pre-round-14 `_batch=`-partitioned sink's history into
     * a FRESH new-format sink, through the real door: each legacy
-    * batch's (g, i) rows go through [[applyBatch]] under its original
-    * batch id, in batch-id order — so the migrated corpus is exactly
-    * what the same stream ingested through the current protocol would
-    * have produced, and every serve (edges, coreness, communities,
-    * time travel, rollback) holds over it.
+    * batch's (g, i) rows land through [[CorpusLanding]] under its
+    * original batch id, in batch-id order — so the migrated corpus is
+    * exactly what the same stream ingested through the current
+    * protocol would have produced, and every serve (edges, coreness,
+    * communities, time travel, rollback) holds over it.
+    *
+    * THE ADVANCE IS BATCHED: all legacy batches land FIRST (pure file
+    * ops through the landing protocol), then ONE catch-up tick
+    * advances the artifact over the whole landed history — the
+    * store's delta algebra handles a multi-generation catch-up as one
+    * generation (the same contract a crash between landing and
+    * advance already relies on), so a years-old sink with 10⁴-10⁵
+    * micro-batches pays one advance instead of 10⁴-10⁵ sequential
+    * ~1-2 s ticks (measured r15: hours-to-days of replay collapsed to
+    * the one advance — `probe_migrate_batch`). `tickEveryBatch=true`
+    * keeps the original per-batch door — the equivalence spec pins
+    * that both routes serve identically, which is what makes the
+    * batched default safe to trust.
     *
     * Idempotent and resumable BY the landing protocol: a crashed or
     * re-run migration re-lands only the files a previous attempt left
@@ -89,13 +102,19 @@ object StreamingCoOccur {
     * landing, is the proof): the landing protocol's skip-if-exists
     * rule assumes same-content replays, so migrating into a sink that
     * ingested its own batches under colliding ids would silently drop
-    * legacy rows in favor of whatever landed first. Post-migration
-    * ingest into the migrated sink is fine — batch ids must simply
-    * continue past the legacy ids, the sink's standing uniqueness
-    * contract.
+    * legacy rows in favor of whatever landed first. The emptiness
+    * precondition is RE-CHECKED after winning the marker stamp (the
+    * stamp's created flag proves this call owned the transition), so
+    * a direct ingest racing the check-then-stamp window is refused
+    * instead of absorbed — the one window left open is a direct
+    * ingest AFTER the stamp, which is the documented operator
+    * contract: do not run concurrent writers into a sink mid-
+    * migration. Post-migration ingest into the migrated sink is fine
+    * — batch ids must simply continue past the legacy ids, the
+    * sink's standing uniqueness contract.
     */
   def migrateLegacy(spark: SparkSession, legacyDir: String,
-      freshDir: String): Unit = {
+      freshDir: String, tickEveryBatch: Boolean = false): Unit = {
     CorpusLanding.requireLocal(legacyDir)
     CorpusLanding.requireLocal(freshDir)
     require(Files.exists(Paths.get(legacyDir, "gi")),
@@ -109,20 +128,48 @@ object StreamingCoOccur {
           "from a migration (no _migrated_from marker) — replaying " +
           "legacy batches into it could silently lose rows under " +
           "colliding batch ids; migrate into an empty outDir")
-    val stamped = CorpusLanding.stampMarker(marker, legacyDir)
+    val (stamped, created) =
+      CorpusLanding.stampMarkerCreated(marker, legacyDir)
     if (stamped != legacyDir) throw new IllegalStateException(
       s"$freshDir was migrated from $stamped — refusing to interleave " +
         s"a second migration from $legacyDir (colliding batch ids " +
         "would silently drop rows); use a separate outDir")
+    // close the check→stamp race: created=true proves the marker was
+    // OURS to create, so any data visible NOW landed through a
+    // concurrent direct ingest in the window after the emptiness
+    // check — those batches are not from a migration and replaying
+    // over them could collide. Refuse and surface; the marker this
+    // refused attempt stamped must be removed by hand (deleting it
+    // here could un-publish a marker a concurrently resuming
+    // migration from the same legacyDir has already read).
+    if (created && CorpusLanding.hasData(corpusDir(freshDir)))
+      throw new IllegalStateException(
+        s"a concurrent writer landed batches into $freshDir between " +
+          "the emptiness check and the marker stamp — refusing to " +
+          "replay over them (colliding batch ids would silently drop " +
+          s"rows); inspect the sink, remove ${marker} if abandoning " +
+          "it, and migrate into an outDir with no concurrent writers")
     val gi = spark.read.parquet(s"$legacyDir/gi")
     // partition-column types are inferred (small ids read back as
     // ints) — normalize before comparing against the landed batch ids
     val batchIds = gi.select(col("_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
-    batchIds.foreach { b =>
-      applyBatch(
-        gi.where(col("_batch").cast("long") === b).select(G, I),
-        b, G, I, freshDir)
+    if (tickEveryBatch)
+      batchIds.foreach { b =>
+        applyBatch(
+          gi.where(col("_batch").cast("long") === b).select(G, I),
+          b, G, I, freshDir)
+      }
+    else {
+      // every distinct _batch value has rows by construction — land
+      // without the per-batch emptiness action, tick once at the end
+      batchIds.foreach { b =>
+        landBatch(
+          gi.where(col("_batch").cast("long") === b).select(G, I),
+          b, G, I, freshDir, parts = 1)
+      }
+      if (batchIds.nonEmpty)
+        CoOccurStore.ingestTick(spark, corpusDir(freshDir), G, I)
     }
   }
 

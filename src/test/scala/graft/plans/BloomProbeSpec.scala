@@ -34,19 +34,36 @@ class BloomProbeSpec extends SparkSpec {
       .collect().map(r => r.isNullAt(0)).toSeq shouldBe Seq(false, true)
   }
 
+  test("mixedSignatureTable refuses a verK that overlaps the banding seed stream") {
+    val sh = Seq((1L, "ab"), (1L, "bc")).toDF("id", "shingle")
+    intercept[IllegalArgumentException] {
+      graft.dedup.MinHashLSH
+        .mixedSignatureTableFromShingles(sh, "id", verK = 101)
+    }.getMessage should include("seed")
+    // the boundary value is allowed: id + h0..h7 + v0..v99
+    graft.dedup.MinHashLSH
+      .mixedSignatureTableFromShingles(sh, "id", verK = 100)
+      .columns.length shouldBe 1 + 8 + 100
+  }
+
   test("SlicedBloomProbe: membership per slice, absent slice proves novelty, null propagates") {
     val slices = 4
-    // filters for slices 0 and 2 only; 1 and 3 absent
+    // filters for slices 0 and 2 only; 1 and 3 absent. floorMod(h,4):
+    // 8 and -12 -> 0, 6 and 14 -> 2 — TWO distinct slice filters are
+    // genuinely built and probed (an earlier cut used members that
+    // all landed in slice 0, leaving slice 2 absent and unprobed)
     val arr = new Array[BloomFilter](slices)
-    val members = Seq(8L, 16L, -12L) // floorMod(h,4) in {0, 2}
+    val members = Seq(8L, -12L, 6L, 14L)
     members.foreach { h =>
       val s = java.lang.Math.floorMod(h, slices.toLong).toInt
       if (arr(s) == null) arr(s) = BloomFilter.create(100, 960L)
       arr(s).putLong(h)
     }
+    assert(arr(0) != null && arr(2) != null && arr(1) == null &&
+      arr(3) == null, "fixture must build exactly slices 0 and 2")
     val bc = spark.sparkContext.broadcast(arr)
-    val probe = Seq[java.lang.Long](8L, 16L, -12L, // members: true
-      12L, 20L, // slice 0, not inserted: false (w.h.p.) or residue
+    val probe = Seq[java.lang.Long](8L, -12L, 6L, 14L, // members: true
+      12L, 20L, 10L, // slices 0/2 PRESENT, not inserted: false (w.h.p.)
       9L, -3L, 11L, // slices 1/3: ABSENT -> definitely false
       null).toDF("h")
       .select(col("h"),
@@ -54,8 +71,11 @@ class BloomProbeSpec extends SparkSpec {
       .collect().map(r =>
         (Option(r.get(0)).map(_.asInstanceOf[Long]),
           if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
-    // no false negatives
+    // no false negatives — across BOTH built slice filters
     members.foreach { h => probe(Some(h)) shouldBe Some(true) }
+    // present-but-not-inserted in each built slice: false at these
+    // sizings (100 items / 960 bits, 3 probes — fp chance ~1e-3/probe)
+    Seq(12L, 20L, 10L).foreach { h => probe(Some(h)) shouldBe Some(false) }
     // absent slices are definite novelty — never "maybe"
     Seq(9L, -3L, 11L).foreach { h => probe(Some(h)) shouldBe Some(false) }
     // null hash -> null (callers coalesce to "maybe")

@@ -219,6 +219,17 @@ class StreamingCoOccurSpec extends SparkSpec {
     e should not be empty
     coreness(fresh) shouldBe coreness(twin)
     communities(fresh) shouldBe communities(twin)
+    // BOTH migration routes serve identically: the batched default
+    // (land all, one catch-up advance) just ran above; the per-batch
+    // door (tickEveryBatch) replays one artifact tick per legacy
+    // batch — this equivalence is what makes the batched default
+    // safe to trust on a 10^4-batch sink
+    val perBatch = s"$root/perbatch"
+    StreamingCoOccur.migrateLegacy(spark, legacy, perBatch,
+      tickEveryBatch = true)
+    edges(perBatch) shouldBe e
+    coreness(perBatch) shouldBe coreness(twin)
+    communities(perBatch) shouldBe communities(twin)
     // idempotent: a re-run (crash recovery) re-lands nothing
     StreamingCoOccur.migrateLegacy(spark, legacy, fresh)
     edges(fresh) shouldBe e
@@ -240,6 +251,21 @@ class StreamingCoOccurSpec extends SparkSpec {
     intercept[IllegalStateException] {
       StreamingCoOccur.migrateLegacy(spark, legacy2, fresh)
     }.getMessage should include("migrated from")
+  }
+
+  test("stampMarkerCreated reports creation exactly once; losers read the winner — the migrate race re-check's foundation") {
+    val root = Files.createTempDirectory("graft-stamp-created")
+    val p = root.resolve("marker")
+    val (w1, c1) = graft.sources.CorpusLanding
+      .stampMarkerCreated(p, "alpha")
+    (w1, c1) shouldBe ("alpha", true)
+    // a second stamp (any content) loses: winner's content, created=false
+    val (w2, c2) = graft.sources.CorpusLanding
+      .stampMarkerCreated(p, "beta")
+    (w2, c2) shouldBe ("alpha", false)
+    val (w3, c3) = graft.sources.CorpusLanding
+      .stampMarkerCreated(p, "alpha")
+    (w3, c3) shouldBe ("alpha", false)
   }
 
   test("stored graph state serves over a streamed corpus: coreness and communities equal the direct operators") {
