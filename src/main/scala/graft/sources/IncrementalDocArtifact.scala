@@ -1251,6 +1251,21 @@ object IncrementalDocArtifact {
     def awaitMaintenance(): Unit =
       IncrementalDocArtifact.awaitPending(rootKey)
 
+    /** Queue a detached fold NOW, regardless of the cadence
+      * threshold — the reaction hook for a consumer whose own gauge
+      * sees unfolded state drifting past its budget (the accept
+      * loop's distributed-tail path): same single-flight discipline
+      * and maintenance pool as the cadence trigger, so a repeated
+      * call while one fold is in flight is a no-op. Honors
+      * `compactEvery = 0` (folding explicitly disabled — e.g. a
+      * probe simulating a stalled maintenance plane) by doing
+      * nothing.
+      */
+    def compactDetached(spark: SparkSession): Unit =
+      if (compactEvery > 0)
+        IncrementalDocArtifact.scheduleCompact(rootKey,
+          () => compactReturning(spark))
+
     private def rebuildAll(spark: SparkSession, current: Seq[String]): Unit = lock.synchronized {
       WriterLease.withLease(root, "artifact rebuild") {
       counter.incrementAndGet() // invalidate before the first delete

@@ -119,6 +119,35 @@ object StreamingAcceptIngest {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(100000)
 
+  /** Unfolded recent-hash tails ABOVE this count are never collected
+    * to the driver at all — the tick probes the delta DISTRIBUTED (a
+    * hash-join mark against the exploded delta hashes) and queues an
+    * immediate detached fold, both counted in [[AcceptStats]]
+    * (`sum_recent_distributed`). In the normal regime the fold
+    * cadence keeps the tail ≤ compactEvery batch-sized hash sets and
+    * this path never engages; a stalled maintenance plane or a
+    * backfill burst between folds grows the tail linearly, and
+    * before round 16 the tick's `d.collect()` absorbed that growth
+    * into driver memory with nothing reacting (r15 What's-wrong #2).
+    * ~40 driver bytes per boxed collected hash, so the default
+    * (1 M hashes) caps the collect at ~40 MB. Spec knob:
+    * `graft.accept.recentCollectMax`.
+    */
+  private def recentCollectMax: Long =
+    sys.props.get("graft.accept.recentCollectMax")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ >= 1).getOrElse(1000000L)
+
+  /** Fold cadence for the screen artifacts (probe/spec knob:
+    * `graft.accept.compactEvery`; 0 disables folding — the
+    * maintenance-stalled scenario the distributed-tail path exists
+    * for).
+    */
+  private def acceptCompactEvery: Int =
+    sys.props.get("graft.accept.compactEvery")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 0).getOrElse(8)
+
   private def slicesFor(expectedItems: Long): Int =
     math.max(1L, (expectedItems + sliceItems - 1) / sliceItems).toInt
 
@@ -200,11 +229,19 @@ object StreamingAcceptIngest {
     * fallbacks before a tick ever pays one. Keyed by the screen
     * artifact's storage dir; `sum_*` keys accumulate across ticks
     * (`sum_ticks`, `sum_residue_fallbacks`, `sum_recent_over_caps`,
-    * near mode adds `sum_band_over_caps` / `sum_cand_over_caps`),
-    * `last_*` keys are the latest tick's posture (`last_base_slices`,
-    * `last_base_cache_hit`, `last_recent_hashes`, `last_residue_fps`,
-    * near mode adds `last_band_pairs` / `last_cand_ids`). Every value
-    * is driver-known already — recording costs no extra action.
+    * `sum_recent_distributed` — ticks whose unfolded tail was too
+    * large to collect and was probed distributed instead, with a
+    * fold queued; near mode adds `sum_band_over_caps` /
+    * `sum_cand_over_caps`), `last_*` keys are the latest tick's
+    * posture (`last_base_slices`, `last_base_cache_hit`,
+    * `last_base_bytes` / `last_cache_bytes` — this loop's cached
+    * base-filter bytes and the whole [[BloomCache]]'s, the driver-
+    * memory gauge for the byte-bounded cache, `last_recent_hashes`,
+    * `last_residue_fps`, near mode adds `last_band_pairs` /
+    * `last_cand_ids`). Every value is driver-known already —
+    * recording costs no extra action (the only exception: the
+    * delta-tail size is ONE scalar aggregate per tick, which is what
+    * lets the tick decide against a driver collect before paying it).
     */
   object AcceptStats {
     private val byLoop =
@@ -235,43 +272,96 @@ object StreamingAcceptIngest {
     * and keep them across ticks). One entry per artifact (the newest
     * base wins); a stale entry is never served because the snapshot
     * dir is compared first, and a racing fold at worst re-derives
-    * once. Superseded and LRU-evicted broadcasts are released by
-    * dropping the reference — Spark's ContextCleaner reclaims
-    * unreachable broadcasts. Memory: the provisioned filter bytes per
-    * RECENTLY-ACTIVE loop (the cache is LRU-bounded — a driver that
-    * touches many loops over its lifetime does not pin every loop's
-    * bitmaps forever; an evicted live loop just re-derives on its
-    * next tick). A hit additionally requires the entry's
-    * SparkContext to be THIS session's and still alive — a broadcast
-    * survives in the map across a session restart in the same JVM,
-    * but its blocks do not.
+    * once.
+    *
+    * THE BOUND IS BYTES, not entry count (r15 finding: an entry's
+    * size is the loop's PROVISIONED bitmap bytes — ~120 MB at 100 M
+    * items, ~1.2 GB at 10⁹ — so an entry-count LRU "bound" could pin
+    * multiple GBs): the serialized filter bytes are known at insert,
+    * accumulate per entry, and eviction walks LRU order until the
+    * budget (`graft.accept.cacheBytes`, default 2 GiB) holds; a
+    * small entry-count cap rides along so thousands of KB-provisioned
+    * loops cannot crowd the map either. The NEWEST entry always
+    * survives even alone over budget — evicting the loop that is
+    * ticking right now would re-collect the provisioned bytes EVERY
+    * tick, the exact cost the cache exists to avoid (an operator who
+    * provisions past the budget sees the gauge's `last_cache_bytes`).
+    *
+    * Broadcast lifecycle: a SUPERSEDED same-artifact broadcast (a
+    * fold published a new base) is `destroy()`ed at replacement —
+    * per-artifact ticks are serialized (the foreachBatch contract),
+    * so no in-flight plan can still hold it, and waiting for the
+    * ContextCleaner would let a fold-heavy loop at full provisioning
+    * race GBs ahead of the cleaner. A BYTE-EVICTED entry belongs to a
+    * DIFFERENT, possibly mid-tick artifact, so it gets
+    * `unpersist(blocking = false)` + reference drop instead: executor
+    * blocks free now, the driver copy survives for any in-flight
+    * task to re-fetch, and the ContextCleaner completes reclamation
+    * when the last plan reference dies.
+    *
+    * The build (collect + deserialize + broadcast — potentially the
+    * provisioned bytes) runs OUTSIDE the JVM-global lock
+    * (double-checked: read under lock, build unlocked, re-check-and-
+    * put under lock), so concurrent loops on different artifacts do
+    * not serialize behind one loop's base load; a racing duplicate
+    * build of the SAME snapshot is harmless — the loser destroys its
+    * never-published broadcast and adopts the winner's.
+    *
+    * A hit additionally requires the entry's SparkContext to be THIS
+    * session's and still alive — a broadcast survives in the map
+    * across a session restart in the same JVM, but its blocks do not.
     */
-  private object BloomCache {
+  private[streaming] object BloomCache {
     private final case class Entry(snapDir: String,
         ctx: org.apache.spark.SparkContext,
         bc: org.apache.spark.broadcast.Broadcast[
           Array[org.apache.spark.util.sketch.BloomFilter]],
-        slices: Long)
-    private val MaxEntries = 8
+        slices: Long, bytes: Long)
+    private val MaxEntries = 64
+    private def maxBytes: Long =
+      sys.props.get("graft.accept.cacheBytes")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .filter(_ >= 1).getOrElse(2L << 30)
     private val cache =
-      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Entry]): Boolean =
-          size() > MaxEntries
-      }
-    /** (broadcast, non-empty-slice count, cache hit?) */
+      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+
+    private def releaseSuperseded(e: Entry,
+        ctx: org.apache.spark.SparkContext): Unit =
+      // destroy only a broadcast of THIS live context (per-artifact
+      // serialization is what makes destroy safe; a foreign-context
+      // entry's blocks are unreachable anyway — just drop it)
+      if ((e.ctx eq ctx) && !e.ctx.isStopped)
+        { scala.util.Try(e.bc.destroy()); () }
+
+    private def releaseEvicted(e: Entry): Unit =
+      if (!e.ctx.isStopped)
+        { scala.util.Try(e.bc.unpersist(false)); () }
+
+    /** (broadcast, non-empty-slice count, cache hit?, entry bytes,
+      * total cached bytes after).
+      */
     def get(spark: SparkSession, artifactDir: String, snapDir: String,
         slices: Int, frame: => DataFrame)
         : (org.apache.spark.broadcast.Broadcast[
             Array[org.apache.spark.util.sketch.BloomFilter]],
-          Long, Boolean) = cache.synchronized {
-      val cur = cache.get(artifactDir)
-      if (cur != null && cur.snapDir == snapDir &&
-          (cur.ctx eq spark.sparkContext) && !cur.ctx.isStopped)
-        (cur.bc, cur.slices, true)
-      else {
+          Long, Boolean, Long, Long) = {
+      def live(e: Entry): Boolean = e != null && e.snapDir == snapDir &&
+        (e.ctx eq spark.sparkContext) && !e.ctx.isStopped
+      val hit = cache.synchronized {
+        val cur = cache.get(artifactDir)
+        if (live(cur)) Some((cur.bc, cur.slices, true, cur.bytes,
+          totalBytesLocked))
+        else None
+      }
+      hit.getOrElse {
+        // build OUTSIDE the lock (the r15 advisory: this is ~the
+        // provisioned bytes of collect + deserialize at full
+        // provisioning — holding the global lock here serialized
+        // every other loop's tick behind it)
         val arr =
           new Array[org.apache.spark.util.sketch.BloomFilter](slices)
+        var bytes = 0L
+        val t0 = System.nanoTime
         frame.collect().foreach { r =>
           val bf = r.getAs[Array[Byte]]("bf")
           require(bf != null,
@@ -283,16 +373,62 @@ object StreamingAcceptIngest {
           require(s >= 0 && s < slices,
             s"bloomparts base holds slice $s outside 0..${slices - 1}" +
               " — the artifact was written with different slicing")
+          bytes += bf.length.toLong
           val f = readFilter(bf)
           if (arr(s) == null) arr(s) = f else arr(s).mergeInPlace(f)
         }
+        val tCollect = (System.nanoTime - t0) / 1000000L
         val n = arr.count(_ != null).toLong
+        val t1 = System.nanoTime
         val bc = spark.sparkContext.broadcast(arr)
-        cache.put(artifactDir,
-          Entry(snapDir, spark.sparkContext, bc, n))
-        (bc, n, false)
+        val tBcast = (System.nanoTime - t1) / 1000000L
+        if (traceTick) AcceptStats.record(artifactDir, sums = Map.empty,
+          lasts = Map("last_ms_base_collect" -> tCollect,
+            "last_ms_base_bcast" -> tBcast))
+        cache.synchronized {
+          val cur = cache.get(artifactDir)
+          if (live(cur)) {
+            // a racing duplicate build won; ours never reached a plan
+            scala.util.Try(bc.destroy())
+            (cur.bc, cur.slices, false, cur.bytes,
+              totalBytesLocked)
+          } else {
+            if (cur != null) releaseSuperseded(cur, spark.sparkContext)
+            cache.put(artifactDir,
+              Entry(snapDir, spark.sparkContext, bc, n, bytes))
+            // budget eviction in LRU order; the just-inserted entry
+            // survives even alone over budget (see class doc)
+            var total = totalBytesLocked
+            val it = cache.entrySet().iterator()
+            while ((total > maxBytes || cache.size() > MaxEntries) &&
+                cache.size() > 1 && it.hasNext) {
+              val e = it.next()
+              if (e.getKey != artifactDir) {
+                releaseEvicted(e.getValue)
+                total -= e.getValue.bytes
+                it.remove()
+              }
+            }
+            (bc, n, false, bytes, total)
+          }
+        }
       }
     }
+    /** Callers hold `cache`'s monitor. */
+    private def totalBytesLocked: Long = {
+      var t = 0L
+      cache.values.forEach(e => t += e.bytes)
+      t
+    }
+    private[streaming] def entryCount: Int =
+      cache.synchronized(cache.size())
+    private[streaming] def cachedBytes: Long =
+      cache.synchronized(totalBytesLocked)
+    private[streaming] def cachedArtifacts: Seq[String] =
+      cache.synchronized {
+        import scala.jdk.CollectionConverters._
+        cache.keySet().asScala.toSeq
+      }
     private[streaming] def reset(): Unit =
       cache.synchronized(cache.clear())
   }
@@ -374,7 +510,8 @@ object StreamingAcceptIngest {
       textCol: String, expectedItems: Long) =
     IncrementalDocArtifact(corpusPath,
       s"accept_${idCol}_${textCol}_e${expectedItems}_s${slicesFor(expectedItems)}",
-      exactPieces(idCol, expectedItems))
+      exactPieces(idCol, expectedItems),
+      compactEvery = acceptCompactEvery)
 
   /** THE exact screen: rows of `inBatch` (already in-batch-deduped,
     * fp attached) whose fingerprint no STRICTLY-EARLIER batch
@@ -389,65 +526,106 @@ object StreamingAcceptIngest {
       expectedItems: Long): DataFrame = {
     val slices = slicesFor(expectedItems)
     val (baseHalf, deltaHalf) = h.serveBaseDelta(spark, "bloomparts")
-    val (baseBc, baseSlices, cacheHit) = baseHalf match {
-      case Some((snap, frame)) =>
-        BloomCache.get(spark, h.artifactDir, snap, slices, frame)
-      case None => (null, 0L, false)
-    }
-    val recent: Array[Long] = deltaHalf match {
-      case Some(d) => d.collect().flatMap { r =>
-        require(r.getAs[Array[Byte]]("bf") == null,
+    val (baseBc, baseSlices, cacheHit, baseBytes, cacheBytes) =
+      baseHalf match {
+        case Some((snap, frame)) =>
+          BloomCache.get(spark, h.artifactDir, snap, slices, frame)
+        case None => (null, 0L, false, 0L, BloomCache.cachedBytes)
+      }
+    // the unfolded tail's SIZE decides how it is probed, BEFORE any
+    // collect pays for it: one tiny aggregate over the (row-count ≤
+    // slices × live-generations) delta frame. The same pass asserts
+    // the no-filter-rows-in-delta invariant the collect used to check
+    // row by row.
+    val tailCount: Long = deltaHalf match {
+      case Some(d) =>
+        val agg = d.agg(
+          coalesce(sum(size(col("hs"))), lit(0L)).as("n"),
+          sum(when(col("bf").isNotNull, 1L).otherwise(0L)).as("badbf"))
+          .collect()(0)
+        require(agg.isNullAt(1) || agg.getLong(1) == 0L,
           "bloomparts delta holds a filter row — generations emit raw " +
             "hashes; a filter in delta means the artifact was written " +
             "by incompatible code")
-        val hs = r.getAs[scala.collection.Seq[Long]]("hs")
-        if (hs == null) Seq.empty[Long] else hs
-      }
-      case None => Array.empty[Long]
+        agg.getLong(0)
+      case None => 0L
     }
-    val h64 = xxhash64(col("fp"))
-    val recentOverCap = recent.length > recentCap
-    val might =
-      if (baseSlices == 0L && recent.isEmpty)
-        // pathological (screen piece present but empty): claim "maybe"
-        // for every row — exactness first, the residue join decides
-        lit(true)
-      else {
-        // a null hash must claim "maybe" (exactness first); an ABSENT
-        // slice proves novelty (no seen fp hashes there — the
-        // empty-slice lemma). The probe expression holds the filters
-        // behind a BROADCAST ([[graft.plans.SlicedBloomProbe]] — a
-        // byte literal of the provisioned bitmap is untenable in the
-        // plan, measured §9.37)
-        val sliceProbe =
-          if (baseSlices == 0L) lit(false)
-          else coalesce(
-            graft.plans.SlicedBloomProbe.column(h64, slices, baseBc),
-            lit(true))
-        val recentProbe =
-          if (recent.isEmpty) lit(false)
-          else if (!recentOverCap)
-            // exact membership literal — small by the fold cadence
-            // (≤ compactEvery generations of batch-sized hash sets)
-            h64.isInCollection(recent.toSeq)
-          else {
-            // backfill-sized unfolded tail: an ephemeral tick-local
-            // filter sized to the actual count (probe-only — never
-            // merged, so its sizing is free); per-tick broadcast,
-            // reclaimed by the ContextCleaner when the tick's plan
-            // becomes unreachable
-            val f = org.apache.spark.util.sketch.BloomFilter.create(
-              recent.length.toLong, bloomBits(recent.length.toLong))
-            recent.foreach(f.putLong)
-            coalesce(graft.plans.SlicedBloomProbe.column(h64, 1,
-              spark.sparkContext.broadcast(Array(f))), lit(true))
-          }
-        sliceProbe || recentProbe
+    val distributedTail = tailCount > recentCollectMax
+    val recent: Array[Long] =
+      if (distributedTail) Array.empty[Long]
+      else deltaHalf match {
+        case Some(d) => d.collect().flatMap { r =>
+          val hs = r.getAs[scala.collection.Seq[Long]]("hs")
+          if (hs == null) Seq.empty[Long] else hs
+        }
+        case None => Array.empty[Long]
       }
+    val h64 = xxhash64(col("fp"))
+    val recentOverCap = tailCount > recentCap
+    // a null hash must claim "maybe" (exactness first); an ABSENT
+    // slice proves novelty (no seen fp hashes there — the
+    // empty-slice lemma). The probe expression holds the filters
+    // behind a BROADCAST ([[graft.plans.SlicedBloomProbe]] — a
+    // byte literal of the provisioned bitmap is untenable in the
+    // plan, measured §9.37)
+    def sliceProbe: Column =
+      if (baseSlices == 0L) lit(false)
+      else coalesce(
+        graft.plans.SlicedBloomProbe.column(h64, slices, baseBc),
+        lit(true))
     // ONE evaluation of the probe (and ONE embedding of the filter
     // literals in a serialized plan): the probed frame is pinned and
     // both branches read the precomputed flag
-    val probed = inBatch.withColumn("_might", might).localCheckpoint()
+    val probed =
+      if (distributedTail) {
+        // the tail is too large to collect at all (a stalled
+        // maintenance plane or a backfill burst between folds —
+        // r15 What's-wrong #2): probe it DISTRIBUTED — mark each
+        // batch row by a hash join against the exploded delta
+        // hashes (exact membership, so strictly tighter than any
+        // filter; the residue join downstream stays the decider) —
+        // and queue an immediate detached fold so the tail itself
+        // shrinks (single-flight; no-op when folding is disabled,
+        // which is the probe's maintenance-stalled construction)
+        h.compactDetached(spark)
+        val deltaHashes = deltaHalf.get
+          .select(explode(col("hs")).as("_h64t")).distinct()
+        inBatch.withColumn("_h64", h64)
+          .join(deltaHashes, col("_h64") === col("_h64t"), "left_outer")
+          .withColumn("_might", sliceProbe || col("_h64t").isNotNull)
+          .drop("_h64", "_h64t")
+          .localCheckpoint()
+      } else {
+        val might =
+          if (baseSlices == 0L && recent.isEmpty)
+            // pathological (screen piece present but empty): claim
+            // "maybe" for every row — exactness first, the residue
+            // join decides
+            lit(true)
+          else {
+            val recentProbe =
+              if (recent.isEmpty) lit(false)
+              else if (!recentOverCap)
+                // exact membership literal — small by the fold cadence
+                // (≤ compactEvery generations of batch-sized hash sets)
+                h64.isInCollection(recent.toSeq)
+              else {
+                // backfill-sized unfolded tail (still under the
+                // collect cap): an ephemeral tick-local filter sized
+                // to the actual count (probe-only — never merged, so
+                // its sizing is free); per-tick broadcast, reclaimed
+                // by the ContextCleaner when the tick's plan becomes
+                // unreachable
+                val f = org.apache.spark.util.sketch.BloomFilter.create(
+                  recent.length.toLong, bloomBits(recent.length.toLong))
+                recent.foreach(f.putLong)
+                coalesce(graft.plans.SlicedBloomProbe.column(h64, 1,
+                  spark.sparkContext.broadcast(Array(f))), lit(true))
+              }
+            sliceProbe || recentProbe
+          }
+        inBatch.withColumn("_might", might).localCheckpoint()
+      }
     val definitelyNew = probed.filter(!col("_might")).drop("_might")
     val maybe = probed.filter(col("_might")).drop("_might")
     // the replay anchor: strictly-earlier batches only (class doc)
@@ -464,10 +642,13 @@ object StreamingAcceptIngest {
     AcceptStats.record(h.artifactDir,
       sums = Map("sum_ticks" -> 1L,
         "sum_residue_fallbacks" -> (if (fps.length > cap) 1L else 0L),
-        "sum_recent_over_caps" -> (if (recentOverCap) 1L else 0L)),
+        "sum_recent_over_caps" -> (if (recentOverCap) 1L else 0L),
+        "sum_recent_distributed" -> (if (distributedTail) 1L else 0L)),
       lasts = Map("last_base_slices" -> baseSlices,
         "last_base_cache_hit" -> (if (cacheHit) 1L else 0L),
-        "last_recent_hashes" -> recent.length.toLong,
+        "last_base_bytes" -> baseBytes,
+        "last_cache_bytes" -> cacheBytes,
+        "last_recent_hashes" -> tailCount,
         "last_residue_fps" -> fps.length.toLong))
     definitelyNew.unionByName(
       maybe.join(seenSide, Seq("fp"), "left_anti"))
@@ -734,7 +915,8 @@ object StreamingAcceptIngest {
         unkey(graft.dedup.MinHashLSH
           .bandedIndexFromSignatures(fusedOf(docs, ctx), "_iid")),
         fold = Some(df => df.repartition(col("band"), col("bucket"))
-          .sortWithinPartitions("band", "bucket")))))
+          .sortWithinPartitions("band", "bucket")))),
+      compactEvery = acceptCompactEvery)
   }
 
   /** [[applyBatch]] with a SECOND screen: a doc is rejected if its
@@ -997,6 +1179,25 @@ object StreamingAcceptIngest {
     requireModeIfMarked(outDir, "near")
     nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
       .serve(spark, "digests")
+  }
+
+  /** Join any in-flight detached fold of the EXACT-mode screen
+    * artifact (the distributed-tail path queues one) — the
+    * determinism hook for specs, probes and shutdown paths.
+    */
+  def awaitScreenMaintenance(outDir: String, idCol: String,
+      textCol: String, expectedItems: Long = 4000000L): Unit = {
+    requireModeIfMarked(outDir, "exact")
+    digestHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .awaitMaintenance()
+  }
+
+  /** [[awaitScreenMaintenance]] for a near-mode sink. */
+  def awaitScreenMaintenanceNear(outDir: String, idCol: String,
+      textCol: String, expectedItems: Long = 4000000L): Unit = {
+    requireModeIfMarked(outDir, "near")
+    nearHandle(corpusDir(outDir), idCol, textCol, expectedItems)
+      .awaitMaintenance()
   }
 
   /** Fold the EXACT-mode screen artifact now (also runs on the store

@@ -136,6 +136,85 @@ class StreamingAcceptIngestSpec extends SparkSpec {
     } finally System.clearProperty("graft.accept.residueCap")
   }
 
+  test("an unfolded tail past the collect cap is probed DISTRIBUTED (exact, driver-bounded) and a fold is queued; a stalled maintenance plane stays correct") {
+    // stalled maintenance: folding disabled entirely, so the whole
+    // accepted history stays in the delta half and the tail grows
+    // linearly — the scenario r15 What's-wrong #2 names, where the
+    // tick's unconditional d.collect() absorbed the growth into
+    // driver memory with nothing reacting
+    System.setProperty("graft.accept.compactEvery", "0")
+    System.setProperty("graft.accept.recentCollectMax", "40")
+    StreamingAcceptIngest.AcceptStats.reset()
+    try {
+      val out = Files.createTempDirectory("graft-accept-tail").toString
+      for (b <- 0 until 5) {
+        val fresh = (0 until 30).map(i =>
+          (b * 100L + i, s"tail doc ${b * 30 + i}"))
+        // re-offers of EARLIER batches' texts under new ids — every
+        // one must be rejected by the distributed tail probe exactly
+        // as the collected path would
+        val dups =
+          if (b == 0) Seq.empty
+          else (0 until 10).map(i =>
+            (9000L + b * 100L + i, s"tail doc ${(b * 7 + i) % (b * 30)}"))
+        StreamingAcceptIngest.applyBatch(
+          (fresh ++ dups).toDF("doc_id", "text"),
+          b.toLong, "doc_id", "text", out)
+      }
+      val acc = StreamingAcceptIngest.accepted(spark, out)
+      acc.count() shouldBe 150L
+      acc.select("text").collect().map(_.getString(0)).toSet shouldBe
+        (0 until 150).map(i => s"tail doc $i").toSet
+      acc.select("fp").distinct().count() shouldBe 150L
+      val stats = StreamingAcceptIngest.AcceptStats.snapshot
+        .apply(StreamingAcceptIngest.screenArtifactDir(
+          out, "doc_id", "text"))
+      // the bootstrap serve REBUILDS (batch 0 lands in the base), so
+      // the unfolded tail at ticks 1..4 is 0, 30, 60, 90 hashes —
+      // ticks 3 and 4 cross the 40-hash cap and take the distributed
+      // path; with folding disabled the tail then grows monotonically
+      stats("sum_recent_distributed") shouldBe 2L
+      stats("last_recent_hashes") shouldBe 90L
+      stats("sum_ticks") shouldBe 4L
+      // the bootstrap rebuild built a base; no FOLD ever promoted the
+      // delta into it (that is the stall)
+      stats("last_base_slices") shouldBe 1L
+      // the reaction also QUEUES a fold when folding is enabled: same
+      // sequence with a cadence the batch count never crosses — the
+      // distributed path's compactDetached is the only fold trigger,
+      // and after it drains the tail is back under the cap
+      System.setProperty("graft.accept.compactEvery", "1000")
+      val out2 = Files.createTempDirectory("graft-accept-tail2").toString
+      for (b <- 0 until 5) {
+        StreamingAcceptIngest.applyBatch(
+          (0 until 30).map(i => (b * 100L + i, s"t2 doc ${b * 30 + i}"))
+            .toDF("doc_id", "text"),
+          b.toLong, "doc_id", "text", out2)
+      }
+      val h2 = StreamingAcceptIngest.screenArtifactDir(
+        out2, "doc_id", "text")
+      // drain the queued detached fold, then one more tick. The fold
+      // queued at the first over-cap tick (tail 60: generations 1-2)
+      // promotes AT LEAST those two generations; generations landed
+      // after it started keep accruing until the next crossing — so
+      // the final tick's tail is bounded by the generations SINCE the
+      // fold (≤ 60 here), not by the unfolded history (120 without
+      // the reaction). Self-regulating at cap granularity, not a
+      // hard ceiling.
+      StreamingAcceptIngest.awaitScreenMaintenance(out2, "doc_id", "text")
+      StreamingAcceptIngest.applyBatch(
+        Seq((9999L, "t2 final")).toDF("doc_id", "text"),
+        5L, "doc_id", "text", out2)
+      val stats2 = StreamingAcceptIngest.AcceptStats.snapshot.apply(h2)
+      stats2("sum_recent_distributed") should be >= 1L
+      stats2("last_recent_hashes") should be <= 60L
+      StreamingAcceptIngest.accepted(spark, out2).count() shouldBe 151L
+    } finally {
+      System.clearProperty("graft.accept.compactEvery")
+      System.clearProperty("graft.accept.recentCollectMax")
+    }
+  }
+
   test("near mode: estimated-Jaccard near-dups of accepted docs and of smaller-id batch peers are rejected") {
     val out = Files.createTempDirectory("graft-accept-near").toString
     val base = "the quick brown fox jumps over the lazy dog and then " +
