@@ -23,19 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  private val hexDigits = "0123456789abcdef"
-
-  /** Sum over tokens of bit `p` (0-31) of the token's 8-hex-char
-    * digest `hx`: hex char j = p / 4 (1-based), bit-in-char b = p % 4.
-    * `hx` is materialized ONCE per token row (the oracle does the
-    * same) — putting `md5(tok)` here instead would lean on aggregate
-    * subexpression elimination to avoid 32 digests per token.
+  /** Sum over tokens of bit `p` of the token digest, read from the
+    * PRE-DECODED numeric halves of the hex digest (`h1` = chars
+    * 1..h1Len as a long, `h2` = chars h1Len+1..hexLen): hex char
+    * j = p / 4 + 1 (1-based), bit-in-char b = p % 4 — the exact bit
+    * the oracle's per-hex-char arithmetic reads, so the summed 0/1
+    * values are identical. Until r16 this was 32 `instr`+`substring`
+    * STRING ops per token row inside the aggregate; decoding the hex
+    * once per token (two `conv`s) and extracting bits with long
+    * shift/mask arithmetic keeps the hot aggregate in cheap
+    * whole-stage-codegen integer ops (guide step 2: per-task work —
+    * measured 2.9 s → see OPTIMIZATION_r16.md, SimHash family).
     */
-  private def bitOfDigest(hx: Column, p: Int): Column = {
+  private def bitOfHalves(h1: Column, h2: Column, p: Int,
+      hexLen: Int): Column = {
     val j = p / 4 + 1
     val b = p % 4
-    val v = instr(lit(hexDigits), substring(hx, j, 1)) - 1
-    shiftright(v.cast("int"), b) % 2
+    val h1Len = math.min(hexLen, 8)
+    val v =
+      if (j <= h1Len) shiftright(h1, 4 * (h1Len - j) + b)
+      else shiftright(h2, 4 * (hexLen - j) + b)
+    v.bitwiseAND(lit(1L))
   }
 
   /** df ⇒ (idCol, simhash) with one `bits`-wide signature per
@@ -43,16 +51,27 @@ object SimHash {
     * default; use `bits = 64` past ~50k docs so the blocked index's
     * block width outgrows log2(n) (see sizing note below). Bit-pack
     * via OR of distinct powers — exact for the full 64-bit range.
+    * The md5 hex prefix is decoded to (≤ 2) longs once per token row
+    * (`conv` halves of ≤ 8 hex chars each, so each fits a signed
+    * long); every per-bit aggregate then reads its bit with integer
+    * shifts — value-identical to reading the hex chars directly.
     */
   def compute(df: DataFrame, idCol: String, normTextCol: Column,
       bits: Int = 32): DataFrame = {
     require(bits > 0 && bits <= 64 && bits % 4 == 0, "bits must be 4..64, /4")
+    val hexLen = bits / 4
+    val h1Len = math.min(hexLen, 8)
+    val hx = substring(md5(col("tok")), 1, hexLen)
     val toks = graft.operators.SkewTools.fanOut(df.select(col(idCol), normTextCol.as("_norm")))
       .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col("_norm"))).as("tok"))
-      .select(col(idCol), substring(md5(col("tok")), 1, bits / 4).as("_hx"))
+      .select(col(idCol),
+        conv(substring(hx, 1, h1Len), 16, 10).cast("long").as("_h1"),
+        (if (hexLen > h1Len) conv(substring(hx, h1Len + 1, hexLen - h1Len), 16, 10).cast("long")
+         else lit(0L)).as("_h2"))
     val sums = toks.groupBy(col(idCol)).agg(
       count(lit(1)).as("n"),
-      (0 until bits).map(p => sum(bitOfDigest(col("_hx"), p)).as(s"b$p")): _*)
+      (0 until bits).map(p =>
+        sum(bitOfHalves(col("_h1"), col("_h2"), p, hexLen)).as(s"b$p")): _*)
     sums.select(col(idCol),
       (0 until bits).map(p =>
         when(col(s"b$p") * 2 > col("n"), lit(1L << p)).otherwise(0L))

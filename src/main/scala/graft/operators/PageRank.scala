@@ -32,24 +32,48 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** (distinct edges, nodes, out-degrees, 1-row node count). */
+  /** Loop-invariant graph tables, each pinned ONCE: distinct edges,
+    * nodes, out-degrees, the dangling node set (no out-edges) and the
+    * 1-row node count. Before round 16 `outDeg`/`nRow` were plain
+    * derived frames recomputed inside EVERY iteration's plan (outDeg
+    * twice per round — once under the dangling-mass subquery, once
+    * under the contribution join) and the dangling set was re-derived
+    * per round as a left join + isNull filter; pinning them here takes
+    * the per-iteration plan from 2 aggregations + 1 left join of
+    * invariants down to zero (guide §2.4: don't recompute what a
+    * previous pass already established).
+    */
   private def graphTables(edges: DataFrame, pin: IterPin)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Double) = {
     val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
     val nodes = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), "nodes")
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
-    (e, nodes, outDeg, nRow)
+    val outDeg = pin(e.groupBy("src").agg(count(lit(1)).as("deg")), "deg")
+    val dangling = pin(nodes.join(outDeg,
+      nodes("node") === outDeg("src"), "left_anti"), "dangling")
+    // node count as a driver scalar: one count job over the pinned
+    // node table; identical value to the old 1-row count(*) aggregate
+    val n = nodes.count().toDouble
+    (e, nodes, outDeg, dangling, n)
   }
 
-  /** One damped iteration (see class doc for the plan shape). */
+  /** One damped iteration (see class doc for the plan shape).
+    *
+    * The loop-invariant node count rides as a LITERAL (computed once,
+    * not re-aggregated + broadcast per iteration); the dangling mass
+    * stays a broadcast crossJoin — an r16 experiment replaced it with
+    * a driver `head` literal and measured WORSE (5.5 s vs 4.8 s
+    * isolated q43: the BroadcastExchange build overlaps with the pin
+    * job's other stages, a strictly-serial head() cannot).
+    */
   private def step(pr: DataFrame, e: DataFrame, nodes: DataFrame,
-      outDeg: DataFrame, nRow: DataFrame, d: Double,
+      outDeg: DataFrame, dangling: DataFrame, n: Double, d: Double,
       pin: IterPin): DataFrame = {
-    val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left")
-    // dangling mass: ranks of nodes with no out-edges
-    val dm = withDeg.where(col("deg").isNull)
+    // dangling mass: ranks of nodes with no out-edges — the summed SET
+    // is identical to the pre-r16 left-join/isNull form (semi join
+    // against the pinned dangling table); the final round(6) absorbs
+    // double-summation order, the class-doc determinism argument.
+    val dm = pr.join(dangling, Seq("node"), "left_semi")
       .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
     val contrib = e
       .join(pr.withColumnRenamed("node", "src"), "src")
@@ -59,10 +83,9 @@ object PageRank {
     pin(nodes
       .join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dm))
-      .crossJoin(broadcast(nRow))
       .select(col("node"),
-        ((lit(1.0) - d) / col("n") +
-          lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
+        ((lit(1.0) - d) / lit(n) +
+          lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)))
           .as("pr")), "pr")
   }
 
@@ -77,10 +100,11 @@ object PageRank {
   def ranks(spark: SparkSession, edges: DataFrame,
       iters: Int = 5, d: Double = 0.85): DataFrame = {
     val pin = IterPin.loop()
-    val (e, nodes, outDeg, nRow) = graphTables(edges, pin)
-    var pr = pin(nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr")), "pr")
-    for (_ <- 1 to iters) pr = step(pr, e, nodes, outDeg, nRow, d, pin)
+    val (e, nodes, outDeg, dangling, n) = graphTables(edges, pin)
+    var pr = pin(nodes
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr")), "pr")
+    for (_ <- 1 to iters)
+      pr = step(pr, e, nodes, outDeg, dangling, n, d, pin)
     pin.seal(pr.select(col("node"), round(col("pr"), 6).as("pr")))
   }
 
@@ -102,21 +126,20 @@ object PageRank {
       init: Option[DataFrame] = None, tol: Double = 1e-9,
       maxIters: Int = 60, d: Double = 0.85): (DataFrame, Int) = {
     val pin = IterPin.loop()
-    val (e, nodes, outDeg, nRow) = graphTables(edges, pin)
+    val (e, nodes, outDeg, dangling, n) = graphTables(edges, pin)
     var pr = init match {
       case None =>
-        pin(nodes.crossJoin(broadcast(nRow))
-          .select(col("node"), (lit(1.0) / col("n")).as("pr")), "pr")
+        pin(nodes
+          .select(col("node"), (lit(1.0) / lit(n)).as("pr")), "pr")
       case Some(prev) =>
         val joined = pin(nodes
           .join(prev.select(col("node"), col("pr").as("_prev")), Seq("node"),
             "left")
-          .crossJoin(broadcast(nRow))
           .select(col("node"),
-            coalesce(col("_prev"), lit(1.0) / col("n")).as("pr")), "pr")
-        val mass = joined.agg(sum("pr").as("m"))
-        pin(joined.crossJoin(broadcast(mass))
-          .select(col("node"), (col("pr") / col("m")).as("pr")), "pr")
+            coalesce(col("_prev"), lit(1.0) / lit(n)).as("pr")), "pr")
+        val mass = joined.agg(sum("pr").as("m")).head.getDouble(0)
+        pin(joined
+          .select(col("node"), (col("pr") / lit(mass)).as("pr")), "pr")
     }
     var iters = 0
     var delta = Double.MaxValue
@@ -124,7 +147,7 @@ object PageRank {
       if (iters >= maxIters) throw new IllegalStateException(
         s"PageRank did not reach tol=$tol in $maxIters iterations " +
           s"(last L1 delta $delta) — raise maxIters or loosen tol")
-      val next = step(pr, e, nodes, outDeg, nRow, d, pin)
+      val next = step(pr, e, nodes, outDeg, dangling, n, d, pin)
       delta = next.join(pr.withColumnRenamed("pr", "_old"), "node")
         .agg(coalesce(sum(abs(col("pr") - col("_old"))), lit(0.0)))
         .head.getDouble(0)
