@@ -244,7 +244,14 @@ object MinHashLSH {
       n: Int = 5, k: Int = defaultK, bands: Int = defaultBands,
       maxBucket: Int = Int.MaxValue): DataFrame =
     PairGen.pairsWithin(
-        bandedIndex(df, idCol, normTextCol, n, k, bands),
+        // pin the bucket exchange's parallelism (spreadByKey): the
+        // band rows are byte-tiny but the in-bucket pair expansion is
+        // the query's CPU tail, and AQE's byte-based coalescer folds
+        // it into one task otherwise (guide §2.5; d3 isolated
+        // 1.89 -> 1.61 s). PairGen's groupBy reuses this exchange.
+        graft.operators.SkewTools.spreadByKey(
+          bandedIndex(df, idCol, normTextCol, n, k, bands),
+          col("band"), col("bucket")),
         Seq("band", "bucket"), col(idCol), maxBucket)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()

@@ -96,7 +96,16 @@ object PrefixStore {
     val keyed = exploded.join(order, Seq("tok"), "left")
       .select(id, concat(lpad(coalesce(col("df"), lit(0L)).cast("string"),
         10, "0"), lit("|"), col("tok")).as("k"))
-    val ordered = keyed.groupBy(idCol)
+    // pin the per-doc regroup's partition count (spreadByKey): the
+    // whole candidate + verify pipeline hangs off THIS exchange
+    // (every later join broadcasts its other side), and its output is
+    // byte-tiny but CPU-dense — AQE's byte-based coalescer was
+    // collapsing prefix-expand → candidate-join → distinct → verify
+    // into one single-task stage (guide §2.5/§7.2; isolated A/B:
+    // d24 3.05 → 2.02 s, d26 3.08 → 1.42 s). Clustered by doc id, so the
+    // groupBy below and the downstream candidate distinct reuse it.
+    val ordered = graft.operators.SkewTools.spreadByKey(keyed, id)
+      .groupBy(idCol)
       .agg(sort_array(collect_list(col("k"))).as("ks"))
       .select(id, col("ks"), size(col("ks")).as("sz"))
     val prefLen = (col("sz") - floor((col("sz") * tauNum + (tauDen - 1))
@@ -433,13 +442,17 @@ object PrefixStore {
       batch: DataFrame, idCol: String, tauNum: Int, tauDen: Int,
       corpusFilter: Column = lit(true)): DataFrame = {
     val h = handle(s"$sfDir/$table.parquet", tauNum, tauDen)
+    // the batch side's tokenize+hash work is CPU-dense and its source
+    // is often a single small file (one scan task); fanOut spreads it
+    // to session parallelism and disarms itself on well-split inputs
+    val b = graft.operators.SkewTools.fanOut(batch)
     val order = h.serve(spark, "order")
     val storedPref = h.serve(spark, "prefix").filter(corpusFilter)
       .select(col("doc_id").as("dup_id"), col("sz").as("sz_d"),
         col("pos").as("pos_d"), col("k"))
     val storedSets = h.serve(spark, "sets").filter(corpusFilter)
       .select(col("doc_id").as("dup_id"), col("ht").as("hd"), col("n").as("nd"))
-    val bp = prefixEntries(batch, idCol, col("text"), order, tauNum, tauDen)
+    val bp = prefixEntries(b, idCol, col("text"), order, tauNum, tauDen)
       .select(col(idCol).as("new_id"), col("sz").as("sz_n"),
         col("pos").as("pos_n"), col("k"))
     val cand = bp.join(storedPref, "k")
@@ -449,7 +462,7 @@ object PrefixStore {
         col("sz_d") - col("pos_d"))) * (tauNum + tauDen) >=
         (col("sz_n") + col("sz_d")) * tauNum)
       .select(col("new_id"), col("dup_id")).distinct()
-    val batchSets = batch.select(col(idCol).as("new_id"),
+    val batchSets = b.select(col(idCol).as("new_id"),
       transform(toks(col("text")), t => xxhash64(t)).as("hn"))
       .select(col("new_id"), col("hn"), size(col("hn")).as("nn"))
     val inter = size(array_intersect(col("hn"), col("hd")))
@@ -526,6 +539,7 @@ object PrefixStore {
       batch: DataFrame, idCol: String, tauNum: Int, tauDen: Int,
       corpusFilter: Column = lit(true)): DataFrame = {
     val h = containHandle(s"$sfDir/$table.parquet", tauNum, tauDen)
+    val b = graft.operators.SkewTools.fanOut(batch)  // see screen()
     val order = h.serve(spark, "order")
     val postings = h.serve(spark, "postings").filter(corpusFilter)
       .select(col("doc_id").as("dup_id"), col("sz").as("sz_d"), col("tok"))
@@ -535,13 +549,13 @@ object PrefixStore {
     // the postings join key
     // k = lpad(df,10)|token → the raw token starts at char 12 (tokens
     // may themselves contain '|', so no delimiter split)
-    val bp = prefixEntries(batch, idCol, col("text"), order, tauNum, tauDen)
+    val bp = prefixEntries(b, idCol, col("text"), order, tauNum, tauDen)
       .select(col(idCol).as("new_id"), col("sz").as("sz_n"),
         col("k").substr(lit(12), length(col("k"))).as("tok"))
     val cand = bp.join(postings, "tok")
       .where(col("sz_d") * tauDen >= col("sz_n") * tauNum)
       .select(col("new_id"), col("dup_id")).distinct()
-    val batchSets = batch.select(col(idCol).as("new_id"),
+    val batchSets = b.select(col(idCol).as("new_id"),
       transform(toks(col("text")), t => xxhash64(t)).as("hn"))
       .select(col("new_id"), col("hn"), size(col("hn")).as("nn"))
     val inter = size(array_intersect(col("hn"), col("hd")))

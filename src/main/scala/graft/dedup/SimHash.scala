@@ -152,7 +152,14 @@ object SimHash {
     val idx = sims.select(
       struct(col(idCol), col("simhash")).as("p"),
       posexplode(blockVals).as(Seq("blk_i", "blk_v")))
-    PairGen.pairsWithin(idx, Seq("blk_i", "blk_v"), col("p"), maxBucket)
+    // pinned-parallelism bucket exchange (see SkewTools.spreadByKey):
+    // the multi-block expansion + hamming verify + distinct all hang
+    // off this one exchange and are CPU-dense per byte — AQE's
+    // byte-based coalescer ran them single-task (d7 isolated
+    // 2.66 -> 1.98 s with the pin)
+    PairGen.pairsWithin(graft.operators.SkewTools.spreadByKey(
+        idx, col("blk_i"), col("blk_v")),
+      Seq("blk_i", "blk_v"), col("p"), maxBucket)
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

@@ -65,6 +65,35 @@ object SkewTools {
     }
   }
 
+  /** Pin a CPU-dense pipeline's parallelism through an exchange AQE's
+    * BYTE-based coalescer would collapse (r16). Candidate/verify
+    * stages (array_intersect, levenshtein, per-pair estimators) cost
+    * rows × per-row CPU, yet their rows are a few dozen BYTES each —
+    * AQE sizes post-shuffle partitions by
+    * `advisoryPartitionSizeInBytes`/`minPartitionSize`, so a
+    * kilobyte-sized but CPU-hours-dense candidate stream coalesces to
+    * ONE task and everything downstream of the exchange (broadcast
+    * joins preserve partitioning) runs single-threaded (measured:
+    * d24's entire prefix-expand → candidate-join → verify chain in one
+    * 1.8 s single-task stage at sf0.1/local[32]).
+    *
+    * A USER-specified `repartition(numPartitions, keys)` is exempt
+    * from AQE coalescing by contract (REPARTITION_BY_NUM), which makes
+    * it the per-operator pin Spark actually offers. The count is
+    * cores-proportional (`defaultParallelism`, floored by the session's
+    * configured shuffle partitions), never a constant, so cluster
+    * deployments spread exactly as wide as their session is sized.
+    * Keyed (hash) partitioning, not round-robin: deterministic under
+    * retries, and downstream groupBy/distinct on the same keys reuse
+    * the exchange instead of adding one.
+    */
+  def spreadByKey(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    df.repartition(n, keys: _*)
+  }
+
   /** Two-phase aggregation: group on (keys, salt(spreadCol)) first,
     * then merge partials per key. `partial` must be decomposable with
     * `merge` (sum/sum, count/sum, min/min, max/max, ...).
