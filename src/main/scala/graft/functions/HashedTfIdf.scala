@@ -197,13 +197,22 @@ object HashedTfIdf {
       avgPerDoc, gateCap)
   }
 
-  private def prunedImpl(features: DataFrame, queryFeatures: DataFrame,
+  private def prunedImpl(features0: DataFrame, queryFeatures: DataFrame,
       k: Int, fallbackFrac: Double, norms: DataFrame, ub: DataFrame,
       avgPerDoc: Double, gateCap: Int = maxGateRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     import scala.jdk.CollectionConverters._
+    // the stored feats piece is often ONE small parquet file (one scan
+    // task), and every downstream join here broadcasts its other side
+    // — so phase-1 ranking and candidate completion (the per-(query,
+    // doc) expansion + partial dot products, the query's CPU tail)
+    // would inherit that single partition end-to-end. The rows are
+    // narrow (doc_id, bucket, w), so spreading them is cheap, and
+    // fanOut disarms itself on well-split corpora (r16; v22's scoring
+    // stage was 2.6 s single-task at sf0.1, 0.9 s spread).
+    val features = graft.operators.SkewTools.fanOut(features0)
     val spark = features.sparkSession
     // The query fleet is DRIVER-SIZED BY CONTRACT: every retrieval
     // join broadcasts it, so it already fits on the driver. The gate
