@@ -78,8 +78,13 @@ object SemanticDedup {
     }
     val collected = IvfKnn.collectCodebook(trained, "cell")
     // materialize the assignment: the dedup self-join would otherwise
-    // re-evaluate the k-way argmax once per join side
-    val assigned = IvfKnn.assignCells(df, vecCol, collected, "__ivf_cell")
+    // re-evaluate the k-way argmax once per join side. fanOut first —
+    // the k-way argmax is per-row CPU and a single-file embedding
+    // table is one scan task (r16 stage profile: the assignment
+    // checkpoint ran 1.3 s single-task at sf0.1; same rationale as
+    // IvfKnn.members' existing fanOut)
+    val assigned = IvfKnn.assignCells(graft.operators.SkewTools.fanOut(df),
+        vecCol, collected, "__ivf_cell")
       .localCheckpoint()
     kept(assigned, idCol, vecCol, "__ivf_cell", minCosine).drop("__ivf_cell")
   }
