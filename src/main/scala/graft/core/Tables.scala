@@ -9,8 +9,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine's operators only see DataFrames.
   */
 object Tables {
+
+  /** PLAN cache for the immutable driver-provided tables: one
+    * `spark.read.parquet` resolution (file listing + footer schema
+    * read) per (session, path) instead of one per query function call
+    * — measured 91 ms of pure driver time per call at sf0.1, paid
+    * hundreds of times across a bench run (r16; guide §6 names the
+    * file-listing cache as the knob for catalog tables — path reads
+    * get none, this is its moral equivalent). NO results are cached:
+    * the value is an unexecuted logical plan; every action still
+    * scans parquet. Keyed on the exact session because child sessions
+    * carry scoped confs (nanosAsLong) that change how the file reads.
+    * The testdata tables are immutable for the life of a process by
+    * the driver contract, which is what makes the cached listing
+    * sound.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def cachedRead(spark: SparkSession, path: String): DataFrame =
+    planCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cachedRead(spark, s"$sfDir/$name.parquet")
 
   /** `events` with normalized time columns, adaptive to the generator's
     * `ts` physical type (it has shipped both TIMESTAMP(NANOS) and
@@ -56,7 +78,7 @@ object Tables {
     * conf for the plan's whole lifetime.
     */
   def readMaybeNanos(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
+    try cachedRead(spark, path)
     catch {
       // the nanos rejection surfaces as AnalysisException from a
       // driver-side footer read, or wrapped in a SparkException when
@@ -66,7 +88,12 @@ object Tables {
           .flatMap(t => Option(t.getMessage))
           .exists(m => m.contains("PARQUET_TYPE_ILLEGAL") && m.contains("NANOS"))
       } =>
-        eventsSession(spark).read.parquet(path)
+        // cache the nanos fallback under the PARENT session's key (a
+        // fresh scoped child session per call would defeat the cache
+        // and leak sessions); the '#nanos' suffix cannot collide with
+        // a real path key because paths never carry the fragment
+        planCache.computeIfAbsent((spark, path + "#nanos"),
+          _ => eventsSession(spark).read.parquet(path))
     }
 
   /** The type-adaptive normalization of [[loadEvents]] over an
