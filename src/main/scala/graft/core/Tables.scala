@@ -23,6 +23,15 @@ object Tables {
     * The testdata tables are immutable for the life of a process by
     * the driver contract, which is what makes the cached listing
     * sound.
+    *
+    * SHARED SESSIONS ONLY: keys hold strong references to their
+    * SparkSession (and the '#nanos' entries to the scoped child
+    * session their plan carries), so entries live for the process.
+    * That is the intended shape for the process-long sessions every
+    * entry point (Bench/Verify/PlanDump, the test harness) uses; a
+    * caller spinning up short-lived child sessions must not route
+    * them through [[load]]/[[cachedRead]] or each one is pinned for
+    * process lifetime (r16 advisory).
     */
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -77,7 +86,13 @@ object Tables {
     * [[eventsSession]], whose returned frame carries its own scoped
     * conf for the plan's whole lifetime.
     */
-  def readMaybeNanos(spark: SparkSession, path: String): DataFrame =
+  def readMaybeNanos(spark: SparkSession, path: String): DataFrame = {
+    // negative-cache the nanos determination: once a path has resolved
+    // as nanos, the plain read below would re-run (and re-fail) the
+    // footer read + exception-chain walk on EVERY call — only the
+    // fallback's second read was cached before (r16 advisory)
+    val nanosHit = planCache.get((spark, path + "#nanos"))
+    if (nanosHit != null) return nanosHit
     try cachedRead(spark, path)
     catch {
       // the nanos rejection surfaces as AnalysisException from a
@@ -95,6 +110,7 @@ object Tables {
         planCache.computeIfAbsent((spark, path + "#nanos"),
           _ => eventsSession(spark).read.parquet(path))
     }
+  }
 
   /** The type-adaptive normalization of [[loadEvents]] over an
     * already-read frame — for callers (the incremental-artifact piece

@@ -137,7 +137,10 @@ object PageRank {
             "left")
           .select(col("node"),
             coalesce(col("_prev"), lit(1.0) / lit(n)).as("pr")), "pr")
-        val mass = joined.agg(sum("pr").as("m")).head.getDouble(0)
+        // coalesce: sum over zero rows is null — an empty graph with a
+        // warm-start init must degrade to an empty frame, not NPE here
+        val mass = joined.agg(coalesce(sum("pr"), lit(1.0)).as("m"))
+          .head.getDouble(0)
         pin(joined
           .select(col("node"), (col("pr") / lit(mass)).as("pr")), "pr")
     }

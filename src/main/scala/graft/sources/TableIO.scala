@@ -184,8 +184,10 @@ final class ParquetTableIO(val path: String, partitionBy: Seq[String] = Nil,
           System.err.println(s"graft table cleanup: skipping foreign " +
             s"version-less entry $f (not a v-<n> snapshot)")
         else if (n.startsWith("v-") && versionOf(n) < s.prev &&
-            !keepVersionDir(n))
+            !keepVersionDir(n)) {
           deleteTree(f)
+          ParquetTableIO.evictPlans(f.toString)
+        }
         else if (s.prev >= 1 && !Files.isDirectory(f) && n != "_current")
           Files.deleteIfExists(f)
       } finally ls.close()
@@ -250,12 +252,18 @@ object ParquetTableIO {
 
   /** Plan cache for immutable versioned snapshot dirs — see
     * [[ParquetTableIO.read]]. Entries are unexecuted DataFrame plans
-    * (a few KB each); dirs retired by commit cleanup simply stop
-    * being requested (their keys go cold), and the population is
-    * bounded by live artifacts × pieces per process.
+    * (a few KB each). Dirs retired by commit cleanup are EVICTED by
+    * the deleter (commitStaged knows the dir names), so the live
+    * population is bounded by live artifacts × pieces per process —
+    * without eviction a one-publish-per-tick process would retain one
+    * stale plan + file index per version ever read (r16 advisory).
     */
   private[sources] val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** Drop every session's cached plan for a retired snapshot dir. */
+  private[sources] def evictPlans(dir: String): Unit =
+    planCache.keySet.removeIf(_._2 == dir)
 
   /** Version number of a "v-<n>[-uid]" snapshot dir name — THE parser
     * for that naming contract (the artifact store's vacuum uses it

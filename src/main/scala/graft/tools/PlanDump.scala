@@ -20,6 +20,10 @@ import graft.SparkEntry
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: PlanDump <sfDir> <outDir> <suffix> [nameFilter,...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)

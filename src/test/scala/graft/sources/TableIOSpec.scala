@@ -191,4 +191,20 @@ class TableIOSpec extends SparkSpec {
     pA.abort() // loser cleans up; the published snapshot is untouched
     io.read(spark).select("v").as[String].collect() shouldBe Array("B")
   }
+
+  test("commit cleanup evicts retired snapshot dirs from the plan cache") {
+    val io = new ParquetTableIO(tmp)
+    io.overwrite(Seq((1, "v1")).toDF("id", "v"))
+    io.read(spark).count() // populate the plan cache for v-1
+    val v1Dir = io.currentDir.get
+    io.overwrite(Seq((1, "v2")).toDF("id", "v"))
+    io.read(spark).count()
+    // v-1 survives one commit (grace window) — its plan may stay cached
+    io.overwrite(Seq((1, "v3")).toDF("id", "v"))
+    // v-1 is now deleted by commit cleanup; a long-running one-publish-
+    // per-tick process must not retain one stale plan per version read
+    ParquetTableIO.planCache.keySet.stream()
+      .anyMatch(k => k._2 == v1Dir) shouldBe false
+    io.read(spark).select("v").as[String].collect() shouldBe Array("v3")
+  }
 }
