@@ -78,14 +78,22 @@ object EditJoin {
   }
 
   /** Index side: the k+1 positioned segments of every string of a
-    * `(sid, s, l)` frame → (sid, l_a, i, seg).
+    * `(sid, s, l)` frame → (sid, l_a, i, seg). ONE pass: the k+1
+    * segments ride as an array-of-structs exploded per row — the
+    * pre-r17 k+1-branch union re-scanned `strs` per branch and paid
+    * k+1 copies of its subtree in every downstream plan (analysis/
+    * optimization time grows with plan size; the d28 screen measured
+    * ~0.5 s of pure plan-construction driver time on the 15-branch
+    * probe sibling below). Row multiset identical, order immaterial
+    * (consumers join/aggregate on the blocking key).
     */
   private[dedup] def segmentsOf(strs: DataFrame, k: Int): DataFrame =
-    (0 to k).map { i =>
-      strs.select(col("sid"), col("l").as("l_a"), lit(i).as("i"),
-        col("s").substr(segStart(col("l"), i, k), segLen(col("l"), i, k))
-          .as("seg"))
-    }.reduce(_.unionByName(_))
+    strs.select(col("sid"), col("l").as("l_a"),
+        explode(array((0 to k).map(i => struct(lit(i).as("i"),
+          col("s").substr(segStart(col("l"), i, k), segLen(col("l"), i, k))
+            .as("seg"))): _*)).as("_g"))
+      .select(col("sid"), col("l_a"), col("_g.i").as("i"),
+        col("_g.seg").as("seg"))
 
   /** Probe side: candidate substrings of every string of a
     * `(sid, s, l)` frame for every indexable length lr in [l-k, l],
@@ -110,28 +118,38 @@ object EditJoin {
   private[dedup] def probesAround(strs: DataFrame, k: Int): DataFrame =
     probesFor(strs, k, -k to k)
 
-  private def probesFor(strs: DataFrame, k: Int, deltas: Range): DataFrame =
-    deltas.flatMap { d => // lr = l + d
-      (0 to k).map { i =>
-        val lr = col("l") + d
-        val ln = segLen(lr, i, k)
-        val st0 = segStart(lr, i, k)
-        // valid starts: [st0-k, st0+k] ∩ [1, l-ln+1] — always
-        // non-empty (st0 itself is in range), but the guard keeps
-        // sequence() from generating a DESCENDING range if the
-        // bounds were ever inverted
-        val stLo = greatest(st0 - k, lit(1))
-        val stHi = least(st0 + k, col("l") - ln + 1)
-        val stArr = when(stHi >= stLo, sequence(stLo, stHi))
-          .otherwise(array().cast("array<int>"))
-        strs.where(lr >= 0)
-          .select(col("sid"), col("l").as("l_b"),
-            lr.as("l_a"), lit(i).as("i"), ln.as("_ln"),
-            explode(stArr).as("_st"), col("s"))
-          .select(col("sid"), col("l_b"), col("l_a"), col("i"),
-            col("s").substr(col("_st"), col("_ln")).as("seg"))
-      }
-    }.reduce(_.unionByName(_))
+  // ONE pass over `strs` (see segmentsOf): every (delta, i) combo is a
+  // struct in a per-row array — the pre-r17 form unioned one branch
+  // per combo ((2k+1)(k+1) = 15 at k = 2), each re-scanning the input
+  // and each adding a copy of its subtree to the plan. Same guards,
+  // encoded per element: a branch's `where(lr >= 0)` and the
+  // descending-range guard both collapse to an empty start array,
+  // which the inner explode drops. Row multiset identical.
+  private def probesFor(strs: DataFrame, k: Int, deltas: Range): DataFrame = {
+    val combos = deltas.flatMap(d => (0 to k).map(i => (d, i)))
+    val probeArr = array(combos.map { case (d, i) =>
+      val lr = col("l") + d
+      val ln = segLen(lr, i, k)
+      val st0 = segStart(lr, i, k)
+      // valid starts: [st0-k, st0+k] ∩ [1, l-ln+1] — always
+      // non-empty when lr is indexable (st0 itself is in range), but
+      // the guard keeps sequence() from generating a DESCENDING range
+      // if the bounds were ever inverted
+      val stLo = greatest(st0 - k, lit(1))
+      val stHi = least(st0 + k, col("l") - ln + 1)
+      val sts = when(lr >= 0 && stHi >= stLo, sequence(stLo, stHi))
+        .otherwise(array().cast("array<int>"))
+      struct(lr.as("l_a"), lit(i).as("i"), ln.as("ln"), sts.as("sts"))
+    }: _*)
+    strs
+      .select(col("sid"), col("l").as("l_b"), col("s"),
+        explode(probeArr).as("_p"))
+      .select(col("sid"), col("l_b"), col("_p.l_a").as("l_a"),
+        col("_p.i").as("i"), col("_p.ln").as("_ln"), col("s"),
+        explode(col("_p.sts")).as("_st"))
+      .select(col("sid"), col("l_b"), col("l_a"), col("i"),
+        col("s").substr(col("_st"), col("_ln")).as("seg"))
+  }
 
   /** All pairs (id_a < id_b, dist) with levenshtein ≤ k. Exact —
     * verified against brute force in `EditJoinSpec`; the d27 oracle
