@@ -32,32 +32,35 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Loop-invariant graph tables, each pinned ONCE: distinct edges,
-    * nodes, out-degrees, the dangling node set (no out-edges) and the
-    * 1-row node count. Before round 16 `outDeg`/`nRow` were plain
-    * derived frames recomputed inside EVERY iteration's plan (outDeg
-    * twice per round — once under the dangling-mass subquery, once
-    * under the contribution join) and the dangling set was re-derived
-    * per round as a left join + isNull filter; pinning them here takes
-    * the per-iteration plan from 2 aggregations + 1 left join of
-    * invariants down to zero (guide §2.4: don't recompute what a
-    * previous pass already established).
+  /** Loop-invariant graph tables: distinct edges, and the initial
+    * rank STATE BASE `(node, deg)` — out-degree rides ON the state
+    * (null = dangling) so the per-iteration plan joins NOTHING
+    * loop-invariant: r16 pinned outDeg/dangling/nodes as separate
+    * tables, but each iteration still re-joined (and re-BROADCAST)
+    * all three — ~17 tiny jobs per iteration at bench scale, almost
+    * all scheduling overhead. With deg on the state: the dangling
+    * mass is a flag filter on the pinned state, the contribution
+    * join divides by the carried deg, and the next-state join is
+    * state⋈contrib (the state IS the node set). Two pins total
+    * (guide §2.4: one exchange per fact, then reuse it).
     */
   private def graphTables(edges: DataFrame, pin: IterPin)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, Double) = {
+      : (DataFrame, DataFrame, Double) = {
     val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
-    val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct(), "nodes")
-    val outDeg = pin(e.groupBy("src").agg(count(lit(1)).as("deg")), "deg")
-    val dangling = pin(nodes.join(outDeg,
-      nodes("node") === outDeg("src"), "left_anti"), "dangling")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = pin(nodes.join(outDeg,
+        nodes("node") === outDeg("src"), "left")
+      .select(col("node"), col("deg")), "base")
     // node count as a driver scalar: one count job over the pinned
-    // node table; identical value to the old 1-row count(*) aggregate
-    val n = nodes.count().toDouble
-    (e, nodes, outDeg, dangling, n)
+    // base table; identical value to a 1-row count(*) aggregate
+    val n = base.count().toDouble
+    (e, base, n)
   }
 
-  /** One damped iteration (see class doc for the plan shape).
+  /** One damped iteration over the `(node, pr, deg)` state (see
+    * [[graphTables]] for why deg rides on the state).
     *
     * The loop-invariant node count rides as a LITERAL (computed once,
     * not re-aggregated + broadcast per iteration); the dangling mass
@@ -65,28 +68,32 @@ object PageRank {
     * a driver `head` literal and measured WORSE (5.5 s vs 4.8 s
     * isolated q43: the BroadcastExchange build overlaps with the pin
     * job's other stages, a strictly-serial head() cannot).
+    *
+    * Equivalences to the pre-r17 form (oracle-checked on q43):
+    * dangling mass sums pr over `deg IS NULL` — exactly the nodes the
+    * old left-anti dangling table held; the contribution join keeps
+    * every e⋈pr row (an edge's src has out-edges by construction, so
+    * its state row always carries a non-null deg — the old inner
+    * outDeg join dropped nothing either); the next state joins pr
+    * itself instead of a nodes table (the state holds every node,
+    * every round).
     */
-  private def step(pr: DataFrame, e: DataFrame, nodes: DataFrame,
-      outDeg: DataFrame, dangling: DataFrame, n: Double, d: Double,
+  private def step(pr: DataFrame, e: DataFrame, n: Double, d: Double,
       pin: IterPin): DataFrame = {
-    // dangling mass: ranks of nodes with no out-edges — the summed SET
-    // is identical to the pre-r16 left-join/isNull form (semi join
-    // against the pinned dangling table); the final round(6) absorbs
-    // double-summation order, the class-doc determinism argument.
-    val dm = pr.join(dangling, Seq("node"), "left_semi")
+    val dm = pr.filter(col("deg").isNull)
       .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
     val contrib = e
-      .join(pr.withColumnRenamed("node", "src"), "src")
-      .join(outDeg, "src")
+      .join(pr.select(col("node").as("src"), col("pr"), col("deg")), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(col("pr") / col("deg")).as("c"))
-    pin(nodes
+    pin(pr.select(col("node"), col("deg"))
       .join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dm))
       .select(col("node"),
         ((lit(1.0) - d) / lit(n) +
           lit(d) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)))
-          .as("pr")), "pr")
+          .as("pr"),
+        col("deg")), "pr")
   }
 
   /** Ranks after `iters` iterations with damping `d` over directed
@@ -100,11 +107,14 @@ object PageRank {
   def ranks(spark: SparkSession, edges: DataFrame,
       iters: Int = 5, d: Double = 0.85): DataFrame = {
     val pin = IterPin.loop()
-    val (e, nodes, outDeg, dangling, n) = graphTables(edges, pin)
-    var pr = pin(nodes
-      .select(col("node"), (lit(1.0) / lit(n)).as("pr")), "pr")
+    val (e, base, n) = graphTables(edges, pin)
+    // the uniform start is a pure projection of the pinned base — no
+    // pin of its own (one localCheckpoint job saved; round 1's plan
+    // reads the base RDD through one select)
+    var pr = base.select(col("node"), (lit(1.0) / lit(n)).as("pr"),
+      col("deg"))
     for (_ <- 1 to iters)
-      pr = step(pr, e, nodes, outDeg, dangling, n, d, pin)
+      pr = step(pr, e, n, d, pin)
     pin.seal(pr.select(col("node"), round(col("pr"), 6).as("pr")))
   }
 
@@ -126,23 +136,24 @@ object PageRank {
       init: Option[DataFrame] = None, tol: Double = 1e-9,
       maxIters: Int = 60, d: Double = 0.85): (DataFrame, Int) = {
     val pin = IterPin.loop()
-    val (e, nodes, outDeg, dangling, n) = graphTables(edges, pin)
+    val (e, base, n) = graphTables(edges, pin)
     var pr = init match {
       case None =>
-        pin(nodes
-          .select(col("node"), (lit(1.0) / lit(n)).as("pr")), "pr")
+        base.select(col("node"), (lit(1.0) / lit(n)).as("pr"), col("deg"))
       case Some(prev) =>
-        val joined = pin(nodes
+        val joined = pin(base
           .join(prev.select(col("node"), col("pr").as("_prev")), Seq("node"),
             "left")
           .select(col("node"),
-            coalesce(col("_prev"), lit(1.0) / lit(n)).as("pr")), "pr")
+            coalesce(col("_prev"), lit(1.0) / lit(n)).as("pr"),
+            col("deg")), "pr")
         // coalesce: sum over zero rows is null — an empty graph with a
         // warm-start init must degrade to an empty frame, not NPE here
         val mass = joined.agg(coalesce(sum("pr"), lit(1.0)).as("m"))
           .head.getDouble(0)
         pin(joined
-          .select(col("node"), (col("pr") / lit(mass)).as("pr")), "pr")
+          .select(col("node"), (col("pr") / lit(mass)).as("pr"),
+            col("deg")), "pr")
     }
     var iters = 0
     var delta = Double.MaxValue
@@ -150,13 +161,14 @@ object PageRank {
       if (iters >= maxIters) throw new IllegalStateException(
         s"PageRank did not reach tol=$tol in $maxIters iterations " +
           s"(last L1 delta $delta) — raise maxIters or loosen tol")
-      val next = step(pr, e, nodes, outDeg, dangling, n, d, pin)
-      delta = next.join(pr.withColumnRenamed("pr", "_old"), "node")
+      val next = step(pr, e, n, d, pin)
+      delta = next.select(col("node"), col("pr"))
+        .join(pr.select(col("node"), col("pr").as("_old")), "node")
         .agg(coalesce(sum(abs(col("pr") - col("_old"))), lit(0.0)))
         .head.getDouble(0)
       pr = next
       iters += 1
     }
-    (pin.seal(pr), iters)
+    (pin.seal(pr.select(col("node"), col("pr"))), iters)
   }
 }
