@@ -1562,12 +1562,22 @@ object RelationalQueries {
         |  CROSS JOIN n
         |WHERE support >= 20
         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
-      val os = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
-      val nOrders = os.select(col("o")).distinct()
+      // ONE lineitem pass: the per-order distinct supplier baskets
+      // (collect_set fuses the (o, s) dedup into the group, r17) feed
+      // all three consumers — order count, per-supplier counts and the
+      // pair expansion each re-read the checkpointed basket frame
+      // (~|orders| rows) where the pre-r17 form re-ran the full
+      // lineitem distinct once per consumer
+      val baskets = graft.dedup.PairGen.distinctBuckets(
+          Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
+          Seq("o"), col("s"))
+        .localCheckpoint()
+      val nOrders = baskets
         .agg(count(lit(1)).cast("double").as("n_orders"))
-      val supp = os.groupBy("s").agg(count(lit(1)).as("c"))
-      val pairs = graft.dedup.PairGen.pairsWithin(os, Seq("o"), col("s"))
+      val supp = baskets.select(explode(col("_members")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("c"))
+      val pairs = graft.dedup.PairGen.pairsOfBuckets(baskets)
         .groupBy(col("a").as("s1"), col("b").as("s2"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 20)
@@ -2051,15 +2061,17 @@ object RelationalQueries {
         |SELECT count(*) AS n_triangles FROM e e1
         |JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) { (s, dir) =>
-      val os = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey").distinct()
       // canonical undirected edges (a < b) via the bucketized
-      // within-key pair primitive — ONE orderkey exchange + in-array
-      // pair expansion instead of a two-sided self-join (order sizes
-      // are bounded, so the collected member lists are too);
-      // checkpointed because the count reuses the edge set four times
+      // within-key pair primitive — ONE orderkey exchange (the
+      // (orderkey, suppkey) dedup fuses into the bucket collect as
+      // collect_set, r17) + in-array pair expansion instead of a
+      // two-sided self-join (order sizes are bounded, so the
+      // collected member lists are too); checkpointed because the
+      // count reuses the edge set four times
       val co = graft.dedup.PairGen
-        .pairsWithin(os, Seq("l_orderkey"), col("l_suppkey"))
+        .pairsWithinDistinct(
+          Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          Seq("l_orderkey"), col("l_suppkey"))
         .groupBy("a", "b").agg(count(lit(1)).as("n"))
         .where(col("n") >= 5).select("a", "b")
         .localCheckpoint()

@@ -46,6 +46,48 @@ object PairGen {
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("_p"))).as("_members"))
       .filter(size(col("_members")) > 1)
+    expand(buckets)
+  }
+
+  /** One row per blocking key with the SORTED DISTINCT payload array
+    * — for callers whose input carries duplicate (key, payload) rows:
+    * fusing the dedup into the bucket collect (`collect_set`
+    * partial-aggregates map-side) costs ONE exchange where
+    * `df.distinct()` + [[pairsWithin]] pays two full passes (the
+    * distinct exchange on (key, payload), then the regroup on key).
+    * `maxBucket` keeps the smallest `maxBucket` distinct members —
+    * the same deterministic truncation [[pairsWithin]] applies.
+    * Output: (keys..., `_members`).
+    */
+  def distinctBuckets(df: DataFrame, keys: Seq[String], payload: Column,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b = df.select(keys.map(col) :+ payload.as("_p"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_set(col("_p"))).as("_members"))
+    if (maxBucket == Int.MaxValue) b
+    else b.withColumn("_members", slice(col("_members"), 1, maxBucket))
+  }
+
+  /** [[pairsWithin]] over an input with duplicate (key, payload) rows
+    * — pair multiset identical to `pairsWithin(df.distinct(), ...)`,
+    * one exchange cheaper (see [[distinctBuckets]]).
+    */
+  def pairsWithinDistinct(df: DataFrame, keys: Seq[String],
+      payload: Column, maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsOfBuckets(distinctBuckets(df, keys, payload, maxBucket))
+
+  /** Pair expansion over an already-built [[distinctBuckets]] frame —
+    * for callers that consume the buckets more than once (counts,
+    * per-member stats) and expand pairs from the same single exchange.
+    */
+  def pairsOfBuckets(buckets: DataFrame): DataFrame =
+    expand(buckets.filter(size(col("_members")) > 1))
+
+  /** Unordered-pair expansion of a `_members`-array frame (the shared
+    * tail of [[pairsWithin]]/[[pairsWithinDistinct]]): all (a, b)
+    * with a before b in the array's sort order.
+    */
+  private def expand(buckets: DataFrame): DataFrame = {
     val pairs = flatten(transform(col("_members"), (x, i) =>
       transform(
         slice(col("_members"), i + lit(2), size(col("_members"))),

@@ -139,7 +139,7 @@ object CoOccurStore {
     * the streaming ingest ([[graft.streaming.StreamingCoOccur]]).
     */
   private[graft] def pairCounts(gi: DataFrame): DataFrame =
-    graft.dedup.PairGen.pairsWithin(gi.distinct(), Seq("g"), col("i"))
+    graft.dedup.PairGen.pairsWithinDistinct(gi, Seq("g"), col("i"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
 
   /** THE cross-generation co-occurrence delta algebra: the

@@ -39,4 +39,24 @@ class PairGenSpec extends SparkSpec {
     // sorted members 1..4 kept -> C(4,2) pairs
     got shouldBe Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
   }
+
+  test("property: pairsWithinDistinct on duplicated input equals " +
+      "pairsWithin on the pre-distincted input") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 9L)))
+    checkProp(gen, cases = 10) { rows =>
+      val df = rows.toDF("bucket", "id") // duplicates kept
+      val fused = PairGen.pairsWithinDistinct(df, Seq("bucket"), col("id"))
+        .as[(Long, Long)].collect()
+      val twoPass = PairGen.pairsWithin(rows.distinct.toDF("bucket", "id"),
+        Seq("bucket"), col("id")).as[(Long, Long)].collect()
+      fused.sorted.toSeq shouldBe twoPass.sorted.toSeq // multiset equality
+    }
+  }
+
+  test("pairsWithinDistinct maxBucket keeps the smallest DISTINCT members") {
+    val df = ((1L to 6L) ++ (1L to 6L)).map(i => (1L, i)).toDF("bucket", "id")
+    val got = PairGen.pairsWithinDistinct(df, Seq("bucket"), col("id"),
+      maxBucket = 3).as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
 }
