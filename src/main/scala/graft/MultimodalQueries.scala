@@ -260,9 +260,19 @@ object MultimodalQueries {
       }) { (s, dir) =>
       import s.implicits._
       val d = Tables.load(s, dir, "documents")
-      val media = d.select(col("doc_id").as("media_id"),
-          (col("doc_id") % 400).as("_src"))
-        .join(d.select(col("doc_id").as("_src"), col("text")), "_src")
+      // spread the NARROW id frame to the session's parallelism before
+      // the payload attaches (guide §8: decide/spread on small rows,
+      // move heavy bytes once): the single-file scan leaves 1-2
+      // partitions, the broadcast payload join preserves them, and the
+      // whole per-row codec decode downstream would run 2-wide. The
+      // r16 measured-wrong fanOut shuffled the PAYLOAD-carrying rows;
+      // this spreads 16-byte id rows and lets the broadcast attach the
+      // payload in place.
+      val media = graft.operators.SkewTools.spreadByKey(
+          d.select(col("doc_id").as("media_id"),
+            (col("doc_id") % 400).as("_src")), col("media_id"))
+        .join(broadcast(d.select(col("doc_id").as("_src"), col("text"))),
+          "_src")
         .select(col("media_id"), lit("image").as("modality"),
           col("text").cast("binary").as("bytes"), lit("png").as("format"),
           lit(64).as("width"), lit(64).as("height"),
@@ -325,9 +335,15 @@ object MultimodalQueries {
            |ORDER BY bb.media_id""".stripMargin
       }) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val batch = d.filter(col("doc_id") >= 250)
-        .select(col("doc_id").as("media_id"), (col("doc_id") % 300).as("_src"))
-        .join(d.select(col("doc_id").as("_src"), col("text")), "_src")
+      // same narrow-side spread as m7: ids spread wide FIRST, the
+      // payload attaches via broadcast, the batch decode runs at the
+      // session's parallelism
+      val batch = graft.operators.SkewTools.spreadByKey(
+          d.filter(col("doc_id") >= 250)
+            .select(col("doc_id").as("media_id"),
+              (col("doc_id") % 300).as("_src")), col("media_id"))
+        .join(broadcast(d.select(col("doc_id").as("_src"), col("text"))),
+          "_src")
         .select(col("media_id"), col("text").cast("binary").as("bytes"))
       MediaScreen.screen(s, dir, "documents", batch,
           corpusFilter = col("media_id") < 250)
