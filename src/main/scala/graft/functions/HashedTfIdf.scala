@@ -211,8 +211,12 @@ object HashedTfIdf {
     // would inherit that single partition end-to-end. The rows are
     // narrow (doc_id, bucket, w), so spreading them is cheap, and
     // fanOut disarms itself on well-split corpora (r16; v22's scoring
-    // stage was 2.6 s single-task at sf0.1, 0.9 s spread).
-    val features = graft.operators.SkewTools.fanOut(features0)
+    // stage was 2.6 s single-task at sf0.1, 0.9 s spread). Keyed by
+    // doc_id (r17): the dot-product groupBy(query_id, doc_id) combines
+    // map-side only when a doc's postings share a partition — the
+    // round-robin spread leaked one partial row per (pair, partition)
+    // into an 84 MB exchange at sf0.1.
+    val features = graft.operators.SkewTools.fanOut(features0, col("doc_id"))
     val spark = features.sparkSession
     // The query fleet is DRIVER-SIZED BY CONTRACT: every retrieval
     // join broadcasts it, so it already fits on the driver. The gate

@@ -53,7 +53,7 @@ object SkewTools {
     * sources) report zero input files and pass through untouched:
     * their partitioning was chosen by whoever materialized them.
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles.length
@@ -61,7 +61,15 @@ object SkewTools {
     else {
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes / maxSplit >= target) df else df.repartition(target)
+      if (bytes / maxSplit >= target) df
+      // keyed spread when the caller aggregates/combines BY those keys
+      // downstream: round-robin scatters one key's rows across every
+      // partition, so per-key partial aggregation leaks one partial
+      // row per (key, partition) into the exchange — hash-spreading by
+      // the key keeps each key's rows together and partials collapse
+      // map-side (r17: v22's candidate dot-product exchange).
+      else if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
     }
   }
 
