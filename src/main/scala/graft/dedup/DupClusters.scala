@@ -61,16 +61,24 @@ object DupClusters {
     def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
 
+    // one propagation round (neighbour labels flow along edges; union
+    // keeps own label) — aliased so rounds can CHAIN inside one plan
+    def prop(cur: DataFrame): DataFrame =
+      cur.as("_L").join(sym.as("_S"), col("_L.id") === col("_S.src"))
+        .select(col("_S.dst").as("id"), col("_L.lbl").as("lbl"))
+        .union(cur.select(col("id"), col("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+
     var prevSum = lblSum(labels)
     var round = 0
     var converged = prevSum.isEmpty
+    // one round per checkpoint + sum check. MEASURED WRONG in r17 and
+    // reverted: batching two rounds per checkpoint (the round's state
+    // feeds the next round's plan twice — join side and union side) —
+    // isolated d9 2.3 -> 2.7 s; the duplicated inner-round subtree
+    // costs more than the saved checkpoint/aggregate fixed cost.
     while (round < maxRounds && !converged) {
-      // neighbour labels flow along edges; union keeps own label
-      val next = labels.join(sym, labels("id") === sym("src"))
-        .select(sym("dst").as("id"), labels("lbl"))
-        .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = prop(labels).localCheckpoint(true)
       val nextSum = lblSum(next)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive
       converged = (nextSum, prevSum) match {
@@ -143,10 +151,16 @@ object DupClusters {
         .union(e.select(col("v").as("x"), col("u").as("y")))
       val mins = adj.groupBy("x").agg(min("y").as("mn"))
         .select(col("x"), least(col("mn"), col("x")).as("m"))
+      // no intermediate distinct (r17): large-star duplicates ((y, m)
+      // reached through several x-neighbors) are harmless SET-wise —
+      // the small-star min aggregate is duplicate-insensitive and the
+      // round's final distinct dedups the explode — and the dedup
+      // exchange it replaced was a full edge-set shuffle per round;
+      // the extra explode volume is bounded by 2|e| rows into that
+      // existing final exchange.
       val large = adj.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct()
       // SMALL-STAR: u and all its smaller neighbors hook onto the min
       val sMin = large.groupBy("u").agg(min("v").as("m"))
       val small = large.join(sMin, "u")
