@@ -76,6 +76,38 @@ final class IterPin private[operators] () {
     pinned
   }
 
+  /** LAZY pin (r17): same stream bookkeeping, but local mode marks the
+    * frame for localCheckpoint WITHOUT the eager materialization job —
+    * the checkpoint materializes inside the frame's next FULL-SCAN
+    * consumer (one scheduled job instead of two). ONLY safe when the
+    * first action over the pinned frame touches every partition
+    * (count, a shuffle, an aggregate): a partial action (limit/isEmpty)
+    * could truncate lineage with partitions uncached. The loop callers
+    * here guarantee that — each lazily-pinned state is next consumed
+    * by a full join/aggregate scan or by [[pinCount]]. Reliable mode
+    * (cluster knob) keeps the eager cadence unchanged.
+    */
+  def pinLazy(df: DataFrame, stream: String): DataFrame =
+    if (IterPin.reliableMode) apply(df, stream)
+    else {
+      val i = idx.getOrElse(stream, -1) + 1
+      idx(stream) = i
+      val t = IterPin.trace
+      if (t != null) t(stream, i, false)
+      df.localCheckpoint(eager = false)
+    }
+
+  /** Pin + full materialization + row count in ONE scheduled job (the
+    * iterative loops' emptiness probe used to be a second job on top
+    * of the eager pin): lazily mark, then count — count touches every
+    * partition, so the truncation-safety condition of [[pinLazy]]
+    * holds by construction.
+    */
+  def pinCount(df: DataFrame, stream: String): (DataFrame, Long) = {
+    val pinned = pinLazy(df, stream)
+    (pinned, pinned.count())
+  }
+
   /** End-of-loop cleanup for knob-on mode: reliably checkpoint the
     * result (so unpersisting its cached ancestors cannot leave an
     * unprotected tail), release every tracked frame of every stream,

@@ -84,16 +84,23 @@ object ShortestPath {
     val pin = IterPin.loop()
     // per-stream cadence: imp and dist are SEPARATE state streams —
     // each must land a reliable cut every N of its own pins (a shared
-    // index would let dist alias the between-cut slots forever)
-    val e = pin(edges.select(col("src"), col("dst"), col("w")).distinct(),
-      "edges")
-    var dist = pin(seeds.select(col("node")).distinct()
+    // index would let dist alias the between-cut slots forever).
+    // Pins are LAZY + counted (r17): the pre-r17 loop scheduled 3-4
+    // serial jobs per round (eager imp pin, its isEmpty probe, the
+    // eager dist pin) — pinCount fuses pin + materialization +
+    // emptiness into one job, and the lazily-pinned edge/dist tables
+    // materialize inside their first full-scan consumer (the round's
+    // joins), which satisfies pinLazy's safety condition.
+    val e = pin.pinLazy(
+      edges.select(col("src"), col("dst"), col("w")).distinct(), "edges")
+    val (dist0, nSeeds) = pin.pinCount(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)), "dist")
+    var dist = dist0
     // round 0: every seed just "improved" (from unreachable to 0)
     var improved = dist
     val sizes = Seq.newBuilder[Long]
     var r = 1
-    var exhausted = improved.isEmpty
+    var exhausted = nSeeds == 0
     while (r <= rounds && !exhausted) {
       if (collectSizes) sizes += improved.count()
       // candidates reachable through an improved node, one min per dst
@@ -101,12 +108,12 @@ object ShortestPath {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min("dist").as("cand"))
       // strict improvements over the current table (or first sightings)
-      val imp = pin(cand.join(dist, Seq("node"), "left")
+      val (imp, nImp) = pin.pinCount(cand.join(dist, Seq("node"), "left")
         .where(col("dist").isNull || col("cand") < col("dist"))
         .select(col("node"), col("cand").as("dist")), "imp")
-      if (imp.isEmpty) exhausted = true
+      if (nImp == 0) exhausted = true
       else {
-        dist = pin(dist.unionByName(imp)
+        dist = pin.pinLazy(dist.unionByName(imp)
           .groupBy("node").agg(min("dist").as("dist")), "dist")
         improved = imp
       }
@@ -124,21 +131,26 @@ object ShortestPath {
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val pin = IterPin.loop()
-    val e = pin(edges.select(col("src"), col("dst")).distinct(), "edges")
-    var settled = pin(seeds.select(col("node")).distinct()
+    // lazy + counted pins: one scheduled job per round instead of
+    // 3-4 (see weightedImpl's r17 note); every lazily-pinned frame's
+    // first action is a full scan (the next round's joins)
+    val e = pin.pinLazy(edges.select(col("src"), col("dst")).distinct(),
+      "edges")
+    val (settled0, nSeeds) = pin.pinCount(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)), "settled")
+    var settled = settled0
     var frontier = settled.select("node")
     var h = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = nSeeds == 0
     while (h <= maxHops && !exhausted) {
-      val discovered = pin(
+      val (discovered, nD) = pin.pinCount(
         e.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
           .join(settled, Seq("node"), "left_anti")
           .withColumn("dist", lit(h)), "frontier")
-      if (discovered.isEmpty) exhausted = true
+      if (nD == 0) exhausted = true
       else {
-        settled = pin(settled.unionAll(discovered), "settled")
+        settled = pin.pinLazy(settled.unionAll(discovered), "settled")
         frontier = discovered.select("node")
       }
       h += 1
