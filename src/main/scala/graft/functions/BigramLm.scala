@@ -38,14 +38,27 @@ object BigramLm {
   def scoreDocs(docs: DataFrame, idCol: String, text: Column,
       discount: Double = 0.75): DataFrame = {
     val id = col(idCol)
-    val arr = split(TextFunctions.normalize(text), " ")
-    val bg = docs.select(id, arr.as("a"))
+    // spread the RAW (id, text) rows before tokenization (r17): the
+    // single-file scan left the normalize+split+explode single-task,
+    // and raw text is the cheap thing to shuffle here (the r16
+    // measured-wrong fanned out the exploded token-array rows, which
+    // cost more to ship than the explode they spread). Keyed by id so
+    // the final per-doc aggregate combines map-side.
+    val src = graft.operators.SkewTools.fanOut(
+      docs.select(id, text.as("_text")), id)
+    val arr = split(TextFunctions.normalize(col("_text")), " ")
+    val bg = src.select(id, arr.as("a"))
       .where(size(col("a")) >= 2)
       .select(id, explode(transform(sequence(lit(1), size(col("a")) - 1),
         i => struct(element_at(col("a"), i).as("w1"),
           element_at(col("a"), i + 1).as("w2")))).as("b"))
       .select(id, col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bc feeds FOUR consumers (cw1, pc, types, the scoring join) and
+    // its lineage is the full bigram explode — checkpoint the small
+    // (distinct bigrams) table once instead of recomputing it per
+    // consumer (r17)
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cw1 = bc.groupBy("w1")
       .agg(sum("c").as("ctx"), count(lit(1)).as("n1f"))
     val pc = bc.groupBy("w2").agg(count(lit(1)).as("n1p"))
