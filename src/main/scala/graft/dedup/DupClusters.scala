@@ -45,14 +45,19 @@ object DupClusters {
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // symmetrize once; this small table is reused every round
+    // symmetrize once; this small table is reused every round. LAZY
+    // checkpoints throughout this loop (r17): the aggregate that
+    // follows each pin full-scans it, which materializes the cache in
+    // the SAME scheduled job (an eager pin is a second serial job per
+    // round; the truncation-safety condition is the full scan — see
+    // IterPin.pinLazy).
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // a label only ever decreases, so "changed" == "sum decreased":
     // one tiny aggregate per round instead of a join against the old
@@ -78,7 +83,8 @@ object DupClusters {
     // isolated d9 2.3 -> 2.7 s; the duplicated inner-round subtree
     // costs more than the saved checkpoint/aggregate fixed cost.
     while (round < maxRounds && !converged) {
-      val next = prop(labels).localCheckpoint(true)
+      // lazy pin: lblSum's full-scan aggregate materializes it
+      val next = prop(labels).localCheckpoint(false)
       val nextSum = lblSum(next)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive
       converged = (nextSum, prevSum) match {
@@ -128,7 +134,8 @@ object DupClusters {
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: sig(e)'s aggregate below full-scans and materializes it
+      .localCheckpoint(false)
 
     // edge-set signature: (count, order-insensitive hash sum) — one
     // tiny aggregate per round. A signature MATCH is then confirmed
@@ -170,7 +177,8 @@ object DupClusters {
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        // lazy: sig(small) full-scans and materializes it
+        .localCheckpoint(false)
       val next = sig(small)
       val sigMatch = next._1 == prev._1 && ((next._2, prev._2) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
@@ -232,9 +240,11 @@ object DupClusters {
     // expand join) — materialize the narrow (id, sig) rows ONCE so the
     // signature computation's lineage (a full corpus text scan) never
     // re-executes per consumer
-    val simsM = sims.select(col(idCol), col(sigCol)).localCheckpoint(true)
+    // lazy pins: building reps full-scans simsM; the contraction's
+    // first edge-set signature aggregate full-scans reps
+    val simsM = sims.select(col(idCol), col(sigCol)).localCheckpoint(false)
     val reps = simsM.groupBy(col(sigCol)).agg(min(col(idCol)).as(idCol))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val repPairs = pairsOf(reps.select(col(idCol), col(sigCol)))
     val repLabels = componentsAlternating(
       reps.select(col(idCol)), idCol, repPairs, "id_a", "id_b", maxRounds)
